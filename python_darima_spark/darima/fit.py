@@ -1,0 +1,258 @@
+"""Per-window (S)ARIMA fitting in pure numpy.
+
+Plays the role of the reference's R ``forecast::auto.arima`` call
+(/root/reference/auto_arima.R:69-120 invoked through rpy2 from
+/root/reference/darima.py:216-219). This container has no R and no
+statsmodels, so we implement the classical public algorithms directly:
+
+* differencing-order selection (d, D) by deterministic strength heuristics
+  (variance-ratio / autocorrelation rules — cf. Hyndman & Athanasopoulos,
+  *Forecasting: Principles and Practice*, unit-root/seasonal-strength chapter);
+* AR/seasonal-AR estimation by OLS on lagged regressors;
+* MA terms by two-stage Hannan–Rissanen (long-AR residuals as proxies);
+* order selection by AIC over a bounded grid (reference bounds are
+  max.p=max.q=max.P=max.Q=20 at /root/reference/auto_arima.R:74; we default
+  lower for the grid's sake but the bounds are parameters).
+
+The fitted model is immediately linearized to the truncated-AR global form
+via :func:`python_darima_spark.darima.arima_math.sarima_to_ar`, which is the
+only representation the distributed combine ever sees — so per-window model
+order is free to vary.
+
+Everything here is called inside an Arrow-backed grouped pandas UDF; numpy
+only, no Spark imports.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from python_darima_spark.darima.arima_math import DEFAULT_TOL, sarima_to_ar
+
+
+def _acf1(x: np.ndarray) -> float:
+    x = x - x.mean()
+    denom = float(np.dot(x, x))
+    if denom <= 0:
+        return 0.0
+    return float(np.dot(x[1:], x[:-1]) / denom)
+
+
+def _seasonal_strength(y: np.ndarray, m: int) -> float:
+    """1 - var(y - per-phase means) / var(y), clipped to [0, 1]."""
+    if m <= 1 or y.size < 3 * m:
+        return 0.0
+    var_y = float(np.var(y))
+    if var_y <= 0:
+        return 0.0
+    phases = np.arange(y.size) % m
+    resid = y.astype(float).copy()
+    for ph in range(m):
+        mask = phases == ph
+        resid[mask] -= resid[mask].mean()
+    return float(np.clip(1.0 - np.var(resid) / var_y, 0.0, 1.0))
+
+
+def select_orders_of_differencing(
+    y: np.ndarray, m: int = 1, max_d: int = 2
+) -> tuple[int, int]:
+    """Deterministic (d, D) selection: seasonal difference once if the
+    seasonal pattern explains >60% of variance, then regular-difference while
+    the lag-1 autocorrelation stays ≥0.90 (unit-root proxy)."""
+    y = np.asarray(y, dtype=float)
+    D = 1 if (m > 1 and _seasonal_strength(y, m) > 0.60) else 0
+    w = y[m:] - y[:-m] if D else y
+    d = 0
+    while d < max_d and w.size > 8 and _acf1(w) >= 0.90:
+        w = np.diff(w)
+        d += 1
+    return d, D
+
+
+def _build_design(
+    w: np.ndarray, p: int, P: int, m: int, eps: np.ndarray | None, q: int
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Regression target/design for w_t on [1, w_{t-1..p}, w_{t-m..Pm},
+    eps_{t-1..q}]. Returns (y_vec, X, start_index)."""
+    lags = list(range(1, p + 1)) + [m * j for j in range(1, P + 1)]
+    start = max([0] + lags + ([q] if q else []))
+    n = w.size
+    if n - start < len(lags) + q + 2:
+        raise ValueError("window too short for requested orders")
+    cols = [np.ones(n - start)]
+    for lag in lags:
+        cols.append(w[start - lag : n - lag])
+    for j in range(1, q + 1):
+        assert eps is not None
+        cols.append(eps[start - j : n - j])
+    X = np.column_stack(cols)
+    return w[start:n], X, start
+
+
+def _ols(yv: np.ndarray, X: np.ndarray) -> tuple[np.ndarray, float, int]:
+    beta, _, _, _ = np.linalg.lstsq(X, yv, rcond=None)
+    resid = yv - X @ beta
+    sigma2 = float(np.dot(resid, resid) / max(1, yv.size))
+    return beta, sigma2, yv.size
+
+
+def _fit_orders(
+    w: np.ndarray, p: int, q: int, P: int, m: int, long_resid: np.ndarray | None
+) -> dict | None:
+    try:
+        yv, X, _ = _build_design(w, p, P, m, long_resid if q else None, q)
+    except ValueError:
+        return None
+    beta, sigma2, n_eff = _ols(yv, X)
+    if sigma2 <= 0:
+        sigma2 = 1e-12
+    k = beta.size + 1  # + sigma2
+    aic = n_eff * np.log(sigma2) + 2.0 * k
+    return {
+        "p": p,
+        "q": q,
+        "P": P,
+        "beta": beta,
+        "sigma2": sigma2,
+        "aic": float(aic),
+        "n_eff": n_eff,
+    }
+
+
+def auto_ar_fit(
+    y: np.ndarray,
+    m: int = 1,
+    max_p: int = 5,
+    max_q: int = 2,
+    max_P: int = 2,
+    d: int | None = None,
+    D: int | None = None,
+    tol: int = DEFAULT_TOL,
+    allow_drift: bool = True,
+) -> dict:
+    """Fit a SARIMA-style model and return it in global AR(tol) linear form.
+
+    Returns a dict with the raw model (``ar``, ``ma``, ``sar``, ``d``, ``D``,
+    ``mean``, ``drift``, ``sigma2``, ``m``, ``n``) and the linearized form
+    (``beta0``, ``beta1``, ``pi`` — length ``tol``).
+    """
+    y = np.asarray(y, dtype=float)
+    y = y[~np.isnan(y)]
+    n = y.size
+    if n < 8:
+        # Degenerate window: intercept-only model.
+        mu = float(y.mean()) if n else 0.0
+        sig = float(y.var()) if n > 1 else 1.0
+        lin = sarima_to_ar(mean=mu, m=m, tol=tol)
+        return {
+            "ar": np.array([]), "ma": np.array([]), "sar": np.array([]),
+            "d": 0, "D": 0, "mean": mu, "drift": 0.0,
+            "sigma2": max(sig, 1e-12), "m": m, "n": n, **lin,
+        }
+
+    if d is None or D is None:
+        d_sel, D_sel = select_orders_of_differencing(y, m)
+        d = d_sel if d is None else d
+        D = D_sel if D is None else D
+
+    w = y.copy()
+    for _ in range(D):
+        w = w[m:] - w[:-m]
+    for _ in range(d):
+        w = np.diff(w)
+    wbar = float(w.mean())
+    wc = w - wbar
+
+    # Long-AR residuals for Hannan–Rissanen MA proxies.
+    long_resid = None
+    if max_q > 0:
+        p_long = min(max(8, 2 * max_p), max(1, wc.size // 4))
+        try:
+            yv, X, start = _build_design(wc, p_long, 0, m, None, 0)
+            beta_l, _, _ = _ols(yv, X)
+            long_resid = np.zeros_like(wc)
+            long_resid[start:] = yv - X @ beta_l
+        except ValueError:
+            long_resid = None
+
+    # Cap orders to what the window length supports.
+    cap = max(0, wc.size // 3 - 2)
+    max_p = min(max_p, cap)
+    max_P = min(max_P, cap // max(1, m)) if m > 1 else 0
+    max_q = min(max_q, cap) if long_resid is not None else 0
+
+    best = None
+    for P in range(0, max_P + 1):
+        for p in range(0, max_p + 1):
+            for q in range(0, max_q + 1):
+                if p == 0 and q == 0 and P == 0:
+                    cand = {
+                        "p": 0, "q": 0, "P": 0,
+                        "beta": np.array([0.0]),
+                        "sigma2": max(float(wc.var()), 1e-12),
+                        "aic": wc.size * np.log(max(float(wc.var()), 1e-12)) + 2.0,
+                        "n_eff": wc.size,
+                    }
+                else:
+                    cand = _fit_orders(wc, p, q, P, m, long_resid)
+                if cand is not None and (best is None or cand["aic"] < best["aic"]):
+                    best = cand
+
+    assert best is not None
+    p, q, P = best["p"], best["q"], best["P"]
+    beta = best["beta"]
+    ar = beta[1 : 1 + p]
+    sar = beta[1 + p : 1 + p + P]
+    ma = beta[1 + p + P : 1 + p + P + q]
+
+    # Constant handling mirrors the forecast-package convention the reference
+    # relies on (/root/reference/auto_arima.R:82-89): d=D=0 → intercept (level);
+    # d+D=1 → drift (slope); d+D≥2 → no constant.
+    intercept = beta[0] + wbar * (1.0 - ar.sum() - sar.sum())
+    ar_sum = float(ar.sum() + sar.sum())
+    denom = (1.0 - ar_sum) if abs(1.0 - ar_sum) > 1e-10 else 1e-10
+    mean_level = float(intercept / denom)
+    if d == 0 and D == 0:
+        mu, dft = mean_level, 0.0
+    elif (d + D) == 1 and allow_drift:
+        mu, dft = 0.0, mean_level
+    else:
+        mu, dft = 0.0, 0.0
+
+    lin = sarima_to_ar(
+        ar=ar, d=d, ma=ma, sar=sar, D=D, sma=(), mean=mu, drift=dft, m=m, tol=tol
+    )
+    return {
+        "ar": ar, "ma": ma, "sar": sar, "d": int(d), "D": int(D),
+        "mean": mu, "drift": dft, "sigma2": float(best["sigma2"]),
+        "m": m, "n": n, **lin,
+    }
+
+
+def fit_window_to_coef_rows(
+    y: np.ndarray,
+    m: int = 1,
+    tol: int = DEFAULT_TOL,
+    method: str = "mean",
+    **fit_kwargs,
+) -> list[tuple[str, float]]:
+    """Fit one window and emit the coefficient multiset the combine keys on:
+    ``beta0, beta1, ar1..ar{tol}, sigma2`` (key space per
+    /root/reference/auto_arima.R:62-65,109-113).
+
+    ``method="dlsa"`` pre-scales every coefficient by T/σ² and stores that
+    weight under ``sigma2`` (reference behavior at auto_arima.R:103-110);
+    ``method="mean"`` stores σ² itself.
+    """
+    fit = auto_ar_fit(np.asarray(y, dtype=float), m=m, tol=tol, **fit_kwargs)
+    vec = np.concatenate(([fit["beta0"], fit["beta1"]], fit["pi"]))
+    names = ["beta0", "beta1"] + [f"ar{i}" for i in range(1, tol + 1)]
+    if method == "dlsa":
+        weight = fit["n"] / max(fit["sigma2"], 1e-300)
+        vec = vec * weight
+        sigma_val = weight
+    else:
+        sigma_val = fit["sigma2"]
+    rows = list(zip(names, vec.tolist()))
+    rows.append(("sigma2", float(sigma_val)))
+    return rows

@@ -1,0 +1,68 @@
+"""SparkSession factory.
+
+Replaces the reference's ``py_spark/spark.py:18-107`` (``start_spark`` builder +
+side-file config discovery) and ``py_spark/logging.py:10-52`` (Log4j wrapper)
+with a plain builder plus stdlib logging. Defaults are tuned for the
+local[N] test harness but are cluster-safe: AQE on (runtime re-plan, skew
+join splitting), Arrow on (vectorized pandas-UDF transport), and a shuffle
+partition count sized to the parallelism actually available instead of the
+200 default.
+"""
+
+from __future__ import annotations
+
+import logging
+import os
+
+from pyspark.sql import SparkSession
+
+log = logging.getLogger("python_darima_spark")
+
+
+def _default_parallelism() -> int:
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        return max(1, int(env))
+    return max(1, os.cpu_count() or 4)
+
+
+def get_spark(
+    app_name: str = "python-darima-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    On a real cluster, pass ``master=None`` and let spark-submit supply the
+    master; locally we default to ``local[N]`` with N = available CPUs.
+    """
+    cpus = _default_parallelism()
+    builder = SparkSession.builder.appName(app_name)
+    if master:
+        builder = builder.master(master)
+    elif "SPARK_MASTER" not in os.environ:
+        builder = builder.master(f"local[{cpus}]")
+
+    conf: dict[str, str] = {
+        # Runtime re-planning: coalesce small shuffle partitions, split skewed
+        # ones, and switch sort-merge to broadcast when a side turns out small.
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.coalescePartitions.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        # Arrow batches for every pandas UDF / toPandas crossing.
+        "spark.sql.execution.arrow.pyspark.enabled": "true",
+        "spark.sql.shuffle.partitions": str(shuffle_partitions or cpus),
+        "spark.sql.session.timeZone": "UTC",
+        # Parquet scans: vectorized reader + aggregate pushdown where legal.
+        "spark.sql.parquet.aggregatePushdown": "true",
+        "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
+    }
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+
+    spark = builder.getOrCreate()
+    log.info("SparkSession up: %s", spark.sparkContext.applicationId)
+    return spark

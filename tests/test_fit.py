@@ -1,0 +1,98 @@
+"""Parameter-recovery tests for the numpy auto-AR fitter on series with
+known generating processes (fixed seeds) — SURVEY.md §5.2 item 2."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from python_darima_spark.darima.fit import (
+    auto_ar_fit,
+    fit_window_to_coef_rows,
+    select_orders_of_differencing,
+)
+
+
+def _simulate_ar(phi, n, mu=0.0, sigma=1.0, seed=0, trend=0.0):
+    rng = np.random.default_rng(seed)
+    phi = np.atleast_1d(phi)
+    p = phi.size
+    y = np.zeros(n + 100)
+    eps = rng.normal(0, sigma, n + 100)
+    for t in range(p, n + 100):
+        y[t] = float(phi @ y[t - p : t][::-1]) + eps[t]
+    out = y[100:] + mu
+    if trend:
+        out = out + trend * np.arange(n)
+    return out
+
+
+def test_recovers_ar1():
+    y = _simulate_ar(0.5, 2000, mu=10.0, seed=1)
+    fit = auto_ar_fit(y, max_p=4, max_q=0)
+    assert fit["d"] == 0 and fit["D"] == 0
+    assert fit["pi"][0] == pytest.approx(0.5, abs=0.08)
+    assert abs(fit["pi"][1:5]).max() < 0.1
+    # implied level: beta0 / (1 - sum(pi))
+    level = fit["beta0"] / (1 - fit["pi"].sum())
+    assert level == pytest.approx(10.0, abs=0.5)
+    assert fit["sigma2"] == pytest.approx(1.0, rel=0.2)
+
+
+def test_recovers_ar2():
+    y = _simulate_ar([0.4, 0.3], 3000, seed=2)
+    fit = auto_ar_fit(y, max_p=5, max_q=0)
+    assert fit["pi"][0] == pytest.approx(0.4, abs=0.08)
+    assert fit["pi"][1] == pytest.approx(0.3, abs=0.08)
+
+
+def test_random_walk_selects_d1():
+    rng = np.random.default_rng(3)
+    y = np.cumsum(rng.normal(0, 1, 1500)) + 0.5 * np.arange(1500)
+    d, D = select_orders_of_differencing(y)
+    assert d == 1 and D == 0
+    fit = auto_ar_fit(y, max_p=3, max_q=0)
+    assert fit["d"] == 1
+    # drift ≈ 0.5 absorbed into beta0/beta1 structure
+    assert fit["drift"] == pytest.approx(0.5, abs=0.15)
+
+
+def test_seasonal_series_selects_D1():
+    rng = np.random.default_rng(4)
+    n, m = 1200, 24
+    seasonal = 10 * np.sin(2 * np.pi * np.arange(n) / m)
+    y = seasonal + rng.normal(0, 1, n)
+    d, D = select_orders_of_differencing(y, m=m)
+    assert D == 1
+
+
+def test_short_window_degenerates_gracefully():
+    fit = auto_ar_fit(np.array([1.0, 2.0, 3.0]), tol=10)
+    assert fit["pi"].size == 10
+    assert np.isfinite(fit["beta0"])
+
+
+def test_constant_series():
+    fit = auto_ar_fit(np.full(200, 7.0), max_p=3, tol=10)
+    # forecasting this model must return ~7: level = beta0/(1-sum(pi))
+    level = fit["beta0"] / (1 - fit["pi"].sum()) if abs(1 - fit["pi"].sum()) > 1e-9 else np.nan
+    assert level == pytest.approx(7.0, abs=1e-6) or np.isnan(level)
+
+
+def test_coef_rows_shape_and_keys():
+    y = _simulate_ar(0.5, 400, seed=5)
+    rows = fit_window_to_coef_rows(y, tol=50)
+    keys = [k for k, _ in rows]
+    assert keys[0] == "beta0" and keys[1] == "beta1"
+    assert keys[2] == "ar1" and keys[51] == "ar50"
+    assert keys[-1] == "sigma2"
+    assert len(rows) == 53
+
+
+def test_dlsa_scaling():
+    y = _simulate_ar(0.5, 400, seed=6)
+    mean_rows = dict(fit_window_to_coef_rows(y, tol=20, method="mean"))
+    dlsa_rows = dict(fit_window_to_coef_rows(y, tol=20, method="dlsa"))
+    w = dlsa_rows["sigma2"]  # = n/sigma2
+    assert w == pytest.approx(400 / mean_rows["sigma2"], rel=1e-9)
+    assert dlsa_rows["ar1"] == pytest.approx(mean_rows["ar1"] * w, rel=1e-9)
