@@ -1,0 +1,118 @@
+"""Time-series shaping operators: regular-grid resampling and contiguous
+window splitting.
+
+The reference splits ONE series with ``df.repartition(n)`` (round-robin,
+/root/reference/darima.py:151-155), which destroys the temporal contiguity
+the DARIMA method assumes (contiguous blocks per the method paper; see
+SURVEY.md §1.4). The engine's default strategies preserve contiguity and
+scale to many series:
+
+* ``range``   — window_id from the timestamp's position inside the series'
+  [min, max] span. Needs only one tiny per-series aggregate (broadcast
+  back); no global sort, no single-partition window — the 100 TB-safe
+  default for gap-free regular grids.
+* ``ntile``   — exact equal-count contiguous windows via
+  ``F.ntile(k).over(Window.partitionBy(series).orderBy(ts))``. Exact but
+  sorts each series inside one task; fine when no single series is huge.
+* ``roundrobin`` — compat mode reproducing the reference's semantics
+  (hash of a monotonic id mod k — temporal contiguity intentionally lost).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def resample_regular(
+    df: DataFrame,
+    step: str = "1 hour",
+    series_col: str = "series_id",
+    ts_col: str = "ts",
+    y_col: str = "y",
+    fill: str = "zero",
+) -> DataFrame:
+    """Gap-fill each series onto a regular grid (operator q_ts_resample).
+
+    Builds the per-series [min, max] hourly grid with ``sequence`` + explode
+    (distributed, no driver loop), left-joins observations, then fills gaps:
+    ``zero`` → 0.0, ``null`` → leave null, ``ffill`` → last non-null value
+    via an ignore-nulls window. Timestamps are truncated to the grid step.
+    """
+    unit = step.split()[-1].rstrip("s")  # "1 hour" -> "hour"
+    truncated = df.select(
+        F.col(series_col),
+        F.date_trunc(unit, F.col(ts_col)).alias(ts_col),
+        F.col(y_col),
+    ).groupBy(series_col, ts_col).agg(F.sum(y_col).alias(y_col))
+
+    grid = (
+        truncated.groupBy(series_col)
+        .agg(F.min(ts_col).alias("_lo"), F.max(ts_col).alias("_hi"))
+        .select(
+            series_col,
+            F.explode(
+                F.sequence("_lo", "_hi", F.expr(f"INTERVAL {step}"))
+            ).alias(ts_col),
+        )
+    )
+    joined = grid.join(truncated, on=[series_col, ts_col], how="left")
+    if fill == "zero":
+        out = joined.withColumn(y_col, F.coalesce(F.col(y_col), F.lit(0.0)))
+    elif fill == "ffill":
+        w = (
+            Window.partitionBy(series_col)
+            .orderBy(ts_col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        out = joined.withColumn(y_col, F.last(y_col, ignorenulls=True).over(w))
+    elif fill == "null":
+        out = joined
+    else:
+        raise ValueError(f"unknown fill mode {fill!r}")
+    return out
+
+
+def split_series(
+    df: DataFrame,
+    num_windows: int,
+    series_col: str = "series_id",
+    ts_col: str = "ts",
+    strategy: str = "range",
+) -> DataFrame:
+    """Assign a contiguous ``window_id`` (0..k-1) within each series.
+
+    Replaces the reference's round-robin ``repartition(num_partitions)``
+    (/root/reference/darima.py:151-155, n from darima_config.json:2) with
+    contiguity-preserving splits; ``strategy="roundrobin"`` keeps the
+    literal (order-destroying) behavior for compat diffing.
+    """
+    k = int(num_windows)
+    if k < 1:
+        raise ValueError("num_windows must be >= 1")
+    if strategy == "range":
+        bounds = df.groupBy(series_col).agg(
+            F.min(ts_col).alias("_lo"), F.max(ts_col).alias("_hi")
+        )
+        frac = (
+            F.col(ts_col).cast("double") - F.col("_lo").cast("double")
+        ) / F.greatest(
+            F.col("_hi").cast("double") - F.col("_lo").cast("double"), F.lit(1e-9)
+        )
+        return (
+            df.join(F.broadcast(bounds), on=series_col)
+            .withColumn(
+                "window_id",
+                F.least(F.floor(frac * k), F.lit(k - 1)).cast("int"),
+            )
+            .drop("_lo", "_hi")
+        )
+    if strategy == "ntile":
+        w = Window.partitionBy(series_col).orderBy(ts_col)
+        return df.withColumn("window_id", (F.ntile(k).over(w) - 1).cast("int"))
+    if strategy == "roundrobin":
+        w = Window.partitionBy(series_col).orderBy(ts_col)
+        return df.withColumn(
+            "window_id", (F.row_number().over(w) % k).cast("int")
+        )
+    raise ValueError(f"unknown strategy {strategy!r}")

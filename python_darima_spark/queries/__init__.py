@@ -1,0 +1,71 @@
+"""Declared query/operator registry — the SURVEY.md §2B checklist.
+
+Each entry pairs a Spark DataFrame program with (where expressible) an
+equivalent ANSI-SQL string for the DuckDB oracle. The driver runs both at
+sf0.01 and compares row count + schema + order-insensitive value hash, so:
+
+* every computed column is aliased IDENTICALLY in both formulations;
+* floating-point aggregates are ``round(…, 4)``-ed on both sides so
+  summation-order ulps can't flip the hash;
+* DuckDB's integer-sum type promotion (HUGEINT) is cast back to BIGINT.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None  # DuckDB SQL; None → rows-only check
+
+
+_MODULES = [
+    "python_darima_spark.queries.relational",
+    "python_darima_spark.queries.joins",
+    "python_darima_spark.queries.scalars",
+    "python_darima_spark.queries.udfs",
+    "python_darima_spark.queries.domain",
+    "python_darima_spark.queries.llm_data",
+    "python_darima_spark.queries.streaming_q",
+]
+
+
+def registry() -> dict[str, QuerySpec]:
+    out: dict[str, QuerySpec] = {}
+    for modname in _MODULES:
+        try:
+            mod = importlib.import_module(modname)
+        except ModuleNotFoundError:
+            continue
+        specs = getattr(mod, "QUERIES", {})
+        overlap = set(specs) & set(out)
+        if overlap:
+            raise ValueError(f"duplicate query names: {overlap}")
+        out.update(specs)
+    return out
+
+
+def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """Read a testdata table, normalizing physical quirks.
+
+    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader rejects
+    (PARQUET_TYPE_ILLEGAL) unless ``spark.sql.legacy.parquet.nanosAsLong``
+    is set; we set it at runtime and convert nanos→microsecond timestamp
+    here so every downstream query sees a plain TimestampType column.
+    """
+    if table == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{table}.parquet")
+    if table == "events" and dict(df.dtypes).get("ts") == "bigint":
+        from pyspark.sql import functions as F
+
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
+        )
+    return df

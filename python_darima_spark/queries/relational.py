@@ -1,0 +1,352 @@
+"""Relational core: scans, projection, filters, aggregation, windows, sort,
+set ops (SURVEY.md §2B, milestone M1). All pure built-in DataFrame ops —
+whole-stage-codegen'd, predicate/projection pushed down by Catalyst."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from python_darima_spark.queries import QuerySpec, load
+
+
+# --- scans -----------------------------------------------------------------
+
+def q_scan_parquet(spark: SparkSession, sf: str) -> DataFrame:
+    """Parquet scan + projection (ref R1 generalized): column pruning means
+    the physical plan reads exactly 3 of lineitem's 11 columns."""
+    return load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+
+
+_REGION_SCHEMA = StructType(
+    [
+        StructField("r_regionkey", IntegerType()),
+        StructField("r_name", StringType()),
+    ]
+)
+
+
+def q_scan_csv(spark: SparkSession, sf: str) -> DataFrame:
+    """CSV scan with EXPLICIT schema (ref R1 used inferSchema=True — a
+    second full pass over the data; the engine always declares schemas,
+    /root/reference/darima.py:135-139). Materializes region as CSV once in
+    a temp dir, then scans it."""
+    path = os.path.join(tempfile.gettempdir(), f"pds_region_csv_{os.path.basename(sf)}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        load(spark, sf, "region").coalesce(1).write.mode("overwrite").option(
+            "header", True
+        ).csv(path)
+    return spark.read.schema(_REGION_SCHEMA).option("header", True).csv(path)
+
+
+def q_sink_json(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON sink + re-scan (ref R31: driver-side json.dump of the forecast,
+    /root/reference/darima.py:410-412 — engine uses a distributed writer)."""
+    path = os.path.join(tempfile.gettempdir(), f"pds_sink_json_{os.path.basename(sf)}")
+    agg = (
+        load(spark, sf, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+    agg.write.mode("overwrite").json(path)
+    return spark.read.json(path).select("o_orderstatus", "total")
+
+
+# --- projection / filter / cast -------------------------------------------
+
+def q_project_expr(spark: SparkSession, sf: str) -> DataFrame:
+    """Arithmetic projection + aliasing (ref R16/R24 restated)."""
+    li = load(spark, sf, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # No rounding: row-level IEEE double arithmetic is bitwise-deterministic,
+    # so Spark and the oracle agree exactly; ROUND() would *introduce*
+    # engine-specific tie-breaking noise.
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        disc.alias("revenue"),
+        (disc * (1 + F.col("l_tax"))).alias("charged"),
+    )
+
+
+def q_filter_pred(spark: SparkSession, sf: str) -> DataFrame:
+    """Conjunctive/disjunctive predicates, BETWEEN, IN, IS NOT NULL
+    (ref R19 generalized). Catalyst pushes all of it to the parquet scan."""
+    o = load(spark, sf, "orders")
+    return o.filter(
+        (F.col("o_totalprice").between(1000, 50000))
+        & (F.col("o_orderstatus").isin("F", "O"))
+        & (F.col("o_orderpriority") != "1-URGENT")
+        & (F.col("o_orderdate").isNotNull())
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+
+
+def q_filter_like(spark: SparkSession, sf: str) -> DataFrame:
+    """String-match filters: LIKE / prefix / contains (ref R19's
+    str.contains on coef keys, /root/reference/py_handlers/converters.py:91-96)."""
+    p = load(spark, sf, "part")
+    return p.filter(
+        F.col("p_type").like("%ECO%")
+        | F.col("p_name").startswith("red")
+        | F.col("p_brand").contains("#3")
+    ).select("p_partkey", "p_name", "p_brand", "p_type")
+
+
+def q_cast_ts(spark: SparkSession, sf: str) -> DataFrame:
+    """String↔timestamp casts (ref R17, py_handlers/converters.py:109)."""
+    e = load(spark, sf, "events")
+    return e.select(
+        "event_id",
+        F.to_timestamp(F.date_format("ts", "yyyy-MM-dd HH:00:00")).alias("ts_hour"),
+        F.date_format("ts", "yyyy-MM-dd").alias("ts_date"),
+    )
+
+
+# --- aggregation -----------------------------------------------------------
+
+def q_agg_hash(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped sum/avg/min/max/count — the reference's hand-rolled
+    aggregateByKey reduces (darima.py:233-280) restated as one Catalyst
+    hash aggregate (partial+final, map-side combine for free)."""
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+        F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+        F.min("l_shipdate").alias("min_ship"),
+        F.max("l_shipdate").alias("max_ship"),
+        F.count("*").alias("n"),
+    )
+
+
+def q_agg_distinct(spark: SparkSession, sf: str) -> DataFrame:
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct("l_partkey", "l_suppkey").alias("n_part_supp"),
+        F.round(F.sum_distinct(F.col("l_quantity")), 4).alias("sum_dist_qty"),
+    )
+
+
+def q_agg_sets(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP grouping sets."""
+    li = load(spark, sf, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("l_quantity"), 4).alias("sum_qty"),
+    )
+
+
+def q_agg_approx(spark: SparkSession, sf: str) -> DataFrame:
+    """HLL++ approximate distinct — rows-only oracle (±ε asserted in
+    tests/test_relational.py against the exact count)."""
+    e = load(spark, sf, "events")
+    return e.agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+        F.approx_count_distinct("event_id", 0.01).alias("approx_events"),
+    )
+
+
+# --- windows ---------------------------------------------------------------
+
+def q_window_rank(spark: SparkSession, sf: str) -> DataFrame:
+    """rank/dense_rank/row_number/ntile. ntile over (series, ts) is exactly
+    the engine's contiguous series splitter (SURVEY §1.4)."""
+    o = load(spark, sf, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderkey",
+            "o_custkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+            F.rank().over(w).alias("rnk"),
+            F.dense_rank().over(w).alias("drnk"),
+            F.ntile(4).over(w).alias("quartile"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+def q_window_lag(spark: SparkSession, sf: str) -> DataFrame:
+    """lag/lead feature columns — the reference's lag design matrix
+    (darima.py:320) as window functions."""
+    e = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.lag("value", 1).over(w), 4).alias("prev_value"),
+        F.round(F.lag("value", 2).over(w), 4).alias("prev2_value"),
+        F.round(F.lead("value", 1).over(w), 4).alias("next_value"),
+        F.round(F.col("value") - F.lag("value", 1).over(w), 4).alias("delta"),
+    )
+
+
+def q_window_frame(spark: SparkSession, sf: str) -> DataFrame:
+    """Moving aggregate with an explicit rowsBetween frame (rolling mean)."""
+    e = load(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-4, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.avg("value").over(w), 4).alias("rolling_avg5"),
+        F.round(F.sum("value").over(w), 4).alias("rolling_sum5"),
+        F.count("*").over(w).alias("rolling_n"),
+    )
+
+
+# --- sort / limit / set ops ------------------------------------------------
+
+def q_sort_limit(spark: SparkSession, sf: str) -> DataFrame:
+    """Global top-k (Spark plans TakeOrderedAndProject — no full sort)."""
+    o = load(spark, sf, "orders")
+    return (
+        o.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .limit(10)
+    )
+
+
+def q_setop(spark: SparkSession, sf: str) -> DataFrame:
+    """UNION ALL / INTERSECT / EXCEPT, tagged (ref R22's frame concat)."""
+    c = load(spark, sf, "customer").select(F.col("c_nationkey").alias("nk"))
+    s = load(spark, sf, "supplier").select(F.col("s_nationkey").alias("nk"))
+    both = c.intersect(s).withColumn("tag", F.lit("both"))
+    cust_only = c.distinct().exceptAll(s.distinct()).withColumn("tag", F.lit("cust_only"))
+    return both.unionByName(cust_only)
+
+
+QUERIES = {
+    "q_scan_parquet": QuerySpec(
+        q_scan_parquet,
+        "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem",
+    ),
+    "q_scan_csv": QuerySpec(
+        q_scan_csv,
+        "SELECT r_regionkey, r_name FROM region",
+    ),
+    "q_sink_json": QuerySpec(q_sink_json, None),  # sink: rows-only
+    "q_project_expr": QuerySpec(
+        q_project_expr,
+        """SELECT l_orderkey, l_linenumber,
+                  l_extendedprice * (1 - l_discount) AS revenue,
+                  l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charged
+           FROM lineitem""",
+    ),
+    "q_filter_pred": QuerySpec(
+        q_filter_pred,
+        """SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+           FROM orders
+           WHERE o_totalprice BETWEEN 1000 AND 50000
+             AND o_orderstatus IN ('F', 'O')
+             AND o_orderpriority <> '1-URGENT'
+             AND o_orderdate IS NOT NULL""",
+    ),
+    "q_filter_like": QuerySpec(
+        q_filter_like,
+        """SELECT p_partkey, p_name, p_brand, p_type
+           FROM part
+           WHERE p_type LIKE '%ECO%'
+              OR p_name LIKE 'red%'
+              OR p_brand LIKE '%#3%'""",
+    ),
+    "q_cast_ts": QuerySpec(
+        q_cast_ts,
+        """SELECT event_id,
+                  strptime(strftime(ts, '%Y-%m-%d %H:00:00'), '%Y-%m-%d %H:%M:%S') AS ts_hour,
+                  strftime(ts, '%Y-%m-%d') AS ts_date
+           FROM events""",
+    ),
+    "q_agg_hash": QuerySpec(
+        q_agg_hash,
+        """SELECT l_returnflag, l_linestatus,
+                  ROUND(SUM(l_quantity), 4) AS sum_qty,
+                  ROUND(SUM(l_extendedprice), 2) AS sum_price,
+                  ROUND(AVG(l_discount), 6) AS avg_disc,
+                  MIN(l_shipdate) AS min_ship,
+                  MAX(l_shipdate) AS max_ship,
+                  COUNT(*) AS n
+           FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+    ),
+    "q_agg_distinct": QuerySpec(
+        q_agg_distinct,
+        """SELECT l_returnflag,
+                  COUNT(DISTINCT l_suppkey) AS n_supp,
+                  COUNT(DISTINCT (l_partkey, l_suppkey)) AS n_part_supp,
+                  ROUND(SUM(DISTINCT l_quantity), 4) AS sum_dist_qty
+           FROM lineitem GROUP BY l_returnflag""",
+    ),
+    "q_agg_sets": QuerySpec(
+        q_agg_sets,
+        """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+                  ROUND(SUM(l_quantity), 4) AS sum_qty
+           FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    ),
+    "q_agg_approx": QuerySpec(q_agg_approx, None),  # approximate: rows-only
+    "q_window_rank": QuerySpec(
+        q_window_rank,
+        """SELECT * FROM (
+             SELECT o_orderkey, o_custkey, o_totalprice,
+                    ROW_NUMBER() OVER w AS rn,
+                    RANK() OVER w AS rnk,
+                    DENSE_RANK() OVER w AS drnk,
+                    NTILE(4) OVER w AS quartile
+             FROM orders
+             WINDOW w AS (PARTITION BY o_custkey
+                          ORDER BY o_totalprice DESC, o_orderkey)
+           ) WHERE rn <= 3""",
+    ),
+    "q_window_lag": QuerySpec(
+        q_window_lag,
+        """SELECT event_id, user_id,
+                  ROUND(LAG(value, 1) OVER w, 4) AS prev_value,
+                  ROUND(LAG(value, 2) OVER w, 4) AS prev2_value,
+                  ROUND(LEAD(value, 1) OVER w, 4) AS next_value,
+                  ROUND(value - LAG(value, 1) OVER w, 4) AS delta
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""",
+    ),
+    "q_window_frame": QuerySpec(
+        q_window_frame,
+        """SELECT event_id, user_id,
+                  ROUND(AVG(value) OVER w, 4) AS rolling_avg5,
+                  ROUND(SUM(value) OVER w, 4) AS rolling_sum5,
+                  COUNT(*) OVER w AS rolling_n
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""",
+    ),
+    "q_sort_limit": QuerySpec(
+        q_sort_limit,
+        """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+           ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""",
+    ),
+    "q_setop": QuerySpec(
+        q_setop,
+        """SELECT nk, 'both' AS tag FROM
+             (SELECT c_nationkey AS nk FROM customer
+              INTERSECT SELECT s_nationkey FROM supplier)
+           UNION ALL
+           SELECT nk, 'cust_only' AS tag FROM
+             (SELECT DISTINCT c_nationkey AS nk FROM customer
+              EXCEPT SELECT DISTINCT s_nationkey FROM supplier)""",
+    ),
+}

@@ -56,6 +56,9 @@ def get_spark(
         "spark.sql.session.timeZone": "UTC",
         # Parquet scans: vectorized reader + aggregate pushdown where legal.
         "spark.sql.parquet.aggregatePushdown": "true",
+        # The testdata's events table stores TIMESTAMP(NANOS); Spark has no
+        # nanos type, so read as long and convert in the loader.
+        "spark.sql.legacy.parquet.nanosAsLong": "true",
         "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
     }
     if extra_conf:
