@@ -1,0 +1,103 @@
+"""Relational operators Spark lacks as built-ins, composed from DataFrame
+primitives (SURVEY.md §4.3: no custom Catalyst rules needed)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    right_cols: list[str] | None = None,
+    tolerance: str | None = None,
+    suffix: str = "_right",
+    tie_break: list[str] | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` within the same ``on`` key (backward direction,
+    inclusive — pandas ``merge_asof`` semantics). Left rows with no prior
+    right row keep nulls.
+
+    Implementation is the union+window trick, NOT a candidate join: tag both
+    sides, union, then ``last(col, ignorenulls=True)`` over a per-key ordered
+    window. One shuffle on the key, O(n log n) — whereas the naive
+    ``l JOIN r ON key AND r.ts <= l.ts`` + rank explodes to O(|candidate
+    pairs|) and dies on dense keys at scale. Ties at equal ts: right sorts
+    before left (inclusive ≤); among equal-ts right rows the greatest by
+    ``tie_break`` (right-side column names) wins — pass it whenever ts can
+    tie, otherwise the winner is partition-order-dependent.
+
+    Output: all left columns, plus each carried right column named
+    ``c`` (or ``c + suffix`` on collision with a left column).
+
+    ``tolerance`` (e.g. "7 days"): matches older than ``left_ts − tolerance``
+    are nulled out.
+    """
+    right_cols = right_cols or [c for c in right.columns if c not in (on, right_ts)]
+    payload = [right_ts] + right_cols
+
+    r = right.select(
+        F.col(on).alias("_k"),
+        F.col(right_ts).alias("_ts"),
+        F.lit(0).alias("_side"),
+        *[F.col(c).alias(f"_r_{c}") for c in payload],
+    )
+    l = left.select(
+        F.col(on).alias("_k"),
+        F.col(left_ts).alias("_ts"),
+        F.lit(1).alias("_side"),
+        *left.columns,
+    )
+    unioned = r.unionByName(l, allowMissingColumns=True)
+
+    order = [F.col("_ts"), F.col("_side")] + [
+        F.col(f"_r_{c}") for c in (tie_break or [])
+    ]
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    for c in payload:
+        unioned = unioned.withColumn(
+            f"_f_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w)
+        )
+    out = unioned.where(F.col("_side") == 1)
+
+    if tolerance:
+        # Materialize the flag BEFORE nulling any column: the flag reads
+        # _f_<right_ts>, which is itself one of the columns being nulled.
+        out = out.withColumn(
+            "_stale",
+            F.col(f"_f_{right_ts}")
+            < F.col("_ts") - F.expr(f"INTERVAL {tolerance}"),
+        )
+        for c in payload:
+            out = out.withColumn(
+                f"_f_{c}",
+                F.when(F.col("_stale"), F.lit(None)).otherwise(F.col(f"_f_{c}")),
+            )
+
+    outname = {
+        c: (c + suffix if c in left.columns else c) for c in payload
+    }
+    return out.select(
+        *left.columns, *[F.col(f"_f_{c}").alias(outname[c]) for c in payload]
+    )
+
+
+def top_k_per_group(
+    df: DataFrame, group_cols: list[str], order_cols: list, k: int
+) -> DataFrame:
+    """Per-group top-k via row_number window (no global sort, no explosion)."""
+    w = Window.partitionBy(*group_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .drop("_rn")
+    )

@@ -1,0 +1,143 @@
+"""Join variants (SURVEY.md §2B milestone M2): inner, broadcast, outer,
+semi/anti, theta (non-equi), as-of. Catalyst picks the physical strategy
+(broadcast-hash vs sort-merge) — we pin ``F.broadcast`` only where the dim
+side is known-small; AQE converts to broadcast at runtime otherwise."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_darima_spark.operators.relational import asof_join
+from python_darima_spark.queries import QuerySpec, load
+
+
+def q_join_inner(spark: SparkSession, sf: str) -> DataFrame:
+    o, c = load(spark, sf, "orders"), load(spark, sf, "customer")
+    return o.join(c, o.o_custkey == c.c_custkey, "inner").select(
+        "o_orderkey", "c_custkey", "c_name", "o_totalprice", "c_mktsegment"
+    )
+
+
+def q_join_broadcast(spark: SparkSession, sf: str) -> DataFrame:
+    """Fact ⋈ broadcast dims: customer→nation→region with explicit
+    broadcast hints — zero shuffle of the fact side at any scale."""
+    c = load(spark, sf, "customer")
+    n = F.broadcast(load(spark, sf, "nation"))
+    r = F.broadcast(load(spark, sf, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+    )
+
+
+def q_join_outer(spark: SparkSession, sf: str) -> DataFrame:
+    """Left outer: every customer, with order info where present."""
+    c, o = load(spark, sf, "customer"), load(spark, sf, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left").select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    )
+
+
+def q_join_semi_anti(spark: SparkSession, sf: str) -> DataFrame:
+    """Left semi + left anti, tagged and unioned (customers with vs
+    without orders) — no columns from the right side ever materialize."""
+    c, o = load(spark, sf, "customer"), load(spark, sf, "orders")
+    cond = c.c_custkey == o.o_custkey
+    semi = c.join(o, cond, "left_semi").select("c_custkey").withColumn(
+        "tag", F.lit("has_orders")
+    )
+    anti = c.join(o, cond, "left_anti").select("c_custkey").withColumn(
+        "tag", F.lit("no_orders")
+    )
+    return semi.unionByName(anti)
+
+
+def q_join_theta(spark: SparkSession, sf: str) -> DataFrame:
+    """Non-equi (theta) join — broadcast nested-loop over a small side.
+    Every supplier × the nations whose key-scaled threshold its balance
+    clears. The small side MUST be broadcast: a non-equi join has no
+    shuffle key, so the only scalable plan is BNLJ with the tiny side
+    replicated."""
+    s = load(spark, sf, "supplier")
+    n = F.broadcast(load(spark, sf, "nation"))
+    return s.join(n, s.s_acctbal >= n.n_nationkey * 300.0).select(
+        "s_suppkey", "n_nationkey", "s_acctbal"
+    )
+
+
+def q_join_asof(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join: for each purchase event, the latest prior (≤) click by
+    the same user. Union+window implementation (see
+    operators/relational.py:asof_join) — the oracle states the equivalent
+    candidate-join + ROW_NUMBER formulation."""
+    e = load(spark, sf, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    joined = asof_join(
+        purchases, clicks, on="user_id", right_cols=["click_id"],
+        tie_break=["click_id"],
+    )
+    return joined.select("purchase_id", "click_id")
+
+
+QUERIES = {
+    "q_join_inner": QuerySpec(
+        q_join_inner,
+        """SELECT o_orderkey, c_custkey, c_name, o_totalprice, c_mktsegment
+           FROM orders JOIN customer ON o_custkey = c_custkey""",
+    ),
+    "q_join_broadcast": QuerySpec(
+        q_join_broadcast,
+        """SELECT r_name, n_name, COUNT(*) AS n_cust,
+                  ROUND(SUM(c_acctbal), 2) AS sum_bal
+           FROM customer
+           JOIN nation ON c_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           GROUP BY r_name, n_name""",
+    ),
+    "q_join_outer": QuerySpec(
+        q_join_outer,
+        """SELECT c_custkey, c_name, o_orderkey, o_totalprice
+           FROM customer LEFT JOIN orders ON c_custkey = o_custkey""",
+    ),
+    "q_join_semi_anti": QuerySpec(
+        q_join_semi_anti,
+        """SELECT c_custkey, 'has_orders' AS tag FROM customer
+           WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           UNION ALL
+           SELECT c_custkey, 'no_orders' AS tag FROM customer
+           WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""",
+    ),
+    "q_join_theta": QuerySpec(
+        q_join_theta,
+        """SELECT s_suppkey, n_nationkey, s_acctbal
+           FROM supplier JOIN nation ON s_acctbal >= n_nationkey * 300.0""",
+    ),
+    "q_join_asof": QuerySpec(
+        q_join_asof,
+        """WITH cand AS (
+             SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+                    ROW_NUMBER() OVER (
+                      PARTITION BY p.event_id
+                      ORDER BY c.ts DESC, c.event_id DESC
+                    ) AS rn
+             FROM events p
+             LEFT JOIN events c
+               ON p.user_id = c.user_id
+              AND c.event_type = 'click'
+              AND c.ts <= p.ts
+             WHERE p.event_type = 'purchase'
+           )
+           SELECT purchase_id, click_id FROM cand WHERE rn = 1""",
+    ),
+}

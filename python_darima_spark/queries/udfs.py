@@ -1,0 +1,95 @@
+"""Pandas-UDF queries (SURVEY.md §2B): vectorized scalar, grouped-map,
+grouped-agg. These exist to pin the Arrow boundary contract — everything
+that CAN be a built-in expression elsewhere in the engine IS one; these
+queries deliberately route through Python to test the crossing, and their
+oracles are the equivalent SQL so the driver still hash-checks them.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+
+from python_darima_spark.queries import QuerySpec, load
+
+
+def q_udf_scalar(spark: SparkSession, sf: str) -> DataFrame:
+    # UDFs are built inside the function: pandas_udf needs an active session
+    # to resolve the DDL return type, so module import stays Spark-free.
+    @pandas_udf("double")
+    def revenue_udf(price: pd.Series, discount: pd.Series) -> pd.Series:
+        # Arrow-batched: one vectorized op per ~10k-row batch, not per row.
+        return price * (1.0 - discount)
+
+    li = load(spark, sf, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        revenue_udf("l_extendedprice", "l_discount").alias("revenue"),
+    )
+
+
+def q_udf_grouped_map(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped-map applyInPandas — the harness shape of the DARIMA fit
+    (ref R5, /root/reference/darima.py:157-159) with a deterministic,
+    SQL-checkable body: per-status z-score of order totals."""
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["o_totalprice"].mean()
+        sd = pdf["o_totalprice"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "o_orderkey": pdf["o_orderkey"],
+                "o_orderstatus": pdf["o_orderstatus"],
+                "z": np.round((pdf["o_totalprice"] - mu) / sd, 6),
+            }
+        )
+
+    o = load(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").applyInPandas(
+        zscore, "o_orderkey long, o_orderstatus string, z double"
+    )
+
+
+def q_udaf_grouped_agg(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped-agg pandas UDF — the DLSA weighted-combine shape
+    (ref R11+R16) as a custom aggregate: quantity-weighted mean price."""
+
+    @pandas_udf("double")
+    def weighted_avg_udf(x: pd.Series, w: pd.Series) -> float:  # GROUPED_AGG
+        return float(np.dot(x, w) / w.sum())
+
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(
+            weighted_avg_udf("l_extendedprice", "l_quantity"), 4
+        ).alias("wavg_price")
+    )
+
+
+QUERIES = {
+    "q_udf_scalar": QuerySpec(
+        q_udf_scalar,
+        """SELECT l_orderkey, l_linenumber,
+                  l_extendedprice * (1 - l_discount) AS revenue
+           FROM lineitem""",
+    ),
+    "q_udf_grouped_map": QuerySpec(
+        q_udf_grouped_map,
+        """SELECT o_orderkey, o_orderstatus,
+                  round((o_totalprice - avg(o_totalprice) OVER w)
+                        / stddev_samp(o_totalprice) OVER w, 6) AS z
+           FROM orders
+           WINDOW w AS (PARTITION BY o_orderstatus)""",
+    ),
+    "q_udaf_grouped_agg": QuerySpec(
+        q_udaf_grouped_agg,
+        """SELECT l_returnflag,
+                  round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
+                      AS wavg_price
+           FROM lineitem GROUP BY l_returnflag""",
+    ),
+}

@@ -1,0 +1,93 @@
+"""Single-node python oracle for the distributed DARIMA queries
+(SURVEY.md §5.2 item 2): replicate resample→split→fit→combine in pure
+pandas/numpy on the same sf0.001 parquet and compare coefficient vectors
+exactly (same fit code, so the distributed plumbing — grouping, Arrow
+transport, hash-agg combine — is what's under test)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow.parquet as pq
+import pytest
+
+from python_darima_spark.darima.fit import fit_window_to_coef_rows
+from python_darima_spark.queries.domain import _CFG, q_ts_fit_combine
+
+SF = "/root/testdata/sf0.001"
+
+
+def _oracle_coefs() -> pd.DataFrame:
+    ev = pq.read_table(f"{SF}/events.parquet").to_pandas()
+    ev["ts"] = pd.to_datetime(ev["ts"]).dt.floor("us")  # engine reads micros
+    ev["hour"] = ev["ts"].dt.floor("h")
+    agg = (
+        ev.groupby(["event_type", "hour"])["value"].sum().reset_index()
+    )
+    out_rows = []
+    for sid, g in agg.groupby("event_type"):
+        grid = pd.date_range(g["hour"].min(), g["hour"].max(), freq="h")
+        y = (
+            g.set_index("hour")["value"].reindex(grid).fillna(0.0).to_numpy()
+        )
+        # range split, k=4 (mirrors operators/timeseries.py::split_series)
+        lo, hi = 0, len(grid) - 1
+        ids = np.minimum(
+            np.floor(
+                (np.arange(len(grid)) - lo)
+                / max(hi - lo, 1e-9)
+                * _CFG.num_windows
+            ),
+            _CFG.num_windows - 1,
+        ).astype(int)
+        per_window = []
+        for wid in range(_CFG.num_windows):
+            rows = dict(
+                fit_window_to_coef_rows(
+                    y[ids == wid],
+                    m=_CFG.period,
+                    tol=_CFG.tol,
+                    method="mean",
+                    max_p=_CFG.max_p,
+                    max_q=_CFG.max_q,
+                    max_P=_CFG.max_P,
+                )
+            )
+            per_window.append(rows)
+        keys = per_window[0].keys()
+        for k in keys:
+            out_rows.append(
+                (str(sid), k, float(np.mean([w[k] for w in per_window])))
+            )
+    return pd.DataFrame(out_rows, columns=["series_id", "coef", "value"])
+
+
+def test_fit_combine_matches_single_node_oracle(spark):
+    got = (
+        q_ts_fit_combine(spark, SF)
+        .toPandas()
+        .sort_values(["series_id", "coef"])
+        .reset_index(drop=True)
+    )
+    want = _oracle_coefs().sort_values(["series_id", "coef"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    pd.testing.assert_series_equal(got["series_id"], want["series_id"])
+    pd.testing.assert_series_equal(got["coef"], want["coef"])
+    np.testing.assert_allclose(
+        got["value"].to_numpy(), want["value"].to_numpy(), rtol=1e-9, atol=1e-12
+    )
+
+
+def test_forecast_query_shape(spark):
+    from python_darima_spark.queries.domain import q_ts_forecast
+
+    fc = q_ts_forecast(spark, SF).toPandas()
+    assert len(fc) == 5 * 24  # 5 event types × h=24
+    assert set(fc.columns) == {
+        "series_id", "step", "ts", "mean", "se",
+        "lo_80", "hi_80", "lo_95", "hi_95",
+    }
+    assert fc["se"].ge(0).all()
+    assert (fc["hi_95"] >= fc["hi_80"]).all()
+    assert (fc["lo_95"] <= fc["lo_80"]).all()
+    assert np.isfinite(fc["mean"]).all()
