@@ -1,0 +1,272 @@
+"""LLM training-data pipeline queries (SURVEY.md §2B north-star set):
+dedup (exact / MinHash / SimHash / n-gram / embedding), similarity search,
+text analysis, multimodal plumbing.
+
+Oracle strategy: operators whose logic is expressible in portable SQL get
+exact DuckDB oracles (q_dedup_exact, q_text_stats, q_text_fingerprint,
+q_sim_topk). Hash-family-dependent ops (MinHash/SimHash/LSH — xxhash64 has
+no DuckDB twin) get rows-only driver checks plus property tests against
+exact similarity in tests/test_llm_data.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_darima_spark.functions.text import (
+    STOPWORDS,
+    fingerprint,
+    lang_guess,
+    punct_ratio,
+    quality_score,
+    token_count,
+    whitespace_token_count,
+)
+from python_darima_spark.operators.dedup import (
+    dedup_exact,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from python_darima_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_duplicates,
+    ivf_topk,
+    train_centroids,
+)
+from python_darima_spark.queries import QuerySpec, load
+
+
+def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup keeping min doc_id per sha2 digest. The fixture has no
+    exact dups, so this must return every row — which is itself the
+    correctness statement the oracle checks; the duplicate-collapsing path
+    is covered by tests/test_llm_data.py with injected dups."""
+    docs = load(spark, sf, "documents")
+    return dedup_exact(docs, "text", "doc_id").select("doc_id", "lang", "source")
+
+
+def q_dedup_near(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash(64) + LSH(16 bands × 4) candidates, exact-Jaccard verified
+    at 0.5 on 5-char shingles."""
+    docs = load(spark, sf, "documents")
+    return minhash_near_duplicates(
+        docs, "text", "doc_id", threshold=0.5
+    ).orderBy("id_a", "id_b")
+
+
+def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    docs = load(spark, sf, "documents")
+    return simhash_near_duplicates(docs, "text", "doc_id", max_hamming=3)
+
+
+def q_dedup_ngram(spark: SparkSession, sf: str) -> DataFrame:
+    """Word-3-gram Jaccard pairs ≥ 0.3 with length-bucket blocking.
+    SQL-matched: the oracle restates shingling + intersect/union in DuckDB
+    list functions."""
+    docs = load(spark, sf, "documents")
+    return ngram_jaccard_pairs(
+        docs, "text", "doc_id", n=3, threshold=0.3
+    )
+
+
+def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding-cosine near-dups ≥ 0.95 via hyperplane-LSH buckets +
+    exact verification."""
+    emb = load(spark, sf, "embeddings")
+    return embedding_near_duplicates(emb, threshold=0.95)
+
+
+def q_sim_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-5 for query vectors vec_id < 8 — exact,
+    deterministic (rounded-then-ranked), hash-matched against DuckDB."""
+    emb = load(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 8)
+    return cosine_topk(emb, queries, k=5)
+
+
+def q_sim_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF approximate top-5 (16 centroids, nprobe=4) — the 100 TB path;
+    recall vs brute force asserted in tests."""
+    import numpy as np
+
+    emb = load(spark, sf, "embeddings")
+    sample = emb.where(F.col("vec_id") % 7 == 0).toPandas()
+    cents = train_centroids(
+        np.array(sample["embedding"].tolist(), dtype=float), num_centroids=16
+    )
+    queries = emb.where(F.col("vec_id") < 8)
+    return ivf_topk(emb, queries, cents, k=5, nprobe=4)
+
+
+def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document length/token/punctuation/quality metrics."""
+    docs = load(spark, sf, "documents")
+    return docs.select(
+        "doc_id",
+        F.length("text").alias("n_chars_live"),
+        whitespace_token_count("text").alias("n_words"),
+        token_count("text").alias("n_tokens"),
+        F.round(punct_ratio("text"), 6).alias("punct_ratio"),
+        quality_score("text").alias("quality"),
+    )
+
+
+def q_text_lang(spark: SparkSession, sf: str) -> DataFrame:
+    """Stopword-ratio language ID (en/de/fr/und)."""
+    docs = load(spark, sf, "documents")
+    return docs.select("doc_id", lang_guess("text").alias("lang_guess"))
+
+
+def q_text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
+    """Order-insensitive md5 fingerprint over the sorted distinct word set."""
+    docs = load(spark, sf, "documents")
+    return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-payload → mapInPandas feature extraction (deterministic fake
+    decoder; real plumbing). Returns per-media byte counts + 16-d feature."""
+    from python_darima_spark.multimodal.binary_ops import (
+        attach_media_from_text,
+        decode_media,
+    )
+
+    docs = load(spark, sf, "documents")
+    media = attach_media_from_text(docs)
+    feats = decode_media(media, fake=True)
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.element_at("feature", 1), 6).alias("f1"),
+        F.round(F.element_at("feature", 7), 6).alias("f7"),
+    )
+
+
+_STOP_EN = ", ".join(f"'{s}'" for s in STOPWORDS["en"])
+
+QUERIES = {
+    "q_dedup_exact": QuerySpec(
+        q_dedup_exact,
+        """WITH keyed AS (
+             SELECT doc_id, lang, source, sha256(text) AS digest
+             FROM documents
+           ), keepers AS (
+             SELECT digest, min(doc_id) AS doc_id FROM keyed GROUP BY digest
+           )
+           SELECT k.doc_id, k.lang, k.source
+           FROM keyed k JOIN keepers USING (digest, doc_id)""",
+    ),
+    "q_dedup_near": QuerySpec(q_dedup_near, None),       # xxhash64 family
+    "q_dedup_simhash": QuerySpec(q_dedup_simhash, None), # xxhash64 family
+    "q_dedup_ngram": QuerySpec(
+        q_dedup_ngram,
+        """WITH g AS (
+             SELECT doc_id,
+                    list_distinct(list_transform(
+                        generate_series(1, greatest(len(string_split(lower(text), ' ')) - 2, 1)),
+                        i -> array_to_string(list_slice(string_split(lower(text), ' '), i, i + 2), ' ')
+                    )) AS grams,
+                    CAST(len(string_split(lower(text), ' ')) / 64 AS INT) AS blk
+             FROM documents
+           )
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                        / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+           FROM g a JOIN g b
+             ON a.doc_id < b.doc_id AND abs(a.blk - b.blk) <= 1
+           WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.3""",
+    ),
+    "q_dedup_embedding": QuerySpec(q_dedup_embedding, None),  # LSH family
+    "q_sim_topk": QuerySpec(
+        q_sim_topk,
+        """WITH v AS (
+             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             FROM embeddings
+           ), q AS (SELECT * FROM v WHERE vec_id < 8),
+           pairs AS (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    round(
+                      list_reduce(list_prepend(0.0,
+                          list_transform(list_zip(c.e, q.e), p -> p[1] * p[2])),
+                          (a, b) -> a + b)
+                      / (sqrt(list_reduce(list_prepend(0.0,
+                             list_transform(c.e, x -> x * x)), (a, b) -> a + b))
+                       * sqrt(list_reduce(list_prepend(0.0,
+                             list_transform(q.e, x -> x * x)), (a, b) -> a + b))),
+                      6) AS cosine
+             FROM v c, q WHERE c.vec_id <> q.vec_id
+           )
+           SELECT query_id, neighbor_id, cosine FROM (
+             SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+             FROM pairs
+           ) WHERE rn <= 5""",
+    ),
+    "q_sim_topk_ivf": QuerySpec(q_sim_topk_ivf, None),  # approximate
+    "q_text_stats": QuerySpec(
+        q_text_stats,
+        rf"""WITH base AS (
+             SELECT doc_id, text,
+                    length(text) AS n,
+                    string_split_regex(lower(text), '\s+') AS ws,
+                    length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                        / greatest(length(text), 1) AS praw
+             FROM documents
+           ), derived AS (
+             SELECT doc_id, n, ws, praw,
+                    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                        list_transform(ws, w -> CAST(length(w) AS DOUBLE))),
+                        (a, b) -> a + b) / greatest(len(ws), 1) AS mwl,
+                    CAST(len(list_intersect(list_distinct(ws), [{_STOP_EN}])) AS DOUBLE)
+                        / greatest(len(list_distinct(ws)), 1) AS swr,
+                    len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_tok
+             FROM base
+           )
+           SELECT doc_id,
+                  CAST(n AS INT) AS n_chars_live,
+                  CAST(len(ws) AS INT) AS n_words,
+                  CAST(n_tok AS INT) AS n_tokens,
+                  round(praw, 6) AS punct_ratio,
+                  round(0.4 * (CASE WHEN n BETWEEN 50 AND 5000 THEN 1.0
+                               WHEN n < 50 THEN n / 50.0
+                               ELSE 5000.0 / n END)
+                      + 0.3 * (1.0 - least(praw * 5.0, 1.0))
+                      + 0.2 * (CASE WHEN mwl BETWEEN 3.0 AND 10.0
+                               THEN 1.0 ELSE 0.5 END)
+                      + 0.1 * least(swr * 4.0, 1.0), 6) AS quality
+           FROM derived""",
+    ),
+    "q_text_lang": QuerySpec(
+        q_text_lang,
+        f"""WITH w AS (
+             SELECT doc_id,
+                    list_distinct(string_split_regex(lower(text), '\\s+')) AS ws
+             FROM documents
+           ), s AS (
+             SELECT doc_id,
+                    len(list_intersect(ws, [{_STOP_EN}])) AS en,
+                    len(list_intersect(ws, [{", ".join(f"'{x}'" for x in STOPWORDS["de"])}])) AS de,
+                    len(list_intersect(ws, [{", ".join(f"'{x}'" for x in STOPWORDS["fr"])}])) AS fr
+             FROM w
+           )
+           SELECT doc_id,
+                  CASE WHEN greatest(en, de, fr) < 1 THEN 'und'
+                       WHEN en = greatest(en, de, fr) THEN 'en'
+                       WHEN de = greatest(en, de, fr) THEN 'de'
+                       ELSE 'fr' END AS lang_guess
+           FROM s""",
+    ),
+    "q_text_fingerprint": QuerySpec(
+        q_text_fingerprint,
+        r"""SELECT doc_id,
+                  md5(array_to_string(
+                      list_sort(list_distinct(string_split_regex(lower(text), '\s+'))),
+                      '')) AS fp
+           FROM documents""",
+    ),
+    "q_multimodal_features": QuerySpec(q_multimodal_features, None),
+}

@@ -1,0 +1,144 @@
+"""Property tests for LLM-data operators: injected duplicates must be
+found, approximate paths must agree with exact baselines (SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from python_darima_spark.operators.dedup import (
+    dedup_exact,
+    minhash_near_duplicates,
+    ngram_jaccard_pairs,
+    simhash_near_duplicates,
+)
+from python_darima_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_duplicates,
+    ivf_topk,
+    train_centroids,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_with_dups(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(60)
+    # exact dup of doc 0 and near-dup (one word changed) of doc 1
+    base = docs.toPandas()
+    t0, t1 = base.loc[0, "text"], base.loc[1, "text"]
+    near = " ".join(["MUTATED"] + t1.split()[1:])
+    extra = pd.DataFrame(
+        {
+            "doc_id": [9001, 9002],
+            "text": [t0, near],
+            "lang": ["en", "en"],
+            "source": ["dup", "dup"],
+            "n_chars": [len(t0), len(near)],
+        }
+    )
+    return spark.createDataFrame(pd.concat([base, extra], ignore_index=True))
+
+
+def test_dedup_exact_collapses_injected_dup(spark, docs_with_dups):
+    out = dedup_exact(docs_with_dups, "text", "doc_id").toPandas()
+    assert 9001 not in set(out["doc_id"])  # keep=min keeps doc 0
+    assert 0 in set(out["doc_id"])
+    assert len(out) == 61  # 62 rows - 1 exact dup
+
+
+def test_minhash_finds_injected_pair(spark, docs_with_dups):
+    pairs = minhash_near_duplicates(
+        docs_with_dups, "text", "doc_id", threshold=0.5
+    ).toPandas()
+    assert ((pairs.id_a == 0) & (pairs.id_b == 9001)).any()  # exact dup: j=1
+    assert ((pairs.id_a == 1) & (pairs.id_b == 9002)).any()  # near dup
+    exact_row = pairs[(pairs.id_a == 0) & (pairs.id_b == 9001)]
+    assert exact_row.jaccard.iloc[0] == pytest.approx(1.0)
+
+
+def test_simhash_finds_exact_dup(spark, docs_with_dups):
+    pairs = simhash_near_duplicates(
+        docs_with_dups, "text", "doc_id", max_hamming=3
+    ).toPandas()
+    hit = pairs[(pairs.id_a == 0) & (pairs.id_b == 9001)]
+    assert len(hit) == 1 and hit.hamming.iloc[0] == 0
+
+
+def test_ngram_jaccard_vs_python_oracle(spark, docs_with_dups):
+    got = ngram_jaccard_pairs(
+        docs_with_dups, "text", "doc_id", n=3, threshold=0.3
+    ).toPandas()
+    pdf = docs_with_dups.toPandas()
+
+    def grams(t):
+        ws = t.lower().split()
+        return set(
+            " ".join(ws[i : i + 3]) for i in range(max(len(ws) - 2, 1))
+        )
+
+    want = set()
+    gmap = {r.doc_id: grams(r.text) for r in pdf.itertuples()}
+    blk = {r.doc_id: len(r.text.lower().split()) // 64 for r in pdf.itertuples()}
+    for a in gmap:
+        for b in gmap:
+            if a < b and abs(blk[a] - blk[b]) <= 1:
+                j = len(gmap[a] & gmap[b]) / len(gmap[a] | gmap[b])
+                if j >= 0.3:
+                    want.add((a, b))
+    assert set(zip(got.id_a, got.id_b)) == want
+
+
+def test_embedding_near_dup_finds_planted_twin(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(100)
+    pdf = emb.toPandas()
+    twin = pdf.iloc[[0]].copy()
+    twin["vec_id"] = 9001  # identical vector, cosine = 1
+    both = spark.createDataFrame(pd.concat([pdf, twin], ignore_index=True))
+    pairs = embedding_near_duplicates(both, threshold=0.99).toPandas()
+    assert ((pairs.id_a == 0) & (pairs.id_b == 9001)).any()
+
+
+def test_ivf_recall_vs_bruteforce(spark):
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 8)
+    exact = cosine_topk(emb, queries, k=5).toPandas()
+    sample = emb.toPandas()
+    cents = train_centroids(
+        np.array(sample["embedding"].tolist(), dtype=float), num_centroids=8
+    )
+    approx = ivf_topk(emb, queries, cents, k=5, nprobe=3).toPandas()
+    # recall@5 averaged over queries must be decent for nprobe=3/8 clusters
+    recalls = []
+    for qid, g in exact.groupby("query_id"):
+        a = set(approx[approx.query_id == qid].neighbor_id)
+        recalls.append(len(a & set(g.neighbor_id)) / 5)
+    assert np.mean(recalls) >= 0.5, recalls
+
+
+def test_multimodal_plumbing(spark):
+    from python_darima_spark.multimodal.binary_ops import (
+        attach_media_from_text,
+        decode_media,
+        frame_sample,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(20)
+    media = attach_media_from_text(docs)
+    assert dict(media.dtypes)["payload"] == "binary"
+    feats = decode_media(media, fake=True).toPandas()
+    assert len(feats) == 20
+    f = np.array(feats.feature.iloc[0])
+    assert f.shape == (16,) and abs(f.sum() - 1.0) < 1e-9
+    # n_bytes equals utf-8 length of the text
+    one = docs.where(F.col("doc_id") == feats.media_id.iloc[0]).toPandas()
+    assert feats.n_bytes.iloc[0] == len(one.text.iloc[0].encode())
+    # real decode path refuses loudly at plan time
+    with pytest.raises(NotImplementedError):
+        decode_media(media, fake=False)
+    frames = frame_sample(media, every_n_bytes=64, max_frames=4).toPandas()
+    assert frames.groupby("media_id").size().max() <= 4
+    assert (frames.byte_offset % 64 == 0).all()
