@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Execution is forced with a noop-format write (full plan runs, nothing
+collects to the driver) so timings measure the distributed plan, not
+toPandas serialization. The headline set spans every operator family:
+scan, filter, hash-agg, joins (broadcast/SMJ/as-of), windows, UDF paths,
+the DARIMA fit+combine, streaming replay, and the LLM-data ops.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+HEADLINE = [
+    "q_scan_parquet",
+    "q_filter_pred",
+    "q_project_expr",
+    "q_agg_hash",
+    "q_agg_sets",
+    "q_join_inner",
+    "q_join_broadcast",
+    "q_join_semi_anti",
+    "q_join_asof",
+    "q_window_rank",
+    "q_window_frame",
+    "q_sort_limit",
+    "q_udf_scalar",
+    "q_json_fns",
+    "q_ts_resample",
+    "q_ts_fit_combine",
+    "q_stream_tumble",
+    "q_dedup_exact",
+    "q_dedup_near",
+    "q_sim_topk",
+    "q_text_stats",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
+
+    from python_darima_spark import get_spark
+    from python_darima_spark.queries import registry
+
+    spark = get_spark(
+        app_name="python-darima-spark-bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=cpus,
+        extra_conf={"spark.ui.enabled": "false"},
+    )
+    reg = registry()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        spec = reg.get(name)
+        if spec is None:
+            continue
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        # noop sink: executes every stage, discards rows executor-side.
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"  {name}: {timings[name]:.2f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "headline_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -65,7 +65,8 @@ def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     if table == "events" and dict(df.dtypes).get("ts") == "bigint":
         from pyspark.sql import functions as F
 
-        df = df.withColumn(
-            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long"))
-        )
+        # Integer division (`div`), NOT `/1000`: float division of an
+        # epoch-nanos value loses precision below ~256 ns (53-bit mantissa)
+        # and rounds the microsecond — off-by-1µs vs DuckDB's truncation.
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df

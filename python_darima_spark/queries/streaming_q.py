@@ -1,0 +1,123 @@
+"""Structured Streaming queries (SURVEY.md §2B q_stream_*): each runs a
+REAL streaming job — file-replayed micro-batches, watermarks, stateful
+aggregation into a memory sink — then returns the sink as a DataFrame.
+
+Oracle status: unusually, these ARE hash-matched. Append-mode emission is
+deterministic given in-order replay: a window emits iff
+``window_end ≤ max_event_time − watermark_delay``; sessions emit iff
+``session_end = last_ts + gap`` clears the same cutoff; first-arrival
+dedup with a horizon-wide watermark keeps exactly the (ts, event_id)-min
+row per key. The SQL oracles state those cutoffs explicitly. Event times
+are CAST to microsecond TIMESTAMP in the oracles because Spark reads the
+nanos column truncated to micros.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from python_darima_spark.queries import QuerySpec
+from python_darima_spark.streaming.windows import (
+    read_event_stream,
+    run_stream_to_table,
+    session_agg,
+    sliding_agg,
+    stage_event_chunks,
+    stream_dedup,
+    tumbling_agg,
+)
+
+
+def _replayed(spark: SparkSession, sf: str) -> DataFrame:
+    return read_event_stream(spark, stage_event_chunks(spark, sf, num_chunks=4))
+
+
+def q_stream_tumble(spark: SparkSession, sf: str) -> DataFrame:
+    name = run_stream_to_table(tumbling_agg(_replayed(spark, sf)), "append")
+    return spark.table(name)
+
+
+def q_stream_slide(spark: SparkSession, sf: str) -> DataFrame:
+    name = run_stream_to_table(sliding_agg(_replayed(spark, sf)), "append")
+    return spark.table(name)
+
+
+def q_stream_session(spark: SparkSession, sf: str) -> DataFrame:
+    name = run_stream_to_table(session_agg(_replayed(spark, sf)), "append")
+    return spark.table(name)
+
+
+def q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
+    name = run_stream_to_table(stream_dedup(_replayed(spark, sf)), "append")
+    return spark.table(name)
+
+
+QUERIES = {
+    "q_stream_tumble": QuerySpec(
+        q_stream_tumble,
+        """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value
+                      FROM events),
+           mx AS (SELECT max(ts) AS mt FROM e),
+           b AS (SELECT date_trunc('hour', ts) AS wstart, event_type,
+                        count(*) AS n, round(sum(value), 4) AS sum_value
+                 FROM e GROUP BY 1, 2)
+           SELECT b.wstart, b.event_type, b.n, b.sum_value
+           FROM b, mx
+           WHERE b.wstart + INTERVAL 1 HOUR <= mx.mt - INTERVAL 2 HOUR""",
+    ),
+    "q_stream_slide": QuerySpec(
+        q_stream_slide,
+        """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type
+                      FROM events),
+           mx AS (SELECT max(ts) AS mt FROM e),
+           panes AS (
+             SELECT TIMESTAMP '1970-01-01'
+                      + (CAST(floor(epoch(ts) / 900) AS BIGINT) * 900
+                         - k.k * 900) * INTERVAL 1 SECOND AS wstart,
+                    event_type
+             FROM e, (SELECT unnest(generate_series(0, 3)) AS k) k
+           ),
+           b AS (SELECT wstart, event_type, count(*) AS n
+                 FROM panes GROUP BY 1, 2)
+           SELECT b.wstart, b.event_type, b.n
+           FROM b, mx
+           WHERE b.wstart + INTERVAL 1 HOUR <= mx.mt - INTERVAL 2 HOUR""",
+    ),
+    "q_stream_session": QuerySpec(
+        q_stream_session,
+        """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, value,
+                             event_id
+                      FROM events),
+           mx AS (SELECT max(ts) AS mt FROM e),
+           o AS (SELECT user_id, ts, value, event_id,
+                        lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS pts
+                 FROM e),
+           f AS (SELECT *, CASE WHEN pts IS NULL
+                                  OR ts - pts >= INTERVAL 30 MINUTE
+                           THEN 1 ELSE 0 END AS is_new
+                 FROM o),
+           g AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id
+                                             ROWS UNBOUNDED PRECEDING) AS sid
+                 FROM f),
+           s AS (SELECT min(ts) AS session_start,
+                        max(ts) + INTERVAL 30 MINUTE AS session_end,
+                        user_id, count(*) AS n,
+                        round(sum(value), 4) AS sum_value
+                 FROM g GROUP BY user_id, sid)
+           SELECT s.session_start, s.session_end, s.user_id, s.n, s.sum_value
+           FROM s, mx
+           WHERE s.session_end <= mx.mt - INTERVAL 2 HOUR""",
+    ),
+    "q_stream_dedup": QuerySpec(
+        q_stream_dedup,
+        """SELECT user_id, event_type, event_id FROM (
+             SELECT user_id, event_type, event_id,
+                    ROW_NUMBER() OVER (
+                      PARTITION BY user_id, event_type
+                      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+             FROM events
+           ) WHERE rn = 1""",
+    ),
+}

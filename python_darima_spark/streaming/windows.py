@@ -1,0 +1,153 @@
+"""Streaming window operators (SURVEY.md §2B q_stream_*).
+
+The transformations are written once and work on BOTH batch and streaming
+DataFrames — that is Structured Streaming's contract, and it is what makes
+batch-equivalence testable: run the same builder on a replayed stream and
+on the static table, compare.
+
+Watermark semantics (the part worth pinning down, since the driver's
+oracle has to state it in SQL): with output mode ``append``, a window
+emits only once the watermark (max observed event time − delay) passes
+its end; for session windows, once it passes session_end (= last event +
+gap). Our replay stages files in ascending time order, so nothing is ever
+dropped as late — the cutoff only truncates the tail. The SQL oracles
+restate exactly that cutoff.
+
+Scale: state size is O(open windows × groups); the watermark delay bounds
+it. At 100 TB/day you shard by the grouping key (Spark does: state store
+partitions follow the shuffle partitioning on the group-by key).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+EVENTS_SCHEMA = (
+    "event_id long, ts long, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def tumbling_agg(df: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Tumbling-window count/sum per event_type with late-data watermark."""
+    return (
+        df.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("wstart"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def sliding_agg(
+    df: DataFrame,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding-window event counts (each event lands in window/slide panes)."""
+    return (
+        df.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window, slide).alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("wstart"), "event_type", "n")
+    )
+
+
+def session_agg(
+    df: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Per-user session windows (gap-based) with event count and value sum."""
+    return (
+        df.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+def stream_dedup(df: DataFrame, watermark: str = "40 days") -> DataFrame:
+    """Stateful first-arrival dedup on (user_id, event_type) within the
+    watermark horizon (dropDuplicatesWithinWatermark)."""
+    return (
+        df.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type", "event_id")
+    )
+
+
+# --- replay harness --------------------------------------------------------
+
+def stage_event_chunks(
+    spark: SparkSession, sf_dir: str, num_chunks: int = 4
+) -> str:
+    """Write events as ``num_chunks`` time-ordered parquet files so a file
+    stream replays them as in-order micro-batches. Cached per sf_dir."""
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    path = os.path.join(tempfile.gettempdir(), f"pds_stream_events_{tag}_{num_chunks}")
+    done = os.path.join(path, "_STAGED")
+    if not os.path.exists(done):
+        raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # ts stays long (nanos)
+        chunked = raw.withColumn(
+            "_chunk", F.ntile(num_chunks).over(Window.orderBy("ts", "event_id"))
+        )
+        for i in range(1, num_chunks + 1):
+            (
+                chunked.where(F.col("_chunk") == i)
+                .drop("_chunk")
+                .sort("ts", "event_id")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(path, f"chunk={i:03d}"))
+            )
+        open(done, "w").close()
+    return path
+
+
+def read_event_stream(spark: SparkSession, staged_path: str) -> DataFrame:
+    """File-source stream over the staged chunks, one file per micro-batch,
+    nanos→timestamp normalized exactly like the batch loader."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged_path + "/chunk=*")
+    )
+    # `div` (integer division) — float /1000 loses sub-256ns precision at
+    # epoch-nanos magnitudes and rounds the microsecond.
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_stream_to_table(
+    result: DataFrame, mode: str = "append", timeout_s: int = 120
+) -> str:
+    """Execute a streaming DataFrame to completion (availableNow) into a
+    memory sink; returns the sink table name."""
+    name = f"pds_sink_{uuid.uuid4().hex[:12]}"
+    q = (
+        result.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"stream {name} did not finish in {timeout_s}s")
+    return name

@@ -40,7 +40,8 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_datetime64_any_dtype(s):
-            df[c] = pd.to_datetime(s).dt.tz_localize(None)
+            # unify resolution: spark arrives ns, duckdb may arrive us
+            df[c] = pd.to_datetime(s).dt.tz_localize(None).astype("datetime64[ns]")
         elif s.dtype == object:
             # dates / decimals from duckdb arrive as objects
             df[c] = s.astype(str)
