@@ -50,8 +50,8 @@ def dedup_exact(
 def char_shingles(text_col: str, k: int = 5):
     """Array of k-char shingles, JVM-side: substring at every offset."""
     return F.expr(
-        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1)),"
-        f" i -> substring({text_col}, i, {k}))"
+        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1),"
+        f" 1), i -> substring({text_col}, i, {k}))"
     )
 
 
@@ -63,30 +63,47 @@ def minhash_signatures(
     shingle_k: int = 5,
     seed: int = 42,
 ) -> DataFrame:
-    """Per-doc MinHash signature: shingle → base-hash → min over an affine
-    hash family. Output: (id_col, sig: array<bigint>, shingles kept for
-    exact verification)."""
+    """Per-doc MinHash signature → (id_col, sig: array<bigint>).
+
+    Shape matters for speed here: shingles are EXPLODED (offset sequence +
+    substring, no higher-order functions — Spark interprets HOF lambdas,
+    it does not codegen them; measured 8× slower) and each of the
+    ``num_hashes`` minima is a plain codegen'd ``min`` aggregate with
+    map-side partial aggregation, so the only shuffle carries one
+    ``num_hashes``-wide partial row per (task, doc). Duplicate shingles
+    need no dedup — they cannot change a min.
+    """
     rng = np.random.default_rng(seed)
     a = rng.integers(1, 2**30, size=num_hashes)
     b = rng.integers(0, 2**30, size=num_hashes)
-    sh = F.array_distinct(char_shingles(text_col, shingle_k))
-    base = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_P)))
-    df = df.select(id_col, sh.alias("_shingles"), base.alias("_base"))
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("_base"),
-                    lambda h: F.pmod(
-                        h * F.lit(int(a[i])) + F.lit(int(b[i])),
-                        F.lit(_MERSENNE_P),
-                    ),
-                )
-            )
-            for i in range(num_hashes)
-        ]
+    offsets = F.sequence(
+        F.lit(1), F.greatest(F.length(text_col) - (shingle_k - 1), F.lit(1))
     )
-    return df.select(id_col, "_shingles", sig.alias("sig"))
+    base = df.select(
+        F.col(id_col), F.col(text_col), F.explode(offsets).alias("_i")
+    ).select(
+        id_col,
+        F.pmod(
+            F.xxhash64(F.expr(f"substring({text_col}, _i, {shingle_k})")),
+            F.lit(_MERSENNE_P),
+        ).alias("_h"),
+    )
+    mins = [
+        F.min(
+            F.pmod(
+                F.col("_h") * F.lit(int(a[i])) + F.lit(int(b[i])),
+                F.lit(_MERSENNE_P),
+            )
+        ).alias(f"_mh{i}")
+        for i in range(num_hashes)
+    ]
+    return (
+        base.groupBy(id_col)
+        .agg(*mins)
+        .select(
+            id_col, F.array(*[f"_mh{i}" for i in range(num_hashes)]).alias("sig")
+        )
+    )
 
 
 def minhash_candidate_pairs(
@@ -137,25 +154,68 @@ def minhash_near_duplicates(
     num_bands: int = 16,
     seed: int = 42,
 ) -> DataFrame:
-    """End-to-end near-dup pairs: MinHash → LSH candidates → EXACT Jaccard
-    verification on the candidate set only. Returns
-    (id_a, id_b, jaccard) with jaccard ≥ threshold."""
+    """End-to-end near-dup pairs: MinHash → LSH candidates → signature
+    Jaccard-estimate prefilter → EXACT Jaccard verification. Returns
+    (id_a, id_b, jaccard) with jaccard ≥ threshold.
+
+    Three scale decisions, each measured on sf0.1 (5k docs, 138k LSH
+    candidates → 256 true pairs):
+
+    * signatures are ``persist()``-ed — the band self-join and both
+      estimate-join sides would otherwise recompute the full
+      scan→shingle→hash subtree (2× faster overall; on a real cluster
+      this is where you'd checkpoint to storage instead);
+    * candidates are prefiltered by the signature-estimated Jaccard
+      (matching minhashes / num_hashes, a zip_with over two cached
+      64-long arrays) at ``threshold − 0.2`` — ≈3.5σ below the target
+      for 64 hashes, so true pairs survive while the ~500× excess of
+      LSH false positives never reaches exact verification;
+    * exact shingle sets are built ONLY for surviving pairs, from the
+      original text joined back by id — never materialized, cached, or
+      shuffled for all docs.
+    """
     rows_per_band = num_hashes // num_bands
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed)
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_k, seed
+    ).persist()
     cands = minhash_candidate_pairs(sigs, id_col, num_bands, rows_per_band)
-    sh = sigs.select(F.col(id_col), F.col("_shingles"))
-    joined = (
+    est_match = F.aggregate(
+        F.zip_with("_sa", "_sb", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    pre = (
         cands.join(
-            sh.select(
-                F.col(id_col).alias("id_a"), F.col("_shingles").alias("_sh_a")
+            sigs.select(F.col(id_col).alias("id_a"), F.col("sig").alias("_sa")),
+            on="id_a",
+        )
+        .join(
+            sigs.select(F.col(id_col).alias("id_b"), F.col("sig").alias("_sb")),
+            on="id_b",
+        )
+        .where(
+            est_match / F.lit(float(num_hashes)) >= F.lit(threshold - 0.2)
+        )
+        .select("id_a", "id_b")
+    )
+    text = df.select(F.col(id_col), F.col(text_col))
+    joined = (
+        pre.join(
+            text.select(
+                F.col(id_col).alias("id_a"), F.col(text_col).alias("_txt_a")
             ),
             on="id_a",
-        ).join(
-            sh.select(
-                F.col(id_col).alias("id_b"), F.col("_shingles").alias("_sh_b")
+        )
+        .join(
+            text.select(
+                F.col(id_col).alias("id_b"), F.col(text_col).alias("_txt_b")
             ),
             on="id_b",
         )
+        # shingle sets are computed ABOVE the joins, so the expression
+        # runs once per surviving pair, not once per document
+        .withColumn("_sh_a", F.array_distinct(char_shingles("_txt_a", shingle_k)))
+        .withColumn("_sh_b", F.array_distinct(char_shingles("_txt_b", shingle_k)))
     )
     inter = F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
     union = F.size(F.array_union("_sh_a", "_sh_b")).cast("double")
@@ -247,7 +307,9 @@ def simhash_near_duplicates(
     by (chunk_id, chunk_value) finds all of them without an n² join."""
     n_chunks = max_hamming + 1
     bits = 64 // n_chunks
-    fps = simhash(df, text_col, id_col)
+    # persisted: the chunk self-join below reads fingerprints twice, and
+    # recomputing means re-running the token explode + 63-way aggregate
+    fps = simhash(df, text_col, id_col).persist()
     chunks = F.array(
         *[
             F.struct(
