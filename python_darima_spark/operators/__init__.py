@@ -1,1 +1,27 @@
 """Relational / time-series / data-pipeline operators (DataFrame-native)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def fan_out(df: DataFrame, *key_cols: str) -> DataFrame:
+    """Hash-repartition ``df`` on ``key_cols`` before a CPU-dense kernel.
+
+    Two jobs in one shuffle:
+
+    * **Parallelism floor.** A parquet file is splittable only at row-group
+      boundaries, so a compact input (one row group) scans as ONE partition
+      and every per-row kernel downstream of it (shingling, hashing, regex,
+      embedding math) runs on one core. Repartitioning to
+      ``spark.sql.shuffle.partitions`` restores full-cluster parallelism.
+    * **Agg/join co-location.** Keying the shuffle on the downstream
+      group-by/join key means Catalyst reuses this partitioning and the
+      later ``groupBy(key)`` needs no second exchange.
+
+    At 100 TB the input already has thousands of splits, and this exchange
+    is the same one the keyed aggregation would have paid anyway — it moves
+    the shuffle BEFORE the row-expanding kernel (shingles explode ~300× the
+    input rows; shuffling raw docs is 300× cheaper than shuffling shingles).
+    """
+    return df.repartition(*key_cols)

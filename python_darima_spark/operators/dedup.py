@@ -24,6 +24,8 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from python_darima_spark.operators import fan_out
+
 # Prime just above 2^32: keeps the base hash domain small enough that the
 # affine family (a*h + b) % P never overflows a signed 64-bit value.
 _MERSENNE_P = 4294967311
@@ -79,6 +81,9 @@ def minhash_signatures(
     offsets = F.sequence(
         F.lit(1), F.greatest(F.length(text_col) - (shingle_k - 1), F.lit(1))
     )
+    # fan_out BEFORE the ~300×-row explode: full-core shingling, and the
+    # groupBy(id) below reuses this partitioning (no second exchange).
+    df = fan_out(df, id_col)
     base = df.select(
         F.col(id_col), F.col(text_col), F.explode(offsets).alias("_i")
     ).select(
@@ -242,7 +247,7 @@ def ngram_jaccard_pairs(
         f"transform(sequence(1, greatest(size(split(lower({text_col}), '\\\\s+')) - {n - 1}, 1)),"
         f" i -> concat_ws(' ', slice(split(lower({text_col}), '\\\\s+'), i, {n})))"
     )
-    base = df.select(
+    base = fan_out(df, id_col).select(
         F.col(id_col),
         F.array_distinct(grams).alias("_grams"),
         (F.size(words) / block_on_length).cast("int").alias("_blk"),
@@ -277,7 +282,7 @@ def simhash(
     tokens = F.explode(
         F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
     ).alias("tok")
-    hashed = df.select(F.col(id_col), tokens).select(
+    hashed = fan_out(df, id_col).select(F.col(id_col), tokens).select(
         id_col, F.xxhash64("tok").alias("h")
     )
     sums = hashed.groupBy(id_col).agg(

@@ -21,6 +21,8 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from python_darima_spark.operators import fan_out
+
 
 def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
@@ -55,7 +57,9 @@ def cosine_topk(
     Cosine is rounded BEFORE ranking so rank order is reproducible across
     engines; ties break by neighbor id.
     """
-    c = corpus.select(
+    # fan_out: the corpus side carries the O(n·k·dim) dot-product work and
+    # must not inherit a compact scan's single partition.
+    c = fan_out(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
     )
     q = queries.select(
@@ -120,7 +124,7 @@ def assign_centroids(
         cent_lit, lambda cv: _dot(cv, vec) / (_norm(cv) * _norm(vec))
     )
     best = F.array_position(sims, F.array_max(sims)) - 1
-    return corpus.withColumn("centroid_id", best.cast("int"))
+    return fan_out(corpus, id_col).withColumn("centroid_id", best.cast("int"))
 
 
 def ivf_topk(
@@ -193,7 +197,7 @@ def hyperplane_lsh_buckets(
         plane_lit = F.array(*[F.lit(float(v)) for v in p])
         bit = F.when(_dot(vec, plane_lit) >= 0, F.lit(1 << i)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
-    return df.withColumn("lsh_bucket", bucket.cast("long"))
+    return fan_out(df, id_col).withColumn("lsh_bucket", bucket.cast("long"))
 
 
 def embedding_near_duplicates(

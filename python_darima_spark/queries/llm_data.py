@@ -23,6 +23,7 @@ from python_darima_spark.functions.text import (
     token_count,
     whitespace_token_count,
 )
+from python_darima_spark.operators import fan_out
 from python_darima_spark.operators.dedup import (
     dedup_exact,
     minhash_near_duplicates,
@@ -102,7 +103,7 @@ def q_sim_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document length/token/punctuation/quality metrics."""
-    docs = load(spark, sf, "documents")
+    docs = fan_out(load(spark, sf, "documents"), "doc_id")
     return docs.select(
         "doc_id",
         F.length("text").alias("n_chars_live"),
@@ -115,13 +116,13 @@ def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_text_lang(spark: SparkSession, sf: str) -> DataFrame:
     """Stopword-ratio language ID (en/de/fr/und)."""
-    docs = load(spark, sf, "documents")
+    docs = fan_out(load(spark, sf, "documents"), "doc_id")
     return docs.select("doc_id", lang_guess("text").alias("lang_guess"))
 
 
 def q_text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """Order-insensitive md5 fingerprint over the sorted distinct word set."""
-    docs = load(spark, sf, "documents")
+    docs = fan_out(load(spark, sf, "documents"), "doc_id")
     return docs.select("doc_id", fingerprint("text").alias("fp"))
 
 

@@ -59,7 +59,10 @@ def get_spark(
         # The testdata's events table stores TIMESTAMP(NANOS); Spark has no
         # nanos type, so read as long and convert in the loader.
         "spark.sql.legacy.parquet.nanosAsLong": "true",
-        "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "8g"),
+        # local[N] runs all N task threads inside the driver JVM, so the
+        # "driver" heap is really the whole executor heap: 8g for 32
+        # concurrent tasks GC-thrashes once a few queries' caches pile up.
+        "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "20g"),
     }
     if extra_conf:
         conf.update(extra_conf)

@@ -24,7 +24,7 @@ import os
 import tempfile
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 EVENTS_SCHEMA = (
@@ -102,19 +102,34 @@ def stage_event_chunks(
     path = os.path.join(tempfile.gettempdir(), f"pds_stream_events_{tag}_{num_chunks}")
     done = os.path.join(path, "_STAGED")
     if not os.path.exists(done):
-        raw = spark.read.parquet(f"{sf_dir}/events.parquet")  # ts stays long (nanos)
-        chunked = raw.withColumn(
-            "_chunk", F.ntile(num_chunks).over(Window.orderBy("ts", "event_id"))
-        )
+        # Chunk boundaries from ts quantiles — a cheap sketch pass instead
+        # of a single-partition global ntile sort re-executed per chunk.
+        # Windowed aggs only need chunks to cover ascending, disjoint time
+        # ranges (append-mode emission depends on the per-batch max event
+        # time), but each chunk file is still sorted: first-arrival dedup
+        # (q_stream_dedup) keeps the row seen first, so intra-batch scan
+        # order is part of the replay contract.
+        raw = spark.read.parquet(
+            f"{sf_dir}/events.parquet"
+        ).persist()  # ts stays long (nanos)
+        qs = [i / num_chunks for i in range(1, num_chunks)]
+        cuts = raw.approxQuantile("ts", qs, 0.001)
+        lo = [None, *cuts]
+        hi = [*cuts, None]
         for i in range(1, num_chunks + 1):
+            pred = F.lit(True)
+            if lo[i - 1] is not None:
+                pred = F.col("ts") >= F.lit(int(lo[i - 1]))
+            if hi[i - 1] is not None:
+                pred = pred & (F.col("ts") < F.lit(int(hi[i - 1])))
             (
-                chunked.where(F.col("_chunk") == i)
-                .drop("_chunk")
+                raw.where(pred)
                 .sort("ts", "event_id")
                 .coalesce(1)
                 .write.mode("overwrite")
                 .parquet(os.path.join(path, f"chunk={i:03d}"))
             )
+        raw.unpersist()
         open(done, "w").close()
     return path
 
@@ -134,20 +149,40 @@ def read_event_stream(spark: SparkSession, staged_path: str) -> DataFrame:
 
 
 def run_stream_to_table(
-    result: DataFrame, mode: str = "append", timeout_s: int = 120
+    result: DataFrame,
+    mode: str = "append",
+    timeout_s: int = 120,
+    state_partitions: int | None = 8,
 ) -> str:
     """Execute a streaming DataFrame to completion (availableNow) into a
-    memory sink; returns the sink table name."""
+    memory sink; returns the sink table name.
+
+    ``state_partitions`` pins the state-store partition count for this
+    query (it is frozen from ``spark.sql.shuffle.partitions`` at stream
+    start and written into the checkpoint). Per-micro-batch overhead
+    scales with state partitions × stateful operators, so the harness
+    default of 8 beats inheriting the batch-sized 32; on a real cluster
+    size it to the grouping-key cardinality instead and it will outlive
+    restarts via the checkpoint.
+    """
     name = f"pds_sink_{uuid.uuid4().hex[:12]}"
-    q = (
-        result.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(mode)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(timeout_s)
-    if q.isActive:
-        q.stop()
-        raise TimeoutError(f"stream {name} did not finish in {timeout_s}s")
+    spark = result.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    if state_partitions is not None:
+        spark.conf.set(key, str(state_partitions))
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError(f"stream {name} did not finish in {timeout_s}s")
+    finally:
+        spark.conf.set(key, prev)
     return name
