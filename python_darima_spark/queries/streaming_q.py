@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 
 from python_darima_spark.queries import QuerySpec
+from python_darima_spark.streaming.stateful import ewma_anomalies
 from python_darima_spark.streaming.windows import (
     read_event_stream,
     run_stream_to_table,
@@ -49,6 +50,15 @@ def q_stream_session(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     name = run_stream_to_table(stream_dedup(_replayed(spark, sf)), "append")
+    return spark.table(name)
+
+
+def q_stream_anomaly(spark: SparkSession, sf: str) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): online EWMA
+    z-score anomalies per event_type. Deterministic given in-order replay,
+    but the EWMA recursion is not SQL-expressible → rows-only driver check;
+    batch-equivalence proven in tests/test_streaming_stateful.py."""
+    name = run_stream_to_table(ewma_anomalies(_replayed(spark, sf)), "update")
     return spark.table(name)
 
 
@@ -110,6 +120,7 @@ QUERIES = {
            FROM s, mx
            WHERE s.session_end <= mx.mt - INTERVAL 2 HOUR""",
     ),
+    "q_stream_anomaly": QuerySpec(q_stream_anomaly, None),  # stateful UDF
     "q_stream_dedup": QuerySpec(
         q_stream_dedup,
         """SELECT user_id, event_type, event_id FROM (

@@ -1,0 +1,121 @@
+"""Custom stateful streaming operator: online EWMA anomaly detection.
+
+Built-in streaming aggregations are windowed folds; an exponentially
+weighted running baseline with per-event z-score emission is a genuine
+custom-state operator — exactly what ``applyInPandasWithState`` exists
+for (the engine-side twin of the reference's driver-side residual
+monitoring, /root/reference/darima.py:327 residuals + eval loop).
+
+State per key: ``(count, ewm_mean, ewm_var)``. For each event in ts
+order: z = (y − mean)/√var, flagged if |z| ≥ threshold AFTER a warmup
+count, then the baseline absorbs the point (mean/var update). Emission
+is exactly-once per anomalous event and depends only on per-key event
+order, which the staged replay fixes ascending — so the operator is
+deterministic and batch-equivalence-testable against a single-node
+pandas fold (tests/test_streaming_stateful.py).
+
+Scale: state is 3 doubles per key, sharded by the groupBy key across
+state-store partitions; no window buffering, O(1) memory per key —
+this shape survives 100 TB/day keyed by series.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+ANOMALY_SCHEMA = (
+    "series_key string, ts timestamp, value double, zscore double, "
+    "ewm_mean double, seen bigint"
+)
+_STATE_SCHEMA = "count bigint, mean double, var double"
+
+
+def _fold(
+    count: int,
+    mean: float,
+    var: float,
+    ys: "pd.Series",
+    alpha: float,
+    z_threshold: float,
+    warmup: int,
+) -> tuple[int, float, float, list[tuple[int, float, float, int]]]:
+    """Pure fold shared by the streaming operator and the test oracle.
+    Returns (count, mean, var, [(row_pos, z, mean_before, seen_before)]
+    anomalies). Every emitted field depends only on per-key event order,
+    never on micro-batch boundaries."""
+    out = []
+    for pos, y in enumerate(ys):
+        y = float(y)
+        if count >= warmup and var > 0:
+            z = (y - mean) / var**0.5
+            if abs(z) >= z_threshold:
+                out.append((pos, z, mean, count))
+        if count == 0:
+            mean, var = y, 0.0
+        else:
+            delta = y - mean
+            mean = mean + alpha * delta
+            var = (1.0 - alpha) * (var + alpha * delta * delta)
+        count += 1
+    return count, mean, var, out
+
+
+def ewma_anomalies(
+    events: DataFrame,
+    alpha: float = 0.1,
+    z_threshold: float = 3.0,
+    warmup: int = 24,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming (or batch-replayed) per-key anomaly stream."""
+
+    def detect(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            count, mean, var = state.get
+        else:
+            count, mean, var = 0, 0.0, 0.0
+        # One group's batch may arrive as several Arrow chunks with no
+        # cross-chunk order guarantee: concatenate, then sort ONCE.
+        chunks = list(pdfs)
+        if not chunks:  # timeout-only invocation (not used: NoTimeout)
+            return
+        pdf = pd.concat(chunks, ignore_index=True)
+        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        count, mean, var, hits = _fold(
+            count, mean, var, pdf[value_col], alpha, z_threshold, warmup
+        )
+        state.update((count, mean, var))
+        if hits:
+            idx = [h[0] for h in hits]
+            yield pd.DataFrame(
+                {
+                    "series_key": str(key[0]),
+                    "ts": pdf[ts_col].iloc[idx].to_numpy(),
+                    "value": pdf[value_col].iloc[idx].to_numpy(dtype=float),
+                    "zscore": [round(h[1], 6) for h in hits],
+                    "ewm_mean": [round(h[2], 6) for h in hits],
+                    "seen": [h[3] for h in hits],
+                }
+            )
+
+    return (
+        events.select(key_col, ts_col, value_col)
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            detect,
+            outputStructType=ANOMALY_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -1,0 +1,95 @@
+"""Batch-equivalence for the custom stateful operator (SURVEY.md §5.2/5):
+the streaming EWMA anomaly detector, replayed over micro-batches, must
+emit exactly what a single-node pandas fold over the whole ordered
+series emits — state carried across batch boundaries included."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from python_darima_spark.streaming.stateful import _fold
+
+
+def _single_node_oracle(events: pd.DataFrame, alpha, z, warmup) -> pd.DataFrame:
+    rows = []
+    for key, grp in events.groupby("event_type"):
+        grp = grp.sort_values("ts", kind="mergesort")
+        _, _, _, hits = _fold(0, 0.0, 0.0, grp["value"], alpha, z, warmup)
+        for pos, zs, mean_before, seen in hits:
+            rows.append(
+                {
+                    "series_key": key,
+                    "ts": grp["ts"].iloc[pos],
+                    "value": float(grp["value"].iloc[pos]),
+                    "zscore": round(zs, 6),
+                    "ewm_mean": round(mean_before, 6),
+                    "seen": seen,
+                }
+            )
+    return (
+        pd.DataFrame(rows)
+        .sort_values(["series_key", "ts"])
+        .reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("alpha,z,warmup", [(0.1, 3.0, 24), (0.3, 2.0, 8)])
+def test_stream_matches_single_node_fold(spark, sf_dir, alpha, z, warmup):
+    from python_darima_spark.queries import load
+    from python_darima_spark.streaming.stateful import ewma_anomalies
+    from python_darima_spark.streaming.windows import (
+        read_event_stream,
+        run_stream_to_table,
+        stage_event_chunks,
+    )
+
+    stream = read_event_stream(spark, stage_event_chunks(spark, sf_dir, 4))
+    name = run_stream_to_table(
+        ewma_anomalies(stream, alpha=alpha, z_threshold=z, warmup=warmup),
+        "update",
+    )
+    got = (
+        spark.table(name)
+        .toPandas()
+        .sort_values(["series_key", "ts"])
+        .reset_index(drop=True)
+    )
+
+    events = load(spark, sf_dir, "events").select(
+        "event_type", "ts", "value"
+    ).toPandas()
+    want = _single_node_oracle(events, alpha, z, warmup)
+
+    assert len(got) == len(want), (len(got), len(want))
+    assert len(got) > 0, "fixture produced no anomalies; loosen threshold"
+    pd.testing.assert_frame_equal(
+        got[["series_key", "value", "zscore", "ewm_mean", "seen"]],
+        want[["series_key", "value", "zscore", "ewm_mean", "seen"]],
+        check_dtype=False,
+    )
+    assert (got["ts"].to_numpy() == want["ts"].to_numpy()).all()
+
+
+def test_anomalies_emitted_once_across_batches(spark, sf_dir):
+    """Re-running the same replay yields the identical row multiset —
+    exactly-once emission, no state bleed between runs."""
+    from python_darima_spark.streaming.stateful import ewma_anomalies
+    from python_darima_spark.streaming.windows import (
+        read_event_stream,
+        run_stream_to_table,
+        stage_event_chunks,
+    )
+
+    staged = stage_event_chunks(spark, sf_dir, 4)
+    outs = []
+    for _ in range(2):
+        stream = read_event_stream(spark, staged)
+        name = run_stream_to_table(ewma_anomalies(stream), "update")
+        outs.append(
+            spark.table(name)
+            .toPandas()
+            .sort_values(["series_key", "ts"])
+            .reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(outs[0], outs[1])
