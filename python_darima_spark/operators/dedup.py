@@ -241,7 +241,14 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Word n-gram Jaccard similarity with cheap length-bucket blocking
     (docs whose token counts differ grossly can't clear the threshold, so
-    only same-or-adjacent length buckets are compared)."""
+    only same-or-adjacent length buckets are compared).
+
+    The adjacency predicate ``|blk_a − blk_b| ≤ 1`` is rewritten as an
+    EQUI-join: one side explodes to its three probe buckets
+    ``{blk−1, blk, blk+1}`` and the join key is plain equality — a hash
+    join instead of the nested-loop plan a non-equi predicate forces.
+    Each qualifying pair matches exactly once (exactly one probe value
+    equals the other side's bucket), so no dedup pass is needed."""
     words = F.split(F.lower(F.col(text_col)), r"\s+")
     grams = F.expr(
         f"transform(sequence(1, greatest(size(split(lower({text_col}), '\\\\s+')) - {n - 1}, 1)),"
@@ -252,13 +259,17 @@ def ngram_jaccard_pairs(
         F.array_distinct(grams).alias("_grams"),
         (F.size(words) / block_on_length).cast("int").alias("_blk"),
     )
-    l, r = base.alias("l"), base.alias("r")
+    probe = base.withColumn(
+        "_blk_probe",
+        F.explode(
+            F.array(F.col("_blk") - 1, F.col("_blk"), F.col("_blk") + 1)
+        ),
+    )
+    l, r = probe.alias("l"), base.alias("r")
     pairs = l.join(
         r,
-        (F.col(f"l.{id_col}") < F.col(f"r.{id_col}"))
-        & (
-            F.abs(F.col("l._blk") - F.col("r._blk")) <= 1
-        ),
+        (F.col("l._blk_probe") == F.col("r._blk"))
+        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
     )
     inter = F.size(F.array_intersect("l._grams", "r._grams")).cast("double")
     union = F.size(F.array_union("l._grams", "r._grams")).cast("double")

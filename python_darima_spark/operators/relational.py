@@ -91,6 +91,51 @@ def asof_join(
     )
 
 
+def range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: str,
+    point_ts: str,
+    lo_ts: str,
+    hi_ts: str,
+    bucket_seconds: int = 7200,
+) -> DataFrame:
+    """Point-in-interval (range) join as a bucketed EQUI-join.
+
+    Spark has no native range-join optimization: ``p JOIN i ON p.ts
+    BETWEEN i.lo AND i.hi`` plans as a nested-loop join — O(|p|·|i|) per
+    key, dead at scale. The standard rewrite: quantize time into
+    fixed-width buckets, explode each interval onto every bucket it
+    overlaps (⌈span/width⌉ + 1 rows — bounded, since real interval spans
+    are bounded), tag each point with its single bucket, then hash-join on
+    ``(key, bucket)`` and keep the exact BETWEEN as a residual filter.
+    Each qualifying pair meets exactly once (a point has ONE bucket), so
+    no dedup pass is needed. One shuffle per side, same as any equi-join.
+
+    ``bucket_seconds`` should be ≥ the typical interval span: one-bucket
+    intervals duplicate nothing, and the residual filter discards at most
+    the adjacent-bucket false candidates.
+
+    Bounds are inclusive on both ends (SQL BETWEEN).
+    """
+    b = F.lit(int(bucket_seconds))
+    i = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(lo_ts).cast("long") / b),
+                F.floor(F.col(hi_ts).cast("long") / b),
+            )
+        ),
+    )
+    p = points.withColumn("_bkt", F.floor(F.col(point_ts).cast("long") / b))
+    return (
+        p.join(i, on=[on, "_bkt"])
+        .where(F.col(point_ts).between(F.col(lo_ts), F.col(hi_ts)))
+        .drop("_bkt")
+    )
+
+
 def top_k_per_group(
     df: DataFrame, group_cols: list[str], order_cols: list, k: int
 ) -> DataFrame:

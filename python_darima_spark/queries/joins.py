@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from python_darima_spark.operators.relational import asof_join
+from python_darima_spark.operators.relational import asof_join, range_join
 from python_darima_spark.queries import QuerySpec, load
 
 
@@ -71,6 +71,27 @@ def q_join_theta(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_join_range(spark: SparkSession, sf: str) -> DataFrame:
+    """Attribution-window range join: clicks in the trailing 2 h before a
+    purchase by the same user. Bucketed-equi-join rewrite (see
+    operators/relational.py:range_join) — hash join on (user, time bucket)
+    instead of the nested-loop plan Spark gives BETWEEN joins."""
+    e = load(spark, sf, "events")
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    purchases = (
+        e.where(F.col("event_type") == "purchase")
+        .select("user_id", F.col("event_id").alias("purchase_id"), "ts")
+        .withColumn("lo", F.col("ts") - F.expr("INTERVAL 2 hours"))
+        .select("user_id", "purchase_id", "lo", F.col("ts").alias("hi"))
+    )
+    return range_join(
+        clicks, purchases, on="user_id", point_ts="ts",
+        lo_ts="lo", hi_ts="hi", bucket_seconds=7200,
+    ).select("purchase_id", "click_id")
+
+
 def q_join_asof(spark: SparkSession, sf: str) -> DataFrame:
     """As-of join: for each purchase event, the latest prior (≤) click by
     the same user. Union+window implementation (see
@@ -122,6 +143,16 @@ QUERIES = {
         q_join_theta,
         """SELECT s_suppkey, n_nationkey, s_acctbal
            FROM supplier JOIN nation ON s_acctbal >= n_nationkey * 300.0""",
+    ),
+    "q_join_range": QuerySpec(
+        q_join_range,
+        """SELECT p.event_id AS purchase_id, c.event_id AS click_id
+           FROM events p
+           JOIN events c
+             ON p.user_id = c.user_id
+            AND c.event_type = 'click'
+            AND c.ts BETWEEN p.ts - INTERVAL 2 HOUR AND p.ts
+           WHERE p.event_type = 'purchase'""",
     ),
     "q_join_asof": QuerySpec(
         q_join_asof,
