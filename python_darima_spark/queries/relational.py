@@ -63,6 +63,30 @@ def q_sink_json(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.json(path).select("o_orderstatus", "total")
 
 
+def q_sink_parquet(spark: SparkSession, sf: str) -> DataFrame:
+    """Partitioned parquet sink + re-scan: daily revenue written
+    partitionBy(o_orderstatus), sorted within partitions — the 100 TB
+    write path (directory pruning on read, selective page stats; see
+    sources/writers.py). Hash-matched: the round trip must preserve the
+    aggregate exactly."""
+    from python_darima_spark.sources.writers import write_partitioned_parquet
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"pds_sink_parquet_{os.path.basename(sf)}"
+    )
+    agg = (
+        load(spark, sf, "orders")
+        .groupBy("o_orderstatus", "o_orderpriority")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+    write_partitioned_parquet(
+        agg, path, partition_cols=["o_orderstatus"], sort_cols=["o_orderpriority"]
+    )
+    return spark.read.parquet(path).select(
+        "o_orderstatus", "o_orderpriority", "total"
+    )
+
+
 # --- projection / filter / cast -------------------------------------------
 
 def q_project_expr(spark: SparkSession, sf: str) -> DataFrame:
@@ -243,7 +267,17 @@ QUERIES = {
         q_scan_csv,
         "SELECT r_regionkey, r_name FROM region",
     ),
-    "q_sink_json": QuerySpec(q_sink_json, None),  # sink: rows-only
+    "q_sink_json": QuerySpec(
+        q_sink_json,
+        """SELECT o_orderstatus, round(sum(o_totalprice), 2) AS total
+           FROM orders GROUP BY o_orderstatus""",
+    ),
+    "q_sink_parquet": QuerySpec(
+        q_sink_parquet,
+        """SELECT o_orderstatus, o_orderpriority,
+                  round(sum(o_totalprice), 2) AS total
+           FROM orders GROUP BY o_orderstatus, o_orderpriority""",
+    ),
     "q_project_expr": QuerySpec(
         q_project_expr,
         """SELECT l_orderkey, l_linenumber,

@@ -16,6 +16,12 @@ from python_darima_spark.sources.readers import (
     read_parquet,
     read_reference_series_csv,
 )
+from python_darima_spark.sources.writers import (
+    write_bucketed_table,
+    write_csv,
+    write_json,
+    write_partitioned_parquet,
+)
 
 __all__ = [
     "REFERENCE_SERIES_SCHEMA",
@@ -23,4 +29,8 @@ __all__ = [
     "read_json",
     "read_parquet",
     "read_reference_series_csv",
+    "write_bucketed_table",
+    "write_csv",
+    "write_json",
+    "write_partitioned_parquet",
 ]

@@ -1,0 +1,72 @@
+"""Sink operators: partitioned layout, small-file control, bucketed
+co-located joins (the pay-once shuffle)."""
+
+from __future__ import annotations
+
+import glob
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from python_darima_spark.queries import load
+from python_darima_spark.sources import (
+    write_bucketed_table,
+    write_partitioned_parquet,
+)
+
+
+def test_partitioned_write_prunes_and_controls_files(spark, sf_dir):
+    path = os.path.join(tempfile.gettempdir(), "pds_test_part_sink")
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    write_partitioned_parquet(
+        orders, path, partition_cols=["o_orderstatus"], sort_cols=["o_orderkey"]
+    )
+
+    # one file per partition directory (repartition-by-partition-col wrote
+    # each directory from a single owning task)
+    for d in glob.glob(os.path.join(path, "o_orderstatus=*")):
+        files = [f for f in os.listdir(d) if f.endswith(".parquet")]
+        assert len(files) == 1, (d, files)
+
+    # partition pruning: a filter on the partition column scans only that
+    # directory (PartitionFilters in the plan, not a post-scan Filter)
+    back = spark.read.parquet(path).where(F.col("o_orderstatus") == "F")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(o_orderstatus" in plan, plan[:800]
+    want = orders.where("o_orderstatus = 'F'").count()
+    assert back.count() == want
+
+
+def test_bucketed_tables_join_without_exchange(spark, sf_dir):
+    """Two tables bucketed on the join key with equal bucket counts must
+    sort-merge join with NO Exchange on either side."""
+    orders = load(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    cust = load(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal"
+    )
+    write_bucketed_table(orders, "t_orders_b", ["o_custkey"], 8, ["o_custkey"])
+    write_bucketed_table(cust, "t_cust_b", ["c_custkey"], 8, ["c_custkey"])
+    try:
+        joined = spark.table("t_orders_b").join(
+            spark.table("t_cust_b"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        # disable broadcast so the join exercises the bucketed path
+        prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            plan = joined._jdf.queryExecution().executedPlan().toString()
+            assert "Exchange" not in plan, plan[:1200]
+            assert joined.count() == orders.join(
+                cust, orders.o_custkey == cust.c_custkey
+            ).count()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        spark.sql("DROP TABLE IF EXISTS t_orders_b")
+        spark.sql("DROP TABLE IF EXISTS t_cust_b")
