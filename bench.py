@@ -28,6 +28,7 @@ HEADLINE = [
     "q_join_broadcast",
     "q_join_semi_anti",
     "q_join_asof",
+    "q_join_range",
     "q_window_rank",
     "q_window_frame",
     "q_sort_limit",
@@ -35,7 +36,9 @@ HEADLINE = [
     "q_json_fns",
     "q_ts_resample",
     "q_ts_fit_combine",
+    "q_sink_parquet",
     "q_stream_tumble",
+    "q_stream_anomaly",
     "q_dedup_exact",
     "q_dedup_near",
     "q_sim_topk",
