@@ -127,6 +127,23 @@ def assign_centroids(
     return fan_out(corpus, id_col).withColumn("centroid_id", best.cast("int"))
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The persistent half of IVF: corpus with ``centroid_id``, hash-
+    partitioned on it so every probe join is co-located. At 100 TB you pay
+    this once — write it out bucketed by centroid_id
+    (``write_bucketed_table(ix, "corpus_ivf", ["centroid_id"], n)``) and
+    every subsequent query set probes nprobe/C of the data with zero
+    corpus-side shuffle."""
+    return assign_centroids(corpus, centroids, id_col, vec_col).repartition(
+        "centroid_id"
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -135,9 +152,16 @@ def ivf_topk(
     nprobe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    index: DataFrame | None = None,
 ) -> DataFrame:
-    """Approximate top-k: scan only the nprobe clusters nearest each query."""
-    clustered = assign_centroids(corpus, centroids, id_col, vec_col)
+    """Approximate top-k: scan only the nprobe clusters nearest each query.
+    Pass a prebuilt ``index`` (from :func:`build_ivf_index`, possibly read
+    back from a bucketed table) to skip re-assigning the corpus."""
+    clustered = (
+        index
+        if index is not None
+        else assign_centroids(corpus, centroids, id_col, vec_col)
+    )
     qn = queries.toPandas()
     qv = np.array(qn[vec_col].tolist(), dtype=float)
     sims = (qv @ centroids.T) / (

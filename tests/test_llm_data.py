@@ -118,6 +118,15 @@ def test_ivf_recall_vs_bruteforce(spark):
         recalls.append(len(a & set(g.neighbor_id)) / 5)
     assert np.mean(recalls) >= 0.5, recalls
 
+    # a prebuilt index (the pay-once 100 TB path) gives identical results
+    from python_darima_spark.operators.similarity import build_ivf_index
+
+    ix = build_ivf_index(emb, cents)
+    via_ix = ivf_topk(emb, queries, cents, k=5, nprobe=3, index=ix).toPandas()
+    got = via_ix.sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
+    want = approx.sort_values(["query_id", "neighbor_id"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want)
+
 
 def test_multimodal_plumbing(spark):
     from python_darima_spark.multimodal.binary_ops import (

@@ -93,3 +93,34 @@ def test_darima_end_to_end_on_reference_zones(spark):
         assert v is not None and math.isfinite(v) and v > 0, (k, v)
     # competent-forecast band: seasonal-naive scores MASE≈1; accept <3
     assert scores["mase"] < 3.0, scores
+
+
+def test_darima_dlsa_combine_on_reference_zone(spark):
+    """DLSA (variance-weighted) combine on one real zone: same pipeline,
+    method='dlsa' (the reference's alternative, darima_config.json:8 /
+    auto_arima.R:103-110 semantics). The combined coefficients must stay
+    close to the mean combine when window variances are similar, and the
+    forecast must stay in the sane band."""
+    from python_darima_spark.darima.pipeline import DarimaConfig, darima
+    from python_darima_spark.sources import read_reference_series_csv
+
+    train = read_reference_series_csv(spark, f"{REF_DATA}/ME_train.csv")
+
+    base = dict(num_windows=4, period=24, tol=200)
+    res_mean = darima(train, DarimaConfig(method="mean", **base), h=24)
+    res_dlsa = darima(train, DarimaConfig(method="dlsa", **base), h=24)
+
+    fm = res_mean.forecasts.toPandas().sort_values("step")
+    fd = res_dlsa.forecasts.toPandas().sort_values("step")
+    assert len(fd) == 24 and fd["mean"].notna().all()
+    # both combines describe the same series: forecasts within 20% of
+    # each other on average (they differ only by window weighting)
+    rel = ((fd["mean"].to_numpy() - fm["mean"].to_numpy()) ** 2).mean() ** 0.5
+    assert rel / max(fm["mean"].abs().mean(), 1e-9) < 0.2, rel
+    # DLSA's sigma2 row must be the normalized T_total / sum(weights)
+    sig = {
+        r["coef"]: r["value"]
+        for r in res_dlsa.coefs.collect()
+        if r["coef"] == "sigma2"
+    }
+    assert sig["sigma2"] > 0
