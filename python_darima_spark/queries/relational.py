@@ -139,6 +139,54 @@ def q_cast_ts(spark: SparkSession, sf: str) -> DataFrame:
 
 # --- aggregation -----------------------------------------------------------
 
+def q_agg_percentile(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact grouped percentiles (continuous interpolation — Spark
+    ``percentile`` ≡ DuckDB ``quantile_cont``). The exact form needs the
+    group's values together (one shuffle); the sketch-based
+    ``approx_percentile`` (cf. q_agg_approx's count-distinct) is the
+    100 TB path when error tolerance allows."""
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_quantity, 0.5)"), 4).alias("med_qty"),
+        F.round(F.expr("percentile(l_extendedprice, 0.25)"), 4).alias("p25_price"),
+        F.round(F.expr("percentile(l_extendedprice, 0.75)"), 4).alias("p75_price"),
+    )
+
+
+def q_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot (long → wide): order totals per status spread over priority
+    columns. Spark's ``pivot`` with an EXPLICIT value list — never the
+    value-discovering form, which runs an extra distinct job and breaks
+    at unbounded cardinality; the oracle states the same conditional
+    aggregation any engine can run."""
+    o = load(spark, sf, "orders")
+    return (
+        o.withColumn("prio", F.split("o_orderpriority", "-").getItem(0))
+        .groupBy("o_orderstatus")
+        .pivot("prio", ["1", "2", "3", "4", "5"])
+        .agg(F.round(F.sum("o_totalprice"), 2))
+        .select(
+            "o_orderstatus",
+            *[F.col(p).alias(f"prio_{p}") for p in "12345"],
+        )
+    )
+
+
+def q_unpivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Unpivot/melt (wide → long) via ``stack``: the customer's numeric
+    facts as (measure, value) rows — the reshape the coefficient
+    long-form pipeline relies on, restated relationally."""
+    c = load(spark, sf, "customer")
+    return c.select(
+        "c_custkey",
+        F.expr(
+            "stack(2, 'acctbal', round(c_acctbal, 2),"
+            " 'nationkey', cast(c_nationkey as double))"
+            " as (measure, value)"
+        ),
+    )
+
+
 def q_agg_hash(spark: SparkSession, sf: str) -> DataFrame:
     """Grouped sum/avg/min/max/count — the reference's hand-rolled
     aggregateByKey reduces (darima.py:233-280) restated as one Catalyst
@@ -308,6 +356,35 @@ QUERIES = {
                   strptime(strftime(ts, '%Y-%m-%d %H:00:00'), '%Y-%m-%d %H:%M:%S') AS ts_hour,
                   strftime(ts, '%Y-%m-%d') AS ts_date
            FROM events""",
+    ),
+    "q_agg_percentile": QuerySpec(
+        q_agg_percentile,
+        """SELECT l_returnflag,
+                  round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+                  round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
+                  round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price
+           FROM lineitem GROUP BY l_returnflag""",
+    ),
+    "q_pivot": QuerySpec(
+        q_pivot,
+        """SELECT o_orderstatus,
+                  round(sum(CASE WHEN prio = '1' THEN o_totalprice END), 2) AS prio_1,
+                  round(sum(CASE WHEN prio = '2' THEN o_totalprice END), 2) AS prio_2,
+                  round(sum(CASE WHEN prio = '3' THEN o_totalprice END), 2) AS prio_3,
+                  round(sum(CASE WHEN prio = '4' THEN o_totalprice END), 2) AS prio_4,
+                  round(sum(CASE WHEN prio = '5' THEN o_totalprice END), 2) AS prio_5
+           FROM (SELECT o_orderstatus, o_totalprice,
+                        string_split(o_orderpriority, '-')[1] AS prio
+                 FROM orders)
+           GROUP BY o_orderstatus""",
+    ),
+    "q_unpivot": QuerySpec(
+        q_unpivot,
+        """SELECT c_custkey, 'acctbal' AS measure,
+                  round(c_acctbal, 2) AS value FROM customer
+           UNION ALL
+           SELECT c_custkey, 'nationkey' AS measure,
+                  CAST(c_nationkey AS DOUBLE) AS value FROM customer""",
     ),
     "q_agg_hash": QuerySpec(
         q_agg_hash,
