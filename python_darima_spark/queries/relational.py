@@ -50,6 +50,28 @@ def q_scan_csv(spark: SparkSession, sf: str) -> DataFrame:
     return spark.read.schema(_REGION_SCHEMA).option("header", True).csv(path)
 
 
+def q_scan_json(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON-lines source scan with explicit schema (no inference pass —
+    schema inference on JSON reads the whole dataset once before the real
+    scan). Stages events as JSON in /tmp once per sf, then the measured
+    path is the schema'd read."""
+    from python_darima_spark.sources import read_json
+
+    path = os.path.join(
+        tempfile.gettempdir(), f"pds_scan_json_{os.path.basename(sf)}"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        load(spark, sf, "events").select(
+            "event_id", "user_id", "event_type", "value"
+        ).write.mode("overwrite").json(path)
+    df = read_json(
+        spark, path, "event_id long, user_id long, event_type string, value double"
+    )
+    return df.select(
+        "event_id", "user_id", "event_type", F.round("value", 6).alias("value")
+    )
+
+
 def q_sink_json(spark: SparkSession, sf: str) -> DataFrame:
     """JSON sink + re-scan (ref R31: driver-side json.dump of the forecast,
     /root/reference/darima.py:410-412 — engine uses a distributed writer)."""
@@ -138,6 +160,34 @@ def q_cast_ts(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # --- aggregation -----------------------------------------------------------
+
+def q_agg_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Statistical aggregates (corr / covariance / stddev / variance) —
+    all single-pass partial+final moment aggregations, same shuffle shape
+    as sum/avg."""
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("corr_qp"),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_qp"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 6).alias("var_qty"),
+    )
+
+
+def q_window_analytic(spark: SparkSession, sf: str) -> DataFrame:
+    """Analytic window functions: percent_rank / cume_dist / first & last
+    value over a per-group ordered frame."""
+    o = load(spark, sf, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy("o_totalprice", "o_orderkey")
+    wf = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.first("o_orderkey").over(wf).alias("cheapest_key"),
+    )
+
 
 def q_agg_percentile(spark: SparkSession, sf: str) -> DataFrame:
     """Exact grouped percentiles (continuous interpolation — Spark
@@ -356,6 +406,34 @@ QUERIES = {
                   strptime(strftime(ts, '%Y-%m-%d %H:00:00'), '%Y-%m-%d %H:%M:%S') AS ts_hour,
                   strftime(ts, '%Y-%m-%d') AS ts_date
            FROM events""",
+    ),
+    "q_scan_json": QuerySpec(
+        q_scan_json,
+        """SELECT event_id, user_id, event_type, round(value, 6) AS value
+           FROM events""",
+    ),
+    "q_agg_stats": QuerySpec(
+        q_agg_stats,
+        """SELECT l_returnflag,
+                  round(corr(l_quantity, l_extendedprice), 6) AS corr_qp,
+                  round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_qp,
+                  round(stddev_samp(l_extendedprice), 4) AS sd_price,
+                  round(var_samp(l_quantity), 6) AS var_qty
+           FROM lineitem GROUP BY l_returnflag""",
+    ),
+    "q_window_analytic": QuerySpec(
+        q_window_analytic,
+        """SELECT o_orderkey, o_orderstatus,
+                  round(percent_rank() OVER w, 6) AS pr,
+                  round(cume_dist() OVER w, 6) AS cd,
+                  first_value(o_orderkey) OVER (
+                    PARTITION BY o_orderstatus
+                    ORDER BY o_totalprice, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND UNBOUNDED FOLLOWING) AS cheapest_key
+           FROM orders
+           WINDOW w AS (PARTITION BY o_orderstatus
+                        ORDER BY o_totalprice, o_orderkey)""",
     ),
     "q_agg_percentile": QuerySpec(
         q_agg_percentile,

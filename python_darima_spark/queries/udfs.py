@@ -70,7 +70,53 @@ def q_udaf_grouped_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_udf_cogrouped_map(spark: SparkSession, sf: str) -> DataFrame:
+    """Cogrouped-map UDF (``groupBy().cogroup().applyInPandas``) — the
+    primitive the DARIMA forecast stage runs on (coefs ⨝ series per key,
+    python_darima_spark/darima/pipeline.py:forecast), with a
+    deterministic SQL-checkable body: per-nation customer count and
+    order revenue joined pandas-side."""
+
+    def summarize(key, cust: pd.DataFrame, orders: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "c_nationkey": [int(key[0])],
+                "n_cust": [len(cust)],
+                "revenue": [round(float(orders["o_totalprice"].sum()), 2)],
+            }
+        )
+
+    c = load(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    # fresh read with renamed columns: deriving the orders side from `c`
+    # itself would make the cogroup an ambiguous self-join
+    dim = load(spark, sf, "customer").select(
+        F.col("c_custkey").alias("_ck"), F.col("c_nationkey").alias("_nk")
+    )
+    o = (
+        load(spark, sf, "orders")
+        .join(dim, F.col("o_custkey") == F.col("_ck"))
+        .select(F.col("_nk").alias("c_nationkey"), "o_totalprice")
+    )
+    return (
+        c.groupBy("c_nationkey")
+        .cogroup(o.groupBy("c_nationkey"))
+        .applyInPandas(summarize, "c_nationkey int, n_cust long, revenue double")
+    )
+
+
 QUERIES = {
+    "q_udf_cogrouped_map": QuerySpec(
+        q_udf_cogrouped_map,
+        """SELECT c_nationkey,
+                  count(*) AS n_cust,
+                  round(coalesce((SELECT sum(o.o_totalprice)
+                                  FROM orders o JOIN customer c2
+                                    ON o.o_custkey = c2.c_custkey
+                                  WHERE c2.c_nationkey = c.c_nationkey), 0),
+                        2) AS revenue
+           FROM customer c
+           GROUP BY c_nationkey""",
+    ),
     "q_udf_scalar": QuerySpec(
         q_udf_scalar,
         """SELECT l_orderkey, l_linenumber,
