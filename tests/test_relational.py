@@ -1,0 +1,83 @@
+"""Relational operator specifics not covered by the oracle-parity sweep:
+approximate-aggregate error bounds, top-k-per-group, and the asof-join
+tolerance path."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from python_darima_spark.operators.relational import asof_join, top_k_per_group
+from python_darima_spark.queries import load, registry
+
+
+def test_approx_count_distinct_within_epsilon(spark, sf_dir):
+    """q_agg_approx's HLL++ estimates stay within the configured 1% rsd
+    (allow 5% absolute slack for the small fixture)."""
+    got = registry()["q_agg_approx"].fn(spark, sf_dir).collect()[0]
+    e = load(spark, sf_dir, "events")
+    exact = e.agg(
+        F.countDistinct("user_id").alias("u"),
+        F.countDistinct("event_id").alias("ev"),
+    ).collect()[0]
+    assert abs(got["approx_users"] - exact["u"]) <= max(1, 0.05 * exact["u"])
+    assert abs(got["approx_events"] - exact["ev"]) <= max(1, 0.05 * exact["ev"])
+
+
+def test_top_k_per_group_matches_pandas(spark, sf_dir):
+    o = load(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    got = (
+        top_k_per_group(
+            o, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey")], 3
+        )
+        .toPandas()
+        .sort_values(["o_custkey", "o_orderkey"])
+        .reset_index(drop=True)
+    )
+    pdf = o.toPandas()
+    want = (
+        pdf.sort_values(
+            ["o_custkey", "o_totalprice", "o_orderkey"],
+            ascending=[True, False, True],
+        )
+        .groupby("o_custkey")
+        .head(3)
+        .sort_values(["o_custkey", "o_orderkey"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    assert got.groupby("o_custkey").size().max() <= 3
+
+
+def test_asof_join_tolerance_nulls_stale_matches(spark):
+    left = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a", "a"],
+                "ts": pd.to_datetime(["2024-01-01 10:00", "2024-01-02 10:00"]),
+                "lid": [1, 2],
+            }
+        )
+    )
+    right = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "k": ["a"],
+                "ts": pd.to_datetime(["2024-01-01 09:00"]),
+                "rid": [100],
+            }
+        )
+    )
+    out = (
+        asof_join(
+            left, right, on="k", right_cols=["rid"], tolerance="2 hours"
+        )
+        .toPandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    # lid=1 is 1h after the right row -> kept; lid=2 is 25h after -> stale
+    assert out.loc[0, "rid"] == 100
+    assert pd.isna(out.loc[1, "rid"])
