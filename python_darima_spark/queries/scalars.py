@@ -127,7 +127,34 @@ def q_json_fns(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_null_fns(spark: SparkSession, sf: str) -> DataFrame:
+    """Null-handling scalars: coalesce / nullif / greatest / least and
+    null-safe equality — the semantics every filter/join in the engine
+    leans on (three-valued logic made explicit)."""
+    o = load(spark, sf, "orders")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(F.nullif("o_orderstatus", F.lit("O")), F.lit("open")).alias(
+            "status_or_open"
+        ),
+        F.greatest("o_totalprice", F.lit(10000.0)).alias("floor_price"),
+        F.least("o_totalprice", F.lit(100000.0)).alias("capped_price"),
+        F.col("o_orderstatus").eqNullSafe(F.lit("F")).alias("is_f"),
+        (F.nullif(F.lit(1), F.lit(1)).isNull()).alias("nullif_works"),
+    )
+
+
 QUERIES = {
+    "q_null_fns": QuerySpec(
+        q_null_fns,
+        """SELECT o_orderkey,
+                  coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_or_open,
+                  greatest(o_totalprice, 10000.0) AS floor_price,
+                  least(o_totalprice, 100000.0) AS capped_price,
+                  o_orderstatus IS NOT DISTINCT FROM 'F' AS is_f,
+                  nullif(1, 1) IS NULL AS nullif_works
+           FROM orders""",
+    ),
     "q_string_fns": QuerySpec(
         q_string_fns,
         r"""SELECT p_partkey,
