@@ -270,6 +270,23 @@ def q_agg_sets(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_agg_collect(spark: SparkSession, sf: str) -> DataFrame:
+    """Array aggregation: per-customer order-key list. collect_list has no
+    deterministic order (it concatenates in partition arrival order), so
+    the engine ALWAYS array_sort()s before exposing it — here additionally
+    joined to a string so the oracle compare is representation-stable."""
+    o = load(spark, sf, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("o_orderkey")), ","
+            ).alias("orderkeys"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
 def q_agg_approx(spark: SparkSession, sf: str) -> DataFrame:
     """HLL++ approximate distinct — rows-only oracle (±ε asserted in
     tests/test_relational.py against the exact count)."""
@@ -442,6 +459,14 @@ QUERIES = {
                   round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
                   round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price
            FROM lineitem GROUP BY l_returnflag""",
+    ),
+    "q_agg_collect": QuerySpec(
+        q_agg_collect,
+        """SELECT o_custkey,
+                  array_to_string(list(o_orderkey ORDER BY o_orderkey), ',')
+                      AS orderkeys,
+                  count(*) AS n
+           FROM orders GROUP BY o_custkey""",
     ),
     "q_pivot": QuerySpec(
         q_pivot,
