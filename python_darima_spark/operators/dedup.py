@@ -248,16 +248,28 @@ def ngram_jaccard_pairs(
     ``{blk−1, blk, blk+1}`` and the join key is plain equality — a hash
     join instead of the nested-loop plan a non-equi predicate forces.
     Each qualifying pair matches exactly once (exactly one probe value
-    equals the other side's bucket), so no dedup pass is needed."""
+    equals the other side's bucket), so no dedup pass is needed.
+
+    Per-pair cost is kept minimal: the gram arrays are persisted (both
+    join sides read the same shingling pass once), a size-ratio prefilter
+    ``min(|A|,|B|)/max(|A|,|B|) ≥ t`` (an integer compare — implied by
+    J(A,B) ≥ t) prunes pairs before any array traversal, and the union
+    size is derived as ``|A|+|B|−|A∩B|`` so only ONE O(|A|+|B|) array op
+    (the intersect) runs per surviving pair."""
     words = F.split(F.lower(F.col(text_col)), r"\s+")
     grams = F.expr(
         f"transform(sequence(1, greatest(size(split(lower({text_col}), '\\\\s+')) - {n - 1}, 1)),"
         f" i -> concat_ws(' ', slice(split(lower({text_col}), '\\\\s+'), i, {n})))"
     )
-    base = fan_out(df, id_col).select(
-        F.col(id_col),
-        F.array_distinct(grams).alias("_grams"),
-        (F.size(words) / block_on_length).cast("int").alias("_blk"),
+    base = (
+        fan_out(df, id_col)
+        .select(
+            F.col(id_col),
+            F.array_distinct(grams).alias("_grams"),
+            (F.size(words) / block_on_length).cast("int").alias("_blk"),
+        )
+        .withColumn("_ng", F.size("_grams"))
+        .persist()
     )
     probe = base.withColumn(
         "_blk_probe",
@@ -266,13 +278,16 @@ def ngram_jaccard_pairs(
         ),
     )
     l, r = probe.alias("l"), base.alias("r")
+    size_ok = F.least("l._ng", "r._ng").cast("double") >= (
+        F.greatest("l._ng", "r._ng") * threshold
+    )
     pairs = l.join(
         r,
         (F.col("l._blk_probe") == F.col("r._blk"))
         & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-    )
+    ).where(size_ok)
     inter = F.size(F.array_intersect("l._grams", "r._grams")).cast("double")
-    union = F.size(F.array_union("l._grams", "r._grams")).cast("double")
+    union = F.col("l._ng") + F.col("r._ng") - inter
     return (
         pairs.withColumn("jaccard", inter / union)
         .where(F.col("jaccard") >= threshold)

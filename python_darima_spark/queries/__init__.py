@@ -35,6 +35,28 @@ _MODULES = [
     "python_darima_spark.queries.streaming_q",
 ]
 
+# Execution-priority prefix: the driver's round-1 correctness pass stopped
+# after exactly 50 registry entries (budget cap), so the tail — similarity,
+# text, multimodal, and streaming — never got a CORRECTNESS row despite
+# having oracles. Queries listed here are emitted FIRST (in this order) so
+# a budget-capped driver verifies them; everything else follows in module
+# order. Cheap SQL-oracled queries lead; the stateful streaming replays
+# (seconds each) close the prefix.
+_PRIORITY = [
+    "q_text_stats",
+    "q_text_lang",
+    "q_text_fingerprint",
+    "q_sim_topk",
+    "q_sim_topk_ivf",
+    "q_multimodal_features",
+    "q_agg_approx",
+    "q_stream_tumble",
+    "q_stream_slide",
+    "q_stream_session",
+    "q_stream_dedup",
+    "q_stream_anomaly",
+]
+
 
 def registry() -> dict[str, QuerySpec]:
     out: dict[str, QuerySpec] = {}
@@ -48,7 +70,8 @@ def registry() -> dict[str, QuerySpec]:
         if overlap:
             raise ValueError(f"duplicate query names: {overlap}")
         out.update(specs)
-    return out
+    head = {n: out[n] for n in _PRIORITY if n in out}
+    return {**head, **{n: s for n, s in out.items() if n not in head}}
 
 
 def load(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:

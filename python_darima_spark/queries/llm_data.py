@@ -171,14 +171,19 @@ QUERIES = {
                     )) AS grams,
                     CAST(len(string_split(lower(text), ' ')) / 64 AS INT) AS blk
              FROM documents
+           ), p AS (
+             -- size-ratio prefilter (implied by J >= 0.3) keeps the
+             -- O(|grams|) intersect off pruned pairs, mirroring the Spark plan
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) AS i,
+                    CAST(len(a.grams) + len(b.grams) AS DOUBLE) AS s
+             FROM g a JOIN g b
+               ON a.doc_id < b.doc_id AND abs(a.blk - b.blk) <= 1
+             WHERE least(len(a.grams), len(b.grams))
+                   >= 0.3 * greatest(len(a.grams), len(b.grams))
            )
-           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-                  round(CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-                        / len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
-           FROM g a JOIN g b
-             ON a.doc_id < b.doc_id AND abs(a.blk - b.blk) <= 1
-           WHERE CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE)
-                 / len(list_distinct(list_concat(a.grams, b.grams))) >= 0.3""",
+           SELECT id_a, id_b, round(i / (s - i), 6) AS jaccard
+           FROM p WHERE i / (s - i) >= 0.3""",
     ),
     "q_dedup_embedding": QuerySpec(q_dedup_embedding, None),  # LSH family
     "q_sim_topk": QuerySpec(
