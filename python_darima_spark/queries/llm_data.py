@@ -34,6 +34,7 @@ from python_darima_spark.operators.similarity import (
     cosine_topk,
     embedding_near_duplicates,
     ivf_topk,
+    sample_vectors_bounded,
     train_centroids,
 )
 from python_darima_spark.queries import QuerySpec, load
@@ -89,13 +90,12 @@ def q_sim_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_sim_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
     """IVF approximate top-5 (16 centroids, nprobe=4) — the 100 TB path;
-    recall vs brute force asserted in tests."""
-    import numpy as np
-
+    recall vs brute force asserted in tests. Centroids train on a BOUNDED
+    deterministic sample (TakeOrdered by id-hash, ≤ 2048 rows to the
+    driver) — never a fixed fraction of the corpus."""
     emb = load(spark, sf, "embeddings")
-    sample = emb.where(F.col("vec_id") % 7 == 0).toPandas()
     cents = train_centroids(
-        np.array(sample["embedding"].tolist(), dtype=float), num_centroids=16
+        sample_vectors_bounded(emb, n=2048), num_centroids=16
     )
     queries = emb.where(F.col("vec_id") < 8)
     return ivf_topk(emb, queries, cents, k=5, nprobe=4)

@@ -102,6 +102,52 @@ def test_embedding_near_dup_finds_planted_twin(spark):
     assert ((pairs.id_a == 0) & (pairs.id_b == 9001)).any()
 
 
+def test_embedding_near_dup_recall_at_threshold(spark):
+    """Multi-table LSH recall vs numpy brute force at the ADVERTISED
+    threshold (0.95), on planted NEAR-identical pairs (cosine ≈ 0.95–0.99,
+    not 1.0 — an identical twin collides in every config and proves
+    nothing). A single 12-plane table recalls only ~28 % of these; the
+    8-table OR-amplified default must exceed 90 %."""
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(120)
+    pdf = emb.toPandas()
+    rng = np.random.default_rng(7)
+    base = np.array(pdf["embedding"].tolist(), dtype=float)
+    planted = []
+    for i in range(40):  # noisy copies of the first 40 vectors
+        v = base[i] / np.linalg.norm(base[i])
+        noise = rng.standard_normal(v.shape)
+        noise -= (noise @ v) * v  # orthogonal component only
+        noise /= np.linalg.norm(noise)
+        target_cos = 0.952 + 0.04 * rng.random()
+        near = target_cos * v + np.sqrt(1 - target_cos**2) * noise
+        planted.append(
+            {"vec_id": 9000 + i, "embedding": (near * np.linalg.norm(base[i])).tolist()}
+        )
+    extra = pd.DataFrame(planted)
+    allv = pd.concat([pdf[["vec_id", "embedding"]], extra], ignore_index=True)
+
+    mat = np.array(allv["embedding"].tolist(), dtype=float)
+    normed = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = normed @ normed.T
+    ids = allv["vec_id"].to_numpy()
+    truth = {
+        (int(ids[i]), int(ids[j]))
+        for i in range(len(ids))
+        for j in range(i + 1, len(ids))
+        if round(sims[i, j], 6) >= 0.95 and ids[i] != ids[j]
+    }
+    truth = {(min(a, b), max(a, b)) for a, b in truth}
+    assert len(truth) >= 30  # the plant worked
+
+    got = embedding_near_duplicates(
+        spark.createDataFrame(allv), threshold=0.95
+    ).toPandas()
+    found = {(int(a), int(b)) for a, b in zip(got.id_a, got.id_b)}
+    assert found <= truth  # exact verification ⇒ no false positives
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.9, f"recall {recall:.2f} over {len(truth)} true pairs"
+
+
 def test_ivf_recall_vs_bruteforce(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     queries = emb.where(F.col("vec_id") < 8)
