@@ -70,19 +70,26 @@ def select_orders_of_differencing(
 
 
 def _build_design(
-    w: np.ndarray, p: int, P: int, m: int, eps: np.ndarray | None, q: int
+    w: np.ndarray,
+    p: int,
+    P: int,
+    m: int,
+    eps: np.ndarray | None,
+    q: int,
+    Q: int = 0,
 ) -> tuple[np.ndarray, np.ndarray, int]:
     """Regression target/design for w_t on [1, w_{t-1..p}, w_{t-m..Pm},
-    eps_{t-1..q}]. Returns (y_vec, X, start_index)."""
+    eps_{t-1..q}, eps_{t-m..Qm}]. Returns (y_vec, X, start_index)."""
     lags = list(range(1, p + 1)) + [m * j for j in range(1, P + 1)]
-    start = max([0] + lags + ([q] if q else []))
+    eps_lags = list(range(1, q + 1)) + [m * j for j in range(1, Q + 1)]
+    start = max([0] + lags + eps_lags)
     n = w.size
-    if n - start < len(lags) + q + 2:
+    if n - start < len(lags) + len(eps_lags) + 2:
         raise ValueError("window too short for requested orders")
     cols = [np.ones(n - start)]
     for lag in lags:
         cols.append(w[start - lag : n - lag])
-    for j in range(1, q + 1):
+    for j in eps_lags:
         assert eps is not None
         cols.append(eps[start - j : n - j])
     X = np.column_stack(cols)
@@ -97,10 +104,18 @@ def _ols(yv: np.ndarray, X: np.ndarray) -> tuple[np.ndarray, float, int]:
 
 
 def _fit_orders(
-    w: np.ndarray, p: int, q: int, P: int, m: int, long_resid: np.ndarray | None
+    w: np.ndarray,
+    p: int,
+    q: int,
+    P: int,
+    m: int,
+    long_resid: np.ndarray | None,
+    Q: int = 0,
 ) -> dict | None:
     try:
-        yv, X, _ = _build_design(w, p, P, m, long_resid if q else None, q)
+        yv, X, _ = _build_design(
+            w, p, P, m, long_resid if (q or Q) else None, q, Q
+        )
     except ValueError:
         return None
     beta, sigma2, n_eff = _ols(yv, X)
@@ -112,6 +127,7 @@ def _fit_orders(
         "p": p,
         "q": q,
         "P": P,
+        "Q": Q,
         "beta": beta,
         "sigma2": sigma2,
         "aic": float(aic),
@@ -125,6 +141,7 @@ def auto_ar_fit(
     max_p: int = 5,
     max_q: int = 2,
     max_P: int = 2,
+    max_Q: int = 1,
     d: int | None = None,
     D: int | None = None,
     tol: int = DEFAULT_TOL,
@@ -132,9 +149,13 @@ def auto_ar_fit(
 ) -> dict:
     """Fit a SARIMA-style model and return it in global AR(tol) linear form.
 
-    Returns a dict with the raw model (``ar``, ``ma``, ``sar``, ``d``, ``D``,
-    ``mean``, ``drift``, ``sigma2``, ``m``, ``n``) and the linearized form
-    (``beta0``, ``beta1``, ``pi`` — length ``tol``).
+    The AIC grid covers p, q, P AND seasonal-MA Q (Hannan–Rissanen
+    ``eps_{t−m·j}`` regressors) — matching the shape of the reference's
+    search space (max.p/q/P/Q at /root/reference/auto_arima.R:74).
+
+    Returns a dict with the raw model (``ar``, ``ma``, ``sar``, ``sma``,
+    ``d``, ``D``, ``mean``, ``drift``, ``sigma2``, ``m``, ``n``) and the
+    linearized form (``beta0``, ``beta1``, ``pi`` — length ``tol``).
     """
     y = np.asarray(y, dtype=float)
     y = y[~np.isnan(y)]
@@ -146,6 +167,7 @@ def auto_ar_fit(
         lin = sarima_to_ar(mean=mu, m=m, tol=tol)
         return {
             "ar": np.array([]), "ma": np.array([]), "sar": np.array([]),
+            "sma": np.array([]),
             "d": 0, "D": 0, "mean": mu, "drift": 0.0,
             "sigma2": max(sig, 1e-12), "m": m, "n": n, **lin,
         }
@@ -163,10 +185,17 @@ def auto_ar_fit(
     wbar = float(w.mean())
     wc = w - wbar
 
-    # Long-AR residuals for Hannan–Rissanen MA proxies.
+    # Long-AR residuals for Hannan–Rissanen MA proxies. The long-AR must
+    # span ≥ 2 seasonal periods when seasonal-MA terms are in the grid:
+    # SMA(1)_m has AR(∞) mass only at lags m, 2m, …, so an AR(p_long < m)
+    # leaves the seasonal structure in the residuals and the eps_{t−m}
+    # regressor degenerates into a seasonal-AR column.
     long_resid = None
-    if max_q > 0:
-        p_long = min(max(8, 2 * max_p), max(1, wc.size // 4))
+    if max_q > 0 or (max_Q > 0 and m > 1):
+        p_long = max(8, 2 * max_p)
+        if max_Q > 0 and m > 1:
+            p_long = max(p_long, 2 * m)
+        p_long = min(p_long, max(1, wc.size // 4))
         try:
             yv, X, start = _build_design(wc, p_long, 0, m, None, 0)
             beta_l, _, _ = _ols(yv, X)
@@ -180,30 +209,37 @@ def auto_ar_fit(
     max_p = min(max_p, cap)
     max_P = min(max_P, cap // max(1, m)) if m > 1 else 0
     max_q = min(max_q, cap) if long_resid is not None else 0
+    max_Q = (
+        min(max_Q, cap // max(1, m)) if (m > 1 and long_resid is not None) else 0
+    )
 
     best = None
     for P in range(0, max_P + 1):
-        for p in range(0, max_p + 1):
-            for q in range(0, max_q + 1):
-                if p == 0 and q == 0 and P == 0:
-                    cand = {
-                        "p": 0, "q": 0, "P": 0,
-                        "beta": np.array([0.0]),
-                        "sigma2": max(float(wc.var()), 1e-12),
-                        "aic": wc.size * np.log(max(float(wc.var()), 1e-12)) + 2.0,
-                        "n_eff": wc.size,
-                    }
-                else:
-                    cand = _fit_orders(wc, p, q, P, m, long_resid)
-                if cand is not None and (best is None or cand["aic"] < best["aic"]):
-                    best = cand
+        for Q in range(0, max_Q + 1):
+            for p in range(0, max_p + 1):
+                for q in range(0, max_q + 1):
+                    if p == 0 and q == 0 and P == 0 and Q == 0:
+                        cand = {
+                            "p": 0, "q": 0, "P": 0, "Q": 0,
+                            "beta": np.array([0.0]),
+                            "sigma2": max(float(wc.var()), 1e-12),
+                            "aic": wc.size * np.log(max(float(wc.var()), 1e-12)) + 2.0,
+                            "n_eff": wc.size,
+                        }
+                    else:
+                        cand = _fit_orders(wc, p, q, P, m, long_resid, Q)
+                    if cand is not None and (
+                        best is None or cand["aic"] < best["aic"]
+                    ):
+                        best = cand
 
     assert best is not None
-    p, q, P = best["p"], best["q"], best["P"]
+    p, q, P, Q = best["p"], best["q"], best["P"], best["Q"]
     beta = best["beta"]
     ar = beta[1 : 1 + p]
     sar = beta[1 + p : 1 + p + P]
     ma = beta[1 + p + P : 1 + p + P + q]
+    sma = beta[1 + p + P + q : 1 + p + P + q + Q]
 
     # Constant handling mirrors the forecast-package convention the reference
     # relies on (/root/reference/auto_arima.R:82-89): d=D=0 → intercept (level);
@@ -220,10 +256,10 @@ def auto_ar_fit(
         mu, dft = 0.0, 0.0
 
     lin = sarima_to_ar(
-        ar=ar, d=d, ma=ma, sar=sar, D=D, sma=(), mean=mu, drift=dft, m=m, tol=tol
+        ar=ar, d=d, ma=ma, sar=sar, D=D, sma=sma, mean=mu, drift=dft, m=m, tol=tol
     )
     return {
-        "ar": ar, "ma": ma, "sar": sar, "d": int(d), "D": int(D),
+        "ar": ar, "ma": ma, "sar": sar, "sma": sma, "d": int(d), "D": int(D),
         "mean": mu, "drift": dft, "sigma2": float(best["sigma2"]),
         "m": m, "n": n, **lin,
     }

@@ -51,6 +51,7 @@ class DarimaConfig:
     max_p: int = 5
     max_q: int = 2
     max_P: int = 2
+    max_Q: int = 1
     levels: tuple[int, int] = (80, 95)
     compat_mean_divide_by_test_n: int | None = None  # reference bug R16 repro
 
@@ -72,11 +73,13 @@ def fit_windows(
     """
     m, tol, method = cfg.period, cfg.tol, cfg.method
     max_p, max_q, max_P = cfg.max_p, cfg.max_q, cfg.max_P
+    max_Q = cfg.max_Q
 
     def fit_one(key, pdf: pd.DataFrame) -> pd.DataFrame:
         y = pdf.sort_values(ts_col)[y_col].to_numpy(dtype=float)
         rows = fit_window_to_coef_rows(
-            y, m=m, tol=tol, method=method, max_p=max_p, max_q=max_q, max_P=max_P
+            y, m=m, tol=tol, method=method,
+            max_p=max_p, max_q=max_q, max_P=max_P, max_Q=max_Q,
         )
         rows.append(("n_obs", float(len(y))))
         return pd.DataFrame(

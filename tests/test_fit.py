@@ -96,3 +96,34 @@ def test_dlsa_scaling():
     w = dlsa_rows["sigma2"]  # = n/sigma2
     assert w == pytest.approx(400 / mean_rows["sigma2"], rel=1e-9)
     assert dlsa_rows["ar1"] == pytest.approx(mean_rows["ar1"] * w, rel=1e-9)
+
+
+def test_recovers_seasonal_ma():
+    """A pure seasonal-MA(1)_m process (w_t = eps_t + Θ·eps_{t−m}) must be
+    picked up by the Q axis of the AIC grid: round 1 hard-coded sma=() so
+    this series was mis-specified as seasonal-AR."""
+    rng = np.random.default_rng(8)
+    n, m, theta = 3000, 12, 0.6
+    eps = rng.normal(0, 1, n + m)
+    y = eps[m:] + theta * eps[:-m]
+    fit = auto_ar_fit(y, m=m, max_p=2, max_q=1, max_P=1, max_Q=1, d=0, D=0)
+    assert fit["sma"].size == 1, f"grid did not select Q=1: {fit['sma']}"
+    assert fit["sma"][0] == pytest.approx(theta, abs=0.12)
+    # linearization must carry the seasonal-MA: the AR(inf) form of a pure
+    # SMA(1) has pi_m ≈ +theta (y_t = theta*eps_{t-m} + eps_t =>
+    # pi(B) = 1/(1+theta*B^m) => pie_m = theta with our sign convention).
+    assert fit["pi"][m - 1] == pytest.approx(theta, abs=0.15)
+    assert abs(fit["pi"][: m - 1]).max() < 0.1
+
+
+def test_seasonal_ma_beats_misspecified_fit():
+    """With the Q axis enabled, AIC on a seasonal-MA series must not be
+    worse than the best Q=0 fit (the round-1 search space)."""
+    rng = np.random.default_rng(9)
+    n, m, theta = 2500, 12, 0.7
+    eps = rng.normal(0, 1, n + m)
+    y = eps[m:] + theta * eps[:-m]
+    with_q = auto_ar_fit(y, m=m, max_p=3, max_q=1, max_P=1, max_Q=1, d=0, D=0)
+    without_q = auto_ar_fit(y, m=m, max_p=3, max_q=1, max_P=1, max_Q=0, d=0, D=0)
+    assert with_q["sigma2"] <= without_q["sigma2"] * 1.001
+    assert with_q["sma"].size == 1
