@@ -79,28 +79,34 @@ def main() -> None:
             pass
     print(f"  warmup: {time.perf_counter() - t_warm:.2f}s", file=sys.stderr)
 
-    # Each query runs REPS times and records the fastest: the first pass
-    # pays one-off plan compilation / codegen / broadcast warmup and any
-    # ambient CPU-noise burst, the min is the steady-state latency of the
-    # physical plan itself.
+    # Each query runs REPS times; the headline number is the fastest rep
+    # (first pass pays one-off plan compilation / codegen / broadcast
+    # warmup), but EVERY rep is recorded in the JSON ("reps") plus the
+    # per-query median ("queries_median") so variance is visible and the
+    # methodology (warm min-of-N since round 1) is auditable.
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
     timings: dict[str, float] = {}
+    medians: dict[str, float] = {}
+    all_reps: dict[str, list[float]] = {}
     for name in HEADLINE:
         spec = reg.get(name)
         if spec is None:
             continue
-        best = float("inf")
+        rep_times: list[float] = []
         for _ in range(reps):
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
             # noop sink: executes every stage, discards rows executor-side.
             df.write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
+            rep_times.append(time.perf_counter() - t0)
             # Per-query persist()s (MinHash signatures etc.) are scoped to
             # the query; drop them so later timings don't pay eviction/GC.
             spark.catalog.clearCache()
-        timings[name] = round(best, 3)
-        print(f"  {name}: {timings[name]:.2f}s", file=sys.stderr)
+        rep_times.sort()
+        timings[name] = round(rep_times[0], 3)
+        medians[name] = round(rep_times[len(rep_times) // 2], 3)
+        all_reps[name] = [round(t, 3) for t in rep_times]
+        print(f"  {name}: {timings[name]:.2f}s (median {medians[name]:.2f}s)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     sf = os.path.basename(sf_dir.rstrip("/")).removeprefix("sf")
@@ -115,6 +121,9 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_median": medians,
+                "reps": all_reps,
+                "methodology": f"warm min of {reps} reps (page-cache + UDF-pool warmup first); medians and raw reps alongside",
                 "sf": sf_val,
             }
         )

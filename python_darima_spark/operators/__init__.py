@@ -23,5 +23,25 @@ def fan_out(df: DataFrame, *key_cols: str) -> DataFrame:
     is the same one the keyed aggregation would have paid anyway — it moves
     the shuffle BEFORE the row-expanding kernel (shingles explode ~300× the
     input rows; shuffling raw docs is 300× cheaper than shuffling shingles).
+
+    Use this ONLY when a keyed exchange follows (groupBy/join on
+    ``key_cols``); for map-only plans use :func:`ensure_parallelism`,
+    which shuffles only when the scan is actually under-partitioned.
     """
     return df.repartition(*key_cols)
+
+
+def ensure_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
+    """Repartition a MAP-ONLY plan iff the scan under-partitions it.
+
+    A compact parquet input scans as few partitions (often 1), starving a
+    per-row kernel; but an unconditional repartition on a map-only query
+    is pure added shuffle once the input has enough splits (there is no
+    downstream keyed exchange to reuse it — at 100 TB the scan has
+    thousands of splits and this is a no-op). ``target`` defaults to
+    ``spark.sql.shuffle.partitions``."""
+    sess = df.sparkSession
+    tgt = target or int(sess.conf.get("spark.sql.shuffle.partitions"))
+    if df.rdd.getNumPartitions() < tgt:
+        return df.repartition(tgt)
+    return df

@@ -23,7 +23,7 @@ from python_darima_spark.functions.text import (
     token_count,
     whitespace_token_count,
 )
-from python_darima_spark.operators import fan_out
+from python_darima_spark.operators import ensure_parallelism
 from python_darima_spark.operators.dedup import (
     dedup_exact,
     minhash_near_duplicates,
@@ -102,8 +102,10 @@ def q_sim_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
-    """Per-document length/token/punctuation/quality metrics."""
-    docs = fan_out(load(spark, sf, "documents"), "doc_id")
+    """Per-document length/token/punctuation/quality metrics. Map-only:
+    no keyed exchange follows, so parallelism comes from the input splits
+    (conditionally repartitioned only if the scan is compact)."""
+    docs = ensure_parallelism(load(spark, sf, "documents"))
     return docs.select(
         "doc_id",
         F.length("text").alias("n_chars_live"),
@@ -116,13 +118,13 @@ def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_text_lang(spark: SparkSession, sf: str) -> DataFrame:
     """Stopword-ratio language ID (en/de/fr/und)."""
-    docs = fan_out(load(spark, sf, "documents"), "doc_id")
+    docs = ensure_parallelism(load(spark, sf, "documents"))
     return docs.select("doc_id", lang_guess("text").alias("lang_guess"))
 
 
 def q_text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """Order-insensitive md5 fingerprint over the sorted distinct word set."""
-    docs = fan_out(load(spark, sf, "documents"), "doc_id")
+    docs = ensure_parallelism(load(spark, sf, "documents"))
     return docs.select("doc_id", fingerprint("text").alias("fp"))
 
 

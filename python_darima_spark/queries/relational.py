@@ -288,12 +288,26 @@ def q_agg_collect(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_agg_approx(spark: SparkSession, sf: str) -> DataFrame:
-    """HLL++ approximate distinct — rows-only oracle (±ε asserted in
-    tests/test_relational.py against the exact count)."""
+    """HLL++ approximate distinct, made hash-checkable: emit the EXACT
+    distinct counts (hash-matched against DuckDB) plus within-5%-of-exact
+    flags for the HLL estimates (oracle states literal TRUE — HLL++ at
+    rsd 0.01 is deterministic for given data, so the flags are stable,
+    and a broken sketch flips them to false and fails the hash)."""
     e = load(spark, sf, "events")
-    return e.agg(
-        F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
-        F.approx_count_distinct("event_id", 0.01).alias("approx_events"),
+    agg = e.agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        F.countDistinct("event_id").alias("exact_events"),
+        F.approx_count_distinct("user_id", 0.01).alias("_au"),
+        F.approx_count_distinct("event_id", 0.01).alias("_ae"),
+    )
+    ok = lambda a, x: (  # noqa: E731
+        F.abs(F.col(a) - F.col(x)) <= 0.05 * F.col(x)
+    )
+    return agg.select(
+        "exact_users",
+        "exact_events",
+        ok("_au", "exact_users").alias("approx_users_ok"),
+        ok("_ae", "exact_events").alias("approx_events_ok"),
     )
 
 
@@ -514,7 +528,14 @@ QUERIES = {
                   ROUND(SUM(l_quantity), 4) AS sum_qty
            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
     ),
-    "q_agg_approx": QuerySpec(q_agg_approx, None),  # approximate: rows-only
+    "q_agg_approx": QuerySpec(
+        q_agg_approx,
+        """SELECT count(DISTINCT user_id) AS exact_users,
+                  count(DISTINCT event_id) AS exact_events,
+                  TRUE AS approx_users_ok,
+                  TRUE AS approx_events_ok
+           FROM events""",
+    ),
     "q_window_rank": QuerySpec(
         q_window_rank,
         """SELECT * FROM (

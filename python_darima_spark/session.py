@@ -26,6 +26,26 @@ def _default_parallelism() -> int:
     return max(1, os.cpu_count() or 4)
 
 
+def _default_driver_memory() -> str:
+    """Size the local-mode JVM heap from what the host actually has:
+    ~60 % of MemAvailable, clamped to [2g, 20g]. local[N] runs all N task
+    threads in the driver JVM, so this heap is the whole executor heap —
+    but a fixed 20g fails to start (or swaps) on smaller hosts.
+    ``SPARK_DRIVER_MEMORY`` overrides."""
+    env = os.environ.get("SPARK_DRIVER_MEMORY")
+    if env:
+        return env
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemAvailable:"):
+                    avail_gb = int(line.split()[1]) / 1024 / 1024
+                    return f"{max(2, min(20, int(avail_gb * 0.6)))}g"
+    except OSError:
+        pass
+    return "8g"
+
+
 def get_spark(
     app_name: str = "python-darima-spark",
     master: str | None = None,
@@ -61,8 +81,10 @@ def get_spark(
         "spark.sql.legacy.parquet.nanosAsLong": "true",
         # local[N] runs all N task threads inside the driver JVM, so the
         # "driver" heap is really the whole executor heap: 8g for 32
-        # concurrent tasks GC-thrashes once a few queries' caches pile up.
-        "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEMORY", "20g"),
+        # concurrent tasks GC-thrashes once a few queries' caches pile up,
+        # but a fixed large value fails on small hosts — derive from
+        # MemAvailable (SPARK_DRIVER_MEMORY overrides).
+        "spark.driver.memory": _default_driver_memory(),
     }
     if extra_conf:
         conf.update(extra_conf)

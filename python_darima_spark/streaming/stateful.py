@@ -72,8 +72,16 @@ def ewma_anomalies(
     key_col: str = "event_type",
     ts_col: str = "ts",
     value_col: str = "value",
+    tiebreak_col: str | None = "event_id",
 ) -> DataFrame:
-    """Streaming (or batch-replayed) per-key anomaly stream."""
+    """Streaming (or batch-replayed) per-key anomaly stream.
+
+    ``tiebreak_col`` (when present in the input) totalizes the per-key
+    order for equal timestamps: the EWMA fold is order-sensitive, so a
+    ts tie would otherwise leave the fold order to arrival/scan order
+    and break replay determinism (and the batch-equivalence oracle)."""
+    tb = tiebreak_col if tiebreak_col in (events.columns or []) else None
+    sort_cols = [ts_col, tb] if tb else [ts_col]
 
     def detect(
         key: tuple,
@@ -90,7 +98,7 @@ def ewma_anomalies(
         if not chunks:  # timeout-only invocation (not used: NoTimeout)
             return
         pdf = pd.concat(chunks, ignore_index=True)
-        pdf = pdf.sort_values(ts_col, kind="mergesort")
+        pdf = pdf.sort_values(sort_cols, kind="mergesort")
         count, mean, var, hits = _fold(
             count, mean, var, pdf[value_col], alpha, z_threshold, warmup
         )
@@ -109,7 +117,7 @@ def ewma_anomalies(
             )
 
     return (
-        events.select(key_col, ts_col, value_col)
+        events.select(*([key_col, ts_col, value_col] + ([tb] if tb else [])))
         .groupBy(key_col)
         .applyInPandasWithState(
             detect,

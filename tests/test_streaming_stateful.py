@@ -14,7 +14,10 @@ from python_darima_spark.streaming.stateful import _fold
 def _single_node_oracle(events: pd.DataFrame, alpha, z, warmup) -> pd.DataFrame:
     rows = []
     for key, grp in events.groupby("event_type"):
-        grp = grp.sort_values("ts", kind="mergesort")
+        # (ts, event_id) — the same total order the operator folds in;
+        # a ts-only sort is stable on raw parquet row order and would
+        # diverge from the replay on equal-ts rows within a key.
+        grp = grp.sort_values(["ts", "event_id"], kind="mergesort")
         _, _, _, hits = _fold(0, 0.0, 0.0, grp["value"], alpha, z, warmup)
         for pos, zs, mean_before, seen in hits:
             rows.append(
@@ -57,7 +60,7 @@ def test_stream_matches_single_node_fold(spark, sf_dir, alpha, z, warmup):
     )
 
     events = load(spark, sf_dir, "events").select(
-        "event_type", "ts", "value"
+        "event_type", "ts", "value", "event_id"
     ).toPandas()
     want = _single_node_oracle(events, alpha, z, warmup)
 
