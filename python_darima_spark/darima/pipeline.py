@@ -299,7 +299,10 @@ def evaluate(
     ``mean(|y_t − y_{t−m}|)`` over train — the formula the reference *cites*
     (DAinBD_DARIMA.Rmd:193-195); its code iterates ``np.diff`` m times
     instead (bug R32). Computed per series with a lag window + aggregate,
-    broadcast back to the h test rows.
+    joined back to the h test rows WITHOUT a forced broadcast hint: the
+    scale table is one row per series, so at millions of series a pinned
+    broadcast would OOM the driver — AQE sees the aggregate's actual size
+    at runtime and picks broadcast when it fits, shuffle join when not.
     """
     m = cfg.period
     w = Window.partitionBy(series_col).orderBy(ts_col)
@@ -317,7 +320,7 @@ def evaluate(
             ).alias("t"),
             on=[series_col, ts_col],
         )
-        .join(F.broadcast(scale), on=series_col)
+        .join(scale, on=series_col)
     )
     err = F.abs(F.col("_actual") - F.col("mean"))
     cols = [

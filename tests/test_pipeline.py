@@ -226,6 +226,32 @@ def test_evaluate_golden_values(spark):
     np.testing.assert_allclose(ev["msis_95"], [4.0, 4.0])
 
 
+def test_evaluate_scale_join_not_pinned_broadcast(spark):
+    """The per-series scale join must NOT carry a user-forced broadcast
+    hint: at millions of series a pinned broadcast OOMs the driver. The
+    strategy is left to AQE, which broadcasts only when the aggregate's
+    runtime size fits (small here), shuffle-joins otherwise."""
+    cfg = DarimaConfig(period=1, levels=(80,))
+    train = _series_pdf([1.0, 2.0, 3.0, 4.0])
+    test = _series_pdf([4.0], start=T0 + dt.timedelta(hours=4))
+    fc = pd.DataFrame(
+        {
+            "series_id": "s1", "step": [1], "ts": test["ts"],
+            "mean": [4.0], "se": [1.0], "lo_80": [3.0], "hi_80": [5.0],
+        }
+    )
+    ev = evaluate(
+        spark.createDataFrame(fc),
+        spark.createDataFrame(test),
+        spark.createDataFrame(train),
+        cfg,
+    )
+    analyzed = ev._jdf.queryExecution().analyzed().toString()
+    assert "UnresolvedHint" not in analyzed and "ResolvedHint" not in analyzed
+    physical = ev._jdf.queryExecution().executedPlan().toString()
+    assert "AdaptiveSparkPlan" in physical
+
+
 def test_full_pipeline_two_series(spark):
     """End-to-end: 2 series, fit+combine+forecast+evaluate; sane metrics."""
     cfg = DarimaConfig(num_windows=2, period=1, tol=20, max_p=3, max_q=0, max_P=0)
