@@ -36,6 +36,7 @@ HEADLINE = [
     "q_json_fns",
     "q_ts_resample",
     "q_ts_fit_combine",
+    "q_ts_many_series",
     "q_sink_parquet",
     "q_stream_tumble",
     "q_stream_anomaly",

@@ -49,6 +49,32 @@ def q_ts_forecast(spark: SparkSession, sf: str) -> DataFrame:
     return forecast(series, coefs, h=24, cfg=_CFG)
 
 
+def q_ts_many_series(spark: SparkSession, sf: str) -> DataFrame:
+    """Many-series scale probe: the reference workload is 10 series; this
+    derives ~10k short series (event_type × user_id mod 2000) and runs the
+    full fit+combine. Exercises the per-series parallelism axis — every
+    stage is keyed by series_id, the driver only ever sees the plan (the
+    combine output stays distributed; bench executes via noop sink)."""
+    ev = load(spark, sf, "events")
+    series = ev.select(
+        F.concat_ws(
+            "_", "event_type", F.pmod("user_id", F.lit(2000))
+        ).alias("series_id"),
+        "ts",
+        F.col("value").alias("y"),
+    )
+    # persist: the fit pipeline reads the resampled grid multiple times
+    # (split bounds + fit input); recomputing the scan→agg→grid-join
+    # subtree per read dominated the wall (on a cluster this is where
+    # you'd checkpoint the prepared series table instead).
+    hourly = resample_regular(series, "1 hour").persist()
+    cfg = DarimaConfig(
+        num_windows=2, period=24, tol=24,
+        max_p=2, max_q=1, max_P=0, max_Q=0, method="mean",
+    )
+    return darima(hourly, cfg).coefs
+
+
 QUERIES = {
     "q_ts_resample": QuerySpec(
         q_ts_resample,
@@ -68,4 +94,5 @@ QUERIES = {
     ),
     "q_ts_fit_combine": QuerySpec(q_ts_fit_combine, None),
     "q_ts_forecast": QuerySpec(q_ts_forecast, None),
+    "q_ts_many_series": QuerySpec(q_ts_many_series, None),  # iterative fit
 }
