@@ -50,6 +50,9 @@ _PRIORITY = [
     "q_sim_topk_ivf",
     "q_multimodal_features",
     "q_agg_approx",
+    "q_sink_orc",
+    "q_join_bucketed",
+    "q_ts_many_series",
     "q_stream_tumble",
     "q_stream_slide",
     "q_stream_session",

@@ -276,5 +276,24 @@ QUERIES = {
                       '')) AS fp
            FROM documents""",
     ),
-    "q_multimodal_features": QuerySpec(q_multimodal_features, None),
+    # The fake decoder is a 16-bin histogram over the payload's high
+    # nibbles (byte >> 4), L1-normalized; the fixture text is pure ASCII
+    # (max codepoint 121), so byte == codepoint and the oracle restates
+    # the two emitted bins via per-char codepoints: f1 = bin 0 (codes
+    # 0-15), f7 = bin 6 (codes 96-111). The operator itself is
+    # byte-general — ASCII-ness is a fixture property the oracle leans
+    # on, not an operator assumption.
+    "q_multimodal_features": QuerySpec(
+        q_multimodal_features,
+        """WITH c AS (
+             SELECT doc_id, unnest(split(text, '')) AS ch FROM documents
+           )
+           SELECT doc_id AS media_id,
+                  CAST(count(*) AS BIGINT) AS n_bytes,
+                  round(sum(CASE WHEN unicode(ch) // 16 = 0 THEN 1 ELSE 0 END)
+                        / count(*), 6) AS f1,
+                  round(sum(CASE WHEN unicode(ch) // 16 = 6 THEN 1 ELSE 0 END)
+                        / count(*), 6) AS f7
+           FROM c GROUP BY doc_id""",
+    ),
 }

@@ -109,6 +109,47 @@ def q_sink_parquet(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sink_orc(spark: SparkSession, sf: str) -> DataFrame:
+    """ORC sink + re-scan — second columnar format beside parquet (both
+    are first-class Spark sources; ORC is the ecosystem's other standard
+    columnar interchange). Hash-matched: the round trip must preserve the
+    rows exactly, oracle reads the same rows from the parquet view."""
+    path = os.path.join(
+        tempfile.gettempdir(), f"pds_sink_orc_{os.path.basename(sf)}"
+    )
+    nat = load(spark, sf, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    nat.write.mode("overwrite").orc(path)
+    return spark.read.orc(path)
+
+
+def q_join_bucketed(spark: SparkSession, sf: str) -> DataFrame:
+    """Bucketed co-located join (the pay-once shuffle): both sides written
+    ``bucketBy(8, join_key)`` as managed tables, so the join needs ZERO
+    exchange on either side (plan asserted in tests/test_sinks.py; at
+    100 TB bucket-pruning plus exchange-free joins are why you pay the
+    bucketed write once). The oracle checks the result is identical to
+    the plain logical join."""
+    from python_darima_spark.sources import write_bucketed_table
+
+    tag = os.path.basename(os.path.normpath(sf)).replace(".", "_")
+    t_o, t_c = f"qb_orders_{tag}", f"qb_cust_{tag}"
+    write_bucketed_table(
+        load(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_totalprice"),
+        t_o, ["o_custkey"], 8, ["o_custkey"],
+    )
+    write_bucketed_table(
+        load(spark, sf, "customer").select("c_custkey", "c_mktsegment"),
+        t_c, ["c_custkey"], 8, ["c_custkey"],
+    )
+    j = spark.table(t_o).join(
+        spark.table(t_c), F.col("o_custkey") == F.col("c_custkey")
+    )
+    return j.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
 # --- projection / filter / cast -------------------------------------------
 
 def q_project_expr(spark: SparkSession, sf: str) -> DataFrame:
@@ -406,6 +447,17 @@ QUERIES = {
         """SELECT o_orderstatus, o_orderpriority,
                   round(sum(o_totalprice), 2) AS total
            FROM orders GROUP BY o_orderstatus, o_orderpriority""",
+    ),
+    "q_sink_orc": QuerySpec(
+        q_sink_orc,
+        "SELECT n_nationkey, n_name, n_regionkey FROM nation",
+    ),
+    "q_join_bucketed": QuerySpec(
+        q_join_bucketed,
+        """SELECT c_mktsegment, count(*) AS n,
+                  round(sum(o_totalprice), 2) AS total
+           FROM orders JOIN customer ON o_custkey = c_custkey
+           GROUP BY c_mktsegment""",
     ),
     "q_project_expr": QuerySpec(
         q_project_expr,
