@@ -61,6 +61,8 @@ _PRIORITY = [
     "q_stream_session",
     "q_stream_dedup",
     "q_stream_anomaly",
+    "q_stream_join",
+    "q_stream_sink_files",
     # scans & sinks
     "q_scan_parquet",
     "q_scan_csv",

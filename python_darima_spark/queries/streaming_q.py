@@ -16,15 +16,19 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from python_darima_spark.queries import QuerySpec
+from pyspark.sql import functions as F
+
+from python_darima_spark.queries import QuerySpec, load
 from python_darima_spark.streaming.stateful import ewma_anomalies
 from python_darima_spark.streaming.windows import (
     read_event_stream,
+    run_stream_to_files,
     run_stream_to_table,
     session_agg,
     sliding_agg,
     stage_event_chunks,
     stream_dedup,
+    stream_static_join_agg,
     tumbling_agg,
 )
 
@@ -51,6 +55,30 @@ def q_stream_session(spark: SparkSession, sf: str) -> DataFrame:
 def q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     name = run_stream_to_table(stream_dedup(_replayed(spark, sf)), "append")
     return spark.table(name)
+
+
+def q_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-static join: the replayed stream enriched per micro-batch
+    with a broadcast dimension (event_type → category), then a tumbling
+    count per category. The oracle inlines the dimension expression."""
+    dim = (
+        load(spark, sf, "events")
+        .select("event_type")
+        .distinct()
+        .withColumn("category", F.upper(F.substring("event_type", 1, 1)))
+    )
+    name = run_stream_to_table(
+        stream_static_join_agg(_replayed(spark, sf), dim), "append"
+    )
+    return spark.table(name)
+
+
+def q_stream_sink_files(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming PARQUET file sink with checkpoint (exactly-once output)
+    read back — same tumbling agg and oracle as q_stream_tumble, but
+    through the production sink path instead of the memory sink."""
+    out = run_stream_to_files(tumbling_agg(_replayed(spark, sf)))
+    return spark.read.parquet(out)
 
 
 def q_stream_anomaly(spark: SparkSession, sf: str) -> DataFrame:
@@ -119,6 +147,31 @@ QUERIES = {
            SELECT s.session_start, s.session_end, s.user_id, s.n, s.sum_value
            FROM s, mx
            WHERE s.session_end <= mx.mt - INTERVAL 2 HOUR""",
+    ),
+    "q_stream_join": QuerySpec(
+        q_stream_join,
+        """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts,
+                             upper(substring(event_type, 1, 1)) AS category
+                      FROM events),
+           mx AS (SELECT max(ts) AS mt FROM e),
+           b AS (SELECT date_trunc('hour', ts) AS wstart, category,
+                        count(*) AS n
+                 FROM e GROUP BY 1, 2)
+           SELECT b.wstart, b.category, b.n
+           FROM b, mx
+           WHERE b.wstart + INTERVAL 1 HOUR <= mx.mt - INTERVAL 2 HOUR""",
+    ),
+    "q_stream_sink_files": QuerySpec(
+        q_stream_sink_files,
+        """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value
+                      FROM events),
+           mx AS (SELECT max(ts) AS mt FROM e),
+           b AS (SELECT date_trunc('hour', ts) AS wstart, event_type,
+                        count(*) AS n, round(sum(value), 4) AS sum_value
+                 FROM e GROUP BY 1, 2)
+           SELECT b.wstart, b.event_type, b.n, b.sum_value
+           FROM b, mx
+           WHERE b.wstart + INTERVAL 1 HOUR <= mx.mt - INTERVAL 2 HOUR""",
     ),
     "q_stream_anomaly": QuerySpec(q_stream_anomaly, None),  # stateful UDF
     "q_stream_dedup": QuerySpec(

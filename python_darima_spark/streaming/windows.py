@@ -81,6 +81,30 @@ def session_agg(
     )
 
 
+def stream_static_join_agg(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str = "event_type",
+    category_col: str = "category",
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-static join + tumbling agg: the static dimension is joined
+    per micro-batch (broadcast — a dimension table is small by
+    definition; Spark re-plans the static side each batch, so slowly
+    changing dims pick up updates), then the enriched stream aggregates
+    per (window, category)."""
+    from pyspark.sql.functions import broadcast
+
+    return (
+        stream.join(broadcast(dim), on=on)
+        .withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), category_col)
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("wstart"), category_col, "n")
+    )
+
+
 def stream_dedup(df: DataFrame, watermark: str = "40 days") -> DataFrame:
     """Stateful first-arrival dedup on (user_id, event_type) within the
     watermark horizon (dropDuplicatesWithinWatermark)."""
@@ -146,6 +170,41 @@ def read_event_stream(spark: SparkSession, staged_path: str) -> DataFrame:
     # `div` (integer division) — float /1000 loses sub-256ns precision at
     # epoch-nanos magnitudes and rounds the microsecond.
     return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def run_stream_to_files(
+    result: DataFrame,
+    timeout_s: int = 120,
+    state_partitions: int | None = 8,
+) -> str:
+    """Execute a streaming DataFrame (availableNow) into a PARQUET file
+    sink with a checkpoint — the production-shaped sink: exactly-once
+    file output (restarts resume from the checkpoint without
+    re-emitting), append mode only. Returns the output directory.
+    Fresh temp dirs per call keep replays independent."""
+    base = tempfile.mkdtemp(prefix="pds_stream_sink_")
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    spark = result.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    if state_partitions is not None:
+        spark.conf.set(key, str(state_partitions))
+    try:
+        q = (
+            result.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(timeout_s)
+        if q.isActive:
+            q.stop()
+            raise TimeoutError(f"file-sink stream did not finish in {timeout_s}s")
+    finally:
+        spark.conf.set(key, prev)
+    return out
 
 
 def run_stream_to_table(
