@@ -24,6 +24,10 @@ tests/test_sinks.py by asserting the joined plan has no Exchange).
 
 from __future__ import annotations
 
+import os
+import shutil
+from urllib.parse import urlparse
+
 from pyspark.sql import DataFrame
 
 
@@ -59,7 +63,21 @@ def write_bucketed_table(
     sort_cols: list[str] | None = None,
     mode: str = "overwrite",
 ) -> None:
-    """Persist ``df`` as a hash-bucketed (optionally sorted) managed table."""
+    """Persist ``df`` as a hash-bucketed (optionally sorted) managed table.
+
+    Overwrite is made robust to a FRESH session with a STALE warehouse:
+    the default in-memory catalog forgets tables between sessions while
+    their directories survive, and ``saveAsTable`` then fails with
+    LOCATION_ALREADY_EXISTS — so drop both the catalog entry and any
+    orphaned local directory first."""
+    spark = df.sparkSession
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        wh = urlparse(spark.conf.get("spark.sql.warehouse.dir", ""))
+        if wh.scheme in ("", "file") and wh.path:
+            loc = os.path.join(wh.path, table.lower())
+            if os.path.exists(loc):
+                shutil.rmtree(loc)
     w = df.write.mode(mode).bucketBy(num_buckets, *bucket_cols)
     if sort_cols:
         w = w.sortBy(*sort_cols)
