@@ -83,3 +83,18 @@ def test_asof_join_tolerance_nulls_stale_matches(spark):
     # lid=1 is 1h after the right row -> kept; lid=2 is 25h after -> stale
     assert out.loc[0, "rid"] == 100
     assert pd.isna(out.loc[1, "rid"])
+
+
+def test_ensure_parallelism_conditional(spark):
+    """ensure_parallelism repartitions a compact (single-partition) input
+    up to the shuffle-partition target, and is a NO-OP (same plan, no
+    added exchange) when the input already has enough splits."""
+    from python_darima_spark.operators import ensure_parallelism
+
+    target = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    compact = spark.range(0, 1000, 1, 1)
+    assert ensure_parallelism(compact).rdd.getNumPartitions() == target
+
+    wide = spark.range(0, 1000, 1, target)
+    out = ensure_parallelism(wide)
+    assert out is wide  # not just equal partitioning: literally untouched
