@@ -333,14 +333,24 @@ def q_agg_approx(spark: SparkSession, sf: str) -> DataFrame:
     distinct counts (hash-matched against DuckDB) plus within-5%-of-exact
     flags for the HLL estimates (oracle states literal TRUE — HLL++ at
     rsd 0.01 is deterministic for given data, so the flags are stable,
-    and a broken sketch flips them to false and fails the hash)."""
+    and a broken sketch flips them to false and fails the hash).
+
+    The exact and approx aggregates run as SEPARATE aggregations joined
+    on their 1-row results: mixing them in one ``agg`` makes Spark's
+    multi-distinct Expand rewrite carry the ~13 KB HLL++ buffers on
+    every per-value partial-agg row (measured 258 MiB shuffled for a
+    10k-row input — a scale-killer); split, the sketch aggregation
+    ships one buffer per partition and the distinct rewrite ships none."""
     e = load(spark, sf, "events")
-    agg = e.agg(
+    exact = e.agg(
         F.countDistinct("user_id").alias("exact_users"),
         F.countDistinct("event_id").alias("exact_events"),
+    )
+    approx = e.agg(
         F.approx_count_distinct("user_id", 0.01).alias("_au"),
         F.approx_count_distinct("event_id", 0.01).alias("_ae"),
     )
+    agg = exact.crossJoin(approx)
     ok = lambda a, x: (  # noqa: E731
         F.abs(F.col(a) - F.col(x)) <= 0.05 * F.col(x)
     )
