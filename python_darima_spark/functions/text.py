@@ -103,6 +103,37 @@ def lang_guess(text_col) -> Column:
     )
 
 
+_HEX = "0123456789abcdef"
+
+
+def hash_split_bucket(key_col) -> Column:
+    """Deterministic [0, 256) bucket from the first two hex chars of
+    md5(key) — the standard content-addressed train/val/test splitter.
+    Engine-portable on purpose: md5 hex is identical everywhere (unlike
+    xxhash64/crc32), and hex→int is spelled with ``instr`` so DuckDB can
+    restate it verbatim. Map-only, no shuffle; the split survives
+    re-partitioning, re-ingestion, and engine swaps because it depends
+    only on the key bytes."""
+    c = F.col(key_col) if isinstance(key_col, str) else key_col
+    h = F.md5(c.cast("string"))
+    b1 = F.instr(F.lit(_HEX), F.substring(h, 1, 1)) - 1
+    b2 = F.instr(F.lit(_HEX), F.substring(h, 2, 1)) - 1
+    return b1 * 16 + b2
+
+
+def word_ngrams(text_col, n: int) -> Column:
+    """Distinct space-joined word n-grams (words = lower + split on single
+    space, matching the dedup-family oracles). Documents shorter than n
+    words contribute their whole word sequence as one gram."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(F.lower(c), " ")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    return F.array_distinct(grams)
+
+
 def fingerprint(text_col) -> Column:
     """Order-insensitive content fingerprint: md5 over the sorted distinct
     word set (md5 is identical across engines, unlike xxhash)."""

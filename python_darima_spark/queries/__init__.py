@@ -104,8 +104,13 @@ _PRIORITY = [
     "q_dedup_simhash",
     "q_dedup_ngram",
     "q_dedup_embedding",
-    # --- position 50 boundary: everything below is round-1-verified,
-    # cheap, and the least costly to lose to a budget cap ---
+    # --- position 50 boundary: everything below is either round-1-verified
+    # or (the round-2 additions) probe-verified in PROBE_r02.json — the
+    # least costly entries to lose to a budget cap ---
+    "q_split_assign",
+    "q_text_decontaminate",
+    "q_text_vocab",
+    "q_sessionize",
     "q_pivot",
     "q_unpivot",
     "q_setop",

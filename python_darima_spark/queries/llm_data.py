@@ -17,11 +17,13 @@ from pyspark.sql import functions as F
 from python_darima_spark.functions.text import (
     STOPWORDS,
     fingerprint,
+    hash_split_bucket,
     lang_guess,
     punct_ratio,
     quality_score,
     token_count,
     whitespace_token_count,
+    word_ngrams,
 )
 from python_darima_spark.operators import ensure_parallelism
 from python_darima_spark.operators.dedup import (
@@ -126,6 +128,60 @@ def q_text_fingerprint(spark: SparkSession, sf: str) -> DataFrame:
     """Order-insensitive md5 fingerprint over the sorted distinct word set."""
     docs = ensure_parallelism(load(spark, sf, "documents"))
     return docs.select("doc_id", fingerprint("text").alias("fp"))
+
+
+def q_split_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic train/val/test assignment by md5 bucket of doc_id
+    (~80/10/10). Map-only — the split is a pure function of the key, so
+    it needs no shuffle, no global state, and reproduces identically at
+    any scale / partitioning / engine (DuckDB restates it verbatim)."""
+    docs = ensure_parallelism(load(spark, sf, "documents"))
+    b = hash_split_bucket("doc_id")
+    return docs.select(
+        "doc_id",
+        b.alias("bucket"),
+        F.when(b < 204, "train").when(b < 230, "val").otherwise("test").alias("split"),
+    )
+
+
+def q_text_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: docs sharing any word-5-gram with the
+    eval set (doc_id % 97 == 0) are flagged with their overlap count.
+    The eval gram set is small by construction (benchmarks are), so the
+    gram join broadcasts; the corpus side streams through map-side
+    explode — no all-pairs comparison at any scale."""
+    docs = load(spark, sf, "documents")
+    is_eval = F.col("doc_id") % 97 == 0
+    eval_grams = (
+        docs.where(is_eval)
+        .select(F.explode(word_ngrams("text", 5)).alias("gram"))
+        .distinct()
+    )
+    corpus_grams = docs.where(~is_eval).select(
+        "doc_id", F.explode(word_ngrams("text", 5)).alias("gram")
+    )
+    return (
+        corpus_grams.join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n_shared_grams"))
+    )
+
+
+def q_text_vocab(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus vocabulary top-50 by frequency (count desc, token asc
+    tie-break). Map-side partial counts → one shuffle on token →
+    TakeOrderedAndProject: the driver receives exactly 50 rows however
+    large the corpus."""
+    docs = ensure_parallelism(load(spark, sf, "documents"))
+    toks = docs.select(
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+    ).where(F.length("token") > 0)
+    return (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(50)
+    )
 
 
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
@@ -275,6 +331,49 @@ QUERIES = {
                       list_sort(list_distinct(string_split_regex(lower(text), '\s+'))),
                       '')) AS fp
            FROM documents""",
+    ),
+    "q_split_assign": QuerySpec(
+        q_split_assign,
+        """WITH b AS (
+             SELECT doc_id,
+                    (instr('0123456789abcdef',
+                           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                    + instr('0123456789abcdef',
+                            substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS bucket
+             FROM documents
+           )
+           SELECT doc_id, CAST(bucket AS INT) AS bucket,
+                  CASE WHEN bucket < 204 THEN 'train'
+                       WHEN bucket < 230 THEN 'val'
+                       ELSE 'test' END AS split
+           FROM b""",
+    ),
+    "q_text_decontaminate": QuerySpec(
+        q_text_decontaminate,
+        """WITH g AS (
+             SELECT doc_id,
+                    unnest(list_distinct(list_transform(
+                        generate_series(1, greatest(len(string_split(lower(text), ' ')) - 4, 1)),
+                        i -> array_to_string(list_slice(string_split(lower(text), ' '), i, i + 4), ' ')
+                    ))) AS gram
+             FROM documents
+           ), ev AS (
+             SELECT DISTINCT gram FROM g WHERE doc_id % 97 = 0
+           )
+           SELECT g.doc_id, CAST(count(DISTINCT g.gram) AS BIGINT) AS n_shared_grams
+           FROM g JOIN ev USING (gram)
+           WHERE g.doc_id % 97 <> 0
+           GROUP BY g.doc_id""",
+    ),
+    "q_text_vocab": QuerySpec(
+        q_text_vocab,
+        r"""SELECT token, CAST(count(*) AS BIGINT) AS cnt
+           FROM (SELECT unnest(string_split_regex(lower(text), '\s+')) AS token
+                 FROM documents)
+           WHERE length(token) > 0
+           GROUP BY token
+           ORDER BY cnt DESC, token
+           LIMIT 50""",
     ),
     # The fake decoder is a 16-bin histogram over the payload's high
     # nibbles (byte >> 4), L1-normalized; the fixture text is pure ASCII

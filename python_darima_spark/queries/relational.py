@@ -417,6 +417,34 @@ def q_window_frame(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch sessionization (the classic lag→flag→cumsum→agg composition):
+    per-user sessions split at 30-minute gaps. Same semantics as the
+    streaming session window (q_stream_session) but over the complete
+    history — the backfill twin of the streaming path. All three window
+    steps share one (user_id)-partitioned sort; the final agg reuses the
+    same hash partitioning, so the whole query is a single exchange."""
+    e = load(spark, sf, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    flagged = e.select(
+        "user_id",
+        "ts",
+        "value",
+        "event_id",
+        F.when(gap.isNull() | (gap >= 30 * 60), 1).otherwise(0).alias("is_new"),
+    )
+    sess = flagged.withColumn(
+        "sid", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return sess.groupBy("user_id", "sid").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    ).select("user_id", "sid", "session_start", "session_end", "n", "sum_value")
+
+
 # --- sort / limit / set ops ------------------------------------------------
 
 def q_sort_limit(spark: SparkSession, sf: str) -> DataFrame:
@@ -630,6 +658,31 @@ QUERIES = {
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""",
+    ),
+    "q_sessionize": QuerySpec(
+        q_sessionize,
+        """WITH o AS (
+             SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, value, event_id,
+                    lag(CAST(ts AS TIMESTAMP)) OVER (
+                      PARTITION BY user_id
+                      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS pts
+             FROM events
+           ), f AS (
+             SELECT *, CASE WHEN pts IS NULL
+                              OR ts - pts >= INTERVAL 30 MINUTE
+                       THEN 1 ELSE 0 END AS is_new
+             FROM o
+           ), g AS (
+             SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS sid
+             FROM f
+           )
+           SELECT user_id, CAST(sid AS BIGINT) AS sid,
+                  min(ts) AS session_start, max(ts) AS session_end,
+                  CAST(count(*) AS BIGINT) AS n,
+                  round(sum(value), 4) AS sum_value
+           FROM g GROUP BY user_id, sid""",
     ),
     "q_sort_limit": QuerySpec(
         q_sort_limit,

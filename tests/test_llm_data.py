@@ -197,3 +197,47 @@ def test_multimodal_plumbing(spark):
     frames = frame_sample(media, every_n_bytes=64, max_frames=4).toPandas()
     assert frames.groupby("media_id").size().max() <= 4
     assert (frames.byte_offset % 64 == 0).all()
+
+
+def test_hash_split_deterministic_and_balanced(spark):
+    from python_darima_spark.functions.text import hash_split_bucket
+
+    df = spark.range(0, 5000).select(
+        "id", hash_split_bucket("id").alias("b")
+    )
+    pdf = df.toPandas()
+    # buckets in range and ~uniform (md5 avalanche): each of 256 buckets
+    # expects ~19.5 docs; bound loosely
+    assert pdf.b.between(0, 255).all()
+    counts = pdf.groupby("b").size()
+    assert len(counts) == 256 and counts.max() < 60
+    # deterministic: recompute matches
+    pdf2 = df.toPandas()
+    assert (pdf.sort_values("id").b.values == pdf2.sort_values("id").b.values).all()
+
+
+def test_decontaminate_flags_planted_overlap(spark):
+    from python_darima_spark.functions.text import word_ngrams
+
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta"
+    clean = "one two three four five six seven eight nine ten"
+    # contains the eval 5-gram "beta gamma delta epsilon zeta"
+    tainted = "xx beta gamma delta epsilon zeta yy zz"
+    df = spark.createDataFrame(
+        [(0, eval_text), (1, clean), (2, tainted)], "doc_id long, text string"
+    )
+    is_eval = F.col("doc_id") % 97 == 0  # doc 0
+    eval_grams = (
+        df.where(is_eval)
+        .select(F.explode(word_ngrams("text", 5)).alias("gram"))
+        .distinct()
+    )
+    hits = (
+        df.where(~is_eval)
+        .select("doc_id", F.explode(word_ngrams("text", 5)).alias("gram"))
+        .join(F.broadcast(eval_grams), "gram")
+        .groupBy("doc_id")
+        .agg(F.count_distinct("gram").alias("n"))
+        .toPandas()
+    )
+    assert hits.doc_id.tolist() == [2] and hits.n.iloc[0] == 1
