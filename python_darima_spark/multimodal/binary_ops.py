@@ -99,6 +99,71 @@ def decode_media(
     return df.mapInPandas(extract, FEATURE_SCHEMA)
 
 
+RESIZED_SCHEMA = (
+    "media_id long, modality string, payload binary, "
+    "meta_width int, meta_height int"
+)
+
+
+def resize_media(
+    df: DataFrame, width: int = 8, height: int = 8, fake: bool = False
+) -> DataFrame:
+    """mapInPandas resize stage: payload in → resized payload out, with
+    updated metadata. Like ``decode_media``, the real codec path refuses
+    at PLAN time; ``fake=True`` runs a deterministic stand-in (treat the
+    payload as a row-major byte raster of its metadata dimensions and
+    mean-pool into the target grid) so schema, batching, and output
+    payload sizing are exercised for real. Output payloads are exactly
+    ``width*height`` bytes — the property downstream batch sizing relies
+    on."""
+    if not fake:
+        raise NotImplementedError(
+            "no media codecs in this environment; pass fake=True for the "
+            "deterministic mean-pool resizer (plumbing is identical)"
+        )
+
+    def _pool(payload: bytes, w0: int, h0: int) -> bytes:
+        arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
+        n = w0 * h0
+        if arr.size < n or n <= 0:  # pad ragged/empty payloads
+            arr = np.pad(arr, (0, max(n - arr.size, 0)))
+            if n <= 0:
+                w0, h0, n = 1, 1, 1
+                arr = arr[:1] if arr.size else np.zeros(1)
+        img = arr[:n].reshape(h0, w0)
+        # mean-pool via bucketed bincount — no per-pixel Python loop
+        ri = np.minimum((np.arange(h0) * height) // max(h0, 1), height - 1)
+        ci = np.minimum((np.arange(w0) * width) // max(w0, 1), width - 1)
+        flat = (ri[:, None] * width + ci[None, :]).ravel()
+        sums = np.bincount(flat, weights=img.ravel(), minlength=width * height)
+        cnts = np.maximum(np.bincount(flat, minlength=width * height), 1)
+        return (sums / cnts).round().astype(np.uint8).tobytes()
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = [
+                _pool(
+                    p if isinstance(p, bytes) else bytes(p),
+                    int(w) if pd.notna(w) and int(w) > 0 else len(p),
+                    int(h) if pd.notna(h) and int(h) > 0 else 1,
+                )
+                for p, w, h in zip(
+                    pdf["payload"], pdf["meta_width"], pdf["meta_height"]
+                )
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "payload": out,
+                    "meta_width": width,
+                    "meta_height": height,
+                }
+            )
+
+    return df.mapInPandas(resize, RESIZED_SCHEMA)
+
+
 def frame_sample(
     df: DataFrame, every_n_bytes: int = 64, max_frames: int = 8
 ) -> DataFrame:

@@ -241,3 +241,27 @@ def test_decontaminate_flags_planted_overlap(spark):
         .toPandas()
     )
     assert hits.doc_id.tolist() == [2] and hits.n.iloc[0] == 1
+
+
+def test_resize_media_fake_pooling(spark):
+    from python_darima_spark.multimodal.binary_ops import (
+        attach_media_from_text,
+        resize_media,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(10)
+    media = attach_media_from_text(docs)
+    out = resize_media(media, width=8, height=8, fake=True).toPandas()
+    assert len(out) == 10
+    assert (out.meta_width == 8).all() and (out.meta_height == 8).all()
+    # exact output payload size — the property batch sizing relies on
+    assert all(len(bytes(p)) == 64 for p in out.payload)
+    # deterministic
+    out2 = resize_media(media, width=8, height=8, fake=True).toPandas()
+    a = out.sort_values("media_id").payload.map(bytes).tolist()
+    b = out2.sort_values("media_id").payload.map(bytes).tolist()
+    assert a == b
+    # real codec path refuses at plan time
+    import pytest as _pt
+    with _pt.raises(NotImplementedError):
+        resize_media(media, fake=False)
