@@ -146,3 +146,43 @@ def top_k_per_group(
         .where(F.col("_rn") <= k)
         .drop("_rn")
     )
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | list[str],
+    num_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with manual key salting — the mitigation for a HOT join
+    key when the right side is too large to broadcast (where AQE's
+    skew-join split cannot help either, e.g. a shuffled-hash plan, or a
+    hot key so extreme one split still overflows a task).
+
+    Mechanics: the left side gets a deterministic salt in [0, num_salts)
+    from a content hash of the whole row, spreading one hot key's rows
+    over ``num_salts`` shuffle partitions; the right side is replicated
+    ``num_salts``× (explode of a literal range — cheap relative to the
+    skewed shuffle it replaces) so every (key, salt) bucket finds its
+    match. Result-identical to ``left.join(right, on, how)``.
+
+    Only ``inner`` and ``left`` joins are supported: replicating the
+    right side S× would emit unmatched RIGHT rows S times under
+    right/full outer semantics.
+
+    Caveat: rows identical in EVERY column share a salt (content hash),
+    so a hot key whose rows are full duplicates does not spread; real
+    tables have a distinguishing column. At 100 TB prefer trying AQE
+    (``spark.sql.adaptive.skewJoin.enabled``) first — this operator is
+    for the cases AQE cannot reach.
+    """
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left joins, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    salt_l = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(num_salts))
+    lt = left.withColumn("_salt", salt_l)
+    rt = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+    )
+    return lt.join(rt, on=[*keys, "_salt"], how=how).drop("_salt")

@@ -98,3 +98,42 @@ def test_ensure_parallelism_conditional(spark):
     wide = spark.range(0, 1000, 1, target)
     out = ensure_parallelism(wide)
     assert out is wide  # not just equal partitioning: literally untouched
+
+
+def test_salted_join_matches_plain_join(spark):
+    """salted_join must be result-identical to the plain equi-join while
+    actually joining on (key, salt) — the skew-spread the plan relies on."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from python_darima_spark.operators.relational import salted_join
+
+    # 90%-hot key distribution with a distinguishing column
+    left = spark.range(0, 2000).select(
+        F.when(F.col("id") % 10 < 9, "hot").otherwise(
+            F.concat(F.lit("k"), F.col("id") % 7)
+        ).alias("k"),
+        F.col("id").alias("lval"),
+    )
+    right = spark.createDataFrame(
+        [("hot", 1.0), ("k0", 2.0), ("k3", 3.0), ("nomatch", 9.0)],
+        "k string, rval double",
+    )
+    for how in ("inner", "left"):
+        got = (
+            salted_join(left, right, "k", num_salts=4, how=how)
+            .toPandas().sort_values(["k", "lval"]).reset_index(drop=True)
+        )
+        want = (
+            left.join(right, "k", how)
+            .toPandas().sort_values(["k", "lval"]).reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(
+            got[sorted(got.columns)], want[sorted(want.columns)]
+        )
+    # the join condition actually includes the salt column
+    plan = salted_join(left, right, "k", num_salts=4)._jdf.queryExecution().executedPlan().toString()
+    assert "_salt" in plan
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        salted_join(left, right, "k", how="full")
