@@ -44,6 +44,8 @@ HEADLINE = [
     "q_dedup_near",
     "q_sim_topk",
     "q_text_stats",
+    "q_pack_sequences",
+    "q_ts_rollup",
 ]
 
 

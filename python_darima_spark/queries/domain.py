@@ -75,6 +75,32 @@ def q_ts_many_series(spark: SparkSession, sf: str) -> DataFrame:
     return darima(hourly, cfg).coefs
 
 
+def q_ts_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup: hour AND day aggregates
+    of events per event_type in ONE pass via GROUPING SETS — a single
+    Expand (2×) feeding one shuffle on the grouping key, instead of two
+    scans + two shuffles for separate hour/day queries. Plain count/sum
+    only: no distinct-sketch buffers ride the Expand (see PLANS.md §2.5
+    HLL/Expand hazard)."""
+    e = load(spark, sf, "events").select(
+        F.date_trunc("day", "ts").alias("day_ts"),
+        F.date_trunc("hour", "ts").alias("hour_ts"),
+        "event_type",
+        "value",
+    )
+    agg = e.groupingSets(
+        [["day_ts", "event_type"], ["hour_ts", "event_type"]],
+        "day_ts", "hour_ts", "event_type",
+    ).agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sum_value"))
+    return agg.select(
+        F.when(F.col("hour_ts").isNull(), "day").otherwise("hour").alias("grain"),
+        F.coalesce("hour_ts", "day_ts").alias("bucket_ts"),
+        "event_type",
+        "n",
+        "sum_value",
+    )
+
+
 QUERIES = {
     "q_ts_resample": QuerySpec(
         q_ts_resample,
@@ -91,6 +117,22 @@ QUERIES = {
            )
            SELECT g.series_id, g.ts, round(coalesce(t.y, 0.0), 6) AS y
            FROM g LEFT JOIN t USING (series_id, ts)""",
+    ),
+    "q_ts_rollup": QuerySpec(
+        q_ts_rollup,
+        """WITH e AS (
+             SELECT date_trunc('day', CAST(ts AS TIMESTAMP)) AS day_ts,
+                    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hour_ts,
+                    event_type, value
+             FROM events
+           )
+           SELECT CASE WHEN hour_ts IS NULL THEN 'day' ELSE 'hour' END AS grain,
+                  COALESCE(hour_ts, day_ts) AS bucket_ts,
+                  event_type,
+                  COUNT(*) AS n,
+                  round(SUM(value), 4) AS sum_value
+           FROM e
+           GROUP BY GROUPING SETS ((day_ts, event_type), (hour_ts, event_type))""",
     ),
     "q_ts_fit_combine": QuerySpec(q_ts_fit_combine, None),
     "q_ts_forecast": QuerySpec(q_ts_forecast, None),

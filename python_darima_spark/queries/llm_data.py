@@ -11,7 +11,7 @@ exact similarity in tests/test_llm_data.py.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from python_darima_spark.functions.text import (
@@ -142,6 +142,53 @@ def q_split_assign(spark: SparkSession, sf: str) -> DataFrame:
         b.alias("bucket"),
         F.when(b < 204, "train").when(b < 230, "val").otherwise("test").alias("split"),
     )
+
+
+def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Sequence packing: assign documents to fixed token-budget bins
+    (capacity 512 BPE-ish tokens) for context-window batching.
+
+    Distributed shape: docs are sharded by ``doc_id % 8`` and packed
+    independently per shard — the per-shard window cumsum is ONE shuffle
+    on shard, and shards scale out with the corpus (at 100 TB raise the
+    shard count; each shard's window sort is local to its partition).
+    Bin assignment is *block* packing: a doc lands in the bin where its
+    exclusive running token total falls, so every bin holds a contiguous
+    doc run and overflows by at most one document — the deterministic,
+    engine-portable variant (exact first-fit packing is an inherently
+    sequential recursion; see operators/packing.py for the applyInPandas
+    twin). Restated verbatim by the DuckDB oracle. No ensure_parallelism:
+    the window's own hash exchange on shard redistributes the scan."""
+    docs = load(spark, sf, "documents")
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).alias("shard"),
+        token_count("text").alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return t.withColumn("bin_id", F.floor(cum / F.lit(512.0)).cast("long"))
+
+
+def q_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified sampling: per-language keep rates
+    (en 25%, zh 12.5%, others 50%) via an md5 bucket of a salted doc_id.
+    Map-only like q_split_assign — no shuffle, no RNG state, identical
+    output at any partitioning or engine; the salt ('smp:') decorrelates
+    the sample from the train/val/test split buckets."""
+    docs = ensure_parallelism(load(spark, sf, "documents"))
+    b = hash_split_bucket(F.concat(F.lit("smp:"), F.col("doc_id").cast("string")))
+    keep = (
+        F.when(F.col("lang") == "en", 64)
+        .when(F.col("lang") == "zh", 32)
+        .otherwise(128)
+    )
+    return docs.select("doc_id", "lang", b.alias("bucket"), keep.alias("_keep")) \
+        .where(F.col("bucket") < F.col("_keep")).drop("_keep")
 
 
 def q_text_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
@@ -347,6 +394,41 @@ QUERIES = {
                        WHEN bucket < 230 THEN 'val'
                        ELSE 'test' END AS split
            FROM b""",
+    ),
+    "q_pack_sequences": QuerySpec(
+        q_pack_sequences,
+        r"""WITH t AS (
+             SELECT doc_id, doc_id % 8 AS shard,
+                    CAST(len(regexp_extract_all(text,
+                        '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INT) AS n_tok
+             FROM documents
+           ), c AS (
+             SELECT doc_id, shard, n_tok,
+                    COALESCE(SUM(n_tok) OVER (
+                        PARTITION BY shard ORDER BY doc_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cum
+             FROM t
+           )
+           SELECT doc_id, shard, n_tok,
+                  CAST(floor(cum / 512.0) AS BIGINT) AS bin_id
+           FROM c""",
+    ),
+    "q_sample_stratified": QuerySpec(
+        q_sample_stratified,
+        """WITH b AS (
+             SELECT doc_id, lang,
+                    (instr('0123456789abcdef',
+                           substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                    + instr('0123456789abcdef',
+                            substr(md5('smp:' || CAST(doc_id AS VARCHAR)), 2, 1)) - 1 AS bucket
+             FROM documents
+           )
+           SELECT doc_id, lang, CAST(bucket AS INT) AS bucket
+           FROM b
+           WHERE bucket < CASE WHEN lang = 'en' THEN 64
+                               WHEN lang = 'zh' THEN 32
+                               ELSE 128 END""",
     ),
     "q_text_decontaminate": QuerySpec(
         q_text_decontaminate,

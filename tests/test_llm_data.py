@@ -265,3 +265,45 @@ def test_resize_media_fake_pooling(spark):
     import pytest as _pt
     with _pt.raises(NotImplementedError):
         resize_media(media, fake=False)
+
+
+def test_pack_greedy_vs_python_and_capacity(spark):
+    from python_darima_spark.functions.text import token_count
+    from python_darima_spark.operators.packing import pack_greedy
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").select(
+        "doc_id",
+        (F.col("doc_id") % 4).alias("shard"),
+        token_count("text").alias("n_tok"),
+    )
+    got = (
+        pack_greedy(docs, "doc_id", "n_tok", "shard", capacity=256)
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    toks = docs.toPandas().sort_values("doc_id")
+    # single-node replica of first-fit per shard
+    want = {}
+    for shard, grp in toks.groupby("shard"):
+        fill, bin_id = 0, 0
+        for _, row in grp.sort_values("doc_id").iterrows():
+            if fill > 0 and fill + row.n_tok > 256:
+                bin_id, fill = bin_id + 1, 0
+            fill += row.n_tok
+            want[row.doc_id] = bin_id
+    assert {r.doc_id: r.bin_id for r in got.itertuples()} == want
+    # capacity respected unless a single doc alone overflows
+    merged = got.merge(toks, on=["doc_id", "shard"])
+    fills = merged.groupby(["shard", "bin_id"]).n_tok.agg(["sum", "count", "max"])
+    bad = fills[(fills["sum"] > 256) & (fills["count"] > 1)]
+    assert bad.empty, bad
+
+
+def test_block_pack_overflow_bounded(spark):
+    """q_pack_sequences block bins exceed capacity by at most one doc."""
+    from python_darima_spark.queries.llm_data import q_pack_sequences
+
+    out = q_pack_sequences(spark, SF).toPandas()
+    fills = out.groupby(["shard", "bin_id"]).n_tok.agg(["sum", "max"])
+    assert (fills["sum"] < 512 + fills["max"]).all()
