@@ -36,6 +36,26 @@ def q_join_broadcast(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_join_salted(spark: SparkSession, sf: str) -> DataFrame:
+    """Inner join through the manual hot-key salting operator
+    (operators/relational.py:salted_join): the left side spreads each key
+    over 8 salts via a row-content hash, the right replicates 8× — the
+    mitigation for skew AQE can't reach (shuffled-hash plans, or one key
+    so hot a single AQE split still overflows a task). Result-identical
+    to q_join_inner by construction, so it shares that exact SQL oracle."""
+    from python_darima_spark.operators.relational import salted_join
+
+    o = load(spark, sf, "orders")
+    c = load(spark, sf, "customer").withColumnRenamed("c_custkey", "o_custkey")
+    return salted_join(o, c, "o_custkey", num_salts=8).select(
+        "o_orderkey",
+        F.col("o_custkey").alias("c_custkey"),
+        "c_name",
+        "o_totalprice",
+        "c_mktsegment",
+    )
+
+
 def q_join_outer(spark: SparkSession, sf: str) -> DataFrame:
     """Left outer: every customer, with order info where present."""
     c, o = load(spark, sf, "customer"), load(spark, sf, "orders")
@@ -114,6 +134,11 @@ def q_join_asof(spark: SparkSession, sf: str) -> DataFrame:
 QUERIES = {
     "q_join_inner": QuerySpec(
         q_join_inner,
+        """SELECT o_orderkey, c_custkey, c_name, o_totalprice, c_mktsegment
+           FROM orders JOIN customer ON o_custkey = c_custkey""",
+    ),
+    "q_join_salted": QuerySpec(
+        q_join_salted,
         """SELECT o_orderkey, c_custkey, c_name, o_totalprice, c_mktsegment
            FROM orders JOIN customer ON o_custkey = c_custkey""",
     ),
