@@ -11,7 +11,12 @@ emits only once the watermark (max observed event time − delay) passes
 its end; for session windows, once it passes session_end (= last event +
 gap). Our replay stages files in ascending time order, so nothing is ever
 dropped as late — the cutoff only truncates the tail. The SQL oracles
-restate exactly that cutoff.
+restate exactly that cutoff. One measured subtlety (Spark 4.1,
+tests/test_streaming_late.py): the watermark that filters a batch's
+INPUT rows lags the value reported in that batch's progress by one
+batch — the reported value gates state eviction/emission only, so a
+straggler is reliably dropped once the watermark passed its window end
+in the batch before last.
 
 Scale: state size is O(open windows × groups); the watermark delay bounds
 it. At 100 TB/day you shard by the grouping key (Spark does: state store
