@@ -108,6 +108,8 @@ _PRIORITY = [
     # driver in round 1 (CORRECTNESS_r01.json) and re-verified locally in
     # PROBE_r02.json — the least costly entries to lose to a budget cap ---
     "q_join_salted",  # round-2 addition; result-identical to q_join_inner
+    "q_topk_group",  # round-2 additions below: probe-verified, rotate in r3+
+    "q_merge_upsert",
     "q_scan_csv",
     "q_scan_json",
     "q_sink_json",

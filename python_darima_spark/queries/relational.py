@@ -447,6 +447,53 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
 
 # --- sort / limit / set ops ------------------------------------------------
 
+def q_topk_group(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 orders per customer through the top_k_per_group operator
+    (operators/relational.py): row_number over a per-key window + filter —
+    per-key sorts only, never a global sort, so it scales with the number
+    of keys. Deterministic tie-break on o_orderkey."""
+    from python_darima_spark.operators.relational import top_k_per_group
+
+    o = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    return top_k_per_group(
+        o, ["o_custkey"], [F.col("o_totalprice").desc(), F.col("o_orderkey")], k=3
+    )
+
+
+def q_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC-style SCD1 merge (the Delta/Iceberg MERGE pattern on plain
+    parquet): a change set (updates to every 10th order + brand-new rows)
+    full-outer-joined to the base on the key, changed columns coalesced
+    change-set-first. One shuffle on the merge key — or ZERO with both
+    sides bucketed on it (q_join_bucketed proves that path); at 100 TB
+    partition the base by a stable key range so the merge rewrites only
+    touched partitions."""
+    base = load(spark, sf, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+    upd = base.where(F.col("o_orderkey") % 10 == 0).select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 2, 2).alias("u_price"),
+        F.lit("U").alias("u_status"),
+    )
+    new = base.where(F.col("o_orderkey") % 1000 == 0).select(
+        (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+        F.round(F.col("o_totalprice"), 2).alias("u_price"),
+        F.lit("N").alias("u_status"),
+    )
+    chg = upd.unionByName(new)
+    return (
+        base.join(chg, "o_orderkey", "full_outer")
+        .select(
+            "o_orderkey",
+            F.round(F.coalesce("u_price", "o_totalprice"), 2).alias("price"),
+            F.coalesce("u_status", "o_orderstatus").alias("status"),
+        )
+    )
+
+
 def q_sort_limit(spark: SparkSession, sf: str) -> DataFrame:
     """Global top-k (Spark plans TakeOrderedAndProject — no full sort)."""
     o = load(spark, sf, "orders")
@@ -683,6 +730,32 @@ QUERIES = {
                   CAST(count(*) AS BIGINT) AS n,
                   round(sum(value), 4) AS sum_value
            FROM g GROUP BY user_id, sid""",
+    ),
+    "q_topk_group": QuerySpec(
+        q_topk_group,
+        """SELECT o_orderkey, o_custkey, o_totalprice
+           FROM (SELECT o_orderkey, o_custkey, o_totalprice,
+                        ROW_NUMBER() OVER (PARTITION BY o_custkey
+                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+                 FROM orders)
+           WHERE rn <= 3""",
+    ),
+    "q_merge_upsert": QuerySpec(
+        q_merge_upsert,
+        """WITH base AS (
+             SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+           ), chg AS (
+             SELECT o_orderkey, round(o_totalprice * 2, 2) AS u_price,
+                    'U' AS u_status
+             FROM base WHERE o_orderkey % 10 = 0
+             UNION ALL
+             SELECT o_orderkey + 10000000, round(o_totalprice, 2), 'N'
+             FROM base WHERE o_orderkey % 1000 = 0
+           )
+           SELECT o_orderkey,
+                  round(COALESCE(c.u_price, b.o_totalprice), 2) AS price,
+                  COALESCE(c.u_status, b.o_orderstatus) AS status
+           FROM base b FULL OUTER JOIN chg c USING (o_orderkey)""",
     ),
     "q_sort_limit": QuerySpec(
         q_sort_limit,
