@@ -110,6 +110,7 @@ _PRIORITY = [
     "q_join_salted",  # round-2 addition; result-identical to q_join_inner
     "q_topk_group",  # round-2 additions below: probe-verified, rotate in r3+
     "q_merge_upsert",
+    "q_text_repetition",
     "q_scan_csv",
     "q_scan_json",
     "q_sink_json",

@@ -144,6 +144,27 @@ def q_split_assign(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """Within-document repetition signal (the Gopher/C4-style quality
+    rule): fraction of duplicated word-3-grams per doc. Map-only JVM
+    array expressions — no shuffle, no UDF; a filter on the ratio is the
+    classic low-quality-document cut."""
+    docs = ensure_parallelism(load(spark, sf, "documents"))
+    toks = F.split(F.lower("text"), " ")
+    total = F.greatest(F.size(toks) - F.lit(2), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(1), total),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+    )
+    distinct = F.size(F.array_distinct(grams))
+    return docs.select(
+        "doc_id",
+        total.alias("n_grams"),
+        distinct.alias("n_distinct"),
+        F.round(F.lit(1.0) - distinct / total, 6).alias("dup_ratio"),
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     """Sequence packing: assign documents to fixed token-budget bins
     (capacity 512 BPE-ish tokens) for context-window batching.
@@ -394,6 +415,22 @@ QUERIES = {
                        WHEN bucket < 230 THEN 'val'
                        ELSE 'test' END AS split
            FROM b""",
+    ),
+    "q_text_repetition": QuerySpec(
+        q_text_repetition,
+        """WITH t AS (
+             SELECT doc_id,
+                    greatest(len(string_split(lower(text), ' ')) - 2, 1) AS n_grams,
+                    len(list_distinct(list_transform(
+                        generate_series(1, greatest(len(string_split(lower(text), ' ')) - 2, 1)),
+                        i -> array_to_string(list_slice(string_split(lower(text), ' '), i, i + 2), ' ')
+                    ))) AS n_distinct
+             FROM documents
+           )
+           SELECT doc_id, CAST(n_grams AS INT) AS n_grams,
+                  CAST(n_distinct AS INT) AS n_distinct,
+                  round(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 6) AS dup_ratio
+           FROM t""",
     ),
     "q_pack_sequences": QuerySpec(
         q_pack_sequences,
