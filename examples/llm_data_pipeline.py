@@ -1,0 +1,134 @@
+"""End-to-end LLM training-data pipeline over the `documents` table —
+every stage is an engine operator, composed the way a 100 TB curation job
+would be:
+
+  scan → quality filter (stats + repetition) → language filter
+       → exact dedup → MinHash near-dedup → decontamination
+       → train/val/test split → sequence packing → partitioned parquet
+
+Scale shape: the whole pipeline is 4 keyed shuffles (near-dup bands,
+decontamination gram join, packing windows, final write repartition) —
+everything else is map-only JVM expressions. Nothing ever collects to
+the driver; each stage's cut statistics are computed with aggregates.
+
+Run: ``python examples/llm_data_pipeline.py [sf_dir]`` (default sf0.01).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from python_darima_spark import get_spark
+from python_darima_spark.functions.text import (
+    hash_split_bucket,
+    lang_guess,
+    quality_score,
+    token_count,
+    word_ngrams,
+)
+from python_darima_spark.operators.dedup import (
+    dedup_exact,
+    minhash_near_duplicates,
+)
+from python_darima_spark.queries import load
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    spark = get_spark(app_name="llm-data-pipeline")
+    t0 = time.perf_counter()
+
+    docs = load(spark, sf_dir, "documents")
+    n_raw = docs.count()
+
+    # 1. quality: heuristic score + duplicated-3-gram ratio, both map-only
+    toks = F.split(F.lower("text"), " ")
+    total3 = F.greatest(F.size(toks) - F.lit(2), F.lit(1))
+    grams3 = F.transform(
+        F.sequence(F.lit(1), total3),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 3)),
+    )
+    dup_ratio = 1.0 - F.size(F.array_distinct(grams3)) / total3
+    docs = docs.where(
+        (quality_score("text") >= 0.4) & (dup_ratio <= F.lit(0.5))
+    )
+
+    # 2. language: keep docs whose stopword profile says English
+    docs = docs.where(lang_guess("text") == "en")
+
+    # 3. exact dedup (sha2 digest, one agg + semi join)
+    docs = dedup_exact(docs)
+    # 4. near dedup: drop the higher doc_id of every verified pair
+    pairs = minhash_near_duplicates(docs, threshold=0.8)
+    losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
+    docs = docs.join(losers, "doc_id", "left_anti")
+
+    # 5. decontamination vs the eval slice (doc_id % 97 == 0 stands in
+    # for a benchmark set): drop corpus docs sharing any word-5-gram
+    eval_grams = (
+        load(spark, sf_dir, "documents")
+        .where(F.col("doc_id") % 97 == 0)
+        .select(F.explode(word_ngrams("text", 5)).alias("gram"))
+        .distinct()
+    )
+    contaminated = (
+        docs.select("doc_id", F.explode(word_ngrams("text", 5)).alias("gram"))
+        .join(F.broadcast(eval_grams), "gram")
+        .select("doc_id")
+        .distinct()
+    )
+    docs = docs.where(F.col("doc_id") % 97 != 0).join(
+        contaminated, "doc_id", "left_anti"
+    )
+
+    # 6. deterministic split + 7. sequence packing per (split, shard)
+    b = hash_split_bucket("doc_id")
+    docs = docs.withColumn(
+        "split",
+        F.when(b < 204, "train").when(b < 230, "val").otherwise("test"),
+    ).withColumn("n_tok", token_count("text"))
+    w = (
+        Window.partitionBy("split", F.col("doc_id") % 8)
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    docs = docs.withColumn(
+        "bin_id",
+        F.floor(F.coalesce(F.sum("n_tok").over(w), F.lit(0)) / F.lit(2048.0)),
+    )
+
+    # 8. partitioned sink: directory pruning by split downstream
+    out = os.path.join(tempfile.mkdtemp(prefix="llm_pipeline_"), "curated")
+    docs.repartition("split").write.partitionBy("split").mode(
+        "overwrite"
+    ).parquet(out)
+
+    stats = (
+        spark.read.parquet(out)
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_tok").alias("tokens"),
+            F.count_distinct("bin_id").alias("bins"),
+        )
+        .orderBy("split")
+        .collect()
+    )
+    kept = sum(r.docs for r in stats)
+    print(f"raw={n_raw} kept={kept} ({100.0 * kept / n_raw:.1f}%)")
+    for r in stats:
+        print(f"  {r.split:5s} docs={r.docs:6d} tokens={r.tokens:9d} bins={r.bins}")
+    print(f"wall: {time.perf_counter() - t0:.1f}s -> {out}")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
