@@ -71,6 +71,10 @@ _PRIORITY = [
     "q_text_vocab",
     "q_sessionize",
     "q_ts_rollup",
+    "q_join_salted",
+    "q_topk_group",
+    "q_merge_upsert",
+    "q_text_repetition",
     # scans & sinks
     "q_scan_parquet",
     "q_sink_parquet",
@@ -82,12 +86,7 @@ _PRIORITY = [
     "q_join_theta",
     "q_join_range",
     "q_join_asof",
-    # aggregations
-    "q_agg_hash",
-    "q_agg_distinct",
-    "q_agg_sets",
     # windows
-    "q_window_rank",
     "q_window_frame",
     # UDF surfaces
     "q_udf_scalar",
@@ -107,10 +106,10 @@ _PRIORITY = [
     # --- position 50 boundary: everything below was hash-verified by the
     # driver in round 1 (CORRECTNESS_r01.json) and re-verified locally in
     # PROBE_r02.json — the least costly entries to lose to a budget cap ---
-    "q_join_salted",  # round-2 addition; result-identical to q_join_inner
-    "q_topk_group",  # round-2 additions below: probe-verified, rotate in r3+
-    "q_merge_upsert",
-    "q_text_repetition",
+    "q_agg_hash",
+    "q_agg_distinct",
+    "q_agg_sets",
+    "q_window_rank",
     "q_scan_csv",
     "q_scan_json",
     "q_sink_json",
