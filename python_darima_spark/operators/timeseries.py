@@ -84,11 +84,58 @@ def resample_regular(
             .rowsBetween(Window.unboundedPreceding, 0)
         )
         out = joined.withColumn(y_col, F.last(y_col, ignorenulls=True).over(w))
+    elif fill == "interp":
+        out = interpolate_linear(joined, series_col, ts_col, y_col)
     elif fill == "null":
         out = joined
     else:
         raise ValueError(f"unknown fill mode {fill!r}")
     return out
+
+
+def interpolate_linear(
+    df: DataFrame,
+    series_col: str = "series_id",
+    ts_col: str = "ts",
+    y_col: str = "y",
+) -> DataFrame:
+    """Fill null gaps by linear interpolation between the nearest non-null
+    neighbors in time (TimescaleDB's ``interpolate()`` gap-fill semantics);
+    before the first / after the last observation the nearest value is
+    extended (ffill/bfill at the edges).
+
+    Two per-series window passes (last-non-null backward, first-non-null
+    forward) — both share ONE hash exchange + sort on ``series_col``, the
+    same cost as any per-series window; no global window, no Python. At
+    100 TB this scales exactly like q_window_frame: per-series sort work,
+    keyed shuffle only.
+    """
+    w_prev = (
+        Window.partitionBy(series_col)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_next = (
+        Window.partitionBy(series_col)
+        .orderBy(ts_col)
+        .rowsBetween(0, Window.unboundedFollowing)
+    )
+    y = F.col(y_col)
+    obs_ts = F.when(y.isNotNull(), F.col(ts_col))
+    prev_y = F.last(y, ignorenulls=True).over(w_prev)
+    prev_ts = F.last(obs_ts, ignorenulls=True).over(w_prev)
+    next_y = F.first(y, ignorenulls=True).over(w_next)
+    next_ts = F.first(obs_ts, ignorenulls=True).over(w_next)
+    frac = (F.col(ts_col).cast("double") - prev_ts.cast("double")) / (
+        next_ts.cast("double") - prev_ts.cast("double")
+    )
+    interp = prev_y + (next_y - prev_y) * frac
+    return df.withColumn(
+        y_col,
+        F.when(y.isNotNull(), y)
+        .when(prev_y.isNotNull() & next_y.isNotNull(), interp)
+        .otherwise(F.coalesce(prev_y, next_y)),
+    )
 
 
 def split_series(

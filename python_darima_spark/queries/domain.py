@@ -75,6 +75,22 @@ def q_ts_many_series(spark: SparkSession, sf: str) -> DataFrame:
     return darima(hourly, cfg).coefs
 
 
+def q_ts_gapfill(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-fill with LINEAR INTERPOLATION (TimescaleDB ``interpolate()``
+    semantics): sparse per-user series (user_id mod 25 → ~55% empty grid
+    hours at sf0.01) resampled onto the hourly grid, nulls interpolated
+    between nearest observations, edges extended. Same keyed-shuffle
+    shape as q_ts_resample plus one per-series window pass."""
+    ev = load(spark, sf, "events")
+    series = ev.select(
+        F.pmod("user_id", F.lit(25)).cast("int").alias("series_id"),
+        "ts",
+        F.col("value").alias("y"),
+    )
+    out = resample_regular(series, "1 hour", fill="interp")
+    return out.select("series_id", "ts", F.round("y", 6).alias("y"))
+
+
 def q_ts_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Hypertable-style multi-resolution rollup: hour AND day aggregates
     of events per event_type in ONE pass via GROUPING SETS — a single
@@ -133,6 +149,46 @@ QUERIES = {
                   round(SUM(value), 4) AS sum_value
            FROM e
            GROUP BY GROUPING SETS ((day_ts, event_type), (hour_ts, event_type))""",
+    ),
+    "q_ts_gapfill": QuerySpec(
+        q_ts_gapfill,
+        """WITH t AS (
+             SELECT CAST(user_id % 25 AS INT) AS series_id,
+                    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ts,
+                    sum(value) AS y
+             FROM events GROUP BY 1, 2
+           ), b AS (
+             SELECT series_id, min(ts) AS lo, max(ts) AS hi FROM t GROUP BY 1
+           ), g AS (
+             SELECT series_id,
+                    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ts
+             FROM b
+           ), j AS (
+             SELECT g.series_id, g.ts, t.y
+             FROM g LEFT JOIN t USING (series_id, ts)
+           ), w AS (
+             SELECT series_id, ts, y,
+                    last_value(y IGNORE NULLS) OVER (
+                        PARTITION BY series_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS py,
+                    last_value(CASE WHEN y IS NOT NULL THEN ts END IGNORE NULLS)
+                        OVER (PARTITION BY series_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pts,
+                    first_value(y IGNORE NULLS) OVER (
+                        PARTITION BY series_id ORDER BY ts
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS ny,
+                    first_value(CASE WHEN y IS NOT NULL THEN ts END IGNORE NULLS)
+                        OVER (PARTITION BY series_id ORDER BY ts
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nts
+             FROM j
+           )
+           SELECT series_id, ts,
+                  round(CASE WHEN y IS NOT NULL THEN y
+                             WHEN py IS NOT NULL AND ny IS NOT NULL
+                             THEN py + (ny - py) * (epoch(ts) - epoch(pts))
+                                                   / (epoch(nts) - epoch(pts))
+                             ELSE coalesce(py, ny) END, 6) AS y
+           FROM w""",
     ),
     "q_ts_fit_combine": QuerySpec(q_ts_fit_combine, None),
     "q_ts_forecast": QuerySpec(q_ts_forecast, None),

@@ -165,6 +165,25 @@ def q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_doc_chunk(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-size overlapping chunking (RAG / context-window prep):
+    64-char chunks every 48 chars (16-char overlap). Map-side explode of
+    per-doc start offsets — rows expand ~len/48× with NO shuffle at all;
+    at 100 TB the explode runs inside the scan stage and output
+    partitioning follows the input splits."""
+    docs = ensure_parallelism(load(spark, sf, "documents"))
+    starts = F.expr("sequence(1, greatest(length(text), 1), 48)")
+    return (
+        docs.select("doc_id", "text", F.posexplode(starts).alias("chunk_id", "start"))
+        .select(
+            "doc_id",
+            "chunk_id",
+            F.substring(F.col("text"), F.col("start"), F.lit(64)).alias("chunk"),
+        )
+        .withColumn("chunk_len", F.length("chunk"))
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     """Sequence packing: assign documents to fixed token-budget bins
     (capacity 512 BPE-ish tokens) for context-window batching.
@@ -441,6 +460,20 @@ QUERIES = {
                   CAST(n_distinct AS INT) AS n_distinct,
                   round(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 6) AS dup_ratio
            FROM t""",
+    ),
+    "q_doc_chunk": QuerySpec(
+        q_doc_chunk,
+        """WITH s AS (
+             SELECT doc_id,
+                    unnest(generate_series(1, greatest(length(text), 1), 48)) AS st,
+                    text
+             FROM documents
+           )
+           SELECT doc_id,
+                  CAST((st - 1) / 48 AS INT) AS chunk_id,
+                  substr(text, st, 64) AS chunk,
+                  CAST(length(substr(text, st, 64)) AS INT) AS chunk_len
+           FROM s""",
     ),
     "q_pack_sequences": QuerySpec(
         q_pack_sequences,

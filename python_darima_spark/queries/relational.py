@@ -72,6 +72,27 @@ def q_scan_json(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_scan_pruned(spark: SparkSession, sf: str) -> DataFrame:
+    """Partition-PRUNED scan: documents written ``partitionBy(lang)`` once
+    per sf, read back filtered to two languages. The filter resolves at
+    planning time against the directory listing — the physical scan shows
+    ``PartitionFilters: [lang IN (en,de)]`` and never opens the other
+    languages' files (asserted in tests/test_sinks.py). At 100 TB this is
+    THE difference between scanning 2/5 of the corpus and all of it."""
+    path = os.path.join(
+        tempfile.gettempdir(), f"pds_docs_bylang_{os.path.basename(sf)}"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        load(spark, sf, "documents").select(
+            "doc_id", "source", "n_chars", "lang"
+        ).write.mode("overwrite").partitionBy("lang").parquet(path)
+    return (
+        spark.read.parquet(path)
+        .where(F.col("lang").isin("en", "de"))
+        .select("doc_id", "source", "n_chars", "lang")
+    )
+
+
 def q_sink_json(spark: SparkSession, sf: str) -> DataFrame:
     """JSON sink + re-scan (ref R31: driver-side json.dump of the forecast,
     /root/reference/darima.py:410-412 — engine uses a distributed writer)."""
@@ -579,6 +600,11 @@ QUERIES = {
         q_scan_json,
         """SELECT event_id, user_id, event_type, round(value, 6) AS value
            FROM events""",
+    ),
+    "q_scan_pruned": QuerySpec(
+        q_scan_pruned,
+        """SELECT doc_id, source, n_chars, lang
+           FROM documents WHERE lang IN ('en', 'de')""",
     ),
     "q_agg_stats": QuerySpec(
         q_agg_stats,

@@ -29,6 +29,7 @@ from python_darima_spark.streaming.windows import (
     stage_event_chunks,
     stream_dedup,
     stream_static_join_agg,
+    stream_stream_interval_join,
     tumbling_agg,
 )
 
@@ -69,6 +70,24 @@ def q_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     )
     name = run_stream_to_table(
         stream_static_join_agg(_replayed(spark, sf), dim), "append"
+    )
+    return spark.table(name)
+
+
+def q_stream_stream_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Stream-stream interval self-join: errors matched to same-user
+    clicks within the preceding 2 hours. Both branches derive from ONE
+    replayed source (a streaming self-join); inner-join append emission
+    under in-order replay equals the batch join, so this is hash-matched
+    against plain SQL."""
+    s = _replayed(spark, sf)
+    name = run_stream_to_table(
+        stream_stream_interval_join(
+            s.where(F.col("event_type") == "click"),
+            s.where(F.col("event_type") == "error"),
+            interval="2 hours",
+        ),
+        "append",
     )
     return spark.table(name)
 
@@ -160,6 +179,21 @@ QUERIES = {
            SELECT b.wstart, b.category, b.n
            FROM b, mx
            WHERE b.wstart + INTERVAL 1 HOUR <= mx.mt - INTERVAL 2 HOUR""",
+    ),
+    "q_stream_stream_join": QuerySpec(
+        q_stream_stream_join,
+        """WITH e AS (SELECT event_id, user_id, event_type,
+                             CAST(ts AS TIMESTAMP) AS ts
+                      FROM events)
+           SELECT c.user_id,
+                  c.event_id AS click_id,
+                  r.event_id AS err_id,
+                  c.ts AS click_ts,
+                  r.ts AS err_ts
+           FROM e c JOIN e r
+             ON c.user_id = r.user_id
+            AND c.event_type = 'click' AND r.event_type = 'error'
+            AND r.ts >= c.ts AND r.ts <= c.ts + INTERVAL 2 HOUR""",
     ),
     "q_stream_sink_files": QuerySpec(
         q_stream_sink_files,

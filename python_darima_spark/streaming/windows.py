@@ -110,6 +110,40 @@ def stream_static_join_agg(
     )
 
 
+def stream_stream_interval_join(
+    clicks: DataFrame,
+    errors: DataFrame,
+    interval: str = "10 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-STREAM inner join on user_id within a time interval: each
+    error is matched to the clicks of the same user in the preceding
+    ``interval``. Both sides carry watermarks, so join state is evicted
+    once event time passes ``watermark + interval`` — bounded state at
+    any scale (without the interval condition + watermarks Spark would
+    have to buffer both streams forever). Inner-join append emission is
+    exactly the batch join result under in-order replay, which is what
+    the SQL oracle states."""
+    c = clicks.withWatermark("ts", watermark).select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    )
+    e = errors.withWatermark("ts", watermark).select(
+        F.col("user_id").alias("_euser"),
+        F.col("ts").alias("err_ts"),
+        F.col("event_id").alias("err_id"),
+    )
+    cond = (
+        (c["user_id"] == e["_euser"])
+        & (F.col("err_ts") >= F.col("click_ts"))
+        & (F.col("err_ts") <= F.col("click_ts") + F.expr(f"INTERVAL {interval}"))
+    )
+    return c.join(e, cond, "inner").select(
+        "user_id", "click_id", "err_id", "click_ts", "err_ts"
+    )
+
+
 def stream_dedup(df: DataFrame, watermark: str = "40 days") -> DataFrame:
     """Stateful first-arrival dedup on (user_id, event_type) within the
     watermark horizon (dropDuplicatesWithinWatermark)."""

@@ -84,6 +84,40 @@ def test_resample_fills_gaps(spark):
     assert ff["y"].tolist() == [1.0, 1.0, 3.0]
 
 
+def test_resample_interpolates_gaps(spark):
+    # holes at hours 1-2 between observations 1.0 (h0) and 4.0 (h3):
+    # linear interpolation gives 2.0, 3.0; edge gaps extend nearest value
+    pdf = _series_pdf([1.0, 9.9, 9.9, 4.0, 5.0])
+    pdf = pdf.drop(index=[1, 2])
+    out = (
+        resample_regular(spark.createDataFrame(pdf), fill="interp")
+        .orderBy("ts")
+        .toPandas()
+    )
+    assert out["y"].tolist() == [1.0, 2.0, 3.0, 4.0, 5.0]
+
+
+def test_interpolate_edges_extend_nearest(spark):
+    # nulls BEFORE the first and AFTER the last observation take the
+    # nearest observed value (ffill/bfill at the boundaries); interior
+    # nulls interpolate on actual time distance (uneven 2h gap)
+    from python_darima_spark.operators.timeseries import interpolate_linear
+
+    pdf = pd.DataFrame(
+        {
+            "series_id": "s1",
+            "ts": [T0 + dt.timedelta(hours=h) for h in range(6)],
+            "y": [None, 2.0, None, None, 8.0, None],
+        }
+    )
+    out = (
+        interpolate_linear(spark.createDataFrame(pdf))
+        .orderBy("ts")
+        .toPandas()
+    )
+    assert out["y"].tolist() == [2.0, 2.0, 4.0, 6.0, 8.0, 8.0]
+
+
 def test_resample_aggregates_within_bucket(spark):
     pdf = pd.DataFrame(
         {

@@ -70,3 +70,16 @@ def test_bucketed_tables_join_without_exchange(spark, sf_dir):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_orders_b")
         spark.sql("DROP TABLE IF EXISTS t_cust_b")
+
+
+def test_scan_pruned_plan_has_partition_filters(spark, sf_dir):
+    """q_scan_pruned's filter must resolve as PartitionFilters (directory
+    pruning at planning time), not a post-scan row filter."""
+    from python_darima_spark.queries.relational import q_scan_pruned
+
+    df = q_scan_pruned(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [lang" in plan, plan[:800]
+    docs = load(spark, sf_dir, "documents")
+    want = docs.where(F.col("lang").isin("en", "de")).count()
+    assert df.count() == want
