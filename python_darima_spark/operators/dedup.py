@@ -377,3 +377,72 @@ def simhash_near_duplicates(
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """Cluster near-duplicate PAIRS into components and label every node
+    with its component's min id — the step between pair detection and
+    canonical-document selection in a dedup pipeline (keep one doc per
+    cluster, drop the rest).
+
+    Iterative min-label propagation: each round every node takes the min
+    of its own label and its neighbors' labels — one shuffle join + one
+    aggregate per round, all distributed; the driver sees only a scalar
+    convergence count. Rounds needed = graph diameter, and near-dup
+    clusters are overwhelmingly tiny (pairs/triples — diameter 2-3), so
+    this converges in a handful of rounds; ``max_iterations`` guards the
+    pathological chain. For graphs with genuinely large diameter switch
+    to the large-star/small-star contraction (Kiveris et al.), which the
+    same join shape expresses in O(log n) rounds.
+
+    Each round's result is ``localCheckpoint(eager)``-ed: iterative
+    DataFrame loops otherwise stack a lineage of joins that deepens the
+    plan every round (re-planned from scratch each action — quadratic
+    planning cost and an eventual stack overflow at scale).
+    """
+    # Materialize the symmetrized edge list ONCE: the loop joins it every
+    # round, and the edge subtree is typically the expensive part (here a
+    # full near-dup pair pipeline). Without this each round re-runs pair
+    # generation from scratch.
+    sym = edges.select(
+        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    ).union(
+        edges.select(F.col(dst_col).alias("src"), F.col(src_col).alias("dst"))
+    ).localCheckpoint(eager=True)
+    labels = nodes.select(F.col(id_col).alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iterations):
+        neighbor_min = (
+            sym.join(labels, sym["dst"] == labels["node"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels["node"] == neighbor_min["src"], "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+                (F.coalesce("nbr_label", F.col("label")) < F.col("label")).alias(
+                    "_changed"
+                ),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)
+        changed = updated.where("_changed").limit(1).count()
+        labels = updated.drop("_changed")
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias(id_col), F.col("label").alias("cluster_id")
+    )

@@ -79,6 +79,7 @@ _PRIORITY = [
     "q_doc_chunk",
     "q_scan_pruned",
     "q_stream_stream_join",
+    "q_dedup_cluster",
     # scans & sinks
     "q_scan_parquet",
     "q_sink_parquet",
@@ -92,7 +93,6 @@ _PRIORITY = [
     # UDF surfaces
     "q_udf_grouped_map",
     "q_udaf_grouped_agg",
-    "q_udf_cogrouped_map",
     # DARIMA domain
     "q_ts_resample",
     "q_ts_fit_combine",
@@ -111,6 +111,7 @@ _PRIORITY = [
     "q_window_rank",
     "q_window_frame",
     "q_udf_scalar",
+    "q_udf_cogrouped_map",
     "q_join_outer",
     "q_dedup_ngram",
     "q_scan_csv",

@@ -75,6 +75,24 @@ def q_dedup_ngram(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_cluster(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup pairs → CLUSTERS: connected components over the n-gram
+    Jaccard pair graph (min-label propagation, one shuffle join per
+    round), labeling every doc with its cluster's min doc_id and whether
+    it is the canonical keeper. This is the step a real dedup pipeline
+    runs between pair detection and dropping non-canonical docs."""
+    from python_darima_spark.operators.dedup import connected_components
+
+    docs = load(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.3)
+    comp = connected_components(pairs, docs, "doc_id")
+    return comp.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("cluster_id") == F.col("doc_id")).alias("is_canonical"),
+    )
+
+
 def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dups ≥ 0.95 via hyperplane-LSH buckets +
     exact verification."""
@@ -290,25 +308,7 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-_STOP_EN = ", ".join(f"'{s}'" for s in STOPWORDS["en"])
-
-QUERIES = {
-    "q_dedup_exact": QuerySpec(
-        q_dedup_exact,
-        """WITH keyed AS (
-             SELECT doc_id, lang, source, sha256(text) AS digest
-             FROM documents
-           ), keepers AS (
-             SELECT digest, min(doc_id) AS doc_id FROM keyed GROUP BY digest
-           )
-           SELECT k.doc_id, k.lang, k.source
-           FROM keyed k JOIN keepers USING (digest, doc_id)""",
-    ),
-    "q_dedup_near": QuerySpec(q_dedup_near, None),       # xxhash64 family
-    "q_dedup_simhash": QuerySpec(q_dedup_simhash, None), # xxhash64 family
-    "q_dedup_ngram": QuerySpec(
-        q_dedup_ngram,
-        """WITH g AS (
+_NGRAM_ORACLE = """WITH g AS (
              -- set-based restatement (explode grams -> hash join): the
              -- original pairwise list_intersect formulation was ~70x
              -- slower in DuckDB and dominated the driver's budget
@@ -338,7 +338,44 @@ QUERIES = {
                AND least(sa.n, sb.n) >= 0.3 * greatest(sa.n, sb.n)
            )
            SELECT id_a, id_b, round(i / (s - i), 6) AS jaccard
-           FROM p WHERE i / (s - i) >= 0.3""",
+           FROM p WHERE i / (s - i) >= 0.3"""
+
+_STOP_EN = ", ".join(f"'{s}'" for s in STOPWORDS["en"])
+
+QUERIES = {
+    "q_dedup_exact": QuerySpec(
+        q_dedup_exact,
+        """WITH keyed AS (
+             SELECT doc_id, lang, source, sha256(text) AS digest
+             FROM documents
+           ), keepers AS (
+             SELECT digest, min(doc_id) AS doc_id FROM keyed GROUP BY digest
+           )
+           SELECT k.doc_id, k.lang, k.source
+           FROM keyed k JOIN keepers USING (digest, doc_id)""",
+    ),
+    "q_dedup_near": QuerySpec(q_dedup_near, None),       # xxhash64 family
+    "q_dedup_simhash": QuerySpec(q_dedup_simhash, None), # xxhash64 family
+    "q_dedup_ngram": QuerySpec(
+        q_dedup_ngram,
+        _NGRAM_ORACLE,
+    ),
+    "q_dedup_cluster": QuerySpec(
+        q_dedup_cluster,
+        f"""WITH RECURSIVE pairs AS ({_NGRAM_ORACLE}),
+           edges AS (
+             SELECT id_a AS a, id_b AS b FROM pairs
+             UNION ALL
+             SELECT id_b AS a, id_a AS b FROM pairs
+           ),
+           reach(src, node) AS (
+             SELECT doc_id, doc_id FROM documents
+             UNION
+             SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node
+           )
+           SELECT src AS doc_id, min(node) AS cluster_id,
+                  (min(node) = src) AS is_canonical
+           FROM reach GROUP BY src""",
     ),
     "q_dedup_embedding": QuerySpec(q_dedup_embedding, None),  # LSH family
     "q_sim_topk": QuerySpec(

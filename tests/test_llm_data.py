@@ -307,3 +307,33 @@ def test_block_pack_overflow_bounded(spark):
     out = q_pack_sequences(spark, SF).toPandas()
     fills = out.groupby(["shard", "bin_id"]).n_tok.agg(["sum", "max"])
     assert (fills["sum"] < 512 + fills["max"]).all()
+
+
+def test_connected_components_topology(spark):
+    """Chain, triangle-with-tail, and singletons all label with the
+    component min; convergence needs diameter rounds (chain tests it)."""
+    from python_darima_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [
+            (1, 2), (2, 3), (3, 4), (4, 5),     # chain 1-5 (diameter 4)
+            (10, 11), (11, 12), (10, 12),       # triangle
+            (12, 13),                           # tail on the triangle
+            (20, 21),                           # plain pair
+        ],
+        "id_a int, id_b int",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 4, 5, 10, 11, 12, 13, 20, 21, 99]],
+        "doc_id int",
+    )
+    got = {
+        r.doc_id: r.cluster_id
+        for r in connected_components(edges, nodes, "doc_id").collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10, 12: 10, 13: 10,
+        20: 20, 21: 20,
+        99: 99,  # singleton keeps its own label
+    }
