@@ -35,6 +35,7 @@ HEADLINE = [
     "q_udf_scalar",
     "q_json_fns",
     "q_ts_resample",
+    "q_ts_gapfill",
     "q_ts_fit_combine",
     "q_ts_many_series",
     "q_sink_parquet",
@@ -44,6 +45,7 @@ HEADLINE = [
     "q_dedup_near",
     "q_sim_topk",
     "q_text_stats",
+    "q_doc_chunk",
     "q_pack_sequences",
     "q_ts_rollup",
 ]

@@ -80,6 +80,8 @@ _PRIORITY = [
     "q_scan_pruned",
     "q_stream_stream_join",
     "q_dedup_cluster",
+    "q_window_range",
+    "q_agg_sketch_rollup",
     # scans & sinks
     "q_scan_parquet",
     "q_sink_parquet",
@@ -91,8 +93,6 @@ _PRIORITY = [
     "q_join_range",
     "q_join_asof",
     # UDF surfaces
-    "q_udf_grouped_map",
-    "q_udaf_grouped_agg",
     # DARIMA domain
     "q_ts_resample",
     "q_ts_fit_combine",
@@ -111,7 +111,9 @@ _PRIORITY = [
     "q_window_rank",
     "q_window_frame",
     "q_udf_scalar",
+    "q_udf_grouped_map",
     "q_udf_cogrouped_map",
+    "q_udaf_grouped_agg",
     "q_join_outer",
     "q_dedup_ngram",
     "q_scan_csv",

@@ -385,6 +385,39 @@ def q_agg_approx(spark: SparkSession, sf: str) -> DataFrame:
 
 # --- windows ---------------------------------------------------------------
 
+def q_agg_sketch_rollup(spark: SparkSession, sf: str) -> DataFrame:
+    """REAGGREGATABLE sketches — the pattern behind incremental rollups at
+    scale: per-(day, event_type) HLL sketches built once, then UNIONED to
+    per-type distinct-user estimates without touching raw rows again. At
+    100 TB you persist the daily sketch table (a few KB per group instead
+    of the raw keys) and answer any coarser rollup from it. Hash-checked
+    like q_agg_approx: exact counts + a within-5% flag for the unioned
+    estimate (deterministic for given data; oracle states TRUE)."""
+    e = load(spark, sf, "events").select(
+        F.date_trunc("day", "ts").alias("day"), "event_type", "user_id"
+    )
+    daily = e.groupBy("day", "event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("_est")
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return (
+        exact.join(merged, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("_est") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("reagg_ok"),
+        )
+    )
+
+
 def q_window_rank(spark: SparkSession, sf: str) -> DataFrame:
     """rank/dense_rank/row_number/ntile. ntile over (series, ts) is exactly
     the engine's contiguous series splitter (SURVEY §1.4)."""
@@ -435,6 +468,27 @@ def q_window_frame(spark: SparkSession, sf: str) -> DataFrame:
         F.round(F.avg("value").over(w), 4).alias("rolling_avg5"),
         F.round(F.sum("value").over(w), 4).alias("rolling_sum5"),
         F.count("*").over(w).alias("rolling_n"),
+    )
+
+
+def q_window_range(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-RANGE frame (vs q_window_frame's row count): trailing 6-hour
+    per-user aggregates. The frame is defined on the VALUE of the order
+    key (epoch seconds), so ties are peers and the result is
+    order-insensitive — rows/range is exactly the distinction the two
+    queries demonstrate. Same scale shape as any per-key window: one
+    keyed exchange + per-key sort."""
+    e = load(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-21600, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.count("*").over(w).alias("n_6h"),
+        F.round(F.sum("value").over(w), 4).alias("sum_6h"),
     )
 
 
@@ -699,6 +753,13 @@ QUERIES = {
                   TRUE AS approx_events_ok
            FROM events""",
     ),
+    "q_agg_sketch_rollup": QuerySpec(
+        q_agg_sketch_rollup,
+        """SELECT event_type,
+                  count(DISTINCT user_id) AS exact_users,
+                  TRUE AS reagg_ok
+           FROM events GROUP BY event_type""",
+    ),
     "q_window_rank": QuerySpec(
         q_window_rank,
         """SELECT * FROM (
@@ -731,6 +792,16 @@ QUERIES = {
            FROM events
            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
                         ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)""",
+    ),
+    "q_window_range": QuerySpec(
+        q_window_range,
+        """SELECT event_id, user_id,
+                  COUNT(*) OVER w AS n_6h,
+                  ROUND(SUM(value) OVER w, 4) AS sum_6h
+           FROM events
+           WINDOW w AS (PARTITION BY user_id
+                        ORDER BY CAST(floor(epoch(CAST(ts AS TIMESTAMP))) AS BIGINT)
+                        RANGE BETWEEN 21600 PRECEDING AND CURRENT ROW)""",
     ),
     "q_sessionize": QuerySpec(
         q_sessionize,
