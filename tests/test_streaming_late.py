@@ -25,10 +25,10 @@ H = 3600
 T0 = 1704067200  # 2024-01-01 00:00:00 UTC, hour-aligned
 
 
-def _write_chunks(spark, path, chunks):
+def _write_chunks(spark, path, chunks, start=1):
     import time
 
-    for i, rows in enumerate(chunks, start=1):
+    for i, rows in enumerate(chunks, start=start):
         df = spark.createDataFrame(
             [
                 (eid, int((T0 + off) * 1_000_000_000), 1, "a", 1.0, "{}")
@@ -101,3 +101,58 @@ def test_tumbling_batch_equivalence_counts_everything(spark):
     static = static.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     out = tumbling_agg(static).collect()
     assert {int(r.wstart.timestamp() - T0) // H: r.n for r in out} == {0: 2, 3: 1}
+
+
+def test_checkpoint_restart_exactly_once(spark):
+    """Kill-and-resume: run availableNow over chunks 1-2 into a parquet
+    file sink with a checkpoint, then add chunks 3-4 and RE-start the
+    same query against the same checkpoint + output dir. The resumed run
+    must pick up from the recorded offsets — the final sink contents
+    equal one uninterrupted replay's (no re-emitted windows, no gaps),
+    which is the exactly-once file-sink contract restarts rely on."""
+    base = tempfile.mkdtemp(prefix="pds_restart_")
+    src = os.path.join(base, "src")
+    out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
+    os.makedirs(src)
+
+    all_chunks = [
+        [(1, 10 * 60), (2, 20 * 60), (3, 30 * 60)],
+        [(4, 3 * H + 30 * 60)],           # watermark passes hour 0
+        [(5, 4 * H + 10 * 60)],
+        [(6, 7 * H + 45 * 60)],           # watermark passes hours 3-4
+    ]
+
+    def run_phase(lo, hi):
+        # ADD chunks [lo, hi) — never rewrite earlier ones: source files
+        # are immutable to a file stream; rewriting a chunk creates new
+        # file names the source would (correctly) treat as new data
+        _write_chunks(spark, src, all_chunks[lo:hi], start=lo + 1)
+        q = (
+            tumbling_agg(read_event_stream(spark, src))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        assert not q.isActive
+
+    run_phase(0, 2)  # phase 1: chunks 1-2, then the query STOPS
+    first = spark.read.parquet(out).collect()
+    run_phase(2, 4)  # phase 2: same checkpoint, chunks 3-4 appear
+
+    got = {
+        (r.wstart.hour, r.event_type): (r.n, r.sum_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    # phase-1 output is a prefix (no re-emission of hour 0)
+    assert len(first) == 1 and first[0].wstart.hour == 0
+    # closed windows: hour 0 (3 events), hour 3 (1), hour 4 (1);
+    # hour 7 stays open (watermark 05:45 < 08:00)
+    assert got == {
+        (0, "a"): (3, 3.0),
+        (3, "a"): (1, 1.0),
+        (4, "a"): (1, 1.0),
+    }
