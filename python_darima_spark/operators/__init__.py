@@ -2,7 +2,22 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def epoch_seconds(col: Column | str, fractional: bool = False) -> Column:
+    """Timestamp → epoch seconds, portable across timestamp flavors.
+
+    Spark ≥4.1 reads parquet ``isAdjustedToUTC=false`` timestamps (all of
+    this repo's testdata) as TIMESTAMP_NTZ, which has NO direct numeric
+    cast (``CAST(ntz AS BIGINT)`` is DATATYPE_MISMATCH). Routing through
+    TIMESTAMP first is identity under the engine's pinned UTC session
+    timezone (session.py) and keeps the whole expression JVM-side inside
+    whole-stage codegen.
+    """
+    c = col if isinstance(col, Column) else F.col(col)
+    return c.cast("timestamp").cast("double" if fractional else "long")
 
 
 def fan_out(df: DataFrame, *key_cols: str) -> DataFrame:

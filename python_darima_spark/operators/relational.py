@@ -6,6 +6,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from python_darima_spark.operators import epoch_seconds
+
 
 def asof_join(
     left: DataFrame,
@@ -123,12 +125,12 @@ def range_join(
         "_bkt",
         F.explode(
             F.sequence(
-                F.floor(F.col(lo_ts).cast("long") / b),
-                F.floor(F.col(hi_ts).cast("long") / b),
+                F.floor(epoch_seconds(lo_ts) / b),
+                F.floor(epoch_seconds(hi_ts) / b),
             )
         ),
     )
-    p = points.withColumn("_bkt", F.floor(F.col(point_ts).cast("long") / b))
+    p = points.withColumn("_bkt", F.floor(epoch_seconds(point_ts) / b))
     return (
         p.join(i, on=[on, "_bkt"])
         .where(F.col(point_ts).between(F.col(lo_ts), F.col(hi_ts)))

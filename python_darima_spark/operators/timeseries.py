@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from python_darima_spark.operators import fan_out
+from python_darima_spark.operators import epoch_seconds, fan_out
 
 
 def resample_regular(
@@ -126,8 +126,12 @@ def interpolate_linear(
     prev_ts = F.last(obs_ts, ignorenulls=True).over(w_prev)
     next_y = F.first(y, ignorenulls=True).over(w_next)
     next_ts = F.first(obs_ts, ignorenulls=True).over(w_next)
-    frac = (F.col(ts_col).cast("double") - prev_ts.cast("double")) / (
-        next_ts.cast("double") - prev_ts.cast("double")
+    frac = (
+        epoch_seconds(F.col(ts_col), fractional=True)
+        - epoch_seconds(prev_ts, fractional=True)
+    ) / (
+        epoch_seconds(next_ts, fractional=True)
+        - epoch_seconds(prev_ts, fractional=True)
     )
     interp = prev_y + (next_y - prev_y) * frac
     return df.withColumn(

@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 EVENTS_SCHEMA = (
-    "event_id long, ts long, user_id long, event_type string, "
+    "event_id long, ts timestamp_ntz, user_id long, event_type string, "
     "value double, props string"
 )
 
@@ -162,7 +162,9 @@ def stage_event_chunks(
     """Write events as ``num_chunks`` time-ordered parquet files so a file
     stream replays them as in-order micro-batches. Cached per sf_dir."""
     tag = os.path.basename(os.path.normpath(sf_dir))
-    path = os.path.join(tempfile.gettempdir(), f"pds_stream_events_{tag}_{num_chunks}")
+    path = os.path.join(
+        tempfile.gettempdir(), f"pds_stream_events_v2_{tag}_{num_chunks}"
+    )
     done = os.path.join(path, "_STAGED")
     if not os.path.exists(done):
         # Chunk boundaries from ts quantiles — a cheap sketch pass instead
@@ -172,21 +174,27 @@ def stage_event_chunks(
         # time), but each chunk file is still sorted: first-arrival dedup
         # (q_stream_dedup) keeps the row seen first, so intra-batch scan
         # order is part of the replay contract.
-        raw = spark.read.parquet(
-            f"{sf_dir}/events.parquet"
-        ).persist()  # ts stays long (nanos)
+        from python_darima_spark.operators import epoch_seconds
+        from python_darima_spark.queries import load
+
+        raw = (
+            load(spark, sf_dir, "events")
+            .withColumn("_es", epoch_seconds("ts", fractional=True))
+            .persist()
+        )
         qs = [i / num_chunks for i in range(1, num_chunks)]
-        cuts = raw.approxQuantile("ts", qs, 0.001)
+        cuts = raw.approxQuantile("_es", qs, 0.001)
         lo = [None, *cuts]
         hi = [*cuts, None]
         for i in range(1, num_chunks + 1):
             pred = F.lit(True)
             if lo[i - 1] is not None:
-                pred = F.col("ts") >= F.lit(int(lo[i - 1]))
+                pred = F.col("_es") >= F.lit(float(lo[i - 1]))
             if hi[i - 1] is not None:
-                pred = pred & (F.col("ts") < F.lit(int(hi[i - 1])))
+                pred = pred & (F.col("_es") < F.lit(float(hi[i - 1])))
             (
                 raw.where(pred)
+                .drop("_es")
                 .sort("ts", "event_id")
                 .coalesce(1)
                 .write.mode("overwrite")
@@ -198,17 +206,18 @@ def stage_event_chunks(
 
 
 def read_event_stream(spark: SparkSession, staged_path: str) -> DataFrame:
-    """File-source stream over the staged chunks, one file per micro-batch,
-    nanos→timestamp normalized exactly like the batch loader."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    """File-source stream over the staged chunks, one file per micro-batch.
+    The chunks are written by :func:`stage_event_chunks` from the already
+    ts-normalized batch loader. Event-time watermarks REQUIRE the TIMESTAMP
+    type (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on TIMESTAMP_NTZ), so the
+    NTZ column is cast once at the source — wall-clock identity under the
+    engine's pinned UTC session timezone."""
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", 1)
         .parquet(staged_path + "/chunk=*")
     )
-    # `div` (integer division) — float /1000 loses sub-256ns precision at
-    # epoch-nanos magnitudes and rounds the microsecond.
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def run_stream_to_files(

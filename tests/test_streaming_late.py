@@ -27,15 +27,18 @@ T0 = 1704067200  # 2024-01-01 00:00:00 UTC, hour-aligned
 
 def _write_chunks(spark, path, chunks, start=1):
     import time
+    from datetime import datetime, timezone
+
+    def _ntz(off):
+        return datetime.fromtimestamp(T0 + off, tz=timezone.utc).replace(
+            tzinfo=None
+        )
 
     for i, rows in enumerate(chunks, start=start):
         df = spark.createDataFrame(
-            [
-                (eid, int((T0 + off) * 1_000_000_000), 1, "a", 1.0, "{}")
-                for eid, off in rows
-            ],
-            "event_id long, ts long, user_id long, event_type string, "
-            "value double, props string",
+            [(eid, _ntz(off), 1, "a", 1.0, "{}") for eid, off in rows],
+            "event_id long, ts timestamp_ntz, user_id long, "
+            "event_type string, value double, props string",
         )
         d = os.path.join(path, f"chunk={i:03d}")
         df.coalesce(1).write.mode("overwrite").parquet(d)
@@ -93,12 +96,10 @@ def test_tumbling_batch_equivalence_counts_everything(spark):
     path = tempfile.mkdtemp(prefix="pds_late_events_b_")
     rows = [(1, 10 * 60), (2, 40 * 60), (3, 3 * H)]
     _write_chunks(spark, path, [rows])
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.schema(
-        "event_id long, ts long, user_id long, event_type string, "
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, "
         "value double, props string"
     ).parquet(path + "/chunk=*")
-    static = static.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     out = tumbling_agg(static).collect()
     assert {int(r.wstart.timestamp() - T0) // H: r.n for r in out} == {0: 2, 3: 1}
 
