@@ -33,6 +33,7 @@ _MODULES = [
     "python_darima_spark.queries.domain",
     "python_darima_spark.queries.llm_data",
     "python_darima_spark.queries.streaming_q",
+    "python_darima_spark.queries.tpch",
 ]
 
 # Execution order: the driver's round-1 correctness pass stopped after
@@ -82,29 +83,36 @@ _PRIORITY = [
     "q_dedup_cluster",
     "q_window_range",
     "q_agg_sketch_rollup",
-    # scans & sinks
+    # round-2 second-batch additions (all SQL-oracled, no prior row)
+    "q_tpch_q1",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_agg_mode_median",
+    "q_hist_bucket",
+    "q_scan_dpp",
+    "q_group_sample",
+    "q_embed_normalize",
+    "q_text_pii",
+    "q_ts_seasonal",
+    # high-centrality round-1-verified re-checks (flagship of each family)
     "q_scan_parquet",
-    "q_sink_parquet",
-    # joins
     "q_join_inner",
+    "q_ts_fit_combine",
+    "q_dedup_near",
+    "q_sink_parquet",
+    # --- position 50 boundary: everything below was verified by the
+    # driver in round 1 (CORRECTNESS_r01.json) and re-verified locally in
+    # the full probe — the least costly entries to lose to a budget cap ---
     "q_join_broadcast",
     "q_join_semi_anti",
     "q_join_theta",
     "q_join_range",
     "q_join_asof",
-    # UDF surfaces
-    # DARIMA domain
     "q_ts_resample",
-    "q_ts_fit_combine",
     "q_ts_forecast",
-    # dedup family
     "q_dedup_exact",
-    "q_dedup_near",
     "q_dedup_simhash",
     "q_dedup_embedding",
-    # --- position 50 boundary: everything below was hash-verified by the
-    # driver in round 1 (CORRECTNESS_r01.json) and re-verified locally in
-    # PROBE_r02.json — the least costly entries to lose to a budget cap ---
     "q_agg_hash",
     "q_agg_distinct",
     "q_agg_sets",

@@ -49,6 +49,33 @@ def q_ts_forecast(spark: SparkSession, sf: str) -> DataFrame:
     return forecast(series, coefs, h=24, cfg=_CFG)
 
 
+def q_ts_seasonal(spark: SparkSession, sf: str) -> DataFrame:
+    """Hour-of-day seasonal profile per series: per-(series, hod) mean,
+    support count, and the additive seasonal component (profile mean −
+    series mean). This is the period-m seasonal-naive baseline the MASE
+    scaling divides by (ref R32 semantics, /root/reference/darima.py:451-454
+    with the seasonal-lag fix per SURVEY §2A). Two hash aggs sharing the
+    series_id key + one join of 24-row profiles — the join side is tiny
+    per series, so AQE broadcasts it; no windows, no Python."""
+    ev = load(spark, sf, "events")
+    base = ev.select(
+        F.col("event_type").alias("series_id"),
+        F.hour("ts").alias("hod"),
+        F.col("value").alias("y"),
+    )
+    prof = base.groupBy("series_id", "hod").agg(
+        F.avg("y").alias("_hm"), F.count("*").alias("n")
+    )
+    mu = base.groupBy("series_id").agg(F.avg("y").alias("_m"))
+    return prof.join(mu, "series_id").select(
+        "series_id",
+        "hod",
+        F.round("_hm", 4).alias("hod_mean"),
+        "n",
+        F.round(F.col("_hm") - F.col("_m"), 4).alias("seasonal"),
+    )
+
+
 def q_ts_many_series(spark: SparkSession, sf: str) -> DataFrame:
     """Many-series scale probe: the reference workload is 10 series; this
     derives ~10k short series (event_type × user_id mod 2000) and runs the
@@ -193,4 +220,19 @@ QUERIES = {
     "q_ts_fit_combine": QuerySpec(q_ts_fit_combine, None),
     "q_ts_forecast": QuerySpec(q_ts_forecast, None),
     "q_ts_many_series": QuerySpec(q_ts_many_series, None),  # iterative fit
+    "q_ts_seasonal": QuerySpec(
+        q_ts_seasonal,
+        """WITH prof AS (
+             SELECT event_type AS series_id,
+                    CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hod,
+                    avg(value) AS hm, count(*) AS n
+             FROM events GROUP BY 1, 2
+           ), mu AS (
+             SELECT event_type AS series_id, avg(value) AS m
+             FROM events GROUP BY 1
+           )
+           SELECT p.series_id, p.hod, round(p.hm, 4) AS hod_mean, p.n,
+                  round(p.hm - mu.m, 4) AS seasonal
+           FROM prof p JOIN mu USING (series_id)""",
+    ),
 }

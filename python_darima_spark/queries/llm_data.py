@@ -202,6 +202,90 @@ def q_doc_chunk(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_group_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-stratum sample: 5 docs per language, picked by
+    md5 order of the doc id — the engine-portable stand-in for per-group
+    reservoir sampling (a hash of the key IS a uniform random draw, but
+    reproducible at any partitioning and restatable in SQL). One per-key
+    window sort over (lang); rank kept so downstream can re-cut to k<5
+    without recomputing."""
+    docs = ensure_parallelism(load(spark, sf, "documents"))
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("doc_id", "lang", "rank")
+    )
+
+
+def q_embed_normalize(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding L2-normalize + symmetric int8 quantization (the standard
+    pre-index compression: unit-normalize, then round(x·127) per
+    component). All JVM higher-order functions (transform/aggregate) —
+    no UDF, no shuffle; emitted as per-vector scalars (norm + quantized
+    checksums) because list columns don't hash stably across engines.
+    At 100 TB this is the map stage feeding the IVF/LSH index builders
+    (operators/similarity.py)."""
+    emb = ensure_parallelism(load(spark, sf, "embeddings"))
+    sq = F.aggregate(
+        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    e = emb.withColumn("_norm", F.sqrt(sq))
+    quant = F.transform(
+        "embedding",
+        lambda x: F.round(x.cast("double") / F.col("_norm") * 127).cast("int"),
+    )
+    q = e.withColumn("_q", quant)
+    return q.select(
+        "vec_id",
+        F.round("_norm", 4).alias("l2_norm"),
+        F.aggregate("_q", F.lit(0), lambda a, x: a + x).alias("q_sum"),
+        F.array_min("_q").alias("q_min"),
+        F.array_max("_q").alias("q_max"),
+    )
+
+
+def q_text_pii(spark: SparkSession, sf: str) -> DataFrame:
+    """PII redaction (the C4/Dolma-style scrub): emails and phone-shaped
+    digit runs replaced with typed placeholders. The fixture corpus is
+    synthetic, so PII is INJECTED deterministically first (every 7th doc
+    gets a per-doc email + phone appended) — the injection is part of
+    both formulations, so the oracle checks the redaction regexes, not
+    the fixture. Map-only JVM regexp_replace; counts via
+    regexp_extract_all so the claim 'n redactions' is itself checked."""
+    docs = ensure_parallelism(load(spark, sf, "documents"))
+    email_re = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone_re = r"\b\d{3}-\d{4}\b"
+    with_pii = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com or 555-0142"),
+        ),
+    ).otherwise(F.col("text"))
+    t = docs.select("doc_id", with_pii.alias("_t"))
+    red = F.regexp_replace(
+        F.regexp_replace("_t", email_re, "[EMAIL]"), phone_re, "[PHONE]"
+    )
+    return t.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("_t", F.lit(email_re), F.lit(0))).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all("_t", F.lit(phone_re), F.lit(0))).alias(
+            "n_phones"
+        ),
+        F.length(red).alias("redacted_len"),
+        F.substring(red, 1, 40).alias("redacted_head"),
+    )
+
+
 def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     """Sequence packing: assign documents to fixed token-budget bins
     (capacity 512 BPE-ish tokens) for context-window batching.
@@ -511,6 +595,66 @@ QUERIES = {
                   substr(text, st, 64) AS chunk,
                   CAST(length(substr(text, st, 64)) AS INT) AS chunk_len
            FROM s""",
+    ),
+    "q_group_sample": QuerySpec(
+        q_group_sample,
+        """SELECT doc_id, lang, rank FROM (
+             SELECT doc_id, lang,
+                    row_number() OVER (
+                        PARTITION BY lang
+                        ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                    ) AS rank
+             FROM documents)
+           WHERE rank <= 5""",
+    ),
+    "q_embed_normalize": QuerySpec(
+        q_embed_normalize,
+        """WITH n AS (
+             SELECT vec_id, embedding,
+                    sqrt(list_aggregate(list_transform(embedding,
+                         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+                         'sum')) AS nr
+             FROM embeddings
+           ), q AS (
+             SELECT vec_id, nr,
+                    list_transform(embedding,
+                        x -> CAST(round(CAST(x AS DOUBLE) / nr * 127)
+                                  AS INTEGER)) AS qv
+             FROM n
+           )
+           SELECT vec_id, round(nr, 4) AS l2_norm,
+                  CAST(list_aggregate(qv, 'sum') AS INTEGER) AS q_sum,
+                  CAST(list_aggregate(qv, 'min') AS INTEGER) AS q_min,
+                  CAST(list_aggregate(qv, 'max') AS INTEGER) AS q_max
+           FROM q""",
+    ),
+    "q_text_pii": QuerySpec(
+        q_text_pii,
+        """WITH t AS (
+             SELECT doc_id,
+                    CASE WHEN doc_id % 7 = 0
+                         THEN text || ' contact user'
+                              || CAST(doc_id AS VARCHAR)
+                              || '@example.com or 555-0142'
+                         ELSE text END AS t
+             FROM documents
+           ), r AS (
+             SELECT doc_id, t,
+                    regexp_replace(
+                        regexp_replace(t,
+                            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                            '[EMAIL]', 'g'),
+                        '\\b\\d{3}-\\d{4}\\b', '[PHONE]', 'g') AS red
+             FROM t
+           )
+           SELECT doc_id,
+                  len(regexp_extract_all(t,
+                      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                      AS n_emails,
+                  len(regexp_extract_all(t, '\\b\\d{3}-\\d{4}\\b')) AS n_phones,
+                  CAST(length(red) AS BIGINT) AS redacted_len,
+                  substr(red, 1, 40) AS redacted_head
+           FROM r""",
     ),
     "q_pack_sequences": QuerySpec(
         q_pack_sequences,

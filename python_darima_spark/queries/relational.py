@@ -16,6 +16,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from python_darima_spark.operators import epoch_seconds
 from python_darima_spark.queries import QuerySpec, load
 
 
@@ -265,6 +266,88 @@ def q_agg_percentile(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_agg_mode_median(spark: SparkSession, sf: str) -> DataFrame:
+    """Grouped median (continuous interpolation, DuckDB quantile_cont
+    twin) + DETERMINISTIC mode: built-in ``mode()`` leaves ties
+    engine-defined, so the mode is restated as count-per-value →
+    row_number(count DESC, value ASC) — the same two-phase shape either
+    engine plans, with an explicit tie-break both sides agree on. Scale:
+    the count agg shuffles (group, value) pairs — bounded by distinct
+    values per group — and the window sorts only those."""
+    li = load(spark, sf, "lineitem")
+    counts = li.groupBy("l_returnflag", "l_quantity").agg(
+        F.count("*").alias("_c")
+    )
+    w = Window.partitionBy("l_returnflag").orderBy(
+        F.desc("_c"), F.asc("l_quantity")
+    )
+    modes = (
+        counts.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("l_returnflag", F.col("l_quantity").alias("mode_qty"))
+    )
+    med = li.groupBy("l_returnflag").agg(
+        F.round(F.median("l_quantity"), 4).alias("median_qty")
+    )
+    return med.join(modes, "l_returnflag").select(
+        "l_returnflag", "median_qty", "mode_qty"
+    )
+
+
+def q_hist_bucket(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-width histogram: o_totalprice into 10 × 50k buckets (top
+    bucket clamped open-ended). Pure map-side arithmetic + one 10-row
+    hash agg — the degenerate-cheap shape a 100 TB profile scan should
+    compile to; no windows, no sort, projection pruned to one column."""
+    o = load(spark, sf, "orders")
+    bucket = F.least(F.floor(F.col("o_totalprice") / 50000), F.lit(9)).cast(
+        "long"
+    )
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("min_price"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+    )
+
+
+def q_scan_dpp(spark: SparkSession, sf: str) -> DataFrame:
+    """DYNAMIC partition pruning: the lang-partitioned documents table
+    (same staged store as q_scan_pruned) joined to a dimension computed
+    AT RUNTIME (top-2 languages by doc count) — the filter can't constant
+    fold, so Catalyst injects a dynamic-pruning subquery and the fact scan
+    opens only the surviving partition directories
+    (``dynamicpruningexpression`` in PartitionFilters, asserted in
+    tests/test_sinks.py). The 100 TB pattern: date-partitioned fact ⋈
+    filtered dim without ever listing the cold partitions."""
+    path = os.path.join(
+        tempfile.gettempdir(), f"pds_docs_bylang_{os.path.basename(sf)}"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        load(spark, sf, "documents").select(
+            "doc_id", "source", "n_chars", "lang"
+        ).write.mode("overwrite").partitionBy("lang").parquet(path)
+    docs = spark.read.parquet(path)
+    top2 = (
+        load(spark, sf, "documents")
+        .groupBy(F.col("lang").alias("dim_lang"))
+        .agg(F.count("*").alias("_n"))
+        .orderBy(F.desc("_n"), F.asc("dim_lang"))
+        .limit(2)
+        .select("dim_lang")
+    )
+    return (
+        docs.join(F.broadcast(top2), docs.lang == top2.dim_lang)
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+    )
+
+
 def q_pivot(spark: SparkSession, sf: str) -> DataFrame:
     """Pivot (long → wide): order totals per status spread over priority
     columns. Spark's ``pivot`` with an EXPLICIT value list — never the
@@ -481,7 +564,7 @@ def q_window_range(spark: SparkSession, sf: str) -> DataFrame:
     e = load(spark, sf, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
+        .orderBy(epoch_seconds("ts"))
         .rangeBetween(-21600, 0)
     )
     return e.select(
@@ -501,7 +584,7 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     same hash partitioning, so the whole query is a single exchange."""
     e = load(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    gap = epoch_seconds("ts") - F.lag(epoch_seconds("ts")).over(w)
     flagged = e.select(
         "user_id",
         "ts",
@@ -690,6 +773,45 @@ QUERIES = {
                   round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
                   round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price
            FROM lineitem GROUP BY l_returnflag""",
+    ),
+    "q_agg_mode_median": QuerySpec(
+        q_agg_mode_median,
+        """WITH counts AS (
+             SELECT l_returnflag, l_quantity, count(*) AS c
+             FROM lineitem GROUP BY 1, 2
+           ), modes AS (
+             SELECT l_returnflag, l_quantity AS mode_qty,
+                    row_number() OVER (PARTITION BY l_returnflag
+                                       ORDER BY c DESC, l_quantity) AS rn
+             FROM counts
+           ), med AS (
+             SELECT l_returnflag,
+                    round(quantile_cont(l_quantity, 0.5), 4) AS median_qty
+             FROM lineitem GROUP BY 1
+           )
+           SELECT med.l_returnflag, med.median_qty, m.mode_qty
+           FROM med
+           JOIN (SELECT l_returnflag, mode_qty FROM modes WHERE rn = 1) m
+             USING (l_returnflag)""",
+    ),
+    "q_hist_bucket": QuerySpec(
+        q_hist_bucket,
+        """SELECT CAST(least(floor(o_totalprice / 50000), 9) AS BIGINT) AS bucket,
+                  count(*) AS n,
+                  round(min(o_totalprice), 2) AS min_price,
+                  round(max(o_totalprice), 2) AS max_price
+           FROM orders GROUP BY 1""",
+    ),
+    "q_scan_dpp": QuerySpec(
+        q_scan_dpp,
+        """SELECT lang, count(*) AS n_docs,
+                  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+           FROM documents
+           WHERE lang IN (SELECT lang FROM documents
+                          GROUP BY lang
+                          ORDER BY count(*) DESC, lang
+                          LIMIT 2)
+           GROUP BY lang""",
     ),
     "q_agg_collect": QuerySpec(
         q_agg_collect,
