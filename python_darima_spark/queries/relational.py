@@ -330,16 +330,17 @@ def q_scan_dpp(spark: SparkSession, sf: str) -> DataFrame:
             "doc_id", "source", "n_chars", "lang"
         ).write.mode("overwrite").partitionBy("lang").parquet(path)
     docs = spark.read.parquet(path)
-    top2 = (
+    # The dim must carry a FILTER predicate (not a limit) for Catalyst's
+    # DPP rule to consider the join prunable; langs seen in long src0
+    # docs is computed at runtime, never constant-folded.
+    dim = (
         load(spark, sf, "documents")
-        .groupBy(F.col("lang").alias("dim_lang"))
-        .agg(F.count("*").alias("_n"))
-        .orderBy(F.desc("_n"), F.asc("dim_lang"))
-        .limit(2)
-        .select("dim_lang")
+        .where((F.col("source") == "src0") & (F.col("n_chars") >= 600))
+        .select(F.col("lang").alias("dim_lang"))
+        .distinct()
     )
     return (
-        docs.join(F.broadcast(top2), docs.lang == top2.dim_lang)
+        docs.join(F.broadcast(dim), docs.lang == dim.dim_lang)
         .groupBy("lang")
         .agg(
             F.count("*").alias("n_docs"),
@@ -807,10 +808,8 @@ QUERIES = {
         """SELECT lang, count(*) AS n_docs,
                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
            FROM documents
-           WHERE lang IN (SELECT lang FROM documents
-                          GROUP BY lang
-                          ORDER BY count(*) DESC, lang
-                          LIMIT 2)
+           WHERE lang IN (SELECT DISTINCT lang FROM documents
+                          WHERE source = 'src0' AND n_chars >= 600)
            GROUP BY lang""",
     ),
     "q_agg_collect": QuerySpec(

@@ -83,3 +83,29 @@ def test_scan_pruned_plan_has_partition_filters(spark, sf_dir):
     docs = load(spark, sf_dir, "documents")
     want = docs.where(F.col("lang").isin("en", "de")).count()
     assert df.count() == want
+
+
+def test_scan_dpp_plan_has_dynamic_pruning(spark, sf_dir):
+    """q_scan_dpp's runtime dimension filter must inject a dynamic-pruning
+    subquery into the fact scan's PartitionFilters — the fact side opens
+    only the partition directories surviving the dim filter, decided at
+    run time (vs q_scan_pruned's planning-time constant pruning)."""
+    from python_darima_spark.queries.relational import q_scan_dpp
+
+    df = q_scan_dpp(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruningexpression" in plan.lower(), plan[:1200]
+    # result equals the static restatement of the runtime dim filter
+    docs = load(spark, sf_dir, "documents")
+    langs = [
+        r.lang
+        for r in docs.where(
+            (F.col("source") == "src0") & (F.col("n_chars") >= 600)
+        )
+        .select("lang")
+        .distinct()
+        .collect()
+    ]
+    want = docs.where(F.col("lang").isin(langs)).groupBy("lang").count()
+    got = {r.lang: r.n_docs for r in df.collect()}
+    assert got == {r.lang: r["count"] for r in want.collect()}
