@@ -48,6 +48,10 @@ HEADLINE = [
     "q_doc_chunk",
     "q_pack_sequences",
     "q_ts_rollup",
+    "q_tpch_q1",
+    "q_tpch_q3",
+    "q_tpch_q5",
+    "q_embed_normalize",
 ]
 
 
