@@ -100,9 +100,15 @@ _PRIORITY = [
     "q_ts_fit_combine",
     "q_dedup_near",
     "q_sink_parquet",
-    # --- position 50 boundary: everything below was verified by the
-    # driver in round 1 (CORRECTNESS_r01.json) and re-verified locally in
-    # the full probe — the least costly entries to lose to a budget cap ---
+    # --- position 50 boundary ---
+    # First below the cut: entries with no driver row yet that did NOT fit
+    # this round's window — the front of round 3's queue. Locally verified
+    # in the full probe artifact like everything else.
+    "q_json_variant",
+    "q_udtf_table",
+    # Everything further below was verified by the driver in round 1
+    # (CORRECTNESS_r01.json) and re-verified locally in the full probe —
+    # the least costly entries to lose to a budget cap.
     "q_join_broadcast",
     "q_join_semi_anti",
     "q_join_theta",

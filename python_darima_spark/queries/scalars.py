@@ -127,6 +127,25 @@ def q_json_fns(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_json_variant(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): ``parse_json`` once into a
+    binary variant, then typed ``variant_get`` extractions — the
+    schema-on-read pattern for heterogeneous event payloads. Unlike
+    ``from_json`` (fixed schema up front) the variant parses once and
+    serves any later path/type ask; ``try_parse_json`` shows the
+    null-on-malformed contract. All JVM expressions, map-only."""
+    e = load(spark, sf, "events")
+    v = F.parse_json("props")
+    bad = F.try_parse_json(F.concat(F.lit("{"), F.col("event_type")))
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "bigint").alias("k_int"),
+        F.variant_get(v, "$.k", "string").alias("k_str"),
+        F.variant_get(v, "$.missing", "bigint").alias("k_missing"),
+        bad.isNull().alias("malformed_is_null"),
+    )
+
+
 def q_null_fns(spark: SparkSession, sf: str) -> DataFrame:
     """Null-handling scalars: coalesce / nullif / greatest / least and
     null-safe equality — the semantics every filter/join in the engine
@@ -222,6 +241,15 @@ QUERIES = {
         """SELECT event_id,
                   props ->> 'k' AS k_str,
                   CAST(props ->> 'k' AS INT) AS k_int
+           FROM events""",
+    ),
+    "q_json_variant": QuerySpec(
+        q_json_variant,
+        """SELECT event_id,
+                  CAST(props ->> 'k' AS BIGINT) AS k_int,
+                  props ->> 'k' AS k_str,
+                  CAST(props ->> 'missing' AS BIGINT) AS k_missing,
+                  TRUE AS malformed_is_null
            FROM events""",
     ),
 }

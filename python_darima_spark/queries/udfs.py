@@ -70,6 +70,33 @@ def q_udaf_grouped_agg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_udtf_table(spark: SparkSession, sf: str) -> DataFrame:
+    """Python UDTF via LATERAL correlated invocation — the table-function
+    surface (one input row → many output rows with computed columns), the
+    modern form of the reference's mapPartitions→flatMap chain (ref R5+R10,
+    /root/reference/darima.py:157-160). Arrow-batched (``useArrow``) so
+    rows cross the Python boundary in columnar batches. Body: per-doc
+    frequent words (count ≥ 3) — multi-row emission with a SQL-restatable
+    result."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="word string, n int", useArrow=True)
+    class FrequentWords:
+        def eval(self, text: str):
+            from collections import Counter
+
+            for w, c in Counter(text.split(" ")).items():
+                if c >= 3:
+                    yield w, c
+
+    spark.udtf.register("pds_frequent_words", FrequentWords)
+    load(spark, sf, "documents").createOrReplaceTempView("_pds_docs_udtf")
+    return spark.sql(
+        """SELECT d.doc_id, s.word, s.n
+           FROM _pds_docs_udtf d, LATERAL pds_frequent_words(d.text) s"""
+    )
+
+
 def q_udf_cogrouped_map(spark: SparkSession, sf: str) -> DataFrame:
     """Cogrouped-map UDF (``groupBy().cogroup().applyInPandas``) — the
     primitive the DARIMA forecast stage runs on (coefs ⨝ series per key,
@@ -137,5 +164,14 @@ QUERIES = {
                   round(sum(l_extendedprice * l_quantity) / sum(l_quantity), 4)
                       AS wavg_price
            FROM lineitem GROUP BY l_returnflag""",
+    ),
+    "q_udtf_table": QuerySpec(
+        q_udtf_table,
+        """SELECT doc_id, word, CAST(n AS INT) AS n FROM (
+             SELECT doc_id, word, count(*) AS n
+             FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS word
+                   FROM documents)
+             GROUP BY doc_id, word)
+           WHERE n >= 3""",
     ),
 }
