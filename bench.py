@@ -92,8 +92,12 @@ def main() -> None:
     # (first pass pays one-off plan compilation / codegen / broadcast
     # warmup), but EVERY rep is recorded in the JSON ("reps") plus the
     # per-query median ("queries_median") so variance is visible and the
-    # methodology (warm min-of-N since round 1) is auditable.
-    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "2")))
+    # methodology (warm min-of-N since round 1) is auditable. Default 3
+    # warm reps (round-3 advisory: min-of-2 let one noisy rep set the
+    # median); loadavg is recorded before/after so ambient contention on
+    # the shared host is visible next to the numbers.
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
+    load_before = os.getloadavg()
     timings: dict[str, float] = {}
     medians: dict[str, float] = {}
     all_reps: dict[str, list[float]] = {}
@@ -133,6 +137,9 @@ def main() -> None:
                 "queries_median": medians,
                 "reps": all_reps,
                 "methodology": f"warm min of {reps} reps (page-cache + UDF-pool warmup first); medians and raw reps alongside",
+                "loadavg_before": [round(x, 2) for x in load_before],
+                "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+                "noise_note": "shared host: ambient load inflates single reps up to ~4x (PLANS.md 2.10); compare warm minima across rounds, medians within a round",
                 "sf": sf_val,
             }
         )

@@ -65,31 +65,40 @@ def fit_windows(
 ) -> DataFrame:
     """Per-window (S)ARIMA fit → long coefficient rows.
 
-    The grouped-map UDF replaces the reference's
-    ``mapPartitions(MapDarima().map_arima)`` + rpy2 R call
-    (/root/reference/darima.py:157-159, 216-219). Emits the coef key space
-    ``beta0, beta1, ar1..ar{tol}, sigma2`` (auto_arima.R:62-65,109-113) plus
-    an ``n_obs`` row carrying the window length for DLSA normalization.
+    Replaces the reference's ``mapPartitions(MapDarima().map_arima)`` +
+    rpy2 R call (/root/reference/darima.py:157-159, 216-219). Emits the
+    coef key space ``beta0, beta1, ar1..ar{tol}, sigma2``
+    (auto_arima.R:62-65,109-113) plus an ``n_obs`` row carrying the
+    window's observation count for DLSA normalization.
+
+    Shape (round 3): each window is packed to ONE row carrying its
+    ts-sorted y array by a codegen'd JVM aggregate
+    (``array_sort(collect_list(struct(ts, y)))``), the numpy fit runs in a
+    SCALAR Arrow ``pandas_udf`` (thousands of windows per Arrow batch),
+    and the coef rows come back via a JVM ``explode(arrays_zip(...))``.
+    The previous grouped-map ``applyInPandas`` paid per-GROUP overhead
+    (one pandas DataFrame construction + sort per window) and shipped the
+    full long-form rows (series_id string repeated per observation)
+    through Arrow — measured ~12 ms/window at 15k windows vs ~0.75 ms of
+    actual fit math; this path moves grouping/sorting into Tungsten and
+    amortizes the Python crossing, 5.7 s → ~2 s on the many-series probe.
+    Nulls: ``collect_list`` drops null y values, so ``n_obs`` counts real
+    observations (the fit itself always dropped NaNs before estimating).
     """
     m, tol, method = cfg.period, cfg.tol, cfg.method
     max_p, max_q, max_P = cfg.max_p, cfg.max_q, cfg.max_P
     max_Q = cfg.max_Q
 
-    def fit_one(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        y = pdf.sort_values(ts_col)[y_col].to_numpy(dtype=float)
-        rows = fit_window_to_coef_rows(
-            y, m=m, tol=tol, method=method,
-            max_p=max_p, max_q=max_q, max_P=max_P, max_Q=max_Q,
-        )
-        rows.append(("n_obs", float(len(y))))
-        return pd.DataFrame(
-            {
-                "series_id": str(key[0]),
-                "window_id": int(key[1]),
-                "coef": [r[0] for r in rows],
-                "value": [r[1] for r in rows],
-            }
-        )
+    @F.pandas_udf("array<double>")
+    def fit_vec(ys: pd.Series) -> pd.Series:
+        out = []
+        for arr in ys:
+            rows = fit_window_to_coef_rows(
+                np.asarray(arr, dtype=float), m=m, tol=tol, method=method,
+                max_p=max_p, max_q=max_q, max_P=max_P, max_Q=max_Q,
+            )
+            out.append([float(v) for _, v in rows])
+        return pd.Series(out)
 
     with_windows = (
         series_df
@@ -98,8 +107,39 @@ def fit_windows(
             series_df, cfg.num_windows, series_col, ts_col, cfg.split_strategy
         )
     )
-    return with_windows.groupBy(series_col, "window_id").applyInPandas(
-        fit_one, FIT_SCHEMA
+    packed = with_windows.groupBy(
+        F.col(series_col).cast("string").alias("series_id"),
+        F.col("window_id").cast("int").alias("window_id"),
+    ).agg(
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(F.col(ts_col).alias("t"), F.col(y_col).alias("v"))
+                )
+            ),
+            lambda s: s["v"],
+        ).alias("_ys")
+    )
+    names = F.concat(
+        F.array(F.lit("beta0"), F.lit("beta1")),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(tol)),
+            lambda i: F.concat(F.lit("ar"), i.cast("string")),
+        ),
+        F.array(F.lit("sigma2"), F.lit("n_obs")),
+    )
+    vals = F.concat(fit_vec("_ys"), F.array(F.size("_ys").cast("double")))
+    return packed.select(
+        "series_id",
+        "window_id",
+        F.explode(F.arrays_zip(names.alias("coef"), vals.alias("value"))).alias(
+            "_e"
+        ),
+    ).select(
+        "series_id",
+        "window_id",
+        F.col("_e.coef").alias("coef"),
+        F.col("_e.value").alias("value"),
     )
 
 

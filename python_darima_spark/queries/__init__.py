@@ -36,35 +36,53 @@ _MODULES = [
     "python_darima_spark.queries.tpch",
 ]
 
-# Execution order: the driver's round-1 correctness pass stopped after
-# exactly 50 registry entries (budget cap — count or wall-time, unknown),
-# so the tail — similarity, text, multimodal, and streaming — never got a
-# CORRECTNESS row despite having oracles. The registry therefore emits in
-# an explicit order robust to either cap: first everything unverified in
-# round 1 plus the high-centrality families (streaming, LLM-data, domain,
-# joins, sinks, UDFs), and LAST the cheap scalar/reshape demos that are
-# lowest-cost to lose (all hash-verified in round 1). Anything not listed
-# follows in module order.
+# Execution order: the driver's correctness pass records at most ~50
+# registry entries per round (budget cap — count or wall-time, unknown),
+# so the registry emits in an explicit order robust to either cap:
+# entries with NO green driver row lead (never-verified first, then
+# rows-only entries that can only ever get rows-checks, then anything
+# whose formulation changed this round), and entries hash-verified in
+# rounds 1-2 trail — the least costly to lose to the cap. Anything not
+# listed follows in module order. PROBE_r03.json is the full local
+# replica of the driver gate over ALL entries regardless of the cap.
 _PRIORITY = [
-    # round-1-absent + round-2 additions (all oracled where expressible)
+    # --- never driver-verified: added in round 2 AFTER the last probe
+    # refresh (commit c940100); absent from CORRECTNESS_r01/r02 and from
+    # PROBE_r02.json. Round 3 puts them first.
+    "q_json_variant",
+    "q_udtf_table",
+    # --- new or formulation-changed in round 3 (need a fresh row)
+    "q_ts_fit_combine_dlsa",
+    "q_scan_dpp",
+    "q_sim_topk_ivf",
+    "q_dedup_near",
+    "q_embed_normalize",
+    # --- rows-only entries (no SQL oracle possible): a driver row is the
+    # only artifact they can ever get, so keep them inside the window
+    "q_ts_fit_combine",
+    "q_ts_forecast",
+    "q_ts_many_series",
+    "q_stream_anomaly",
+    "q_dedup_simhash",
+    "q_dedup_embedding",
+    # --- hash-verified in r1/r2; family flagships first
+    "q_scan_parquet",
+    "q_join_inner",
+    "q_sink_parquet",
     "q_text_stats",
     "q_text_lang",
     "q_text_fingerprint",
     "q_sim_topk",
-    "q_sim_topk_ivf",
     "q_multimodal_features",
     "q_agg_approx",
     "q_sink_orc",
     "q_join_bucketed",
-    "q_ts_many_series",
     "q_stream_tumble",
     "q_stream_slide",
     "q_stream_session",
     "q_stream_dedup",
-    "q_stream_anomaly",
     "q_stream_join",
     "q_stream_sink_files",
-    # round-2 additions with oracles but no prior driver row
     "q_split_assign",
     "q_sample_stratified",
     "q_pack_sequences",
@@ -83,32 +101,17 @@ _PRIORITY = [
     "q_dedup_cluster",
     "q_window_range",
     "q_agg_sketch_rollup",
-    # round-2 second-batch additions (all SQL-oracled, no prior row)
     "q_tpch_q1",
     "q_tpch_q3",
     "q_tpch_q5",
+    # --- position ~50 boundary: everything below was hash-verified by
+    # the driver in rounds 1-2 (CORRECTNESS_r01/r02 union) and is
+    # re-verified locally in the full probe artifact each refresh.
     "q_agg_mode_median",
     "q_hist_bucket",
-    "q_scan_dpp",
     "q_group_sample",
-    "q_embed_normalize",
     "q_text_pii",
     "q_ts_seasonal",
-    # high-centrality round-1-verified re-checks (flagship of each family)
-    "q_scan_parquet",
-    "q_join_inner",
-    "q_ts_fit_combine",
-    "q_dedup_near",
-    "q_sink_parquet",
-    # --- position 50 boundary ---
-    # First below the cut: entries with no driver row yet that did NOT fit
-    # this round's window — the front of round 3's queue. Locally verified
-    # in the full probe artifact like everything else.
-    "q_json_variant",
-    "q_udtf_table",
-    # Everything further below was verified by the driver in round 1
-    # (CORRECTNESS_r01.json) and re-verified locally in the full probe —
-    # the least costly entries to lose to a budget cap.
     "q_join_broadcast",
     "q_join_semi_anti",
     "q_join_theta",

@@ -42,6 +42,22 @@ def q_ts_fit_combine(spark: SparkSession, sf: str) -> DataFrame:
     return darima(_hourly_series(spark, sf), _CFG).coefs
 
 
+def q_ts_fit_combine_dlsa(spark: SparkSession, sf: str) -> DataFrame:
+    """DARIMA map+reduce with the DLSA combine — the reference's second
+    combine method (/root/reference/darima.py:233-258, auto_arima.R:103-110):
+    per-coef Σ(w_k·θ_k)/Σw_k with w_k = T_k/σ²_k, global σ² = T_total/Σw_k.
+    Same plan shape as q_ts_fit_combine (grouped-map fit → one hash agg);
+    the weighting is pre-scaled inside the fit UDF, so the combine is still
+    a single keyed aggregate plus a broadcast-sized per-series weight row.
+    Unit parity vs the numpy oracle: tests/test_pipeline.py,
+    tests/test_fit.py."""
+    cfg = DarimaConfig(
+        num_windows=4, period=24, tol=48, max_p=3, max_q=1, max_P=1,
+        method="dlsa",
+    )
+    return darima(_hourly_series(spark, sf), cfg).coefs
+
+
 def q_ts_forecast(spark: SparkSession, sf: str) -> DataFrame:
     """Fit + combine + 24-step-ahead forecast with 80/95% intervals."""
     series = _hourly_series(spark, sf)
@@ -218,6 +234,7 @@ QUERIES = {
            FROM w""",
     ),
     "q_ts_fit_combine": QuerySpec(q_ts_fit_combine, None),
+    "q_ts_fit_combine_dlsa": QuerySpec(q_ts_fit_combine_dlsa, None),
     "q_ts_forecast": QuerySpec(q_ts_forecast, None),
     "q_ts_many_series": QuerySpec(q_ts_many_series, None),  # iterative fit
     "q_ts_seasonal": QuerySpec(

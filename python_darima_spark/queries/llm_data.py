@@ -53,7 +53,15 @@ def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_dedup_near(spark: SparkSession, sf: str) -> DataFrame:
     """MinHash(64) + LSH(16 bands × 4) candidates, exact-Jaccard verified
-    at 0.5 on 5-char shingles."""
+    at 0.5 on 5-char shingles.
+
+    HASH-MATCHED against the all-pairs exact-Jaccard restatement in
+    DuckDB (round 3): because every emitted pair is verified with the
+    EXACT Jaccard, the only way the two sides can diverge is an LSH
+    false negative — so the hash match IS the recall statement (recall
+    1.0 on this fixture, where planted near-dups sit well above the 0.5
+    banding threshold; the probabilistic tail is covered by the Python
+    oracle + MLlib cross-check in tests)."""
     docs = load(spark, sf, "documents")
     return minhash_near_duplicates(
         docs, "text", "doc_id", threshold=0.5
@@ -109,16 +117,37 @@ def q_sim_topk(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_sim_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF approximate top-5 (16 centroids, nprobe=4) — the 100 TB path;
-    recall vs brute force asserted in tests. Centroids train on a BOUNDED
-    deterministic sample (TakeOrdered by id-hash, ≤ 2048 rows to the
-    driver) — never a fixed fraction of the corpus."""
+    """IVF approximate top-5 (16 centroids, nprobe=8) made HASH-CHECKABLE
+    via the q_agg_approx pattern: per query, the EXACT brute-force top-5
+    neighbor set (hash-matched against DuckDB) plus a recall flag — IVF
+    must recover ≥ 2 of the exact 5 (measured 3-5 at sf0.001/sf0.01; the
+    whole path is deterministic: bounded id-hash sample → strided init →
+    3 Lloyd steps, so the flag is stable and a broken index flips it).
+    Centroids train on a BOUNDED deterministic sample (TakeOrdered by
+    id-hash, ≤ 2048 rows to the driver) — never a fixed fraction of the
+    corpus."""
     emb = load(spark, sf, "embeddings")
     cents = train_centroids(
-        sample_vectors_bounded(emb, n=2048), num_centroids=16
+        sample_vectors_bounded(emb, n=2048), num_centroids=16, lloyd_iters=3
     )
     queries = emb.where(F.col("vec_id") < 8)
-    return ivf_topk(emb, queries, cents, k=5, nprobe=4)
+    approx = ivf_topk(emb, queries, cents, k=5, nprobe=8).select(
+        F.col("query_id").alias("_qid"), F.col("neighbor_id").alias("_nb")
+    )
+    exact = cosine_topk(emb, queries, k=5)
+    joined = exact.join(
+        approx,
+        (exact.query_id == approx._qid) & (exact.neighbor_id == approx._nb),
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.concat_ws(",", F.sort_array(F.collect_list("neighbor_id"))).alias(
+            "exact_top5"
+        ),
+        (F.sum(F.when(F.col("_nb").isNotNull(), 1).otherwise(0)) >= 2).alias(
+            "ivf_recall_ok"
+        ),
+    )
 
 
 def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
@@ -227,7 +256,10 @@ def q_embed_normalize(spark: SparkSession, sf: str) -> DataFrame:
     no UDF, no shuffle; emitted as per-vector scalars (norm + quantized
     checksums) because list columns don't hash stably across engines.
     At 100 TB this is the map stage feeding the IVF/LSH index builders
-    (operators/similarity.py)."""
+    (operators/similarity.py). A zero vector divides by nullif(norm, 0)
+    (null components, null checksums) on BOTH sides — without the guard
+    Spark yields NaN while DuckDB's round(inf) CAST errors, so the two
+    formulations would diverge the day a zero vector enters the data."""
     emb = ensure_parallelism(load(spark, sf, "embeddings"))
     sq = F.aggregate(
         F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
@@ -235,9 +267,10 @@ def q_embed_normalize(spark: SparkSession, sf: str) -> DataFrame:
         lambda a, x: a + x,
     )
     e = emb.withColumn("_norm", F.sqrt(sq))
+    safe_norm = F.nullif(F.col("_norm"), F.lit(0.0))
     quant = F.transform(
         "embedding",
-        lambda x: F.round(x.cast("double") / F.col("_norm") * 127).cast("int"),
+        lambda x: F.round(x.cast("double") / safe_norm * 127).cast("int"),
     )
     q = e.withColumn("_q", quant)
     return q.select(
@@ -438,7 +471,33 @@ QUERIES = {
            SELECT k.doc_id, k.lang, k.source
            FROM keyed k JOIN keepers USING (digest, doc_id)""",
     ),
-    "q_dedup_near": QuerySpec(q_dedup_near, None),       # xxhash64 family
+    # exact all-pairs restatement: LSH+verify emits exactly the pairs with
+    # true shingle-Jaccard ≥ 0.5 (verified equal at sf0.001/sf0.01), so the
+    # oracle needs no hash-family knowledge — only set algebra
+    "q_dedup_near": QuerySpec(
+        q_dedup_near,
+        """WITH sh AS (
+             SELECT doc_id,
+                    list_distinct(list_transform(
+                        generate_series(1, greatest(length(text) - 4, 1)),
+                        i -> substring(text, CAST(i AS INT), 5))) AS s
+             FROM documents
+           ), e AS (
+             SELECT doc_id, unnest(s) AS g FROM sh
+           ), sizes AS (
+             SELECT doc_id, len(s) AS n FROM sh
+           ), inter AS (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+             FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+             GROUP BY 1, 2
+           )
+           SELECT id_a, id_b,
+                  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+           FROM inter
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5""",
+    ),
     "q_dedup_simhash": QuerySpec(q_dedup_simhash, None), # xxhash64 family
     "q_dedup_ngram": QuerySpec(
         q_dedup_ngram,
@@ -487,7 +546,37 @@ QUERIES = {
              FROM pairs
            ) WHERE rn <= 5""",
     ),
-    "q_sim_topk_ivf": QuerySpec(q_sim_topk_ivf, None),  # approximate
+    "q_sim_topk_ivf": QuerySpec(
+        q_sim_topk_ivf,
+        """WITH v AS (
+             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             FROM embeddings
+           ), q AS (SELECT * FROM v WHERE vec_id < 8),
+           pairs AS (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    round(
+                      list_reduce(list_prepend(0.0,
+                          list_transform(list_zip(c.e, q.e), p -> p[1] * p[2])),
+                          (a, b) -> a + b)
+                      / (sqrt(list_reduce(list_prepend(0.0,
+                             list_transform(c.e, x -> x * x)), (a, b) -> a + b))
+                       * sqrt(list_reduce(list_prepend(0.0,
+                             list_transform(q.e, x -> x * x)), (a, b) -> a + b))),
+                      6) AS cosine
+             FROM v c, q WHERE c.vec_id <> q.vec_id
+           ), topk AS (
+             SELECT query_id, neighbor_id FROM (
+               SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+               FROM pairs
+             ) WHERE rn <= 5
+           )
+           SELECT query_id,
+                  array_to_string(list(neighbor_id ORDER BY neighbor_id), ',')
+                      AS exact_top5,
+                  TRUE AS ivf_recall_ok
+           FROM topk GROUP BY query_id""",
+    ),
     "q_text_stats": QuerySpec(
         q_text_stats,
         rf"""WITH base AS (
@@ -618,7 +707,7 @@ QUERIES = {
            ), q AS (
              SELECT vec_id, nr,
                     list_transform(embedding,
-                        x -> CAST(round(CAST(x AS DOUBLE) / nr * 127)
+                        x -> CAST(round(CAST(x AS DOUBLE) / nullif(nr, 0) * 127)
                                   AS INTEGER)) AS qv
              FROM n
            )

@@ -73,6 +73,21 @@ def q_scan_json(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _staged_docs_bylang(spark: SparkSession, sf: str) -> str:
+    """Stage documents partitioned by lang, once per sf dir.
+
+    ``normpath`` before ``basename`` so a trailing slash can't collapse the
+    sf tag (and collide across scale factors); ``v2`` version suffix so a
+    fixture regeneration can invalidate stale stages by bumping it."""
+    tag = os.path.basename(os.path.normpath(sf))
+    path = os.path.join(tempfile.gettempdir(), f"pds_docs_bylang_v2_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        load(spark, sf, "documents").select(
+            "doc_id", "source", "n_chars", "lang"
+        ).write.mode("overwrite").partitionBy("lang").parquet(path)
+    return path
+
+
 def q_scan_pruned(spark: SparkSession, sf: str) -> DataFrame:
     """Partition-PRUNED scan: documents written ``partitionBy(lang)`` once
     per sf, read back filtered to two languages. The filter resolves at
@@ -80,13 +95,7 @@ def q_scan_pruned(spark: SparkSession, sf: str) -> DataFrame:
     ``PartitionFilters: [lang IN (en,de)]`` and never opens the other
     languages' files (asserted in tests/test_sinks.py). At 100 TB this is
     THE difference between scanning 2/5 of the corpus and all of it."""
-    path = os.path.join(
-        tempfile.gettempdir(), f"pds_docs_bylang_{os.path.basename(sf)}"
-    )
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        load(spark, sf, "documents").select(
-            "doc_id", "source", "n_chars", "lang"
-        ).write.mode("overwrite").partitionBy("lang").parquet(path)
+    path = _staged_docs_bylang(spark, sf)
     return (
         spark.read.parquet(path)
         .where(F.col("lang").isin("en", "de"))
@@ -322,20 +331,17 @@ def q_scan_dpp(spark: SparkSession, sf: str) -> DataFrame:
     (``dynamicpruningexpression`` in PartitionFilters, asserted in
     tests/test_sinks.py). The 100 TB pattern: date-partitioned fact ⋈
     filtered dim without ever listing the cold partitions."""
-    path = os.path.join(
-        tempfile.gettempdir(), f"pds_docs_bylang_{os.path.basename(sf)}"
-    )
-    if not os.path.exists(os.path.join(path, "_SUCCESS")):
-        load(spark, sf, "documents").select(
-            "doc_id", "source", "n_chars", "lang"
-        ).write.mode("overwrite").partitionBy("lang").parquet(path)
+    path = _staged_docs_bylang(spark, sf)
     docs = spark.read.parquet(path)
     # The dim must carry a FILTER predicate (not a limit) for Catalyst's
     # DPP rule to consider the join prunable; langs seen in long src0
-    # docs is computed at runtime, never constant-folded.
+    # docs is computed at runtime, never constant-folded. Threshold 450
+    # selects a NON-EMPTY proper subset of langs at sf0.001/sf0.01 (the
+    # round-2 value 600 exceeded max(n_chars) ≈ 577, so the green row was
+    # vacuous: 0 rows flowed through the pruned scan).
     dim = (
         load(spark, sf, "documents")
-        .where((F.col("source") == "src0") & (F.col("n_chars") >= 600))
+        .where((F.col("source") == "src0") & (F.col("n_chars") >= 450))
         .select(F.col("lang").alias("dim_lang"))
         .distinct()
     )
@@ -809,7 +815,7 @@ QUERIES = {
                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
            FROM documents
            WHERE lang IN (SELECT DISTINCT lang FROM documents
-                          WHERE source = 'src0' AND n_chars >= 600)
+                          WHERE source = 'src0' AND n_chars >= 450)
            GROUP BY lang""",
     ),
     "q_agg_collect": QuerySpec(

@@ -100,12 +100,15 @@ def test_scan_dpp_plan_has_dynamic_pruning(spark, sf_dir):
     langs = [
         r.lang
         for r in docs.where(
-            (F.col("source") == "src0") & (F.col("n_chars") >= 600)
+            (F.col("source") == "src0") & (F.col("n_chars") >= 450)
         )
         .select("lang")
         .distinct()
         .collect()
     ]
+    # the round-2 threshold (600) matched nothing — the green row was
+    # vacuous; the data path must now carry real rows through the pruning
+    assert langs, "dim filter selects no langs — DPP data path untested"
     want = docs.where(F.col("lang").isin(langs)).groupBy("lang").count()
     got = {r.lang: r.n_docs for r in df.collect()}
     assert got == {r.lang: r["count"] for r in want.collect()}
