@@ -51,6 +51,11 @@ HEADLINE = [
     "q_tpch_q1",
     "q_tpch_q3",
     "q_tpch_q5",
+    "q_tpch_q6",
+    "q_tpch_q18",
+    "q_subquery_corr",
+    "q_join_runtime_filter",
+    "q_text_tfidf",
     "q_embed_normalize",
 ]
 

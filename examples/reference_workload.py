@@ -6,9 +6,10 @@ usage): all ten GEFCom-style zones, the full 2,879-step hourly horizon,
 AR truncation tol=2000, mean combine — i.e. the exact config shape of
 darima_config.json + auto_arima.R.
 
-Measured on local[32] against the reference's own CSVs: ~18 s wall for
+Measured on local[32] against the reference's own CSVs: ~13 s wall for
 scan → split → 40 window fits → combine → 10 × 2,879-step forecasts with
-80/95% intervals → MASE/sMAPE/MSIS evaluation. The reference runs this
+80/95% intervals → MASE/sMAPE/MSIS evaluation (the resulting mean scores
+are pinned to a golden band in tests/test_reference_accuracy.py). The reference runs this
 workload on a 4-node Dataproc cluster with rpy2-embedded R fits and a
 driver-side pandas forecast/eval stage; it published no timings
 (BASELINE.md), so the engine's own number is the recorded bar.

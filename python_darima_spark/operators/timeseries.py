@@ -168,8 +168,13 @@ def split_series(
         ) / F.greatest(
             F.col("_hi").cast("double") - F.col("_lo").cast("double"), F.lit(1e-9)
         )
+        # no pinned broadcast: bounds is one row per series, so at
+        # millions of series a forced broadcast OOMs the driver — AQE
+        # sees the aggregate's true size at runtime and broadcasts only
+        # when it fits (same reasoning as evaluate()'s scale join,
+        # pipeline.py)
         return (
-            df.join(F.broadcast(bounds), on=series_col)
+            df.join(bounds, on=series_col)
             .withColumn(
                 "window_id",
                 F.least(F.floor(frac * k), F.lit(k - 1)).cast("int"),

@@ -34,6 +34,7 @@ _MODULES = [
     "python_darima_spark.queries.llm_data",
     "python_darima_spark.queries.streaming_q",
     "python_darima_spark.queries.tpch",
+    "python_darima_spark.queries.subqueries",
 ]
 
 # Execution order: the driver's correctness pass records at most ~50
@@ -57,6 +58,14 @@ _PRIORITY = [
     "q_sim_topk_ivf",
     "q_dedup_near",
     "q_embed_normalize",
+    "q_subquery_scalar",
+    "q_subquery_corr",
+    "q_subquery_exists",
+    "q_tpch_q6",
+    "q_tpch_q18",
+    "q_text_tfidf",
+    "q_join_runtime_filter",
+    "q_stream_upsert",
     # --- rows-only entries (no SQL oracle possible): a driver row is the
     # only artifact they can ever get, so keep them inside the window
     "q_ts_fit_combine",

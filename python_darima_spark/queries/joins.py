@@ -56,6 +56,62 @@ def q_join_salted(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_join_runtime_filter(spark: SparkSession, sf: str) -> DataFrame:
+    """RUNTIME bloom-filter join pruning (Spark's InjectRuntimeFilter):
+    a selectively-filtered build side too big to broadcast injects a
+    ``bloom_filter_agg`` subquery, and the fact side is pre-filtered by
+    ``BloomFilterMightContain`` BEFORE its shuffle — at 100 TB this cuts
+    the dominant cost (shuffling the fact) by the dim filter's
+    selectivity, for dims that exceed the broadcast threshold. The two
+    conf overrides emulate at-scale conditions on the small fixture
+    (broadcast disabled = 'dim too big to broadcast'; app-side scan
+    threshold 0 = 'fact is huge'); the plan is forced eagerly while they
+    hold, then they are restored (plan assertion:
+    tests/test_subquery_plans.py)."""
+    overrides = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    saved = {k: spark.conf.get(k, None) for k in overrides}
+    for k, v in overrides.items():
+        spark.conf.set(k, v)
+    try:
+        orders = (
+            load(spark, sf, "orders")
+            .where(F.col("o_totalprice") > 450000)
+            .select("o_orderkey", "o_totalprice")
+        )
+        li = load(spark, sf, "lineitem").select(
+            "l_orderkey", "l_extendedprice", "l_discount"
+        )
+        out = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_orderkey")
+            .agg(
+                # round to 4: the products have exactly 4 decimals, so the
+                # true sum does too — 4dp rounding is a no-op both engines
+                # agree on, where 2dp sits on .005 boundaries that summation
+                # -order ulps flip (measured 1/1467 groups)
+                F.round(
+                    F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+                    4,
+                ).alias("revenue"),
+                F.round(F.max("o_totalprice"), 2).alias("o_price"),
+            )
+        )
+        # force plan optimization NOW, while the overrides hold — the
+        # DataFrame memoizes its queryExecution, so restoring conf after
+        # this point cannot re-plan the query
+        out._jdf.queryExecution().executedPlan()
+        return out
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
 def q_join_outer(spark: SparkSession, sf: str) -> DataFrame:
     """Left outer: every customer, with order info where present."""
     c, o = load(spark, sf, "customer"), load(spark, sf, "orders")
@@ -132,6 +188,16 @@ def q_join_asof(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES = {
+    "q_join_runtime_filter": QuerySpec(
+        q_join_runtime_filter,
+        """SELECT l_orderkey,
+                  round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+                  round(max(o_totalprice), 2) AS o_price
+           FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           WHERE o_totalprice > 450000
+           GROUP BY l_orderkey""",
+    ),
     "q_join_inner": QuerySpec(
         q_join_inner,
         """SELECT o_orderkey, c_custkey, c_name, o_totalprice, c_mktsegment

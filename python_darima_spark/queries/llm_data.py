@@ -249,6 +249,43 @@ def q_group_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document top-3 keywords by TF-IDF — the classic corpus-keyed
+    relevance score (and the exact shape of a BM25/keyword-extraction
+    stage in a retrieval pipeline). Three hash aggregates sharing keys:
+    term frequency per (doc, word), document frequency per word, corpus
+    size as a 1-row agg cross-joined (never collected). The df table is
+    vocabulary-sized, so at 100 TB the tf⋈df join is a keyed shuffle AQE
+    can re-plan (broadcast if the vocab fits, SMJ if not) — no driver
+    materialization anywhere. Scores are rounded BEFORE ranking with a
+    word tie-break, so top-3 is reproducible across engines."""
+    docs = ensure_parallelism(load(spark, sf, "documents"))
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+    ).where(F.length("w") >= 3)
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    n = docs.agg(F.count("*").alias("_n"))
+    scored = (
+        tf.join(dfreq, "w")
+        .crossJoin(n)
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("_n").cast("double") / F.col("df")),
+                6,
+            ),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("w"))
+    return (
+        scored.withColumn("_rn", F.row_number().over(win))
+        .where(F.col("_rn") <= 3)
+        .select("doc_id", F.col("w").alias("term"), "tfidf")
+    )
+
+
 def q_embed_normalize(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding L2-normalize + symmetric int8 quantization (the standard
     pre-index compression: unit-normalize, then round(x·127) per
@@ -695,6 +732,30 @@ QUERIES = {
                     ) AS rank
              FROM documents)
            WHERE rank <= 5""",
+    ),
+    "q_text_tfidf": QuerySpec(
+        q_text_tfidf,
+        r"""WITH w AS (
+             SELECT doc_id,
+                    unnest(string_split_regex(lower(text), '\s+')) AS w
+             FROM documents
+           ), f AS (
+             SELECT doc_id, w, count(*) AS tf
+             FROM w WHERE length(w) >= 3 GROUP BY 1, 2
+           ), d AS (
+             SELECT w, count(*) AS df FROM f GROUP BY 1
+           ), n AS (
+             SELECT count(*) AS n FROM documents
+           ), s AS (
+             SELECT f.doc_id, f.w,
+                    round(f.tf * ln(CAST(n.n AS DOUBLE) / d.df), 6) AS tfidf
+             FROM f JOIN d USING (w) CROSS JOIN n
+           )
+           SELECT doc_id, w AS term, tfidf FROM (
+             SELECT *, row_number() OVER (
+               PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rn
+             FROM s
+           ) WHERE rn <= 3""",
     ),
     "q_embed_normalize": QuerySpec(
         q_embed_normalize,

@@ -22,6 +22,7 @@ from python_darima_spark.queries import QuerySpec, load
 from python_darima_spark.streaming.stateful import ewma_anomalies
 from python_darima_spark.streaming.windows import (
     read_event_stream,
+    run_stream_foreach_upsert,
     run_stream_to_files,
     run_stream_to_table,
     session_agg,
@@ -98,6 +99,21 @@ def q_stream_sink_files(spark: SparkSession, sf: str) -> DataFrame:
     through the production sink path instead of the memory sink."""
     out = run_stream_to_files(tumbling_agg(_replayed(spark, sf)))
     return spark.read.parquet(out)
+
+
+def q_stream_upsert(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming CDC upsert via foreachBatch: each replayed micro-batch
+    merges into a keyed parquet state table, keeping the latest row per
+    user (by ts, then event_id). The final state is batch-order
+    INDEPENDENT — keep-latest is associative — so it hash-matches the
+    plain SQL 'latest event per user' statement."""
+    out = run_stream_foreach_upsert(_replayed(spark, sf))
+    return spark.read.parquet(out).select(
+        "user_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        "event_id",
+    )
 
 
 def q_stream_anomaly(spark: SparkSession, sf: str) -> DataFrame:
@@ -206,6 +222,17 @@ QUERIES = {
            SELECT b.wstart, b.event_type, b.n, b.sum_value
            FROM b, mx
            WHERE b.wstart + INTERVAL 1 HOUR <= mx.mt - INTERVAL 2 HOUR""",
+    ),
+    "q_stream_upsert": QuerySpec(
+        q_stream_upsert,
+        """SELECT user_id, event_type, round(value, 6) AS value, event_id
+           FROM (
+             SELECT user_id, event_type, value, event_id,
+                    ROW_NUMBER() OVER (
+                      PARTITION BY user_id
+                      ORDER BY CAST(ts AS TIMESTAMP) DESC, event_id DESC) AS rn
+             FROM events
+           ) WHERE rn = 1""",
     ),
     "q_stream_anomaly": QuerySpec(q_stream_anomaly, None),  # stateful UDF
     "q_stream_dedup": QuerySpec(

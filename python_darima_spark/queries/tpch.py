@@ -114,6 +114,60 @@ def q_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tpch_q6(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q6 forecasting-revenue change: the minimal selective-scan
+    aggregate — THREE pushed predicates (date range, discount band,
+    quantity cap) reach the parquet reader, then a single 1-row global
+    agg. At 100 TB this is the shape where row-group min/max statistics
+    skip most of the table before a single value is decoded."""
+    li = load(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1995-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-01-01"))
+        & (F.col("l_discount").between(0.05, 0.07))
+        & (F.col("l_quantity") < 24)
+    )
+    return li.agg(
+        F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_items"),
+    )
+
+
+def q_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q18 large-volume customers: HAVING over a fact aggregate
+    (orders whose lineitems sum past 200 units) joined back to orders and
+    customer, top-20 by price. The having-aggregate is computed FIRST so
+    only qualifying orderkeys (≈6 % here) enter the joins — at scale the
+    pre-aggregation is the difference between joining 100 TB of lineitem
+    and joining a keys table; top-20 is TakeOrderedAndProject, never a
+    global sort."""
+    li = load(spark, sf, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+        .where(F.col("total_qty") > 200)
+    )
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load(spark, sf, "customer").select("c_custkey", "c_name")
+    return (
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_price"),
+            "total_qty",
+        )
+        .orderBy(F.desc("o_price"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
 QUERIES = {
     "q_tpch_q1": QuerySpec(
         q_tpch_q1,
@@ -159,5 +213,30 @@ QUERIES = {
               AND o_orderdate >= TIMESTAMP '{_Q5_LO}'
               AND o_orderdate < TIMESTAMP '{_Q5_HI}'
             GROUP BY n_name""",
+    ),
+    "q_tpch_q6": QuerySpec(
+        q_tpch_q6,
+        """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+                  count(*) AS n_items
+           FROM lineitem
+           WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+             AND l_shipdate < TIMESTAMP '1996-01-01'
+             AND l_discount BETWEEN 0.05 AND 0.07
+             AND l_quantity < 24""",
+    ),
+    "q_tpch_q18": QuerySpec(
+        q_tpch_q18,
+        """WITH big AS (
+             SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+             FROM lineitem GROUP BY l_orderkey
+             HAVING round(sum(l_quantity), 2) > 200
+           )
+           SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+                  round(o_totalprice, 2) AS o_price, total_qty
+           FROM orders
+           JOIN big ON o_orderkey = l_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           ORDER BY o_price DESC, o_orderkey
+           LIMIT 20""",
     ),
 }

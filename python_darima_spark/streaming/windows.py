@@ -255,6 +255,61 @@ def run_stream_to_files(
     return out
 
 
+def run_stream_foreach_upsert(
+    stream: DataFrame,
+    timeout_s: int = 120,
+) -> str:
+    """``foreachBatch`` CDC upsert: every micro-batch SCD1-merges into a
+    keyed parquet state table (latest row per user_id by (ts, event_id)).
+    This is the streaming MERGE pattern production jobs run against
+    Delta/Iceberg; on plain parquet the merge is union + keep-latest with
+    an explicit materialize-before-overwrite (persist + count) so the
+    state read never races its own rewrite. The checkpoint makes replay
+    exactly-once at the batch level: a restarted query re-runs only the
+    batch whose merge did not commit — and because the merge is
+    idempotent (keep-latest is a pure function of state ∪ batch),
+    re-running it cannot change the result.
+
+    Scale: per-batch cost is O(state ∪ batch) with state bounded by key
+    cardinality, keyed-window work only. At warehouse scale you bucket
+    the state table by the merge key (q_join_bucketed's zero-exchange
+    merge) or hand the rewrite to a table format's MERGE."""
+    from pyspark.sql import Window
+
+    base = tempfile.mkdtemp(prefix="pds_stream_upsert_")
+    state, ckpt = os.path.join(base, "state"), os.path.join(base, "ckpt")
+
+    def merge(batch_df: DataFrame, batch_id: int) -> None:
+        sess = batch_df.sparkSession
+        cur = batch_df.select("user_id", "event_type", "value", "ts", "event_id")
+        if os.path.exists(os.path.join(state, "_SUCCESS")):
+            cur = sess.read.parquet(state).unionByName(cur)
+        w = Window.partitionBy("user_id").orderBy(
+            F.desc("ts"), F.desc("event_id")
+        )
+        latest = (
+            cur.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+            .persist()
+        )
+        latest.count()  # materialize BEFORE overwriting the dir we read
+        latest.write.mode("overwrite").parquet(state)
+        latest.unpersist()
+
+    q = (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError(f"upsert stream did not finish in {timeout_s}s")
+    return state
+
+
 def run_stream_to_table(
     result: DataFrame,
     mode: str = "append",
