@@ -66,6 +66,7 @@ _PRIORITY = [
     "q_text_tfidf",
     "q_join_runtime_filter",
     "q_stream_upsert",
+    "q_scan_pysource",
     # --- rows-only entries (no SQL oracle possible): a driver row is the
     # only artifact they can ever get, so keep them inside the window
     "q_ts_fit_combine",

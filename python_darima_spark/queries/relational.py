@@ -103,6 +103,28 @@ def q_scan_pruned(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_scan_pysource(spark: SparkSession, sf: str) -> DataFrame:
+    """CUSTOM CONNECTOR scan via the Python Data Source API (Spark 4,
+    sources/pysource.py): a deterministic synthetic-series generator read
+    partition-parallel (one InputPartition per series shard — asserted in
+    tests/test_sources.py). ``sf`` is unused: the point is a source that
+    is NOT a file, the connector axis the reference never had beyond
+    CSV/object-store paths (ref darima.py:127-141). The oracle restates
+    the generator formula, so the hash check covers the full read path:
+    partition planning → per-shard generation → Arrow→JVM conversion."""
+    from python_darima_spark.sources.pysource import register_synthetic_source
+
+    register_synthetic_source(spark)
+    return (
+        spark.read.format("synthetic_series")
+        .option("num_series", 8)
+        .option("rows_per_series", 240)
+        .option("num_partitions", 8)
+        .load()
+        .select("series_id", "idx", "ts", F.round("y", 6).alias("y"))
+    )
+
+
 def q_sink_json(spark: SparkSession, sf: str) -> DataFrame:
     """JSON sink + re-scan (ref R31: driver-side json.dump of the forecast,
     /root/reference/darima.py:410-412 — engine uses a distributed writer)."""
@@ -744,6 +766,15 @@ QUERIES = {
         q_scan_json,
         """SELECT event_id, user_id, event_type, round(value, 6) AS value
            FROM events""",
+    ),
+    "q_scan_pysource": QuerySpec(
+        q_scan_pysource,
+        """SELECT CAST(s.s AS INT) AS series_id,
+                  CAST(i.i AS INT) AS idx,
+                  TIMESTAMP '2024-01-01' + i.i * INTERVAL 1 HOUR AS ts,
+                  round(sin((i.i + s.s) / 24.0) * 10 + (i.i % 7) + s.s, 6) AS y
+           FROM (SELECT unnest(generate_series(0, 7)) AS s) s,
+                (SELECT unnest(generate_series(0, 239)) AS i) i""",
     ),
     "q_scan_pruned": QuerySpec(
         q_scan_pruned,

@@ -1,0 +1,81 @@
+"""Custom connector via the Python Data Source API (Spark 4).
+
+The reference's only sources are CSV files and object-store paths
+(/root/reference/darima.py:127-141, darima_config.json:6-7). A real engine
+also needs a CONNECTOR story — sources that are not files. Spark 4's
+``pyspark.sql.datasource`` API makes that a first-class, partition-parallel
+citizen without a line of JVM code, and this module demonstrates it with a
+deterministic synthetic-series generator (the "load generator" connector
+every benchmark/soak-test harness wants):
+
+* ``partitions()`` declares one InputPartition per series shard, so the
+  scan is parallel — each executor task generates only its shard
+  (round-robin ``series_id % num_partitions``); scale the partition count
+  with the series count and no task ever holds the whole table.
+* the rows are a pure function of (series_id, idx) — no RNG state — so
+  the same options always produce the same table on any cluster, any
+  partitioning, any engine (the DuckDB oracle restates the formula).
+
+At 100 TB the same shape wraps any record-service/API-backed source:
+partition by shard key, yield per-shard rows, let Spark schedule.
+"""
+
+from __future__ import annotations
+
+import math
+from datetime import datetime, timedelta
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+_EPOCH = datetime(2024, 1, 1)
+
+
+def series_value(series_id: int, idx: int) -> float:
+    """The generator formula — shared by the connector and its tests."""
+    return round(
+        math.sin((idx + series_id) / 24.0) * 10.0 + (idx % 7) + series_id, 6
+    )
+
+
+class SyntheticSeriesDataSource(DataSource):
+    """``spark.read.format("synthetic_series")`` — options:
+    ``num_series`` (default 8), ``rows_per_series`` (default 720),
+    ``num_partitions`` (default 8)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_series"
+
+    def schema(self) -> str:
+        return "series_id int, idx int, ts timestamp, y double"
+
+    def reader(self, schema) -> "SyntheticSeriesReader":
+        return SyntheticSeriesReader(self.options)
+
+
+class SyntheticSeriesReader(DataSourceReader):
+    def __init__(self, options: dict) -> None:
+        self.num_series = int(options.get("num_series", 8))
+        self.rows_per_series = int(options.get("rows_per_series", 720))
+        self.num_partitions = int(options.get("num_partitions", 8))
+
+    def partitions(self) -> list[InputPartition]:
+        return [InputPartition(i) for i in range(self.num_partitions)]
+
+    def read(self, partition: InputPartition):
+        shard = partition.value
+        for s in range(self.num_series):
+            if s % self.num_partitions != shard:
+                continue
+            for idx in range(self.rows_per_series):
+                yield (
+                    s,
+                    idx,
+                    _EPOCH + timedelta(hours=idx),
+                    series_value(s, idx),
+                )
+
+
+def register_synthetic_source(spark) -> None:
+    """Idempotent registration (re-registering the same name is allowed)."""
+    spark.dataSource.register(SyntheticSeriesDataSource)
