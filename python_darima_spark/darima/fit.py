@@ -69,6 +69,90 @@ def select_orders_of_differencing(
     return d, D
 
 
+def select_orders_by_holdout(
+    y: np.ndarray,
+    m: int = 1,
+    max_d: int = 2,
+    max_p: int = 5,
+    max_q: int = 2,
+    max_P: int = 2,
+    max_Q: int = 1,
+    tol: int = DEFAULT_TOL,
+) -> tuple[int, int]:
+    """Pick (d, D) by RECURSIVE HOLDOUT forecast error of the actual
+    candidate models.
+
+    Threshold unit-root heuristics (acf1 ≥ 0.9 → difference) cannot tell
+    a near-unit-root stationary series (φ ≈ 0.97 — exactly what hourly
+    electricity demand looks like) from a true random walk, and
+    over-differencing the former roughly doubles forecast error. So each
+    candidate (d, D) is evaluated exactly the way the final model is
+    used: run the SAME AIC grid on the train split with (d, D) forced,
+    linearize through the differencing (:func:`sarima_to_ar`), forecast
+    the held-out tail recursively on the ORIGINAL scale, keep the
+    candidate with the smallest MAE (ties → least differencing).
+
+    Two details matter (both found the hard way on the reference's own
+    GEFCom workload):
+
+    * the holdout must be LONG (≈ n/8, horizon-scale, not a token tail):
+      candidates with built-in trends (d ≥ 1 integrates the mean, d = 2
+      a slope) fit a 2-day tail fine but diverge over thousands of
+      steps — a 2·m-point holdout selected (2,0)/(1,1) per window and
+      the combined 2,879-step forecast exploded;
+    * the candidates must be the REAL grid models, not a long-AR proxy:
+      a 48-lag proxy AR captures daily seasonality that the bounded
+      final grid cannot, flattering (0,0) — proxy selection scored mean
+      MASE 2.10 across the 10 zones where real-model selection scores
+      ~1.5 (the (0,1) the proxy kept rejecting).
+
+    Falls back to the threshold heuristic
+    (:func:`select_orders_of_differencing`) when the window is too short
+    to hold out a meaningful tail. Selection linearizes at the FULL
+    caller ``tol``: truncating π to a few seasonal periods looked like a
+    cheap shortcut but discards tail mass that keeps the recursion
+    stable — measured holdout MAE 7e6 at tol=144 vs 1.8e3 at tol=2000 on
+    the same fitted (0,1) model (the truncated operator is effectively a
+    different, explosive model over thousands of steps)."""
+    y = np.asarray(y, dtype=float)
+    n = y.size
+    cands = [(dd, 0) for dd in range(0, max_d + 1)]
+    if m > 1 and n >= 6 * m:
+        cands += [(0, 1), (1, 1)]
+    hold = int(np.clip(n // 8, 8, 4096))
+    split = n - hold
+    if split < max(3 * m, 32):
+        return select_orders_of_differencing(y, m, max_d)
+    sel_tol = tol
+    tr, ho = y[:split], y[split:]
+    best: tuple | None = None
+    for d, D in cands:
+        try:
+            fit = auto_ar_fit(
+                tr, m=m, max_p=max_p, max_q=max_q, max_P=max_P, max_Q=max_Q,
+                d=d, D=D, tol=sel_tol,
+            )
+        except (ValueError, np.linalg.LinAlgError):
+            continue
+        b0, b1, pi = fit["beta0"], fit["beta1"], fit["pi"]
+        T = split
+        p = min(sel_tol, T)
+        ext = np.concatenate([tr, np.zeros(hold)])
+        for i in range(hold):
+            t_idx = T + i + 1
+            lags = ext[t_idx - 1 - p : t_idx - 1][::-1]
+            ext[T + i] = b0 + b1 * t_idx + float(pi[:p] @ lags)
+        mae = float(np.abs(ho - ext[T:]).mean())
+        if not np.isfinite(mae):
+            continue
+        key = (mae, d + D, d)  # deterministic; prefer less differencing
+        if best is None or key < best[0]:
+            best = (key, (d, D))
+    if best is None:
+        return select_orders_of_differencing(y, m, max_d)
+    return best[1]
+
+
 def _build_design(
     w: np.ndarray,
     p: int,
@@ -173,7 +257,9 @@ def auto_ar_fit(
         }
 
     if d is None or D is None:
-        d_sel, D_sel = select_orders_of_differencing(y, m)
+        d_sel, D_sel = select_orders_by_holdout(
+            y, m, max_p=max_p, max_q=max_q, max_P=max_P, max_Q=max_Q, tol=tol
+        )
         d = d_sel if d is None else d
         D = D_sel if D is None else D
 

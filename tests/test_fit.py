@@ -49,12 +49,30 @@ def test_recovers_ar2():
 def test_random_walk_selects_d1():
     rng = np.random.default_rng(3)
     y = np.cumsum(rng.normal(0, 1, 1500)) + 0.5 * np.arange(1500)
+    # the threshold heuristic reads the unit root off acf1
     d, D = select_orders_of_differencing(y)
     assert d == 1 and D == 0
+    # the default (holdout) selection optimizes FORECASTS, not textbook
+    # orders: on a drifting walk it may keep d=0 with a near-unit-root AR
+    # (φ-sum ≈ 1 tracks the drift) or difference — both are acceptable
+    # iff the forecast actually continues the drift. Assert the semantic.
     fit = auto_ar_fit(y, max_p=3, max_q=0)
-    assert fit["d"] == 1
-    # drift ≈ 0.5 absorbed into beta0/beta1 structure
-    assert fit["drift"] == pytest.approx(0.5, abs=0.15)
+    if fit["d"] == 1:
+        assert fit["drift"] == pytest.approx(0.5, abs=0.15)
+    b0, b1, pi = fit["beta0"], fit["beta1"], fit["pi"]
+    T = y.size
+    p = min(pi.size, T)
+    ext = np.concatenate([y, np.zeros(200)])
+    for j in range(200):
+        t = T + j + 1
+        ext[T + j] = b0 + b1 * t + float(pi[:p] @ ext[t - 1 - p : t - 1][::-1])
+    slope = (ext[T + 199] - y[-1]) / 200
+    assert slope == pytest.approx(0.5, abs=0.15)
+
+    # forcing d is always available and honors the request
+    forced = auto_ar_fit(y, max_p=3, max_q=0, d=1)
+    assert forced["d"] == 1
+    assert forced["drift"] == pytest.approx(0.5, abs=0.15)
 
 
 def test_seasonal_series_selects_D1():

@@ -5,12 +5,13 @@ obs, 2,879-step test horizon — /root/reference/data/*.csv) and runs exactly
 this job (/root/reference/darima.py:492-493, darima_config.json), but never
 committed its resulting scores (the paper's accuracy section is an empty
 heading, DAinBD_DARIMA.Rmd:213). So the engine's own first full run is the
-recorded bar: mean MASE 3.7611, sMAPE 0.2777, MSIS_80 281.38, MSIS_95 430.33
-(round 3, OLS + Hannan–Rissanen AIC-grid fit — the R-less stand-in for
-auto.arima CSS-ML, darima/fit.py). The band below is ±~12% around those
-values: tight enough that a silent estimation regression (broken
-differencing selection, mis-ordered lags, ψ-recursion damage, combine
-weighting bugs) fails the test, loose enough for benign numeric drift.
+recorded bar (round 3, after holdout differencing selection — see
+fit.select_orders_by_holdout): mean MASE 2.1565, sMAPE 0.1399,
+MSIS_80 10.31, MSIS_95 15.15 (the round-3 threshold-heuristic numbers were
+MASE 3.76 / MSIS_80 281 — over-differencing made the intervals useless).
+The band below is wide enough for benign numeric drift but fails on a
+silent estimation regression (broken differencing selection, mis-ordered
+lags, ψ-recursion damage, combine weighting bugs).
 """
 
 from __future__ import annotations
@@ -37,11 +38,11 @@ def test_reference_workload_accuracy_band(spark):
     res = darima(train, cfg, test_df=test, h=2879)
     s = res.scores.collect()[0].asDict()
 
-    # recorded: mase 3.7611  smape 0.2777  msis_80 281.38  msis_95 430.33
-    assert 3.3 <= s["mase"] <= 4.2, s
-    assert 0.24 <= s["smape"] <= 0.31, s
-    assert 240.0 <= s["msis_80"] <= 320.0, s
-    assert 370.0 <= s["msis_95"] <= 490.0, s
+    # recorded: mase 2.1565  smape 0.1399  msis_80 10.31  msis_95 15.15
+    assert 1.2 <= s["mase"] <= 2.5, s
+    assert 0.08 <= s["smape"] <= 0.17, s
+    assert 5.0 <= s["msis_80"] <= 14.0, s
+    assert 7.0 <= s["msis_95"] <= 20.0, s
 
     # and the forecast surface itself is complete: 10 zones × full horizon
     assert res.forecasts.count() == 10 * 2879
