@@ -57,6 +57,8 @@ _PRIORITY = [
     "q_scan_dpp",
     "q_sim_topk_ivf",
     "q_dedup_near",
+    "q_dedup_simhash",
+    "q_dedup_embedding",
     "q_embed_normalize",
     "q_subquery_scalar",
     "q_subquery_corr",
@@ -73,8 +75,6 @@ _PRIORITY = [
     "q_ts_forecast",
     "q_ts_many_series",
     "q_stream_anomaly",
-    "q_dedup_simhash",
-    "q_dedup_embedding",
     # --- hash-verified in r1/r2; family flagships first
     "q_scan_parquet",
     "q_join_inner",
@@ -128,10 +128,7 @@ _PRIORITY = [
     "q_join_range",
     "q_join_asof",
     "q_ts_resample",
-    "q_ts_forecast",
     "q_dedup_exact",
-    "q_dedup_simhash",
-    "q_dedup_embedding",
     "q_agg_hash",
     "q_agg_distinct",
     "q_agg_sets",

@@ -30,7 +30,7 @@ from python_darima_spark.operators.dedup import (
     dedup_exact,
     minhash_near_duplicates,
     ngram_jaccard_pairs,
-    simhash_near_duplicates,
+    simhash_verified_pairs,
 )
 from python_darima_spark.operators.similarity import (
     cosine_topk,
@@ -69,8 +69,21 @@ def q_dedup_near(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash near-dup pairs, HASH-MATCHED (round 3): fingerprints over
+    char-5-shingles (the same token space the exact Jaccard measures),
+    pigeonhole candidates at Hamming ≤ 7, then exact-Jaccard verification
+    at 0.5. Every emitted pair is exact-verified, so the oracle needs no
+    knowledge of the xxhash64 bit family — it is the same all-pairs
+    Jaccard restatement q_dedup_near hash-matches against (the
+    q_join_salted shared-oracle pattern: two independent candidate
+    generators, one exact result contract), and hash equality IS the
+    recall-1.0 statement for SimHash banding on this fixture (all 25
+    true pairs measured at Hamming ≤ 6; margin: no other pair of the
+    124,750 sits below Hamming 11)."""
     docs = load(spark, sf, "documents")
-    return simhash_near_duplicates(docs, "text", "doc_id", max_hamming=3)
+    return simhash_verified_pairs(
+        docs, "text", "doc_id", max_hamming=7, threshold=0.5
+    ).orderBy("id_a", "id_b")
 
 
 def q_dedup_ngram(spark: SparkSession, sf: str) -> DataFrame:
@@ -102,10 +115,33 @@ def q_dedup_cluster(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding-cosine near-dups ≥ 0.95 via hyperplane-LSH buckets +
-    exact verification."""
+    """Embedding-cosine near-dups via hyperplane-LSH buckets + exact
+    verification, HASH-MATCHED (round 3) with deterministic twin
+    injection (the q_text_pii pattern: the oracle checks the operator,
+    not the fixture — whose 124,750 native pairs top out at cosine 0.52,
+    so the un-planted query could only ever return the vacuous empty
+    set). vec_id < 50 each gets a twin at vec_id+10000 with component 1
+    scaled ×1.1 — analytically cosine ≥ 0.9988 — and the query must
+    recover exactly those 50 pairs at threshold 0.99: the DuckDB oracle
+    brute-forces all 150,975 corpus pairs, so a single LSH false
+    negative (8 tables × 12 planes ⇒ miss probability ~1e-6 per pair,
+    and fully deterministic at seed 42) breaks the hash."""
     emb = load(spark, sf, "embeddings")
-    return embedding_near_duplicates(emb, threshold=0.95)
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    twins = base.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) * F.lit(1.1)),
+            F.slice("embedding", 2, F.size("embedding") - 1),
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(twins)
+    return embedding_near_duplicates(corpus, threshold=0.99).orderBy(
+        "id_a", "id_b"
+    )
 
 
 def q_sim_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -462,6 +498,28 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_SHINGLE_JACCARD_ORACLE = """WITH sh AS (
+             SELECT doc_id,
+                    list_distinct(list_transform(
+                        generate_series(1, greatest(length(text) - 4, 1)),
+                        i -> substring(text, CAST(i AS INT), 5))) AS s
+             FROM documents
+           ), e AS (
+             SELECT doc_id, unnest(s) AS g FROM sh
+           ), sizes AS (
+             SELECT doc_id, len(s) AS n FROM sh
+           ), inter AS (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+             FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+             GROUP BY 1, 2
+           )
+           SELECT id_a, id_b,
+                  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+           FROM inter
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5"""
+
 _NGRAM_ORACLE = """WITH g AS (
              -- set-based restatement (explode grams -> hash join): the
              -- original pairwise list_intersect formulation was ~70x
@@ -510,32 +568,15 @@ QUERIES = {
     ),
     # exact all-pairs restatement: LSH+verify emits exactly the pairs with
     # true shingle-Jaccard ≥ 0.5 (verified equal at sf0.001/sf0.01), so the
-    # oracle needs no hash-family knowledge — only set algebra
+    # oracle needs no hash-family knowledge — only set algebra. SHARED by
+    # q_dedup_near (MinHash banding) and q_dedup_simhash (SimHash
+    # pigeonhole): both verify candidates with the exact Jaccard, so both
+    # must equal this set — the q_join_salted shared-oracle pattern.
     "q_dedup_near": QuerySpec(
         q_dedup_near,
-        """WITH sh AS (
-             SELECT doc_id,
-                    list_distinct(list_transform(
-                        generate_series(1, greatest(length(text) - 4, 1)),
-                        i -> substring(text, CAST(i AS INT), 5))) AS s
-             FROM documents
-           ), e AS (
-             SELECT doc_id, unnest(s) AS g FROM sh
-           ), sizes AS (
-             SELECT doc_id, len(s) AS n FROM sh
-           ), inter AS (
-             SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
-             FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
-             GROUP BY 1, 2
-           )
-           SELECT id_a, id_b,
-                  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
-           FROM inter
-           JOIN sizes sa ON sa.doc_id = id_a
-           JOIN sizes sb ON sb.doc_id = id_b
-           WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5""",
+        _SHINGLE_JACCARD_ORACLE,
     ),
-    "q_dedup_simhash": QuerySpec(q_dedup_simhash, None), # xxhash64 family
+    "q_dedup_simhash": QuerySpec(q_dedup_simhash, _SHINGLE_JACCARD_ORACLE),
     "q_dedup_ngram": QuerySpec(
         q_dedup_ngram,
         _NGRAM_ORACLE,
@@ -557,7 +598,37 @@ QUERIES = {
                   (min(node) = src) AS is_canonical
            FROM reach GROUP BY src""",
     ),
-    "q_dedup_embedding": QuerySpec(q_dedup_embedding, None),  # LSH family
+    # brute-force restatement over the twin-planted corpus: all 150,975
+    # pairs scored exactly, so LSH recall on the 50 planted pairs is what
+    # the hash match proves (list_reduce folds left-to-right like
+    # F.aggregate — identical double arithmetic, identical round(…, 6))
+    "q_dedup_embedding": QuerySpec(
+        q_dedup_embedding,
+        """WITH base AS (
+             SELECT vec_id,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             FROM embeddings
+           ), twins AS (
+             SELECT vec_id + 10000 AS vec_id,
+                    list_concat([e[1] * 1.1], e[2:]) AS e
+             FROM base WHERE vec_id < 50
+           ), corpus AS (
+             SELECT * FROM base UNION ALL SELECT * FROM twins
+           ), pairs AS (
+             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                    round(
+                      list_reduce(list_prepend(0.0,
+                          list_transform(list_zip(a.e, b.e), p -> p[1] * p[2])),
+                          (s, x) -> s + x)
+                      / (sqrt(list_reduce(list_prepend(0.0,
+                             list_transform(a.e, x -> x * x)), (s, x) -> s + x))
+                       * sqrt(list_reduce(list_prepend(0.0,
+                             list_transform(b.e, x -> x * x)), (s, x) -> s + x))),
+                      6) AS cosine
+             FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+           )
+           SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.99""",
+    ),
     "q_sim_topk": QuerySpec(
         q_sim_topk,
         """WITH v AS (
