@@ -65,6 +65,11 @@ _PRIORITY = [
     "q_subquery_exists",
     "q_tpch_q6",
     "q_tpch_q18",
+    "q_tpch_q4",
+    "q_tpch_q10",
+    "q_tpch_q12",
+    "q_tpch_q14",
+    "q_tpch_q19",
     "q_text_tfidf",
     "q_join_runtime_filter",
     "q_stream_upsert",

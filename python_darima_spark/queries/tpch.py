@@ -168,6 +168,145 @@ def q_tpch_q18(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tpch_q4(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q4 order-priority checking, adapted to the fixture (no
+    l_commitdate/l_receiptdate): orders with ANY lineitem shipped > 90
+    days after the order date, counted per priority. The EXISTS becomes a
+    LEFT-SEMI join whose condition spans both sides (equi key + date
+    inequality) — the probe side never duplicates orders however many
+    lineitems are late, so the aggregate input stays |orders|-bounded."""
+    orders = load(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    ).select("o_orderkey", "o_orderdate", "o_orderpriority")
+    li = load(spark, sf, "lineitem").select("l_orderkey", "l_shipdate")
+    late = orders.join(
+        li,
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count("*").alias("order_count")
+    )
+
+
+def q_tpch_q10(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q10 returned-item reporting: customers ranked by revenue on
+    returned lineitems in one quarter. Two shuffled fact joins + one
+    broadcast dim (nation), revenue per customer, top-20 via
+    TakeOrderedAndProject with a unique tie-break."""
+    cust = load(spark, sf, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    orders = load(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01"))
+    ).select("o_orderkey", "o_custkey")
+    li = load(spark, sf, "lineitem").where(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    nation = F.broadcast(
+        load(spark, sf, "nation").select("n_nationkey", "n_name")
+    )
+    # Per-customer revenue summed as EXACT integer cents (each line's
+    # double product rounded once, then integer addition): double sums
+    # are summation-order-dependent, and with enough lines per group a
+    # last-ulp difference vs the oracle's own order eventually lands on a
+    # rounding boundary (observed at sf0.01: 3e-8 relative → a flipped
+    # 2nd decimal). Line-level rounding is deterministic on both engines.
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    return (
+        orders.join(li, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(nation, cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(cents) / 100.0, 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+def q_tpch_q12(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q12 shipping-mode priority, adapted (no l_shipmode): lines
+    bucketed by ship latency class (days from order to ship), with the
+    Q12 conditional aggregation — urgent/high orders counted separately
+    from the rest inside one pass. One join, one CASE-heavy hash agg."""
+    orders = load(spark, sf, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    li = load(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01"))
+    ).select("l_orderkey", "l_shipdate")
+    lag_days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    ship_class = (
+        F.when(lag_days <= 30, "FAST")
+        .when(lag_days <= 90, "NORMAL")
+        .otherwise("SLOW")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .withColumn("ship_class", ship_class)
+        .groupBy("ship_class")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def q_tpch_q14(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q14 promotion effect: share of one month's revenue from
+    promo parts. part is a broadcast dim; the whole query is one
+    broadcast join + a single 1-row conditional aggregate — the
+    numerator/denominator never require two passes."""
+    li = load(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    part = F.broadcast(
+        load(spark, sf, "part").select("p_partkey", "p_type")
+    )
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(F.lit(100.0) * F.sum(promo) / F.sum(rev), 4).alias(
+                "promo_revenue_pct"
+            ),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
+def q_tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q19 discounted revenue: the OR-of-ANDs shape, written in SQL
+    with the join key repeated INSIDE every disjunct exactly as the spec
+    does — Catalyst must extract the common ``p_partkey = l_partkey``
+    conjunct out of the OR to plan an equi-join at all (otherwise this is
+    a cartesian product with a residual filter). The plan is asserted in
+    tests/test_tpch_plans.py; the per-disjunct brand/size/quantity bands
+    are adapted to the fixture's domains."""
+    load(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
+    load(spark, sf, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                  count(*) AS n_lines
+           FROM lineitem, part
+           WHERE (p_partkey = l_partkey AND p_brand = 'Brand#12'
+                  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+              OR (p_partkey = l_partkey AND p_brand = 'Brand#23'
+                  AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+              OR (p_partkey = l_partkey AND p_brand = 'Brand#14'
+                  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)"""
+    )
+
+
 QUERIES = {
     "q_tpch_q1": QuerySpec(
         q_tpch_q1,
@@ -238,5 +377,74 @@ QUERIES = {
            JOIN customer ON o_custkey = c_custkey
            ORDER BY o_price DESC, o_orderkey
            LIMIT 20""",
+    ),
+    "q_tpch_q4": QuerySpec(
+        q_tpch_q4,
+        """SELECT o_orderpriority, count(*) AS order_count
+           FROM orders
+           WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate < TIMESTAMP '1997-01-01'
+             AND EXISTS (
+               SELECT 1 FROM lineitem
+               WHERE l_orderkey = o_orderkey
+                 AND l_shipdate > o_orderdate + INTERVAL 90 DAY)
+           GROUP BY o_orderpriority""",
+    ),
+    "q_tpch_q10": QuerySpec(
+        q_tpch_q10,
+        """SELECT c_custkey, c_name, n_name,
+                  round(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                       * 100) AS BIGINT)) / 100.0, 2)
+                      AS revenue
+           FROM customer
+           JOIN orders ON o_custkey = c_custkey
+           JOIN lineitem ON l_orderkey = o_orderkey
+           JOIN nation ON c_nationkey = n_nationkey
+           WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate < TIMESTAMP '1996-04-01'
+             AND l_returnflag = 'R'
+           GROUP BY c_custkey, c_name, n_name
+           ORDER BY revenue DESC, c_custkey
+           LIMIT 20""",
+    ),
+    "q_tpch_q12": QuerySpec(
+        q_tpch_q12,
+        """SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 30
+                       THEN 'FAST'
+                       WHEN date_diff('day', o_orderdate, l_shipdate) <= 90
+                       THEN 'NORMAL'
+                       ELSE 'SLOW' END AS ship_class,
+                  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 1 ELSE 0 END) AS high_line_count,
+                  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                           THEN 0 ELSE 1 END) AS low_line_count
+           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1997-01-01'
+           GROUP BY 1""",
+    ),
+    "q_tpch_q14": QuerySpec(
+        q_tpch_q14,
+        """SELECT round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                         THEN l_extendedprice * (1 - l_discount)
+                         ELSE 0.0 END)
+                  / sum(l_extendedprice * (1 - l_discount)), 4)
+                      AS promo_revenue_pct,
+                  count(*) AS n_lines
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+             AND l_shipdate < TIMESTAMP '1996-10-01'""",
+    ),
+    "q_tpch_q19": QuerySpec(
+        q_tpch_q19,
+        """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                  count(*) AS n_lines
+           FROM lineitem, part
+           WHERE (p_partkey = l_partkey AND p_brand = 'Brand#12'
+                  AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+              OR (p_partkey = l_partkey AND p_brand = 'Brand#23'
+                  AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+              OR (p_partkey = l_partkey AND p_brand = 'Brand#14'
+                  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)""",
     ),
 }

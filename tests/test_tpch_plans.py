@@ -5,7 +5,14 @@ sort, pushdown reaching the scan."""
 
 from __future__ import annotations
 
-from python_darima_spark.queries.tpch import q_tpch_q1, q_tpch_q3, q_tpch_q5
+from python_darima_spark.queries.tpch import (
+    q_tpch_q1,
+    q_tpch_q3,
+    q_tpch_q4,
+    q_tpch_q5,
+    q_tpch_q18,
+    q_tpch_q19,
+)
 
 
 def _plan(df) -> str:
@@ -45,3 +52,38 @@ def test_q5_broadcasts_dims_only(spark, sf_dir):
     # or AQE-converted broadcast, but never a NestedLoop/cartesian
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q4_exists_is_semi_join(spark, sf_dir):
+    # the EXISTS-shaped predicate must plan as a LeftSemi HASH join even
+    # though the condition mixes the equi key with a date inequality —
+    # the inequality rides as the join's residual condition, it must not
+    # demote the join to a nested loop
+    plan = _plan(q_tpch_q4(spark, sf_dir))
+    assert "LeftSemi" in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q18_aggregates_before_join(spark, sf_dir):
+    # the HAVING pre-aggregation must run BELOW the joins (only
+    # qualifying orderkeys join) and top-20 must be TakeOrdered
+    plan = _plan(q_tpch_q18(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan, plan[:1500]
+    agg_pos = plan.find("HashAggregate")
+    join_pos = plan.find("Join")
+    assert agg_pos != -1 and join_pos != -1
+    # executedPlan prints top-down: the join appears before (above) the
+    # qualifying-keys aggregate it consumes
+    assert join_pos < plan.rfind("HashAggregate")
+
+
+def test_q19_or_of_ands_extracts_equi_join(spark, sf_dir):
+    # the spec repeats p_partkey = l_partkey inside every OR disjunct;
+    # Catalyst must factor it out and plan a HASH equi-join with the
+    # brand/size/quantity bands as a residual — an engine that misses the
+    # extraction runs a cartesian product here
+    plan = _plan(q_tpch_q19(spark, sf_dir))
+    assert "CartesianProduct" not in plan, plan[:2000]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "HashJoin" in plan or "SortMergeJoin" in plan
