@@ -106,11 +106,13 @@ def q_ts_many_series(spark: SparkSession, sf: str) -> DataFrame:
         "ts",
         F.col("value").alias("y"),
     )
-    # persist: the fit pipeline reads the resampled grid multiple times
-    # (split bounds + fit input); recomputing the scan→agg→grid-join
-    # subtree per read dominated the wall (on a cluster this is where
-    # you'd checkpoint the prepared series table instead).
-    hourly = resample_regular(series, "1 hour").persist()
+    # NO persist (round 3): since the fit stage packs windows via a JVM
+    # aggregate, the resampled grid has exactly ONE consumer — caching it
+    # only added a 4.6M-row materialization barrier between resample and
+    # fit (measured: warm rep ~11.7 s with persist, ~5 s letting the plan
+    # pipeline end to end). Re-add a checkpoint only if a second consumer
+    # (e.g. forecasting against the same grid) appears.
+    hourly = resample_regular(series, "1 hour")
     cfg = DarimaConfig(
         num_windows=2, period=24, tol=24,
         max_p=2, max_q=1, max_P=0, max_Q=0, method="mean",
