@@ -57,6 +57,10 @@ HEADLINE = [
     "q_join_runtime_filter",
     "q_text_tfidf",
     "q_embed_normalize",
+    "q_tpch_q10",
+    "q_tpch_q19",
+    "q_dedup_simhash",
+    "q_dedup_embedding",
 ]
 
 
