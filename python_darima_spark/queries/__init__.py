@@ -70,6 +70,10 @@ _PRIORITY = [
     "q_tpch_q12",
     "q_tpch_q14",
     "q_tpch_q19",
+    "q_agg_approx_quantile",
+    "q_text_perplexity",
+    "q_dedup_containment",
+    "q_ts_stl",
     "q_text_tfidf",
     "q_join_runtime_filter",
     "q_stream_upsert",

@@ -7,7 +7,7 @@ q_ts_resample IS SQL-expressible and hash-matched."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from python_darima_spark.darima.pipeline import DarimaConfig, darima, forecast
@@ -136,6 +136,42 @@ def q_ts_gapfill(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("series_id", "ts", F.round("y", 6).alias("y"))
 
 
+def q_ts_stl(spark: SparkSession, sf: str) -> DataFrame:
+    """STL-style additive decomposition per series, fully relational:
+    trend = centered 25-hour moving average (rows frame), seasonal =
+    hour-of-day mean of the detrended values (one hash agg, re-joined
+    broadcast-sized), residual = y − trend − seasonal. One window pass +
+    one agg + one small join — the decomposition a monitoring pipeline
+    runs before anomaly thresholds (residual z-scores), and the additive
+    counterpart of q_ts_seasonal's profile. Each stage's output is
+    rounded before the next consumes it, so cross-engine summation-order
+    ulps cannot compound across stages."""
+    ev = load(spark, sf, "events")
+    hourly = ev.groupBy(
+        F.col("event_type").alias("series_id"),
+        F.date_trunc("hour", "ts").alias("ts"),
+    ).agg(F.round(F.sum("value"), 6).alias("y"))
+    w = Window.partitionBy("series_id").orderBy("ts").rowsBetween(-12, 12)
+    base = hourly.withColumn(
+        "trend", F.round(F.avg("y").over(w), 6)
+    ).withColumn("detr", F.round(F.col("y") - F.col("trend"), 6))
+    seas = base.groupBy(
+        "series_id", F.hour("ts").alias("hod")
+    ).agg(F.round(F.avg("detr"), 6).alias("seasonal"))
+    return (
+        base.withColumn("hod", F.hour("ts"))
+        .join(F.broadcast(seas), ["series_id", "hod"])
+        .select(
+            "series_id",
+            "ts",
+            "y",
+            "trend",
+            "seasonal",
+            F.round(F.col("detr") - F.col("seasonal"), 6).alias("resid"),
+        )
+    )
+
+
 def q_ts_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Hypertable-style multi-resolution rollup: hour AND day aggregates
     of events per event_type in ONE pass via GROUPING SETS — a single
@@ -234,6 +270,32 @@ QUERIES = {
                                                    / (epoch(nts) - epoch(pts))
                              ELSE coalesce(py, ny) END, 6) AS y
            FROM w""",
+    ),
+    "q_ts_stl": QuerySpec(
+        q_ts_stl,
+        """WITH hourly AS (
+             SELECT event_type AS series_id,
+                    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ts,
+                    round(sum(value), 6) AS y
+             FROM events GROUP BY 1, 2
+           ), tr AS (
+             SELECT series_id, ts, y,
+                    round(avg(y) OVER (
+                        PARTITION BY series_id ORDER BY ts
+                        ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING), 6)
+                        AS trend
+             FROM hourly
+           ), dt AS (
+             SELECT *, round(y - trend, 6) AS detr,
+                    hour(ts) AS hod
+             FROM tr
+           ), seas AS (
+             SELECT series_id, hod, round(avg(detr), 6) AS seasonal
+             FROM dt GROUP BY 1, 2
+           )
+           SELECT dt.series_id, dt.ts, dt.y, dt.trend, seas.seasonal,
+                  round(dt.detr - seas.seasonal, 6) AS resid
+           FROM dt JOIN seas USING (series_id, hod)""",
     ),
     "q_ts_fit_combine": QuerySpec(q_ts_fit_combine, None),
     "q_ts_fit_combine_dlsa": QuerySpec(q_ts_fit_combine_dlsa, None),

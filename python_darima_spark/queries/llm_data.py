@@ -27,6 +27,7 @@ from python_darima_spark.functions.text import (
 )
 from python_darima_spark.operators import ensure_parallelism
 from python_darima_spark.operators.dedup import (
+    containment_pairs,
     dedup_exact,
     minhash_near_duplicates,
     ngram_jaccard_pairs,
@@ -142,6 +143,19 @@ def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     return embedding_near_duplicates(corpus, threshold=0.99).orderBy(
         "id_a", "id_b"
     )
+
+
+def q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
+    """Asymmetric containment pairs (|A∩B|/|A| ≥ 0.9) via the PREFIX
+    FILTER — the doc-inside-doc case Jaccard dedup structurally misses.
+    Candidate recall is provably 1.0 (each contained doc probes one more
+    shingle than it could possibly miss), every candidate is exact-
+    verified, so the all-pairs DuckDB restatement must match exactly —
+    no hash-family caveat at all for this family member."""
+    docs = load(spark, sf, "documents")
+    return containment_pairs(
+        docs, "text", "doc_id", threshold=0.9
+    ).orderBy("id_a", "id_b")
 
 
 def q_sim_topk(spark: SparkSession, sf: str) -> DataFrame:
@@ -479,6 +493,40 @@ def q_text_vocab(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_text_perplexity(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document unigram-LM score — the perplexity-style quality cut a
+    curation pipeline runs with a real LM: train unigram probabilities on
+    the corpus (one token agg + a 1-row total), score each doc by the
+    mean log-probability of its tokens, report ppl = exp(−mean).
+
+    Two shapes matter: the probability table joins back BROADCAST (it is
+    vocabulary-sized, never corpus-sized), and per-token log-probs are
+    summed as INTEGER micro-nats (round(ln·1e6)::bigint) — double sums
+    are summation-order-dependent across engines (the q_tpch_q10
+    lesson), integer sums are associative, and a 1-ulp ln() difference
+    flips a rounded micro-nat with probability ~1e-9 per token."""
+    docs = ensure_parallelism(load(spark, sf, "documents"))
+    toks = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("token")
+    ).where(F.length("token") > 0)
+    vocab = toks.groupBy("token").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("t"))
+    lp6 = vocab.crossJoin(F.broadcast(total)).select(
+        "token",
+        F.round(F.log(F.col("c") / F.col("t")) * 1e6)
+        .cast("bigint")
+        .alias("lp6"),
+    )
+    per_doc = toks.join(F.broadcast(lp6), "token").groupBy("doc_id").agg(
+        F.sum("lp6").alias("s"), F.count("*").alias("n_tok")
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_tok",
+        F.round(F.exp(-(F.col("s") / 1e6) / F.col("n_tok")), 4).alias("ppl"),
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Binary-payload → mapInPandas feature extraction (deterministic fake
     decoder; real plumbing). Returns per-media byte counts + 16-d feature."""
@@ -577,6 +625,32 @@ QUERIES = {
         _SHINGLE_JACCARD_ORACLE,
     ),
     "q_dedup_simhash": QuerySpec(q_dedup_simhash, _SHINGLE_JACCARD_ORACLE),
+    "q_dedup_containment": QuerySpec(
+        q_dedup_containment,
+        """WITH sh AS (
+             SELECT doc_id,
+                    list_distinct(list_transform(
+                        generate_series(1, greatest(length(text) - 4, 1)),
+                        i -> substring(text, CAST(i AS INT), 5))) AS s
+             FROM documents
+           ), e AS (
+             SELECT doc_id, unnest(s) AS g FROM sh
+           ), sizes AS (
+             SELECT doc_id, len(s) AS n FROM sh
+           ), inter AS (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+             FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+             GROUP BY 1, 2
+           )
+           SELECT id_a, id_b,
+                  round(CAST(i AS DOUBLE) / sa.n, 6) AS containment_a,
+                  round(CAST(i AS DOUBLE) / sb.n, 6) AS containment_b
+           FROM inter
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE greatest(CAST(i AS DOUBLE) / sa.n,
+                          CAST(i AS DOUBLE) / sb.n) >= 0.9""",
+    ),
     "q_dedup_ngram": QuerySpec(
         q_dedup_ngram,
         _NGRAM_ORACLE,
@@ -938,6 +1012,29 @@ QUERIES = {
            GROUP BY token
            ORDER BY cnt DESC, token
            LIMIT 50""",
+    ),
+    "q_text_perplexity": QuerySpec(
+        q_text_perplexity,
+        r"""WITH toks AS (
+             SELECT doc_id, unnest(string_split_regex(lower(text), '\s+'))
+                        AS token
+             FROM documents
+           ), tk AS (
+             SELECT doc_id, token FROM toks WHERE length(token) > 0
+           ), vocab AS (
+             SELECT token, count(*) AS c FROM tk GROUP BY token
+           ), total AS (
+             SELECT sum(c) AS t FROM vocab
+           ), lp AS (
+             SELECT token,
+                    CAST(round(ln(CAST(c AS DOUBLE) / t) * 1e6) AS BIGINT)
+                        AS lp6
+             FROM vocab, total
+           )
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+                  round(exp(-(sum(lp6) / 1e6) / count(*)), 4) AS ppl
+           FROM tk JOIN lp USING (token)
+           GROUP BY doc_id""",
     ),
     # The fake decoder is a 16-bin histogram over the payload's high
     # nibbles (byte >> 4), L1-normalized; the fixture text is pure ASCII

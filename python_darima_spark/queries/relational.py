@@ -297,6 +297,42 @@ def q_agg_percentile(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_agg_approx_quantile(spark: SparkSession, sf: str) -> DataFrame:
+    """Sketch-based quantiles made hash-checkable (the q_agg_approx
+    pattern): per group, the EXACT p50/p90/p99 (hash-matched against
+    DuckDB quantile_cont) plus within-2 %-of-exact flags for the
+    ``approx_percentile`` estimates. KLL/GK-style quantile sketches are
+    the 100 TB path — mergeable partial state per partition instead of
+    materializing each group's values — and the flags pin their error
+    without requiring the oracle to model the sketch: the estimate is
+    deterministic for given data, a broken sketch flips a flag and fails
+    the hash."""
+    li = load(spark, sf, "lineitem")
+    exact = li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.9)"), 4).alias("p90"),
+        F.round(F.expr("percentile(l_extendedprice, 0.99)"), 4).alias("p99"),
+    )
+    approx = li.groupBy(F.col("l_returnflag").alias("_rf")).agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
+        ).alias("_ap")
+    )
+    j = exact.join(approx, exact.l_returnflag == approx._rf)
+    ok = lambda i, x: (  # noqa: E731
+        F.abs(F.element_at("_ap", i) - F.col(x)) <= 0.02 * F.col(x)
+    )
+    return j.select(
+        "l_returnflag",
+        "p50",
+        "p90",
+        "p99",
+        ok(1, "p50").alias("approx_p50_ok"),
+        ok(2, "p90").alias("approx_p90_ok"),
+        ok(3, "p99").alias("approx_p99_ok"),
+    )
+
+
 def q_agg_mode_median(spark: SparkSession, sf: str) -> DataFrame:
     """Grouped median (continuous interpolation, DuckDB quantile_cont
     twin) + DETERMINISTIC mode: built-in ``mode()`` leaves ties
@@ -810,6 +846,17 @@ QUERIES = {
                   round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
                   round(quantile_cont(l_extendedprice, 0.25), 4) AS p25_price,
                   round(quantile_cont(l_extendedprice, 0.75), 4) AS p75_price
+           FROM lineitem GROUP BY l_returnflag""",
+    ),
+    "q_agg_approx_quantile": QuerySpec(
+        q_agg_approx_quantile,
+        """SELECT l_returnflag,
+                  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+                  round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+                  round(quantile_cont(l_extendedprice, 0.99), 4) AS p99,
+                  TRUE AS approx_p50_ok,
+                  TRUE AS approx_p90_ok,
+                  TRUE AS approx_p99_ok
            FROM lineitem GROUP BY l_returnflag""",
     ),
     "q_agg_mode_median": QuerySpec(
