@@ -137,7 +137,10 @@ def resize_media(
         flat = (ri[:, None] * width + ci[None, :]).ravel()
         sums = np.bincount(flat, weights=img.ravel(), minlength=width * height)
         cnts = np.maximum(np.bincount(flat, minlength=width * height), 1)
-        return (sums / cnts).round().astype(np.uint8).tobytes()
+        # floor(x + 0.5) (round-half-up), not np.round (half-even): the
+        # SQL restatement of this stub (q_multimodal_resize oracle) uses
+        # floor(avg + 0.5), and the two must agree byte-for-byte
+        return np.floor(sums / cnts + 0.5).astype(np.uint8).tobytes()
 
     def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -74,6 +74,7 @@ _PRIORITY = [
     "q_text_perplexity",
     "q_dedup_containment",
     "q_ts_stl",
+    "q_multimodal_resize",
     "q_text_tfidf",
     "q_join_runtime_filter",
     "q_stream_upsert",

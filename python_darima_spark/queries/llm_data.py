@@ -527,6 +527,36 @@ def q_text_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
+    """Binary-payload RESIZE stage through Arrow ``mapInPandas`` — the
+    second multimodal transform made driver-visible (q_multimodal_features
+    covers decode/feature-extract). The deterministic mean-pool stub
+    resizes each payload (a w₀×1 byte raster of the doc's utf-8 text) to
+    an 8×8 grid; the query emits the 8 populated pooled bytes, unpacked
+    JVM-SIDE (pooled means of ASCII bytes are ≤ 127, so the payload's
+    head decodes as single-byte chars — ``ascii(substring(...))``), plus
+    the exact-output-size invariant. The oracle restates the pooling
+    arithmetic per char bucket: integer sums are exact in doubles, both
+    sides round half-up, so bytes match exactly."""
+    from python_darima_spark.multimodal.binary_ops import (
+        attach_media_from_text,
+        resize_media,
+    )
+
+    docs = ensure_parallelism(load(spark, sf, "documents"))
+    media = attach_media_from_text(docs)
+    resized = resize_media(media, width=8, height=8, fake=True)
+    s = F.col("payload").cast("string")
+    return resized.select(
+        "media_id",
+        F.length("payload").alias("n_bytes"),
+        *[
+            F.ascii(F.substring(s, i + 1, 1)).alias(f"b{i}")
+            for i in range(8)
+        ],
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Binary-payload → mapInPandas feature extraction (deterministic fake
     decoder; real plumbing). Returns per-media byte counts + 16-d feature."""
@@ -1043,6 +1073,34 @@ QUERIES = {
     # 0-15), f7 = bin 6 (codes 96-111). The operator itself is
     # byte-general — ASCII-ness is a fixture property the oracle leans
     # on, not an operator assumption.
+    # mean-pool restatement: doc text is a w0-wide 1-row byte raster;
+    # numpy buckets char i0 (0-based) into column (i0*8)//w0 (capped 7),
+    # all mass lands in grid row 0 (h0=1), bytes 8..63 stay zero. Integer
+    # ord-sums are exact in doubles; both sides floor(mean + 0.5).
+    "q_multimodal_resize": QuerySpec(
+        q_multimodal_resize,
+        """WITH chars AS (
+             SELECT doc_id,
+                    ord(substring(text, i, 1)) AS code,
+                    least(((i - 1) * 8) // length(text), 7) AS j
+             FROM documents,
+                  LATERAL unnest(generate_series(1, length(text))) AS t(i)
+           ), agg AS (
+             SELECT doc_id, j,
+                    CAST(floor(avg(code) + 0.5) AS INT) AS b
+             FROM chars GROUP BY 1, 2
+           )
+           SELECT doc_id AS media_id, CAST(64 AS INT) AS n_bytes,
+                  max(CASE WHEN j = 0 THEN b END) AS b0,
+                  max(CASE WHEN j = 1 THEN b END) AS b1,
+                  max(CASE WHEN j = 2 THEN b END) AS b2,
+                  max(CASE WHEN j = 3 THEN b END) AS b3,
+                  max(CASE WHEN j = 4 THEN b END) AS b4,
+                  max(CASE WHEN j = 5 THEN b END) AS b5,
+                  max(CASE WHEN j = 6 THEN b END) AS b6,
+                  max(CASE WHEN j = 7 THEN b END) AS b7
+           FROM agg GROUP BY doc_id""",
+    ),
     "q_multimodal_features": QuerySpec(
         q_multimodal_features,
         """WITH c AS (
