@@ -19,7 +19,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_darima_spark.queries import QuerySpec, load
-from python_darima_spark.streaming.stateful import ewma_anomalies
+from python_darima_spark.streaming.stateful import (
+    ewma_anomalies,
+    ewma_anomalies_tws,
+    has_tws_support,
+)
 from python_darima_spark.streaming.windows import (
     read_event_stream,
     run_stream_foreach_upsert,
@@ -122,6 +126,26 @@ def q_stream_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     but the EWMA recursion is not SQL-expressible → rows-only driver check;
     batch-equivalence proven in tests/test_streaming_stateful.py."""
     name = run_stream_to_table(ewma_anomalies(_replayed(spark, sf)), "update")
+    return spark.table(name)
+
+
+def q_stream_anomaly_tws(spark: SparkSession, sf: str) -> DataFrame:
+    """The SAME detector on ``transformWithStateInPandas`` — Spark 4's
+    arbitrary-state successor API (typed state handles, timers, TTL,
+    state-schema evolution), which requires the RocksDB state store.
+    Emits identical rows to q_stream_anomaly on identical replay
+    (twin-equivalence asserted in tests/test_streaming_stateful.py), so
+    the rows-only driver check is backed by an exact cross-API oracle."""
+    name = run_stream_to_table(
+        ewma_anomalies_tws(_replayed(spark, sf)),
+        "update",
+        extra_confs={
+            "spark.sql.streaming.stateStore.providerClass": (
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider"
+            )
+        },
+    )
     return spark.table(name)
 
 
@@ -246,3 +270,11 @@ QUERIES = {
            ) WHERE rn = 1""",
     ),
 }
+
+# transformWithStateInPandas needs the protobuf package (its state-server
+# wire protocol); register the twin only where it can actually run — on a
+# cluster with protobuf installed it appears automatically, here the
+# operator-level NotImplementedError guard plus the skip-gated
+# twin-equivalence test document the path honestly.
+if has_tws_support():
+    QUERIES["q_stream_anomaly_tws"] = QuerySpec(q_stream_anomaly_tws, None)

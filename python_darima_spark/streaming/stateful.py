@@ -34,6 +34,18 @@ ANOMALY_SCHEMA = (
 _STATE_SCHEMA = "count bigint, mean double, var double"
 
 
+def has_tws_support() -> bool:
+    """Whether ``transformWithStateInPandas`` can run here: its state
+    server speaks protobuf, so the Python ``protobuf`` package is a hard
+    runtime dependency (pyspark.sql.streaming.proto imports it)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
 def _fold(
     count: int,
     mean: float,
@@ -125,5 +137,95 @@ def ewma_anomalies(
             stateStructType=_STATE_SCHEMA,
             outputMode="update",
             timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def ewma_anomalies_tws(
+    events: DataFrame,
+    alpha: float = 0.1,
+    z_threshold: float = 3.0,
+    warmup: int = 24,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str | None = "event_id",
+) -> DataFrame:
+    """``transformWithStateInPandas`` twin of :func:`ewma_anomalies` —
+    the Spark-4 arbitrary-state API (SPARK-45939, the successor to
+    applyInPandasWithState: typed state handles, timers, TTL, and
+    state-schema evolution). Same ``_fold``, same output contract, so the
+    two operators must emit IDENTICAL rows on identical replay — asserted
+    in tests/test_streaming_stateful.py, which is exactly the migration
+    guarantee a production pipeline wants before switching APIs.
+
+    Requires the RocksDB state-store provider (transformWithState is not
+    implemented for the HDFS-backed default); the query harness sets it
+    for the duration of the stream. Also requires the ``protobuf``
+    package (the TWS state-server wire protocol is protobuf-encoded) —
+    absent here, so like the media codecs this refuses at PLAN time, the
+    registry omits the query, and the twin-equivalence test skips; on a
+    cluster with protobuf installed everything lights up unchanged."""
+    if not has_tws_support():
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the 'protobuf' package "
+            "(pyspark.sql.streaming.proto), not present in this "
+            "environment; use ewma_anomalies (applyInPandasWithState)"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    tb = tiebreak_col if tiebreak_col in (events.columns or []) else None
+    sort_cols = [ts_col, tb] if tb else [ts_col]
+
+    class _Ewma(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._state = handle.getValueState("ewma", _STATE_SCHEMA)
+
+        def handleInputRows(self, key, rows, timer_values):  # noqa: ANN001
+            st = self._state.get() if self._state.exists() else None
+            count, mean, var = st if st is not None else (0, 0.0, 0.0)
+            chunks = list(rows)
+            if not chunks:
+                return iter([])
+            pdf = pd.concat(chunks, ignore_index=True)
+            pdf = pdf.sort_values(sort_cols, kind="mergesort")
+            count, mean, var, hits = _fold(
+                count, mean, var, pdf[value_col], alpha, z_threshold, warmup
+            )
+            self._state.update((count, mean, var))
+            if not hits:
+                return iter([])
+            idx = [h[0] for h in hits]
+            return iter(
+                [
+                    pd.DataFrame(
+                        {
+                            "series_key": str(key[0]),
+                            "ts": pdf[ts_col].iloc[idx].to_numpy(),
+                            "value": pdf[value_col]
+                            .iloc[idx]
+                            .to_numpy(dtype=float),
+                            "zscore": [round(h[1], 6) for h in hits],
+                            "ewm_mean": [round(h[2], 6) for h in hits],
+                            "seen": [h[3] for h in hits],
+                        }
+                    )
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select(*([key_col, ts_col, value_col] + ([tb] if tb else [])))
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            statefulProcessor=_Ewma(),
+            outputStructType=ANOMALY_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
         )
     )

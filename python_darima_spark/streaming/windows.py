@@ -315,6 +315,7 @@ def run_stream_to_table(
     mode: str = "append",
     timeout_s: int = 120,
     state_partitions: int | None = 8,
+    extra_confs: dict[str, str] | None = None,
 ) -> str:
     """Execute a streaming DataFrame to completion (availableNow) into a
     memory sink; returns the sink table name.
@@ -339,8 +340,16 @@ def run_stream_to_table(
     spark = result.sparkSession
     key = "spark.sql.shuffle.partitions"
     prev = spark.conf.get(key)
+    # extra_confs (e.g. the RocksDB state-store provider that
+    # transformWithState requires) follow the same set-around-start /
+    # restore-in-finally discipline and concurrency caveat as above
+    prev_extra = {
+        k: spark.conf.get(k, None) for k in (extra_confs or {})
+    }
     if state_partitions is not None:
         spark.conf.set(key, str(state_partitions))
+    for k, v in (extra_confs or {}).items():
+        spark.conf.set(k, v)
     try:
         q = (
             result.writeStream.format("memory")
@@ -355,4 +364,9 @@ def run_stream_to_table(
             raise TimeoutError(f"stream {name} did not finish in {timeout_s}s")
     finally:
         spark.conf.set(key, prev)
+        for k, v in prev_extra.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
     return name

@@ -96,3 +96,47 @@ def test_anomalies_emitted_once_across_batches(spark, sf_dir):
             .reset_index(drop=True)
         )
     pd.testing.assert_frame_equal(outs[0], outs[1])
+
+
+def test_tws_twin_matches_apply_in_pandas_with_state(spark, sf_dir):
+    """transformWithStateInPandas twin must emit IDENTICAL rows to the
+    applyInPandasWithState detector on identical replay — the migration
+    guarantee between the two stateful APIs. Requires protobuf (the TWS
+    state-server protocol); skipped where absent, with the plan-time
+    guard asserted instead."""
+    import pytest
+
+    from python_darima_spark.streaming.stateful import (
+        ewma_anomalies,
+        ewma_anomalies_tws,
+        has_tws_support,
+    )
+    from python_darima_spark.streaming.windows import (
+        read_event_stream,
+        run_stream_to_table,
+        stage_event_chunks,
+    )
+
+    if not has_tws_support():
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            ewma_anomalies_tws(None)
+        pytest.skip("protobuf not installed; TWS cannot run here")
+
+    staged = stage_event_chunks(spark, sf_dir, 4)
+    a = run_stream_to_table(
+        ewma_anomalies(read_event_stream(spark, staged)), "update"
+    )
+    b = run_stream_to_table(
+        ewma_anomalies_tws(read_event_stream(spark, staged)),
+        "update",
+        extra_confs={
+            "spark.sql.streaming.stateStore.providerClass": (
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider"
+            )
+        },
+    )
+    cols = ["series_key", "ts", "value", "zscore", "ewm_mean", "seen"]
+    pa = spark.table(a).toPandas().sort_values(cols).reset_index(drop=True)
+    pb = spark.table(b).toPandas().sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(pa[cols], pb[cols], check_dtype=False)
