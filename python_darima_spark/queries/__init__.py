@@ -75,6 +75,7 @@ _PRIORITY = [
     "q_dedup_containment",
     "q_ts_stl",
     "q_multimodal_resize",
+    "q_ts_changepoint",
     "q_text_tfidf",
     "q_join_runtime_filter",
     "q_stream_upsert",

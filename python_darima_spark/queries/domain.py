@@ -172,6 +172,57 @@ def q_ts_stl(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ts_changepoint(spark: SparkSession, sf: str) -> DataFrame:
+    """Offline CUSUM changepoint per series (Page 1954 shape, depth-1
+    binary segmentation): S_t = Σ_{i≤t}(y_i − ȳ); the mean-shift point is
+    argmax |S_t|. One running-frame window pass per series + a keyed
+    self-join for the before/after means — no Python, no iteration. The
+    argmax ranks the ROUNDED statistic (tie-break earliest ts): ranking
+    raw doubles would let a last-ulp difference pick a different ts per
+    engine (the rounded-then-ranked rule, cf. q_text_tfidf)."""
+    ev = load(spark, sf, "events")
+    hourly = ev.groupBy(
+        F.col("event_type").alias("series_id"),
+        F.date_trunc("hour", "ts").alias("ts"),
+    ).agg(F.round(F.sum("value"), 6).alias("y"))
+    wall = Window.partitionBy("series_id")
+    wrun = (
+        Window.partitionBy("series_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hourly.withColumn("_mu", F.avg("y").over(wall)).withColumn(
+        "abs_s", F.round(F.abs(F.sum(F.col("y") - F.col("_mu")).over(wrun)), 4)
+    )
+    cp = (
+        cum.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("series_id").orderBy(
+                    F.desc("abs_s"), F.asc("ts")
+                )
+            ),
+        )
+        .where(F.col("_rn") == 1)
+        .select("series_id", F.col("ts").alias("cp_ts"), "abs_s")
+    )
+    sides = (
+        hourly.join(cp, "series_id")
+        .groupBy("series_id", "cp_ts", "abs_s")
+        .agg(
+            F.round(
+                F.avg(F.when(F.col("ts") <= F.col("cp_ts"), F.col("y"))), 4
+            ).alias("mean_before"),
+            F.round(
+                F.avg(F.when(F.col("ts") > F.col("cp_ts"), F.col("y"))), 4
+            ).alias("mean_after"),
+        )
+    )
+    return sides.select(
+        "series_id", "cp_ts", "abs_s", "mean_before", "mean_after"
+    )
+
+
 def q_ts_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Hypertable-style multi-resolution rollup: hour AND day aggregates
     of events per event_type in ONE pass via GROUPING SETS — a single
@@ -296,6 +347,37 @@ QUERIES = {
            SELECT dt.series_id, dt.ts, dt.y, dt.trend, seas.seasonal,
                   round(dt.detr - seas.seasonal, 6) AS resid
            FROM dt JOIN seas USING (series_id, hod)""",
+    ),
+    "q_ts_changepoint": QuerySpec(
+        q_ts_changepoint,
+        """WITH hourly AS (
+             SELECT event_type AS series_id,
+                    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ts,
+                    round(sum(value), 6) AS y
+             FROM events GROUP BY 1, 2
+           ), cum AS (
+             SELECT series_id, ts, y,
+                    round(abs(sum(y - mu) OVER (
+                        PARTITION BY series_id ORDER BY ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+                        4) AS abs_s
+             FROM (SELECT *, avg(y) OVER (PARTITION BY series_id) AS mu
+                   FROM hourly)
+           ), cp AS (
+             SELECT series_id, ts AS cp_ts, abs_s
+             FROM (SELECT *, row_number() OVER (
+                       PARTITION BY series_id
+                       ORDER BY abs_s DESC, ts) AS rn
+                   FROM cum)
+             WHERE rn = 1
+           )
+           SELECT h.series_id, cp.cp_ts, cp.abs_s,
+                  round(avg(CASE WHEN h.ts <= cp.cp_ts THEN h.y END), 4)
+                      AS mean_before,
+                  round(avg(CASE WHEN h.ts > cp.cp_ts THEN h.y END), 4)
+                      AS mean_after
+           FROM hourly h JOIN cp ON h.series_id = cp.series_id
+           GROUP BY 1, 2, 3""",
     ),
     "q_ts_fit_combine": QuerySpec(q_ts_fit_combine, None),
     "q_ts_fit_combine_dlsa": QuerySpec(q_ts_fit_combine_dlsa, None),
