@@ -35,6 +35,7 @@ from python_darima_spark.functions.text import (
     word_ngrams,
 )
 from python_darima_spark.operators.dedup import (
+    containment_pairs,
     dedup_exact,
     minhash_near_duplicates,
 )
@@ -64,12 +65,41 @@ def main() -> None:
     # 2. language: keep docs whose stopword profile says English
     docs = docs.where(lang_guess("text") == "en")
 
+    # 2b. unigram-LM perplexity band: drop the most surprising tail
+    # (vocabulary probabilities broadcast back; integer micro-nat sums)
+    tk = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("tok")
+    ).where(F.length("tok") > 0)
+    vocab = tk.groupBy("tok").agg(F.count("*").alias("c"))
+    total = vocab.agg(F.sum("c").alias("t"))
+    lp6 = vocab.crossJoin(F.broadcast(total)).select(
+        "tok",
+        F.round(F.log(F.col("c") / F.col("t")) * 1e6).cast("bigint").alias("lp6"),
+    )
+    ppl = (
+        tk.join(F.broadcast(lp6), "tok")
+        .groupBy("doc_id")
+        .agg(F.exp(-(F.sum("lp6") / 1e6) / F.count("*")).alias("ppl"))
+    )
+    docs = docs.join(ppl, "doc_id").where(F.col("ppl") <= 5000).drop("ppl")
+
     # 3. exact dedup (sha2 digest, one agg + semi join)
     docs = dedup_exact(docs)
-    # 4. near dedup: drop the higher doc_id of every verified pair
+    # 4. near dedup: drop the higher doc_id of every verified pair;
+    # then the ASYMMETRIC pass — drop docs ≥90% contained in a larger
+    # surviving doc (the quote-inside-a-page case Jaccard misses)
     pairs = minhash_near_duplicates(docs, threshold=0.8)
     losers = pairs.select(F.col("id_b").alias("doc_id")).distinct()
     docs = docs.join(losers, "doc_id", "left_anti")
+    cont = containment_pairs(docs, threshold=0.9)
+    # containment_a = |A∩B|/|A|: the CONTAINED doc is the one whose side
+    # clears the threshold; keep the container, drop the contained
+    contained = cont.select(
+        F.when(F.col("containment_a") >= 0.9, F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias("doc_id")
+    ).distinct()
+    docs = docs.join(contained, "doc_id", "left_anti")
 
     # 5. decontamination vs the eval slice (doc_id % 97 == 0 stands in
     # for a benchmark set): drop corpus docs sharing any word-5-gram
