@@ -76,6 +76,8 @@ _PRIORITY = [
     "q_ts_stl",
     "q_multimodal_resize",
     "q_ts_changepoint",
+    "q_merge_scd2",
+    "q_funnel_steps",
     "q_text_tfidf",
     "q_join_runtime_filter",
     "q_stream_upsert",

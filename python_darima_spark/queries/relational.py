@@ -717,6 +717,88 @@ def q_merge_upsert(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_merge_scd2(spark: SparkSession, sf: str) -> DataFrame:
+    """SCD TYPE-2 merge — dimension HISTORY, not overwrite (the SCD1
+    twin is q_merge_upsert): a change set closes the matched current
+    version (valid_to = effective date) and appends a new open version.
+    One broadcast-able join against the change keys; untouched rows pass
+    through unmodified, so at 100 TB with the dimension partitioned on a
+    stable key range the merge rewrites only touched partitions."""
+    base = load(spark, sf, "customer").select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.lit("2020-01-01").cast("timestamp").alias("valid_from"),
+        F.lit("2200-01-01").cast("timestamp").alias("valid_to"),
+    )
+    chg = base.where(F.col("c_custkey") % 10 == 0).select(
+        F.col("c_custkey").alias("k"),
+        F.round(F.col("acctbal") * 2 + 100, 2).alias("new_bal"),
+    )
+    eff = F.lit("2021-06-01").cast("timestamp")
+    j = base.join(F.broadcast(chg), base.c_custkey == chg.k, "left")
+    untouched = j.where(F.col("k").isNull()).select(*base.columns)
+    expired = j.where(F.col("k").isNotNull()).select(
+        "c_custkey",
+        "c_mktsegment",
+        "acctbal",
+        "valid_from",
+        eff.alias("valid_to"),
+    )
+    opened = j.where(F.col("k").isNotNull()).select(
+        "c_custkey",
+        "c_mktsegment",
+        F.col("new_bal").alias("acctbal"),
+        eff.alias("valid_from"),
+        F.lit("2200-01-01").cast("timestamp").alias("valid_to"),
+    )
+    out = untouched.unionByName(expired).unionByName(opened)
+    return out.withColumn(
+        "is_current", F.col("valid_to") == F.lit("2200-01-01").cast("timestamp")
+    )
+
+
+def q_funnel_steps(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered funnel per user (view → click → purchase, each step
+    strictly AFTER the previous step's first occurrence) — the event-
+    analytics staple. Three conditional-min aggregates chained on the
+    user key: after the first shuffle everything stays co-partitioned,
+    and min() makes every step deterministic without tie-break columns."""
+    ev = load(spark, sf, "events").select("user_id", "event_type", "ts")
+    v = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    c = (
+        ev.where(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .where(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id", "first_view")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .where(F.col("ts") > F.col("first_click"))
+        .groupBy("user_id", "first_view", "first_click")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    out = (
+        v.join(c.select("user_id", "first_click"), "user_id", "left")
+        .join(p.select("user_id", "first_purchase"), "user_id", "left")
+    )
+    stage = (
+        F.lit(1)
+        + F.when(F.col("first_click").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("first_purchase").isNotNull(), 1).otherwise(0)
+    )
+    return out.select(
+        "user_id", "first_view", "first_click", "first_purchase",
+        stage.alias("funnel_stage"),
+    )
+
+
 def q_sort_limit(spark: SparkSession, sf: str) -> DataFrame:
     """Global top-k (Spark plans TakeOrderedAndProject — no full sort)."""
     o = load(spark, sf, "orders")
@@ -1058,6 +1140,60 @@ QUERIES = {
                   round(COALESCE(c.u_price, b.o_totalprice), 2) AS price,
                   COALESCE(c.u_status, b.o_orderstatus) AS status
            FROM base b FULL OUTER JOIN chg c USING (o_orderkey)""",
+    ),
+    "q_merge_scd2": QuerySpec(
+        q_merge_scd2,
+        """WITH base AS (
+             SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal,
+                    TIMESTAMP '2020-01-01' AS valid_from,
+                    TIMESTAMP '2200-01-01' AS valid_to
+             FROM customer
+           ), chg AS (
+             SELECT c_custkey AS k, round(acctbal * 2 + 100, 2) AS new_bal
+             FROM base WHERE c_custkey % 10 = 0
+           ), merged AS (
+             SELECT b.c_custkey, b.c_mktsegment, b.acctbal, b.valid_from,
+                    b.valid_to
+             FROM base b LEFT JOIN chg ON b.c_custkey = chg.k
+             WHERE chg.k IS NULL
+             UNION ALL
+             SELECT b.c_custkey, b.c_mktsegment, b.acctbal, b.valid_from,
+                    TIMESTAMP '2021-06-01'
+             FROM base b JOIN chg ON b.c_custkey = chg.k
+             UNION ALL
+             SELECT b.c_custkey, b.c_mktsegment, chg.new_bal,
+                    TIMESTAMP '2021-06-01', TIMESTAMP '2200-01-01'
+             FROM base b JOIN chg ON b.c_custkey = chg.k
+           )
+           SELECT *, valid_to = TIMESTAMP '2200-01-01' AS is_current
+           FROM merged""",
+    ),
+    "q_funnel_steps": QuerySpec(
+        q_funnel_steps,
+        """WITH e AS (
+             SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS ts
+             FROM events
+           ), v AS (
+             SELECT user_id, min(ts) AS first_view
+             FROM e WHERE event_type = 'view' GROUP BY 1
+           ), c AS (
+             SELECT e.user_id, min(e.ts) AS first_click
+             FROM e JOIN v ON e.user_id = v.user_id
+             WHERE e.event_type = 'click' AND e.ts > v.first_view
+             GROUP BY 1
+           ), p AS (
+             SELECT e.user_id, min(e.ts) AS first_purchase
+             FROM e JOIN c ON e.user_id = c.user_id
+             WHERE e.event_type = 'purchase' AND e.ts > c.first_click
+             GROUP BY 1
+           )
+           SELECT v.user_id, v.first_view, c.first_click, p.first_purchase,
+                  1 + CASE WHEN c.first_click IS NOT NULL THEN 1 ELSE 0 END
+                    + CASE WHEN p.first_purchase IS NOT NULL THEN 1 ELSE 0
+                      END AS funnel_stage
+           FROM v
+           LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id""",
     ),
     "q_sort_limit": QuerySpec(
         q_sort_limit,
