@@ -188,3 +188,49 @@ def salted_join(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
     )
     return lt.join(rt, on=[*keys, "_salt"], how=how).drop("_salt")
+
+
+def funnel(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered N-step funnel per user: for each step k, the earliest
+    event of type ``steps[k]`` strictly AFTER the user's step-(k−1) time.
+    One conditional-min aggregate per step, every join keyed on the user
+    column — after the first shuffle the whole chain stays co-partitioned
+    (AQE reuses the exchange). ``min()`` makes each step deterministic
+    with no tie-break column needed.
+
+    Returns one row per user who completed step 1:
+    ``(user, first_<step1>, …, first_<stepN>, funnel_stage)`` with
+    ``funnel_stage`` = number of steps completed. Later-step columns are
+    null once a user drops out. At scale this is the shape to prefer
+    over per-user ``collect_list`` + sequence-matching UDFs: state per
+    user is one timestamp per step, not the event history."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    ev = events.select(user_col, type_col, ts_col)
+    cur = (
+        ev.where(F.col(type_col) == steps[0])
+        .groupBy(user_col)
+        .agg(F.min(ts_col).alias(f"first_{steps[0]}"))
+    )
+    reached = cur
+    for prev, step in zip(steps, steps[1:]):
+        nxt = (
+            ev.where(F.col(type_col) == step)
+            .join(reached.select(user_col, f"first_{prev}"), user_col)
+            .where(F.col(ts_col) > F.col(f"first_{prev}"))
+            .groupBy(user_col)
+            .agg(F.min(ts_col).alias(f"first_{step}"))
+        )
+        cur = cur.join(nxt, user_col, "left")
+        reached = nxt
+    stage = None
+    for step in steps:
+        hit = F.when(F.col(f"first_{step}").isNotNull(), 1).otherwise(0)
+        stage = hit if stage is None else stage + hit
+    return cur.withColumn("funnel_stage", stage)

@@ -190,3 +190,56 @@ def split_series(
             "window_id", (F.row_number().over(w) % k).cast("int")
         )
     raise ValueError(f"unknown strategy {strategy!r}")
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    series_col: str = "series_id",
+    ts_col: str = "ts",
+    y_col: str = "y",
+) -> DataFrame:
+    """Offline CUSUM changepoint per series (Page 1954 shape, depth-1
+    binary segmentation): S_t = Σ_{i≤t}(y_i − ȳ), changepoint =
+    argmax |S_t|. One running-frame window pass + one keyed join for the
+    before/after means; the argmax ranks the ROUNDED statistic with a
+    ``ts`` tie-break (a raw-double argmax can pick a different row per
+    engine/partitioning). Returns one row per series:
+    ``(series, cp_ts, abs_s, mean_before, mean_after)``. For k > 1
+    changepoints, re-apply to each side of the cut (binary segmentation);
+    each level is one more window pass."""
+    wall = Window.partitionBy(series_col)
+    wrun = (
+        Window.partitionBy(series_col)
+        .orderBy(ts_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = df.withColumn("_mu", F.avg(y_col).over(wall)).withColumn(
+        "abs_s",
+        F.round(F.abs(F.sum(F.col(y_col) - F.col("_mu")).over(wrun)), 4),
+    )
+    cp = (
+        cum.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy(series_col).orderBy(
+                    F.desc("abs_s"), F.asc(ts_col)
+                )
+            ),
+        )
+        .where(F.col("_rn") == 1)
+        .select(series_col, F.col(ts_col).alias("cp_ts"), "abs_s")
+    )
+    return (
+        df.join(cp, series_col)
+        .groupBy(series_col, "cp_ts", "abs_s")
+        .agg(
+            F.round(
+                F.avg(F.when(F.col(ts_col) <= F.col("cp_ts"), F.col(y_col))),
+                4,
+            ).alias("mean_before"),
+            F.round(
+                F.avg(F.when(F.col(ts_col) > F.col("cp_ts"), F.col(y_col))),
+                4,
+            ).alias("mean_after"),
+        )
+    )

@@ -180,45 +180,14 @@ def q_ts_changepoint(spark: SparkSession, sf: str) -> DataFrame:
     argmax ranks the ROUNDED statistic (tie-break earliest ts): ranking
     raw doubles would let a last-ulp difference pick a different ts per
     engine (the rounded-then-ranked rule, cf. q_text_tfidf)."""
+    from python_darima_spark.operators.timeseries import cusum_changepoint
+
     ev = load(spark, sf, "events")
     hourly = ev.groupBy(
         F.col("event_type").alias("series_id"),
         F.date_trunc("hour", "ts").alias("ts"),
     ).agg(F.round(F.sum("value"), 6).alias("y"))
-    wall = Window.partitionBy("series_id")
-    wrun = (
-        Window.partitionBy("series_id")
-        .orderBy("ts")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = hourly.withColumn("_mu", F.avg("y").over(wall)).withColumn(
-        "abs_s", F.round(F.abs(F.sum(F.col("y") - F.col("_mu")).over(wrun)), 4)
-    )
-    cp = (
-        cum.withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy("series_id").orderBy(
-                    F.desc("abs_s"), F.asc("ts")
-                )
-            ),
-        )
-        .where(F.col("_rn") == 1)
-        .select("series_id", F.col("ts").alias("cp_ts"), "abs_s")
-    )
-    sides = (
-        hourly.join(cp, "series_id")
-        .groupBy("series_id", "cp_ts", "abs_s")
-        .agg(
-            F.round(
-                F.avg(F.when(F.col("ts") <= F.col("cp_ts"), F.col("y"))), 4
-            ).alias("mean_before"),
-            F.round(
-                F.avg(F.when(F.col("ts") > F.col("cp_ts"), F.col("y"))), 4
-            ).alias("mean_after"),
-        )
-    )
-    return sides.select(
+    return cusum_changepoint(hourly).select(
         "series_id", "cp_ts", "abs_s", "mean_before", "mean_after"
     )
 

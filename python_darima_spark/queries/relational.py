@@ -764,38 +764,12 @@ def q_funnel_steps(spark: SparkSession, sf: str) -> DataFrame:
     analytics staple. Three conditional-min aggregates chained on the
     user key: after the first shuffle everything stays co-partitioned,
     and min() makes every step deterministic without tie-break columns."""
-    ev = load(spark, sf, "events").select("user_id", "event_type", "ts")
-    v = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("first_view"))
-    )
-    c = (
-        ev.where(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .where(F.col("ts") > F.col("first_view"))
-        .groupBy("user_id", "first_view")
-        .agg(F.min("ts").alias("first_click"))
-    )
-    p = (
-        ev.where(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .where(F.col("ts") > F.col("first_click"))
-        .groupBy("user_id", "first_view", "first_click")
-        .agg(F.min("ts").alias("first_purchase"))
-    )
-    out = (
-        v.join(c.select("user_id", "first_click"), "user_id", "left")
-        .join(p.select("user_id", "first_purchase"), "user_id", "left")
-    )
-    stage = (
-        F.lit(1)
-        + F.when(F.col("first_click").isNotNull(), 1).otherwise(0)
-        + F.when(F.col("first_purchase").isNotNull(), 1).otherwise(0)
-    )
-    return out.select(
+    from python_darima_spark.operators.relational import funnel
+
+    ev = load(spark, sf, "events")
+    return funnel(ev, ["view", "click", "purchase"]).select(
         "user_id", "first_view", "first_click", "first_purchase",
-        stage.alias("funnel_stage"),
+        "funnel_stage",
     )
 
 
