@@ -78,6 +78,9 @@ _PRIORITY = [
     "q_ts_changepoint",
     "q_merge_scd2",
     "q_funnel_steps",
+    "q_tpch_q7",
+    "q_tpch_q13",
+    "q_tpch_q17",
     "q_text_tfidf",
     "q_join_runtime_filter",
     "q_stream_upsert",

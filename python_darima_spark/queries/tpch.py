@@ -307,6 +307,106 @@ def q_tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tpch_q7(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q7 volume shipping between two nations, by direction and
+    ship year: the two-dimension star where BOTH fact sides carry a
+    nation attribute (supplier's via lineitem, customer's via orders).
+    The nation dims broadcast; the OR-of-directions filter rides the
+    joined row, revenue summed as exact cents (the Q10 lesson)."""
+    # The pair predicate implies BOTH nation attributes lie in the
+    # two-name set, so the dims pre-filter to 2 rows each — the
+    # supplier⋈nation and customer⋈nation composites stay tiny, broadcast
+    # into the facts, and cut lineitem to the two nations' suppliers
+    # BEFORE any fact shuffle (the Q5 dims-first pattern; the cross-dim
+    # OR itself can only be applied after both sides are attached).
+    nations = ("NATION_1", "NATION_2")
+    nat = load(spark, sf, "nation").where(F.col("n_name").isin(*nations))
+    sn = F.broadcast(
+        load(spark, sf, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(nat, F.col("s_nationkey") == nat.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cn = F.broadcast(
+        load(spark, sf, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(nat, F.col("c_nationkey") == nat.n_nationkey)
+        .select("c_custkey", F.col("n_name").alias("cust_nation"))
+    )
+    orders = load(spark, sf, "orders").select("o_orderkey", "o_custkey")
+    li = load(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    ).select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+    pair = (
+        (F.col("supp_nation") == nations[0]) & (F.col("cust_nation") == nations[1])
+    ) | (
+        (F.col("supp_nation") == nations[1]) & (F.col("cust_nation") == nations[0])
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    return (
+        li.join(sn, li.l_suppkey == sn.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cn, orders.o_custkey == cn.c_custkey)
+        .where(pair)
+        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .agg(F.round(F.sum(cents) / 100.0, 2).alias("revenue"))
+    )
+
+
+def q_tpch_q13(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q13 customer order-count distribution: LEFT OUTER join with
+    the filter ON THE JOIN CONDITION (not a post-filter — customers with
+    only excluded orders must still appear with count 0), then a
+    two-level aggregate: orders per customer, customers per order-count.
+    Pure-integer outputs — no rounding concerns at all."""
+    cust = load(spark, sf, "customer").select("c_custkey")
+    orders = load(spark, sf, "orders").select("o_orderkey", "o_custkey", "o_orderpriority")
+    j = cust.join(
+        orders,
+        (cust.c_custkey == orders.o_custkey)
+        & (orders.o_orderpriority != "1-URGENT"),
+        "left",
+    )
+    per_cust = j.groupBy("c_custkey").agg(
+        F.count("o_orderkey").alias("c_count")
+    )
+    return per_cust.groupBy("c_count").agg(
+        F.count("*").alias("custdist")
+    )
+
+
+def q_tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q17 small-quantity-order revenue: the correlated-average
+    shape — lineitems below 20 % of their OWN part's average quantity.
+    Written as the decorrelated plan Catalyst would produce anyway: the
+    per-part average is a fact aggregate joined back on partkey (never a
+    per-row subquery re-execution); part filters to a brand slice first
+    so the avg aggregate runs only over candidate parts' lineitems."""
+    part = F.broadcast(
+        load(spark, sf, "part")
+        .where((F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 10))
+        .select("p_partkey")
+    )
+    li = load(spark, sf, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    ).join(part, F.col("l_partkey") == F.col("p_partkey"))
+    avg_q = li.groupBy(F.col("l_partkey").alias("ak")).agg(
+        F.avg("l_quantity").alias("avg_qty")
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    return (
+        li.join(avg_q, li.l_partkey == avg_q.ak)
+        .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+        .agg(
+            F.round(F.sum(cents) / 100.0 / 7.0, 2).alias("avg_yearly"),
+            F.count("*").alias("n_lines"),
+        )
+    )
+
+
 QUERIES = {
     "q_tpch_q1": QuerySpec(
         q_tpch_q1,
@@ -434,6 +534,54 @@ QUERIES = {
            FROM lineitem JOIN part ON l_partkey = p_partkey
            WHERE l_shipdate >= TIMESTAMP '1996-09-01'
              AND l_shipdate < TIMESTAMP '1996-10-01'""",
+    ),
+    "q_tpch_q7": QuerySpec(
+        q_tpch_q7,
+        """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+                  year(l_shipdate) AS l_year,
+                  round(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                       * 100) AS BIGINT)) / 100.0, 2)
+                      AS revenue
+           FROM lineitem
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN customer ON c_custkey = o_custkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+           WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+             AND l_shipdate < TIMESTAMP '1998-01-01'
+             AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+               OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+           GROUP BY 1, 2, 3""",
+    ),
+    "q_tpch_q13": QuerySpec(
+        q_tpch_q13,
+        """SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+           FROM (
+             SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+             FROM customer
+             LEFT OUTER JOIN orders
+               ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+             GROUP BY c_custkey
+           )
+           GROUP BY c_count""",
+    ),
+    "q_tpch_q17": QuerySpec(
+        q_tpch_q17,
+        """WITH cand AS (
+             SELECT l_partkey, l_quantity, l_extendedprice
+             FROM lineitem
+             JOIN part ON p_partkey = l_partkey
+             WHERE p_brand = 'Brand#23' AND p_size <= 10
+           ), avgs AS (
+             SELECT l_partkey AS ak, avg(l_quantity) AS avg_qty
+             FROM cand GROUP BY 1
+           )
+           SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        / 100.0 / 7.0, 2) AS avg_yearly,
+                  CAST(count(*) AS BIGINT) AS n_lines
+           FROM cand JOIN avgs ON l_partkey = ak
+           WHERE l_quantity < 0.2 * avg_qty""",
     ),
     "q_tpch_q19": QuerySpec(
         q_tpch_q19,

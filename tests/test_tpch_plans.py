@@ -87,3 +87,25 @@ def test_q19_or_of_ands_extracts_equi_join(spark, sf_dir):
     assert "CartesianProduct" not in plan, plan[:2000]
     assert "BroadcastNestedLoopJoin" not in plan
     assert "HashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_q7_dims_broadcast_facts_hash_join(spark, sf_dir):
+    from python_darima_spark.queries.tpch import q_tpch_q7
+
+    plan = _plan(q_tpch_q7(spark, sf_dir))
+    # the nation-filtered supplier/customer composites must broadcast;
+    # no join may degenerate to a nested loop
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q17_avg_decorrelated_below_join(spark, sf_dir):
+    from python_darima_spark.queries.tpch import q_tpch_q17
+
+    plan = _plan(q_tpch_q17(spark, sf_dir))
+    # the per-part average is an aggregate joined back, never a per-row
+    # subquery; brand slice broadcasts into lineitem
+    assert "HashAggregate" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
