@@ -2,10 +2,16 @@
 
 The reference has no multi-operator relational pipelines at all (its only
 "query" is the DARIMA map-reduce, /root/reference/darima.py:143-169); these
-three classics exercise the engine end-to-end — scan pushdown → multi-way
-joins (broadcast dims + shuffled facts) → partial/final hash aggregation →
-top-k — the shapes a 100 TB warehouse runs all day. Adapted to the fixture
-columns (FIXTURES.md §2); aggregate aliases match the oracles exactly.
+thirteen classics (Q1/3/4/5/6/7/10/12/13/14/17/18/19) exercise the engine
+end-to-end — scan pushdown → multi-way joins (broadcast dims + shuffled
+facts) → partial/final hash aggregation → top-k — the shapes a 100 TB
+warehouse runs all day. Adapted to the fixture columns (FIXTURES.md §2:
+no partsupp/commitdate/shipmode/container, so Q2/9/11/15/16/20/21 are out
+of reach and Q4/Q12 substitute date-lag predicates); aggregate aliases
+match the oracles exactly. Revenue sums ride EXACT INTEGER CENTS wherever
+a group can span many lines — double sums are summation-order-dependent
+and a last-ulp difference vs the oracle's order eventually flips a
+2-decimal rounding (first seen on Q10).
 
 Scale notes (verified via .explain, PLANS.md):
 
