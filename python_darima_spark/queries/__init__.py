@@ -47,6 +47,17 @@ _MODULES = [
 # listed follows in module order. PROBE_r03.json is the full local
 # replica of the driver gate over ALL entries regardless of the cap.
 _PRIORITY = [
+    # --- never driver-verified: the round-3b TPC-H completion (the suite
+    # now covers all 22) — no CORRECTNESS row yet, so they lead.
+    "q_tpch_q2",
+    "q_tpch_q8",
+    "q_tpch_q9",
+    "q_tpch_q11",
+    "q_tpch_q15",
+    "q_tpch_q16",
+    "q_tpch_q20",
+    "q_tpch_q21",
+    "q_tpch_q22",
     # --- never driver-verified: added in round 2 AFTER the last probe
     # refresh (commit c940100); absent from CORRECTNESS_r01/r02 and from
     # PROBE_r02.json. Round 3 puts them first.

@@ -1,13 +1,15 @@
 """TPC-H-style composite analytics over the star-schema fixture.
 
 The reference has no multi-operator relational pipelines at all (its only
-"query" is the DARIMA map-reduce, /root/reference/darima.py:143-169); these
-thirteen classics (Q1/3/4/5/6/7/10/12/13/14/17/18/19) exercise the engine
-end-to-end — scan pushdown → multi-way joins (broadcast dims + shuffled
-facts) → partial/final hash aggregation → top-k — the shapes a 100 TB
+"query" is the DARIMA map-reduce, /root/reference/darima.py:143-169); the
+FULL 22-query suite exercises the engine end-to-end — scan pushdown →
+multi-way joins (broadcast dims + shuffled facts) → partial/final hash
+aggregation → decorrelated subqueries → top-k — the shapes a 100 TB
 warehouse runs all day. Adapted to the fixture columns (FIXTURES.md §2:
-no partsupp/commitdate/shipmode/container, so Q2/9/11/15/16/20/21 are out
-of reach and Q4/Q12 substitute date-lag predicates); aggregate aliases
+no partsupp/commitdate/shipmode/container, so Q2/9/11/16/20 derive the
+part⋈supplier supply relation from lineitem's (l_partkey, l_suppkey),
+Q4/Q12/Q21 substitute date-lag lateness predicates, and Q22's country
+code is nationkey mod 10); aggregate aliases
 match the oracles exactly. Revenue sums ride EXACT INTEGER CENTS wherever
 a group can span many lines — double sums are summation-order-dependent
 and a last-ulp difference vs the oracle's order eventually flips a
@@ -413,6 +415,413 @@ def q_tpch_q17(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_tpch_q2(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q2 minimum-cost supplier, adapted (no partsupp table in the
+    fixture): the part⋈supplier supply relation is DERIVED from lineitem
+    — per (partkey, suppkey), cost = the minimum unit price ever charged.
+    The spec's correlated MIN subquery is written as its decorrelated
+    plan: per-part min over the region's supply rows, joined back on
+    (partkey, cost). Equality on the min is safe cross-engine because
+    the unit-price division and min() are bit-identical binary64 ops —
+    no summation-order exposure. Scale: both dims (brand-sliced part,
+    region-sliced supplier composite) broadcast; the supply aggregation
+    shuffles on the (partkey, suppkey) pair and the min-join-back reuses
+    the partkey partitioning."""
+    nation = load(spark, sf, "nation")
+    region = load(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    supp = load(spark, sf, "supplier")
+    sn = F.broadcast(
+        supp.join(nation, supp.s_nationkey == nation.n_nationkey)
+        .join(region, nation.n_regionkey == region.r_regionkey)
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    part = F.broadcast(
+        load(spark, sf, "part")
+        .where((F.col("p_size") <= 25) & (F.col("p_type") == "SMALL"))
+        .select("p_partkey", "p_name")
+    )
+    li = load(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    supply = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(sn, li.l_suppkey == sn.s_suppkey)
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("cost"))
+    )
+    min_cost = supply.groupBy(F.col("p_partkey").alias("mk")).agg(
+        F.min("cost").alias("min_cost")
+    )
+    return (
+        supply.join(
+            min_cost,
+            (supply.p_partkey == min_cost.mk) & (supply.cost == min_cost.min_cost),
+        )
+        .select(
+            F.round("s_acctbal", 2).alias("s_acctbal"),
+            "s_name",
+            "n_name",
+            "p_partkey",
+            "p_name",
+            F.round("cost", 4).alias("cost"),
+        )
+        .orderBy(F.desc("s_acctbal"), F.asc("s_name"), F.asc("p_partkey"))
+        .limit(100)
+    )
+
+
+def q_tpch_q8(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q8 national market share: one nation's suppliers' share of
+    PROMO-part revenue sold into one region's customers, by order year.
+    The share's numerator and denominator ride ONE conditional aggregate
+    pass as exact integer cents, so the final division is a single
+    deterministic op. Part and the supplier⋈nation composite broadcast;
+    orders⋈lineitem shuffles on the orderkey; the customer side carries
+    only (custkey, nationkey) into its join."""
+    nation = load(spark, sf, "nation")
+    region = load(spark, sf, "region").where(F.col("r_name") == "ASIA")
+    part = F.broadcast(
+        load(spark, sf, "part")
+        .where(F.col("p_type") == "PROMO")
+        .select("p_partkey")
+    )
+    sn = F.broadcast(
+        load(spark, sf, "supplier")
+        .join(nation, F.col("s_nationkey") == nation.n_nationkey)
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cn = (
+        load(spark, sf, "customer")
+        .join(
+            F.broadcast(
+                nation.join(region, nation.n_regionkey == region.r_regionkey)
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    orders = load(spark, sf, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    target = F.when(F.col("supp_nation") == "NATION_3", cents).otherwise(F.lit(0))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(sn, li.l_suppkey == sn.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cn, orders.o_custkey == cn.c_custkey)
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(target).cast("double") / F.sum(cents).cast("double"), 4
+            ).alias("mkt_share"),
+            F.round(F.sum(cents) / 100.0, 2).alias("total_revenue"),
+        )
+    )
+
+
+def q_tpch_q9(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q9 product-type profit, adapted (no ps_supplycost): cost is
+    proxied as 60 % of the part's retail price per unit, so profit =
+    cents(revenue) − cents(0.6·retail·qty), each term rounded ONCE at
+    line level and subtracted as integers (the Q10 lesson applied to a
+    two-term measure). Name-sliced part and the supplier⋈nation
+    composite broadcast; the only fact shuffle is lineitem⋈orders on the
+    orderkey, then one hash agg on (nation, year)."""
+    part = F.broadcast(
+        load(spark, sf, "part")
+        .where(F.col("p_name").like("%widget%"))
+        .select("p_partkey", "p_retailprice")
+    )
+    sn = F.broadcast(
+        load(spark, sf, "supplier")
+        .join(
+            load(spark, sf, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    orders = load(spark, sf, "orders").select("o_orderkey", "o_orderdate")
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    rev_cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    cost_cents = F.round(
+        F.col("p_retailprice") * F.col("l_quantity") * 60
+    ).cast("bigint")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .join(sn, li.l_suppkey == sn.s_suppkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(rev_cents - cost_cents) / 100.0, 2).alias("sum_profit"))
+    )
+
+
+def q_tpch_q11(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q11 important stock, adapted (no partsupp): per-part supply
+    value from one region's suppliers' lineitems, kept where the part's
+    value exceeds 0.1 % of the region total. The HAVING-vs-global-scalar
+    compare is EXACT integer arithmetic — value_cents · 1000 >
+    total_cents — so no floating fraction ever touches the cut. The
+    scalar total is a 1-row broadcast; the per-part agg shuffles once on
+    partkey."""
+    sn = F.broadcast(
+        load(spark, sf, "supplier")
+        .join(
+            load(spark, sf, "nation"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .join(
+            load(spark, sf, "region").where(F.col("r_name") == "ASIA"),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = load(spark, sf, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    cents = F.round(F.col("l_extendedprice") * 100).cast("bigint")
+    slice_ = li.join(sn, li.l_suppkey == sn.s_suppkey).select(
+        "l_partkey", cents.alias("val_cents")
+    )
+    per_part = slice_.groupBy("l_partkey").agg(
+        F.sum("val_cents").alias("value_cents")
+    )
+    total = per_part.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .where(F.col("value_cents") * 1000 > F.col("total_cents"))
+        .select(
+            "l_partkey",
+            F.round(F.col("value_cents") / 100.0, 2).alias("value"),
+        )
+        .orderBy(F.desc("value"), F.asc("l_partkey"))
+    )
+
+
+def q_tpch_q15(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q15 top supplier: the revenue view over one quarter, then
+    the supplier(s) achieving the global max. Revenue is exact integer
+    cents so the max-equality join-back cannot miss on a ulp; the max is
+    a 1-row broadcast against the |suppliers|-sized aggregate — never a
+    global sort."""
+    li = load(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01"))
+    ).select("l_suppkey", "l_extendedprice", "l_discount")
+    cents = F.round(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100
+    ).cast("bigint")
+    rev = li.groupBy("l_suppkey").agg(F.sum(cents).alias("rev_cents"))
+    mx = rev.agg(F.max("rev_cents").alias("max_cents"))
+    supp = F.broadcast(
+        load(spark, sf, "supplier").select("s_suppkey", "s_name")
+    )
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("rev_cents") == F.col("max_cents"))
+        .join(supp, F.col("l_suppkey") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("rev_cents") / 100.0, 2).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q16(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q16 parts/supplier relationship, adapted (no partsupp): the
+    relation is the DISTINCT (partkey, suppkey) pairs lineitem has ever
+    shipped. Excluded-supplier NOT IN becomes a LEFT-ANTI hash join
+    (negative-balance suppliers stand in for the spec's complaint
+    filter); supplier_cnt is count_distinct per (brand, type, size).
+    Pure-integer outputs. Scale: the distinct-pair agg is the only fact
+    shuffle; part broadcasts; the anti join's build side (excluded
+    suppliers) is tiny."""
+    pairs = (
+        load(spark, sf, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    part = F.broadcast(
+        load(spark, sf, "part")
+        .where(
+            (F.col("p_brand") != "Brand#1")
+            & (~F.col("p_type").like("PROMO%"))
+            & (F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    excluded = F.broadcast(
+        load(spark, sf, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        pairs.join(part, pairs.l_partkey == part.p_partkey)
+        .join(excluded, pairs.l_suppkey == excluded.s_suppkey, "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"), F.asc("p_size")
+        )
+        .limit(20)
+    )
+
+
+def q_tpch_q20(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q20 potential part promotion, adapted (no ps_availqty): a
+    supplier qualifies when, for some name-sliced part it supplies, its
+    1997 shipped quantity EXCEEDS half its 1996 shipped quantity (the
+    spec's half-of-annual-volume compare re-anchored on the two years
+    the fixture has). Quantities are integer-valued doubles, so the
+    sums and the 0.5× compare are exact. The qualifying-pair set reaches
+    suppliers as a LEFT-SEMI join — supplier rows never duplicate
+    however many parts qualify; part broadcasts into the pair agg."""
+    part = F.broadcast(
+        load(spark, sf, "part")
+        .where(F.col("p_name").like("small%"))
+        .select("p_partkey")
+    )
+    li = load(spark, sf, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    ).select("l_partkey", "l_suppkey", "l_quantity", "l_shipdate")
+    y97 = F.col("l_shipdate") >= F.lit("1997-01-01")
+    pair_qty = (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.when(y97, F.col("l_quantity")).otherwise(0.0)).alias("qty97"),
+            F.sum(F.when(~y97, F.col("l_quantity")).otherwise(0.0)).alias("qty96"),
+        )
+        .where((F.col("qty96") > 0) & (F.col("qty97") > 0.5 * F.col("qty96")))
+    )
+    sn = (
+        load(spark, sf, "supplier")
+        .join(
+            F.broadcast(
+                load(spark, sf, "nation").join(
+                    load(spark, sf, "region").where(F.col("r_name") == "ASIA"),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    return (
+        sn.join(pair_qty, sn.s_suppkey == pair_qty.l_suppkey, "left_semi")
+        .select("s_suppkey", "s_name", "n_name")
+        .orderBy("s_suppkey")
+    )
+
+
+def q_tpch_q21(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q21 suppliers who kept orders waiting, adapted (no
+    commit/receipt dates): a line is LATE when shipped > 60 days after
+    the order date. The spec's EXISTS (another supplier in the order) +
+    NOT EXISTS (another LATE supplier) pair is decorrelated into ONE
+    per-order aggregate — count_distinct suppliers and count_distinct
+    late suppliers — joined back to the late lines: n_supp ≥ 2 ∧
+    n_late_supp = 1 reproduces both quantifiers exactly (the late line's
+    own supplier is the unique late one). Counting stays line-level to
+    match EXISTS semantics. Region-sliced supplier composite broadcasts;
+    the per-order agg reuses the orderkey partitioning of the join."""
+    orders = load(spark, sf, "orders").where(
+        F.col("o_orderstatus") == "F"
+    ).select("o_orderkey", "o_orderdate")
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lines = li.join(orders, li.l_orderkey == orders.o_orderkey).withColumn(
+        "is_late",
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+    )
+    per_order = lines.groupBy(F.col("l_orderkey").alias("po_key")).agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(
+            F.when(F.col("is_late"), F.col("l_suppkey"))
+        ).alias("n_late_supp"),
+    )
+    sn = F.broadcast(
+        load(spark, sf, "supplier")
+        .join(
+            load(spark, sf, "nation").join(
+                load(spark, sf, "region").where(F.col("r_name") == "ASIA"),
+                F.col("n_regionkey") == F.col("r_regionkey"),
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        lines.where(F.col("is_late"))
+        .join(
+            per_order,
+            (F.col("l_orderkey") == F.col("po_key"))
+            & (F.col("n_supp") >= 2)
+            & (F.col("n_late_supp") == 1),
+        )
+        .join(sn, F.col("l_suppkey") == sn.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+def q_tpch_q22(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q22 global sales opportunity, adapted (no c_phone): the
+    country code is c_nationkey mod 10, restricted to the odd codes.
+    The positive-balance average threshold is applied as EXACT integer
+    arithmetic — bal_cents · n > sum_cents — so no double division ever
+    decides a boundary row (the scalar avg lands as a 1-row broadcast).
+    Every fixture customer has SOME order, so the spec's "no orders"
+    becomes "no orders since 1999" (lapsed customers — the same anti-join
+    shape with a date-filtered build side, and a non-vacuous result);
+    outputs are a count and a cents-exact balance sum per code."""
+    cust = (
+        load(spark, sf, "customer")
+        .withColumn("cntrycode", F.col("c_nationkey") % 10)
+        .where(F.col("cntrycode").isin(1, 3, 5, 7, 9))
+        .withColumn(
+            "bal_cents", F.round(F.col("c_acctbal") * 100).cast("bigint")
+        )
+    )
+    thr = cust.where(F.col("c_acctbal") > 0).agg(
+        F.sum("bal_cents").alias("sum_cents"), F.count("*").alias("n_pos")
+    )
+    orders = load(spark, sf, "orders").where(
+        F.col("o_orderdate") >= F.lit("1999-01-01")
+    ).select("o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .crossJoin(F.broadcast(thr))
+        .where(F.col("bal_cents") * F.col("n_pos") > F.col("sum_cents"))
+        .groupBy("cntrycode")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.round(F.sum("bal_cents") / 100.0, 2).alias("totacctbal"),
+        )
+        .orderBy("cntrycode")
+    )
+
+
 QUERIES = {
     "q_tpch_q1": QuerySpec(
         q_tpch_q1,
@@ -600,5 +1009,194 @@ QUERIES = {
                   AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
               OR (p_partkey = l_partkey AND p_brand = 'Brand#14'
                   AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)""",
+    ),
+    "q_tpch_q2": QuerySpec(
+        q_tpch_q2,
+        """WITH supply AS (
+             SELECT p_partkey, p_name, s_suppkey, s_name, s_acctbal, n_name,
+                    min(l_extendedprice / l_quantity) AS cost
+             FROM lineitem
+             JOIN part ON p_partkey = l_partkey
+             JOIN supplier ON s_suppkey = l_suppkey
+             JOIN nation ON s_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+             WHERE p_size <= 25 AND p_type = 'SMALL' AND r_name = 'ASIA'
+             GROUP BY 1, 2, 3, 4, 5, 6
+           ), mins AS (
+             SELECT p_partkey AS mk, min(cost) AS min_cost
+             FROM supply GROUP BY 1
+           )
+           SELECT round(s_acctbal, 2) AS s_acctbal, s_name, n_name,
+                  p_partkey, p_name, round(cost, 4) AS cost
+           FROM supply
+           JOIN mins ON p_partkey = mk AND cost = min_cost
+           ORDER BY s_acctbal DESC, s_name, p_partkey
+           LIMIT 100""",
+    ),
+    "q_tpch_q8": QuerySpec(
+        q_tpch_q8,
+        """SELECT year(o_orderdate) AS o_year,
+                  round(CAST(sum(CASE WHEN n1.n_name = 'NATION_3'
+                                 THEN CAST(round(l_extendedprice * (1 - l_discount)
+                                                 * 100) AS BIGINT)
+                                 ELSE 0 END) AS DOUBLE)
+                        / CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                              * 100) AS BIGINT)) AS DOUBLE), 4)
+                      AS mkt_share,
+                  round(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                       * 100) AS BIGINT)) / 100.0, 2)
+                      AS total_revenue
+           FROM lineitem
+           JOIN part ON p_partkey = l_partkey
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           JOIN orders ON o_orderkey = l_orderkey
+           JOIN customer ON c_custkey = o_custkey
+           JOIN nation n2 ON c_nationkey = n2.n_nationkey
+           JOIN region ON n2.n_regionkey = r_regionkey
+           WHERE p_type = 'PROMO' AND r_name = 'ASIA'
+             AND o_orderdate >= TIMESTAMP '1996-01-01'
+             AND o_orderdate < TIMESTAMP '1998-01-01'
+           GROUP BY 1""",
+    ),
+    "q_tpch_q9": QuerySpec(
+        q_tpch_q9,
+        """SELECT n_name AS nation, year(o_orderdate) AS o_year,
+                  round(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                       * 100) AS BIGINT)
+                            - CAST(round(p_retailprice * l_quantity * 60)
+                                   AS BIGINT)) / 100.0, 2) AS sum_profit
+           FROM lineitem
+           JOIN part ON p_partkey = l_partkey
+           JOIN supplier ON s_suppkey = l_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN orders ON o_orderkey = l_orderkey
+           WHERE p_name LIKE '%widget%'
+           GROUP BY 1, 2""",
+    ),
+    "q_tpch_q11": QuerySpec(
+        q_tpch_q11,
+        """WITH slice AS (
+             SELECT l_partkey,
+                    CAST(round(l_extendedprice * 100) AS BIGINT) AS val_cents
+             FROM lineitem
+             JOIN supplier ON s_suppkey = l_suppkey
+             JOIN nation ON s_nationkey = n_nationkey
+             JOIN region ON n_regionkey = r_regionkey
+             WHERE r_name = 'ASIA'
+           ), per_part AS (
+             SELECT l_partkey, CAST(sum(val_cents) AS BIGINT) AS value_cents
+             FROM slice GROUP BY 1
+           ), tot AS (
+             SELECT CAST(sum(value_cents) AS BIGINT) AS total_cents
+             FROM per_part
+           )
+           SELECT l_partkey, round(value_cents / 100.0, 2) AS value
+           FROM per_part, tot
+           WHERE value_cents * 1000 > total_cents
+           ORDER BY value DESC, l_partkey""",
+    ),
+    "q_tpch_q15": QuerySpec(
+        q_tpch_q15,
+        """WITH rev AS (
+             SELECT l_suppkey,
+                    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                        * 100) AS BIGINT)) AS BIGINT)
+                        AS rev_cents
+             FROM lineitem
+             WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+               AND l_shipdate < TIMESTAMP '1996-04-01'
+             GROUP BY 1
+           )
+           SELECT s_suppkey, s_name,
+                  round(rev_cents / 100.0, 2) AS total_revenue
+           FROM rev JOIN supplier ON s_suppkey = l_suppkey
+           WHERE rev_cents = (SELECT max(rev_cents) FROM rev)
+           ORDER BY s_suppkey""",
+    ),
+    "q_tpch_q16": QuerySpec(
+        q_tpch_q16,
+        """SELECT p_brand, p_type, p_size,
+                  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+           FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+           JOIN part ON p_partkey = l_partkey
+           WHERE p_brand <> 'Brand#1'
+             AND p_type NOT LIKE 'PROMO%'
+             AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+             AND l_suppkey NOT IN (
+               SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+           GROUP BY 1, 2, 3
+           ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+           LIMIT 20""",
+    ),
+    "q_tpch_q20": QuerySpec(
+        q_tpch_q20,
+        """SELECT s_suppkey, s_name, n_name
+           FROM supplier
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'ASIA'
+             AND s_suppkey IN (
+               SELECT l_suppkey
+               FROM lineitem
+               JOIN part ON p_partkey = l_partkey
+               WHERE p_name LIKE 'small%'
+                 AND l_shipdate >= TIMESTAMP '1996-01-01'
+                 AND l_shipdate < TIMESTAMP '1998-01-01'
+               GROUP BY l_partkey, l_suppkey
+               HAVING sum(CASE WHEN l_shipdate < TIMESTAMP '1997-01-01'
+                               THEN l_quantity ELSE 0 END) > 0
+                  AND sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-01-01'
+                               THEN l_quantity ELSE 0 END)
+                      > 0.5 * sum(CASE WHEN l_shipdate < TIMESTAMP '1997-01-01'
+                                       THEN l_quantity ELSE 0 END))
+           ORDER BY s_suppkey""",
+    ),
+    "q_tpch_q21": QuerySpec(
+        q_tpch_q21,
+        """SELECT s_name, count(*) AS numwait
+           FROM lineitem l1
+           JOIN orders ON o_orderkey = l1.l_orderkey
+           JOIN supplier ON s_suppkey = l1.l_suppkey
+           JOIN nation ON s_nationkey = n_nationkey
+           JOIN region ON n_regionkey = r_regionkey
+           WHERE r_name = 'ASIA'
+             AND o_orderstatus = 'F'
+             AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+             AND EXISTS (
+               SELECT 1 FROM lineitem l2
+               WHERE l2.l_orderkey = l1.l_orderkey
+                 AND l2.l_suppkey <> l1.l_suppkey)
+             AND NOT EXISTS (
+               SELECT 1 FROM lineitem l3
+               WHERE l3.l_orderkey = l1.l_orderkey
+                 AND l3.l_suppkey <> l1.l_suppkey
+                 AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+           GROUP BY s_name
+           ORDER BY numwait DESC, s_name
+           LIMIT 20""",
+    ),
+    "q_tpch_q22": QuerySpec(
+        q_tpch_q22,
+        """WITH cust AS (
+             SELECT c_custkey, c_nationkey % 10 AS cntrycode, c_acctbal,
+                    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+             FROM customer
+             WHERE c_nationkey % 10 IN (1, 3, 5, 7, 9)
+           ), thr AS (
+             SELECT CAST(sum(bal_cents) AS BIGINT) AS sum_cents,
+                    count(*) AS n_pos
+             FROM cust WHERE c_acctbal > 0
+           )
+           SELECT cntrycode, count(*) AS numcust,
+                  round(sum(bal_cents) / 100.0, 2) AS totacctbal
+           FROM cust, thr
+           WHERE bal_cents * n_pos > sum_cents
+             AND NOT EXISTS (
+               SELECT 1 FROM orders
+               WHERE o_custkey = c_custkey
+                 AND o_orderdate >= TIMESTAMP '1999-01-01')
+           GROUP BY cntrycode
+           ORDER BY cntrycode""",
     ),
 }

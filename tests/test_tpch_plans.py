@@ -109,3 +109,49 @@ def test_q17_avg_decorrelated_below_join(spark, sf_dir):
     assert "HashAggregate" in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q2_min_joinback_no_nested_loop(spark, sf_dir):
+    # the correlated-MIN shape must run as agg + equi-join-back on
+    # (partkey, cost) — hash joins throughout, dims broadcast, never a
+    # per-row subquery or nested loop
+    from python_darima_spark.queries.tpch import q_tpch_q2
+
+    plan = _plan(q_tpch_q2(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan, plan[:1500]
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-100, not a global sort
+
+
+def test_q21_double_quantifier_single_agg(spark, sf_dir):
+    # EXISTS + NOT EXISTS decorrelate into ONE per-order aggregate
+    # (count_distinct suppliers / late suppliers) joined back — the plan
+    # must not contain nested-loop re-probes of lineitem
+    from python_darima_spark.queries.tpch import q_tpch_q21
+
+    plan = _plan(q_tpch_q21(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:2000]
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+    # the distinct-supplier counts plan as partial/final aggregate pairs
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_q16_not_in_is_anti_join(spark, sf_dir):
+    from python_darima_spark.queries.tpch import q_tpch_q16
+
+    plan = _plan(q_tpch_q16(spark, sf_dir))
+    assert "LeftAnti" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_anti_join_and_scalar_broadcast(spark, sf_dir):
+    # customers-without-orders is a LEFT-ANTI hash join; the 1-row
+    # threshold aggregate attaches as a broadcast nested loop (the only
+    # acceptable NL: build side is exactly one row)
+    from python_darima_spark.queries.tpch import q_tpch_q22
+
+    plan = _plan(q_tpch_q22(spark, sf_dir))
+    assert "LeftAnti" in plan, plan[:1500]
+    assert "CartesianProduct" not in plan
