@@ -10,7 +10,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from python_darima_spark.darima.pipeline import DarimaConfig, darima, forecast
+from python_darima_spark.darima.pipeline import (
+    DarimaConfig,
+    darima,
+    evaluate,
+    forecast,
+)
 from python_darima_spark.operators.timeseries import resample_regular
 from python_darima_spark.queries import QuerySpec, load
 
@@ -218,7 +223,108 @@ def q_ts_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ts_eval_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """Driver-visible run of the reference's EVALUATION stage (R32-R35,
+    /root/reference/darima.py:425-488): per-timestamp MASE / sMAPE /
+    MSIS through the engine's real ``evaluate()`` path. The forecast
+    under evaluation is the deterministic SEASONAL-NAIVE (the last train
+    day repeated by hour-of-day, ± a constant interval) rather than the
+    ARIMA mean — identical metric arithmetic, but every input is
+    SQL-expressible, so this entry carries a full DuckDB hash oracle
+    where q_ts_forecast can only ever get a rows-only check. Scale: the
+    naive forecast is a per-series window slice + hour-of-day join;
+    evaluate()'s MASE scale table is one row per series and joins
+    AQE-sized (pipeline.py evaluate docstring)."""
+    series = _hourly_series(spark, sf)
+    w = Window.partitionBy("series_id")
+    bounded = series.withColumn("_max_ts", F.max("ts").over(w))
+    cut = F.col("_max_ts") - F.expr("INTERVAL 24 HOURS")
+    train = bounded.where(F.col("ts") <= cut).drop("_max_ts")
+    test = bounded.where(F.col("ts") > cut).drop("_max_ts")
+    wl = Window.partitionBy("series_id").orderBy(F.desc("ts"))
+    last_day = (
+        train.withColumn("_rn", F.row_number().over(wl))
+        .where(F.col("_rn") <= 24)
+        .select(
+            "series_id", F.hour("ts").alias("_hod"), F.col("y").alias("mean")
+        )
+    )
+    fc = (
+        test.select("series_id", "ts", F.hour("ts").alias("_hod"))
+        .join(last_day, ["series_id", "_hod"])
+        .select(
+            "series_id",
+            "ts",
+            "mean",
+            (F.col("mean") - 10.0).alias("lo_80"),
+            (F.col("mean") + 10.0).alias("hi_80"),
+        )
+    )
+    cfg = DarimaConfig(period=24, levels=(80,))
+    ev = evaluate(fc, test, train, cfg)
+    return ev.select(
+        "series_id",
+        "ts",
+        F.round("mase", 6).alias("mase"),
+        F.round("smape", 6).alias("smape"),
+        F.round("msis_80", 6).alias("msis_80"),
+    )
+
+
 QUERIES = {
+    "q_ts_eval_metrics": QuerySpec(
+        q_ts_eval_metrics,
+        """WITH t AS (
+             SELECT event_type AS series_id, date_trunc('hour', ts) AS ts,
+                    sum(value) AS y
+             FROM events GROUP BY 1, 2
+           ), b AS (
+             SELECT series_id, min(ts) AS lo, max(ts) AS hi FROM t GROUP BY 1
+           ), g AS (
+             SELECT series_id,
+                    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ts
+             FROM b
+           ), s AS (
+             SELECT g.series_id, g.ts, coalesce(t.y, 0.0) AS y,
+                    b.hi AS max_ts
+             FROM g
+             LEFT JOIN t USING (series_id, ts)
+             JOIN b USING (series_id)
+           ), train AS (
+             SELECT series_id, ts, y FROM s
+             WHERE ts <= max_ts - INTERVAL 24 HOUR
+           ), test AS (
+             SELECT series_id, ts, y FROM s
+             WHERE ts > max_ts - INTERVAL 24 HOUR
+           ), last_day AS (
+             SELECT series_id, hour(ts) AS hod, y AS fc_mean
+             FROM (SELECT series_id, ts, y, row_number() OVER (
+                       PARTITION BY series_id ORDER BY ts DESC) AS rn
+                   FROM train)
+             WHERE rn <= 24
+           ), scale AS (
+             SELECT series_id, avg(abs(y - ly)) AS sc
+             FROM (SELECT series_id, y, lag(y, 24) OVER (
+                       PARTITION BY series_id ORDER BY ts) AS ly
+                   FROM train)
+             WHERE ly IS NOT NULL GROUP BY 1
+           )
+           SELECT test.series_id, test.ts,
+                  round(abs(test.y - fc_mean) / sc, 6) AS mase,
+                  round(abs(test.y - fc_mean)
+                        / ((abs(test.y) + abs(fc_mean)) / 2), 6) AS smape,
+                  round((((fc_mean + 10.0) - (fc_mean - 10.0))
+                         + CASE WHEN test.y < fc_mean - 10.0
+                                THEN (2.0 / 0.2) * ((fc_mean - 10.0) - test.y)
+                                ELSE 0.0 END
+                         + CASE WHEN test.y > fc_mean + 10.0
+                                THEN (2.0 / 0.2) * (test.y - (fc_mean + 10.0))
+                                ELSE 0.0 END) / sc, 6) AS msis_80
+           FROM test
+           JOIN last_day ON last_day.series_id = test.series_id
+                        AND hod = hour(test.ts)
+           JOIN scale ON scale.series_id = test.series_id""",
+    ),
     "q_ts_resample": QuerySpec(
         q_ts_resample,
         """WITH t AS (
