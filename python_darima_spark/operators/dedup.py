@@ -595,3 +595,97 @@ def connected_components(
     return labels.select(
         F.col("node").alias(id_col), F.col("label").alias("cluster_id")
     )
+
+
+def connected_components_star(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iterations: int = 30,
+) -> DataFrame:
+    """Connected components by LARGE-STAR / SMALL-STAR contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    the O(log n)-round companion to ``connected_components``'s
+    O(diameter) label propagation. Same contract: every node labeled
+    with its component's min id.
+
+    Per round, two keyed aggregates + joins over the current edge list:
+
+    * large-star: each node attaches all STRICTLY LARGER neighbors to
+      the minimum of its closed neighborhood — long tails collapse
+      toward small ids without growing any adjacency;
+    * small-star: each node attaches its smaller-or-equal neighbors
+      (and itself) to their minimum — stars flatten.
+
+    Near-dup graphs (diameter 2-3) don't need this; it exists for the
+    big-diameter regimes label propagation can't afford (chains from
+    transitive similarity, URL graphs). Iteration state is
+    ``localCheckpoint``-ed per phase for the same lineage reason as the
+    propagation loop; the edge list never grows beyond the distinct
+    (node, min) pairs, so every round is a bounded shuffle."""
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("u"),
+            F.col(dst_col).cast("long").alias("v"),
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        # large-star over the symmetric adjacency
+        sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        lmin = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("_mn"))
+            .select("u", F.least("u", "_mn").alias("m"))
+        )
+        large = (
+            sym.join(lmin, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        # small-star over the large→small orientation
+        d = large.select(
+            F.greatest("u", "v").alias("a"), F.least("u", "v").alias("b")
+        )
+        smin = d.groupBy("a").agg(F.min("b").alias("m"))
+        pairs = d.join(smin, "a")
+        small = (
+            pairs.select(F.col("b").alias("u"), F.col("m").alias("v"))
+            .union(pairs.select(F.col("a").alias("u"), F.col("m").alias("v")))
+            .where(F.col("u") != F.col("v"))
+            .distinct()
+        )
+        new_e = small.localCheckpoint(eager=True)
+        # order-independent set checksum (count + xor-fold of 64-bit
+        # edge hashes — xor is associative/commutative and cannot
+        # overflow under ANSI mode) instead of two exceptAll passes:
+        # one 1-row aggregate per phase vs two shuffled anti joins —
+        # the distinct() above already guarantees both sides are sets
+        def _sig(df: DataFrame) -> tuple:
+            row = df.agg(
+                F.count("*").alias("n"),
+                F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+            ).first()
+            return (row["n"], row["h"])
+
+        stable = _sig(new_e) == _sig(e)
+        e = new_e
+        if stable:
+            break
+    # at convergence every non-root points directly at its component min
+    final = e.groupBy("u").agg(F.min("v").alias("_label"))
+    return (
+        nodes.select(F.col(id_col))
+        .distinct()
+        .join(final, F.col(id_col) == F.col("u"), "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("_label", F.col(id_col)).alias("cluster_id"),
+        )
+    )

@@ -59,6 +59,9 @@ _PRIORITY = [
     "q_tpch_q21",
     "q_tpch_q22",
     "q_ts_eval_metrics",
+    "q_agg_cube",
+    "q_text_classifier",
+    "q_dedup_cluster_star",
     # --- never driver-verified: added in round 2 AFTER the last probe
     # refresh (commit c940100); absent from CORRECTNESS_r01/r02 and from
     # PROBE_r02.json. Round 3 puts them first.

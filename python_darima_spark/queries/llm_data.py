@@ -115,6 +115,26 @@ def q_dedup_cluster(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_cluster_star(spark: SparkSession, sf: str) -> DataFrame:
+    """q_dedup_cluster's LARGE-STAR/SMALL-STAR twin: identical pair
+    graph and labeling contract, but components come from the O(log n)-
+    round contraction (operators/dedup.py:connected_components_star)
+    instead of O(diameter) label propagation — the algorithm a 100 TB
+    graph with long transitive-similarity chains needs. Shares
+    q_dedup_cluster's recursive-CTE oracle verbatim: the algorithm swap
+    must be result-invisible."""
+    from python_darima_spark.operators.dedup import connected_components_star
+
+    docs = load(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.3)
+    comp = connected_components_star(pairs, docs, "doc_id")
+    return comp.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("cluster_id") == F.col("doc_id")).alias("is_canonical"),
+    )
+
+
 def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding-cosine near-dups via hyperplane-LSH buckets + exact
     verification, HASH-MATCHED (round 3) with deterministic twin
@@ -527,6 +547,94 @@ def q_text_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_text_classifier(spark: SparkSession, sf: str) -> DataFrame:
+    """Model-based quality/language cut (the fasttext/DCLM-style linear
+    classifier stage): a BERNOULLI NAIVE BAYES token model TRAINED AND
+    APPLIED in one query — Laplace-smoothed per-token log-odds-ratio
+    weights for lang='en' vs rest, plus the model's two constant terms
+    (absent-token mass Σ ln((1−p_en)/(1−p_other)) and the class prior),
+    each doc classified by the sign of its total log-odds.
+
+    The fixture's five languages share an IDENTICAL 31-token vocabulary
+    (lang is statistically independent of text), so a learnable signal
+    is INJECTED deterministically — the q_text_pii pattern: 'en' docs
+    with doc_id % 4 != 0 get a marker token appended in BOTH
+    formulations. The classifier must recover it: marked docs classify
+    positive via the marker's weight, unmarked docs fall back to the
+    prior — a planted-signal recovery check, not a fixture-luck one.
+
+    Plan shapes: the weight table is vocabulary-sized and joins back
+    BROADCAST (with externally trained weights this is exactly a
+    broadcast weight-map lookup); weights and both constants are INTEGER
+    micro-units (round(w·1e6)::bigint — the q_text_perplexity
+    discipline), so aggregation is associative across engines and the
+    deciding sign test is an exact integer compare, never a float
+    boundary. Two token aggs + one broadcast join; nothing touches the
+    driver."""
+    docs = ensure_parallelism(load(spark, sf, "documents")).select(
+        "doc_id",
+        (F.col("lang") == "en").alias("is_en"),
+        F.when(
+            (F.col("lang") == "en") & (F.col("doc_id") % 4 != 0),
+            F.concat(F.col("text"), F.lit(" qualmarker")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    tk = (
+        docs.select(
+            "doc_id",
+            "is_en",
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("token"),
+        )
+        .where(F.length("token") > 0)
+        .distinct()
+    )
+    n_class = docs.agg(
+        F.sum(F.when(F.col("is_en"), 1).otherwise(0)).alias("n_en"),
+        F.sum(F.when(F.col("is_en"), 0).otherwise(1)).alias("n_other"),
+    )
+    dfreq = tk.groupBy("token").agg(
+        F.sum(F.when(F.col("is_en"), 1).otherwise(0)).alias("df_en"),
+        F.sum(F.when(F.col("is_en"), 0).otherwise(1)).alias("df_other"),
+    )
+    pe = (F.col("df_en") + 1.0) / (F.col("n_en") + 2.0)
+    po = (F.col("df_other") + 1.0) / (F.col("n_other") + 2.0)
+    probs = dfreq.crossJoin(F.broadcast(n_class))
+    w6 = probs.select(
+        "token",
+        F.round((F.log(pe / (1 - pe)) - F.log(po / (1 - po))) * 1e6)
+        .cast("bigint")
+        .alias("w6"),
+    )
+    # each constant rides pre-rounded integer micro-units so no double
+    # sum's order can move it (the per-token rounding discipline again)
+    absent = probs.select(
+        F.round((F.log(1 - pe) - F.log(1 - po)) * 1e6)
+        .cast("bigint")
+        .alias("a6")
+    ).agg(F.sum("a6").alias("absent6"))
+    prior = n_class.select(
+        F.round(
+            F.log(F.col("n_en").cast("double") / F.col("n_other")) * 1e6
+        )
+        .cast("bigint")
+        .alias("prior6")
+    )
+    consts = absent.crossJoin(prior)
+    per_doc = tk.join(F.broadcast(w6), "token").groupBy("doc_id").agg(
+        F.sum("w6").alias("s"), F.count("*").alias("n_terms")
+    )
+    return per_doc.crossJoin(F.broadcast(consts)).select(
+        "doc_id",
+        "n_terms",
+        F.round(
+            (F.col("s") + F.col("absent6") + F.col("prior6")) / 1e6, 4
+        ).alias("log_odds"),
+        (F.col("s") + F.col("absent6") + F.col("prior6") > 0).alias("pred_en"),
+    )
+
+
 def q_multimodal_resize(spark: SparkSession, sf: str) -> DataFrame:
     """Binary-payload RESIZE stage through Arrow ``mapInPandas`` — the
     second multimodal transform made driver-visible (q_multimodal_features
@@ -632,6 +740,22 @@ _NGRAM_ORACLE = """WITH g AS (
 
 _STOP_EN = ", ".join(f"'{s}'" for s in STOPWORDS["en"])
 
+_CLUSTER_ORACLE = f"""WITH RECURSIVE pairs AS ({_NGRAM_ORACLE}),
+           edges AS (
+             SELECT id_a AS a, id_b AS b FROM pairs
+             UNION ALL
+             SELECT id_b AS a, id_a AS b FROM pairs
+           ),
+           reach(src, node) AS (
+             SELECT doc_id, doc_id FROM documents
+             UNION
+             SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node
+           )
+           SELECT src AS doc_id, min(node) AS cluster_id,
+                  (min(node) = src) AS is_canonical
+           FROM reach GROUP BY src"""
+
+
 QUERIES = {
     "q_dedup_exact": QuerySpec(
         q_dedup_exact,
@@ -687,20 +811,14 @@ QUERIES = {
     ),
     "q_dedup_cluster": QuerySpec(
         q_dedup_cluster,
-        f"""WITH RECURSIVE pairs AS ({_NGRAM_ORACLE}),
-           edges AS (
-             SELECT id_a AS a, id_b AS b FROM pairs
-             UNION ALL
-             SELECT id_b AS a, id_a AS b FROM pairs
-           ),
-           reach(src, node) AS (
-             SELECT doc_id, doc_id FROM documents
-             UNION
-             SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.node
-           )
-           SELECT src AS doc_id, min(node) AS cluster_id,
-                  (min(node) = src) AS is_canonical
-           FROM reach GROUP BY src""",
+        _CLUSTER_ORACLE,
+    ),
+    # the star-contraction twin shares the SAME recursive-CTE oracle
+    # (the q_join_salted shared-oracle pattern): an algorithm change
+    # must be result-invisible
+    "q_dedup_cluster_star": QuerySpec(
+        q_dedup_cluster_star,
+        _CLUSTER_ORACLE,
     ),
     # brute-force restatement over the twin-planted corpus: all 150,975
     # pairs scored exactly, so LSH recall on the 50 planted pairs is what
@@ -1065,6 +1183,55 @@ QUERIES = {
                   round(exp(-(sum(lp6) / 1e6) / count(*)), 4) AS ppl
            FROM tk JOIN lp USING (token)
            GROUP BY doc_id""",
+    ),
+    "q_text_classifier": QuerySpec(
+        q_text_classifier,
+        r"""WITH d AS (
+             SELECT doc_id, lang = 'en' AS is_en,
+                    CASE WHEN lang = 'en' AND doc_id % 4 != 0
+                         THEN concat(text, ' qualmarker')
+                         ELSE text END AS text
+             FROM documents
+           ), tk AS (
+             SELECT DISTINCT doc_id, is_en, token
+             FROM (
+               SELECT doc_id, is_en,
+                      unnest(string_split_regex(lower(text), '\s+')) AS token
+               FROM d)
+             WHERE length(token) > 0
+           ), n_class AS (
+             SELECT sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS n_en,
+                    sum(CASE WHEN is_en THEN 0 ELSE 1 END) AS n_other
+             FROM d
+           ), dfreq AS (
+             SELECT token,
+                    sum(CASE WHEN is_en THEN 1 ELSE 0 END) AS df_en,
+                    sum(CASE WHEN is_en THEN 0 ELSE 1 END) AS df_other
+             FROM tk GROUP BY token
+           ), p AS (
+             SELECT token,
+                    (df_en + 1.0) / (n_en + 2.0) AS pe,
+                    (df_other + 1.0) / (n_other + 2.0) AS po
+             FROM dfreq, n_class
+           ), w AS (
+             SELECT token,
+                    CAST(round((ln(pe / (1 - pe)) - ln(po / (1 - po)))
+                               * 1e6) AS BIGINT) AS w6
+             FROM p
+           ), absent AS (
+             SELECT CAST(sum(CAST(round((ln(1 - pe) - ln(1 - po)) * 1e6)
+                                  AS BIGINT)) AS BIGINT) AS absent6
+             FROM p
+           ), prior AS (
+             SELECT CAST(round(ln(CAST(n_en AS DOUBLE) / n_other) * 1e6)
+                         AS BIGINT) AS prior6
+             FROM n_class
+           )
+           SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
+                  round((sum(w6) + absent6 + prior6) / 1e6, 4) AS log_odds,
+                  (sum(w6) + absent6 + prior6) > 0 AS pred_en
+           FROM tk JOIN w USING (token), absent, prior
+           GROUP BY doc_id, absent6, prior6""",
     ),
     # The fake decoder is a 16-bin histogram over the payload's high
     # nibbles (byte >> 4), L1-normalized; the fixture text is pure ASCII

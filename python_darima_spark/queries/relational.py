@@ -480,6 +480,28 @@ def q_agg_sets(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_agg_cube(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE over (priority, order year): all four grouping-set levels in
+    ONE pass — one Expand (4×) into one keyed exchange, the same
+    single-shuffle shape as ROLLUP (q_agg_sets) and groupingSets
+    (q_ts_rollup). grouping_id() disambiguates subtotal rows from
+    genuine NULLs; the price sum rides exact integer cents. Restated in
+    DuckDB with 2·GROUPING(priority) + GROUPING(year) to match Spark's
+    bit order (first cube column = most significant bit)."""
+    o = load(spark, sf, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    return (
+        o.withColumn("o_year", F.year("o_orderdate"))
+        .withColumn("_cents", cents)
+        .cube("o_orderpriority", "o_year")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("_cents") / 100.0, 2).alias("sum_price"),
+            F.grouping_id().alias("gid"),
+        )
+    )
+
+
 def q_agg_collect(spark: SparkSession, sf: str) -> DataFrame:
     """Array aggregation: per-customer order-key list. collect_list has no
     deterministic order (it concatenates in partition arrival order), so
@@ -1005,6 +1027,17 @@ QUERIES = {
         """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
                   ROUND(SUM(l_quantity), 4) AS sum_qty
            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    ),
+    "q_agg_cube": QuerySpec(
+        q_agg_cube,
+        """SELECT o_orderpriority, year(o_orderdate) AS o_year,
+                  count(*) AS n,
+                  round(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        / 100.0, 2) AS sum_price,
+                  CAST(2 * GROUPING(o_orderpriority)
+                       + GROUPING(year(o_orderdate)) AS BIGINT) AS gid
+           FROM orders
+           GROUP BY CUBE (o_orderpriority, year(o_orderdate))""",
     ),
     "q_agg_approx": QuerySpec(
         q_agg_approx,

@@ -424,3 +424,65 @@ def test_changepoint_locates_planted_mean_shift(spark):
     got = cp.ts.iloc[0]
     want = ts0 + pd.Timedelta(hours=shift_at - 1)  # argmax sits at the last
     assert abs((got - want).total_seconds()) <= 2 * 3600, (got, want)
+
+
+def test_classifier_recovers_planted_signal(spark):
+    # the Bernoulli-NB classifier query plants a marker token in 'en'
+    # docs with doc_id % 4 != 0 (the fixture's lang labels are otherwise
+    # statistically independent of text — all 5 langs share one 31-token
+    # vocabulary). Recovery contract: every marked doc classifies
+    # positive (the marker weight dominates), NO unmarked doc does
+    # (absent evidence, the class prior is negative) — precision 1.0,
+    # recall = the marked fraction, deterministically.
+    from python_darima_spark.queries.llm_data import q_text_classifier
+
+    pred = q_text_classifier(spark, "/root/testdata/sf0.01").toPandas()
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+        .select("doc_id", "lang")
+        .toPandas()
+    )
+    j = pred.merge(docs, on="doc_id")
+    marked = (j.lang == "en") & (j.doc_id % 4 != 0)
+    assert j.loc[marked, "pred_en"].all()
+    assert not j.loc[~marked, "pred_en"].any()
+
+
+def test_star_contraction_chain_converges_in_log_rounds(spark):
+    # a 100-node chain (diameter 99): label propagation needs ~99
+    # rounds; large-star/small-star must finish inside 12 — if it
+    # contracted one hop per round the labels would still be wrong at
+    # the cap, so correctness here IS the O(log n) convergence proof
+    from python_darima_spark.operators.dedup import connected_components_star
+
+    n = 100
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    out = connected_components_star(
+        edges, nodes, "doc_id", max_iterations=12
+    ).toPandas()
+    assert (out.cluster_id == 0).all(), out.cluster_id.value_counts()
+
+
+def test_star_contraction_matches_label_propagation(spark):
+    # same contract as connected_components on a multi-component graph
+    from python_darima_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (12, 11), (20, 21), (21, 22), (22, 20)],
+        "id_a long, id_b long",
+    )
+    nodes = spark.createDataFrame(
+        [(i,) for i in [1, 2, 3, 10, 11, 12, 20, 21, 22, 99]], "doc_id long"
+    )
+    a = connected_components(edges, nodes, "doc_id").toPandas()
+    b = connected_components_star(edges, nodes, "doc_id").toPandas()
+    ma = dict(zip(a.doc_id, a.cluster_id))
+    mb = dict(zip(b.doc_id, b.cluster_id))
+    assert ma == mb, (ma, mb)
+    assert mb[99] == 99  # isolated node labels itself
