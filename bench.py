@@ -61,6 +61,11 @@ HEADLINE = [
     "q_tpch_q19",
     "q_dedup_simhash",
     "q_dedup_embedding",
+    "q_tpch_q2",
+    "q_tpch_q21",
+    "q_agg_cube",
+    "q_text_classifier",
+    "q_ts_eval_metrics",
 ]
 
 

@@ -62,6 +62,8 @@ _PRIORITY = [
     "q_agg_cube",
     "q_text_classifier",
     "q_dedup_cluster_star",
+    "q_agg_topk_sketch",
+    "q_scan_pysource_stream",
     # --- never driver-verified: added in round 2 AFTER the last probe
     # refresh (commit c940100); absent from CORRECTNESS_r01/r02 and from
     # PROBE_r02.json. Round 3 puts them first.

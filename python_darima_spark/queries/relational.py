@@ -588,6 +588,37 @@ def q_agg_sketch_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_agg_topk_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """FREQUENT-ITEMS sketch (Spark 4 ``approx_top_k``) pinned
+    hash-checkable by the q_agg_approx pattern: the exact top-5 event
+    types (count desc, type asc — deterministic tie-break) alongside a
+    flag that the sketch's reported top-5 SET equals the exact one. At
+    100 TB the sketch is the answer path — mergeable KB-sized state
+    instead of a full (type, count) shuffle — and the exact column here
+    keeps the driver check honest (oracle states TRUE, deterministic for
+    given data)."""
+    e = load(spark, sf, "events")
+    exact = (
+        e.groupBy("event_type")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("event_type"))
+        .limit(5)
+    )
+    sk = e.agg(
+        F.expr("approx_top_k(event_type, 5)").alias("_tk")
+    ).select(
+        F.array_sort(F.expr("transform(_tk, x -> x.item)")).alias("_sk_set")
+    )
+    exact_set = exact.agg(
+        F.array_sort(F.collect_list("event_type")).alias("_ex_set")
+    )
+    flag = (
+        sk.crossJoin(F.broadcast(exact_set))
+        .select((F.col("_sk_set") == F.col("_ex_set")).alias("sketch_topk_ok"))
+    )
+    return exact.crossJoin(F.broadcast(flag))
+
+
 def q_window_rank(spark: SparkSession, sf: str) -> DataFrame:
     """rank/dense_rank/row_number/ntile. ntile over (series, ts) is exactly
     the engine's contiguous series splitter (SURVEY §1.4)."""
@@ -1027,6 +1058,14 @@ QUERIES = {
         """SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
                   ROUND(SUM(l_quantity), 4) AS sum_qty
            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""",
+    ),
+    "q_agg_topk_sketch": QuerySpec(
+        q_agg_topk_sketch,
+        """SELECT event_type, count(*) AS n, TRUE AS sketch_topk_ok
+           FROM events
+           GROUP BY event_type
+           ORDER BY n DESC, event_type
+           LIMIT 5""",
     ),
     "q_agg_cube": QuerySpec(
         q_agg_cube,

@@ -120,6 +120,70 @@ def q_stream_upsert(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_scan_pysource_stream(spark: SparkSession, sf: str) -> DataFrame:
+    """CUSTOM STREAMING CONNECTOR via the Python Data Source API (Spark
+    4 ``SimpleDataSourceStreamReader``, sources/pysource.py): the
+    deterministic series generator emitted as 4 real micro-batches
+    (offsets checkpointed by Spark; ``readBetweenOffsets`` replays any
+    committed range exactly, so recovery is exactly-once with no source
+    state). ``sf`` is unused — the point is the non-file STREAMING
+    connector axis. The stream runs with a processing-time trigger and
+    stops once the known row count lands (availableNow snapshots only
+    the reader's first prefetched batch, so it cannot drain a
+    multi-batch source). The result re-aggregates the sink per series
+    with micro-integer sums; the oracle restates the generator formula,
+    so the hash check covers offset planning → per-batch generation →
+    append sink — end to end."""
+    import tempfile
+    import time
+    import uuid
+
+    from python_darima_spark.sources.pysource import (
+        register_synthetic_stream_source,
+    )
+
+    register_synthetic_stream_source(spark)
+    num_series, rows, nb = 6, 240, 4
+    expected = num_series * rows
+    name = f"pds_pystream_{uuid.uuid4().hex[:12]}"
+    df = (
+        spark.readStream.format("synthetic_series_stream")
+        .option("num_series", num_series)
+        .option("rows_per_series", rows)
+        .option("num_batches", nb)
+        .load()
+    )
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="pds_pystream_ckpt_")
+        )
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while (
+            time.time() < deadline and spark.table(name).count() < expected
+        ):
+            time.sleep(0.3)
+    finally:
+        q.stop()
+    y6 = F.round(F.col("y") * 1e6).cast("bigint")
+    return (
+        spark.table(name)
+        .groupBy("series_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.min("idx").alias("first_idx"),
+            F.max("idx").alias("last_idx"),
+            F.round(F.sum(y6) / 1e6, 6).alias("sum_y"),
+        )
+    )
+
+
 def q_stream_anomaly(spark: SparkSession, sf: str) -> DataFrame:
     """Custom stateful operator (applyInPandasWithState): online EWMA
     z-score anomalies per event_type. Deterministic given in-order replay,
@@ -150,6 +214,20 @@ def q_stream_anomaly_tws(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES = {
+    "q_scan_pysource_stream": QuerySpec(
+        q_scan_pysource_stream,
+        """WITH g AS (
+             SELECT CAST(s.s AS INT) AS series_id, CAST(i.i AS INT) AS idx,
+                    round(sin((i.i + s.s) / 24.0) * 10 + (i.i % 7) + s.s, 6)
+                        AS y
+             FROM (SELECT unnest(generate_series(0, 5)) AS s) s,
+                  (SELECT unnest(generate_series(0, 239)) AS i) i
+           )
+           SELECT series_id, count(*) AS n,
+                  min(idx) AS first_idx, max(idx) AS last_idx,
+                  round(sum(CAST(round(y * 1e6) AS BIGINT)) / 1e6, 6) AS sum_y
+           FROM g GROUP BY series_id""",
+    ),
     "q_stream_tumble": QuerySpec(
         q_stream_tumble,
         """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, value

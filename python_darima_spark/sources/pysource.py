@@ -25,7 +25,12 @@ from __future__ import annotations
 import math
 from datetime import datetime, timedelta
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 _EPOCH = datetime(2024, 1, 1)
 
@@ -79,3 +84,67 @@ class SyntheticSeriesReader(DataSourceReader):
 def register_synthetic_source(spark) -> None:
     """Idempotent registration (re-registering the same name is allowed)."""
     spark.dataSource.register(SyntheticSeriesDataSource)
+
+
+class SyntheticSeriesStreamSource(DataSource):
+    """``spark.readStream.format("synthetic_series_stream")`` — the
+    STREAMING side of the connector API (Spark 4
+    ``SimpleDataSourceStreamReader``): the same deterministic generator
+    emitted as ``num_batches`` micro-batches of consecutive idx chunks.
+    Offsets are plain dicts checkpointed by Spark; ``readBetweenOffsets``
+    replays any committed range exactly (the generator is a pure
+    function of the offset range), so recovery is exactly-once without
+    the source storing anything. Options: ``num_series`` (default 6),
+    ``rows_per_series`` (default 240, must divide by ``num_batches``),
+    ``num_batches`` (default 4)."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_series_stream"
+
+    def schema(self) -> str:
+        return "series_id int, idx int, ts timestamp, y double"
+
+    def simpleStreamReader(self, schema) -> "SyntheticSeriesStreamReader":
+        return SyntheticSeriesStreamReader(self.options)
+
+
+class SyntheticSeriesStreamReader(SimpleDataSourceStreamReader):
+    def __init__(self, options: dict) -> None:
+        self.num_series = int(options.get("num_series", 6))
+        self.rows_per_series = int(options.get("rows_per_series", 240))
+        self.num_batches = int(options.get("num_batches", 4))
+        self.chunk = self.rows_per_series // self.num_batches
+
+    def initialOffset(self) -> dict:
+        return {"chunk": 0}
+
+    def _rows(self, chunk: int) -> list:
+        # a LIST, not a generator: Spark's prefetch cache copy.copy()s
+        # the iterator read() returns, and generators aren't copyable
+        # (TypeError: cannot pickle 'generator'); each chunk is bounded
+        # (rows_per_series/num_batches × num_series) so materializing is
+        # the contract, not a compromise
+        lo, hi = chunk * self.chunk, (chunk + 1) * self.chunk
+        return [
+            (s, idx, _EPOCH + timedelta(hours=idx), series_value(s, idx))
+            for s in range(self.num_series)
+            for idx in range(lo, hi)
+        ]
+
+    def read(self, start: dict):
+        c = start["chunk"]
+        if c >= self.num_batches:
+            return iter([]), {"chunk": c}
+        return iter(self._rows(c)), {"chunk": c + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict):
+        out: list = []
+        for c in range(start["chunk"], end["chunk"]):
+            out.extend(self._rows(c))
+        return iter(out)
+
+
+def register_synthetic_stream_source(spark) -> None:
+    """Idempotent registration (re-registering the same name is allowed)."""
+    spark.dataSource.register(SyntheticSeriesStreamSource)

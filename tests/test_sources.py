@@ -157,3 +157,56 @@ def test_python_datasource_partition_parallel(spark):
         (r["series_id"], r["idx"]): r["y"] for r in read(3).collect()
     }
     assert all(again[(r["series_id"], r["idx"])] == r["y"] for r in rows)
+
+
+def test_python_streaming_datasource_multibatch(spark):
+    # the streaming side must deliver over MULTIPLE committed
+    # micro-batches (one per offset chunk) — not one drained blob —
+    # and the union of batches must equal the generator exactly
+    import tempfile
+    import time
+
+    from python_darima_spark.sources.pysource import (
+        register_synthetic_stream_source,
+        series_value,
+    )
+
+    register_synthetic_stream_source(spark)
+    df = (
+        spark.readStream.format("synthetic_series_stream")
+        .option("num_series", 3)
+        .option("rows_per_series", 48)
+        .option("num_batches", 4)
+        .load()
+    )
+    q = (
+        df.writeStream.format("memory")
+        .queryName("pystream_test")
+        .outputMode("append")
+        .trigger(processingTime="0 seconds")
+        .option(
+            "checkpointLocation", tempfile.mkdtemp(prefix="pys_test_ckpt_")
+        )
+        .start()
+    )
+    try:
+        deadline = time.time() + 120
+        while (
+            time.time() < deadline
+            and spark.table("pystream_test").count() < 3 * 48
+        ):
+            time.sleep(0.3)
+        progress = list(q.recentProgress)
+    finally:
+        q.stop()
+    data_batches = [
+        p for p in progress if p and p["numInputRows"] > 0
+    ]
+    assert len(data_batches) >= 2, [
+        (p["batchId"], p["numInputRows"]) for p in progress if p
+    ]
+    rows = spark.table("pystream_test").collect()
+    assert len(rows) == 3 * 48
+    got = {(r["series_id"], r["idx"]): r["y"] for r in rows}
+    assert got[(2, 47)] == series_value(2, 47)
+    assert got[(0, 0)] == series_value(0, 0)
