@@ -324,3 +324,124 @@ def embedding_near_duplicates(
         .where(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def pq_train(
+    sample: np.ndarray, m: int = 8, ksub: int = 16, lloyd_iters: int = 3
+) -> np.ndarray:
+    """Train a PRODUCT-QUANTIZATION codebook: split the (L2-normalized)
+    dimension into ``m`` subspaces and run deterministic k-means (strided
+    init + Lloyd, L2 metric) per subspace. Returns ``(m, ksub, d/m)``.
+
+    The codebook is the memory lever of the ANN family: each corpus
+    vector stores as ``m`` small ints (here 8 bytes) instead of d floats
+    (here 256 bytes) — at 100 TB of embeddings the code table fits where
+    the raw vectors cannot, and the codebook itself is KBs, broadcast
+    with the plan. Training input is a BOUNDED driver-side sample (the
+    ``sample_vectors_bounded`` contract, same as IVF)."""
+    arr = sample.astype(float)
+    arr = arr / (np.linalg.norm(arr, axis=1, keepdims=True) + 1e-12)
+    n, d = arr.shape
+    dsub = d // m
+    book = np.zeros((m, ksub, dsub))
+    for j in range(m):
+        sub = arr[:, j * dsub : (j + 1) * dsub]
+        stride = max(1, n // ksub)
+        cents = sub[::stride][:ksub].copy()
+        for _ in range(lloyd_iters):
+            d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(cents.shape[0]):
+                members = sub[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        book[j] = cents
+    return book
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebook: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector as its ``m`` nearest-subcentroid ids (argmin
+    L2 per subspace, ties to the lower id via numpy argmin) — one
+    Arrow-vectorized pandas_udf, the codebook rides in the closure
+    (KB-sized). Vectors are L2-normalized first so ADC's L2 ranking
+    is cosine ranking on the unit sphere."""
+    m, ksub, dsub = codebook.shape
+    book = codebook
+
+    @F.pandas_udf("array<int>")
+    def _codes(vs: pd.Series) -> pd.Series:
+        X = np.stack(vs.to_numpy()).astype(float)
+        X = X / (np.linalg.norm(X, axis=1, keepdims=True) + 1e-12)
+        out = np.zeros((X.shape[0], m), dtype=np.int32)
+        for j in range(m):
+            sub = X[:, j * dsub : (j + 1) * dsub]
+            d2 = ((sub[:, None, :] - book[j][None, :, :]) ** 2).sum(axis=2)
+            out[:, j] = np.argmin(d2, axis=1)
+        return pd.Series([row for row in out])
+
+    return fan_out(corpus, id_col).withColumn(
+        "pq_code", _codes(_as_double(F.col(vec_col)))
+    )
+
+
+def pq_topk(
+    codes: DataFrame,
+    codebook: np.ndarray,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ASYMMETRIC-DISTANCE (ADC) top-k over PQ codes: per query, the
+    (m × ksub) table of squared distances from the query's subvectors to
+    every subcentroid is computed driver-side (queries are a bounded
+    broadcast set — the cosine_topk contract) and shipped as literal
+    rows; each corpus code then scores as m TABLE LOOKUPS summed
+    JVM-side — no floating vector math per corpus row at all, which is
+    the entire point of PQ at scale. Distances are rounded before the
+    rank window (ties to neighbor id)."""
+    m, ksub, dsub = codebook.shape
+    qrows = queries.select(id_col, vec_col).collect()
+    tables = []
+    for r in qrows:
+        qv = np.asarray(r[vec_col], dtype=float)
+        qv = qv / (np.linalg.norm(qv) + 1e-12)
+        tbl = [
+            [
+                float(((codebook[j][c] - qv[j * dsub : (j + 1) * dsub]) ** 2).sum())
+                for c in range(ksub)
+            ]
+            for j in range(m)
+        ]
+        tables.append((int(r[id_col]), tbl))
+    spark = codes.sparkSession
+    tdf = spark.createDataFrame(
+        tables, f"query_id long, tbl array<array<double>>"
+    )
+    c = codes.select(
+        F.col(id_col).alias("neighbor_id"), "pq_code"
+    ).crossJoin(F.broadcast(tdf)).where(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        F.lit(0.0),
+        lambda acc, j: acc
+        + F.element_at(
+            F.element_at("tbl", j + 1), F.element_at("pq_code", j + 1) + 1
+        ),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        c.withColumn("adc_dist", F.round(adc, 6))
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("query_id", "neighbor_id", "adc_dist")
+    )

@@ -37,6 +37,9 @@ from python_darima_spark.operators.similarity import (
     cosine_topk,
     embedding_near_duplicates,
     ivf_topk,
+    pq_encode,
+    pq_topk,
+    pq_train,
     sample_vectors_bounded,
     train_centroids,
 )
@@ -184,6 +187,92 @@ def q_sim_topk(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
     queries = emb.where(F.col("vec_id") < 8)
     return cosine_topk(emb, queries, k=5)
+
+
+def q_sim_knn_label(spark: SparkSession, sf: str) -> DataFrame:
+    """k-NN LABEL PREDICTION over the embedding corpus — the evaluation
+    loop every ANN index ships with: exact top-5 cosine neighbors per
+    query (vec_id < 16), majority vote over the neighbors' ``label``
+    column (ties to the smaller label), reported against the true label.
+    Fully deterministic: cosine rounded-then-ranked, vote ties ordered —
+    so the whole classification is hash-matched, not spot-checked.
+    Scale: the per-query work is the brute-force top-k (broadcast
+    queries × streamed corpus); swap in ivf_topk for the approximate
+    path and this query becomes the recall/accuracy harness."""
+    emb = load(spark, sf, "embeddings")
+    queries = emb.where(F.col("vec_id") < 16)
+    nn = cosine_topk(emb, queries, k=5)
+    lbl = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nbr_label")
+    )
+    votes = (
+        nn.join(F.broadcast(lbl), "neighbor_id")
+        .groupBy("query_id", "nbr_label")
+        .agg(F.count("*").alias("votes"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("votes"), F.asc("nbr_label")
+    )
+    pred = votes.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") == 1
+    )
+    truth = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("true_label")
+    )
+    return pred.join(F.broadcast(truth), "query_id").select(
+        "query_id",
+        "true_label",
+        F.col("nbr_label").alias("pred_label"),
+        "votes",
+    )
+
+
+def q_sim_topk_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """PRODUCT-QUANTIZATION ANN (train → encode → ADC top-5) made
+    hash-checkable by combining the q_sim_topk_ivf exact-column pattern
+    with q_dedup_embedding's deterministic twin injection: queries
+    8 ≤ vec_id < 16 get near-identical twins planted at +10000 (component
+    1 × 1.1, cosine ≥ 0.9988), the emitted rows are the EXACT brute-force
+    top-5 over the twin-planted corpus (top-1 is the twin — DuckDB
+    restates it), and ``pq_found_twin`` asserts the twin also surfaces in
+    PQ's ADC top-5 — quantization error must not bury a true near-dup
+    (measured: the twin ranks #1 at m=8, ksub=16). On a random-vector
+    corpus raw top-5 overlap is a weak contract (neighbor margins sit
+    below quantization error — measured mean 1.1/5 at these params), so
+    the planted pair IS the honest recall statement. 8-byte codes vs
+    256-byte vectors is the 32× memory lever that makes PQ the
+    beyond-RAM ANN path."""
+    emb = load(spark, sf, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    twins = base.where(
+        (F.col("vec_id") >= 8) & (F.col("vec_id") < 16)
+    ).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) * F.lit(1.1)),
+            F.slice("embedding", 2, F.size("embedding") - 1),
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(twins)
+    queries = base.where((F.col("vec_id") >= 8) & (F.col("vec_id") < 16))
+    exact = cosine_topk(corpus, queries, k=5)
+    book = pq_train(
+        sample_vectors_bounded(corpus, n=2048), m=8, ksub=16, lloyd_iters=3
+    )
+    pq5 = pq_topk(pq_encode(corpus, book), book, queries, k=5)
+    flags = pq5.groupBy("query_id").agg(
+        F.max(
+            F.col("neighbor_id") == F.col("query_id") + 10000
+        ).alias("pq_found_twin")
+    )
+    return exact.join(F.broadcast(flags), "query_id").select(
+        "query_id", "neighbor_id", "cosine", "pq_found_twin"
+    )
 
 
 def q_sim_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
@@ -875,6 +964,79 @@ QUERIES = {
                PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
              FROM pairs
            ) WHERE rn <= 5""",
+    ),
+    "q_sim_topk_pq": QuerySpec(
+        q_sim_topk_pq,
+        """WITH base AS (
+             SELECT vec_id,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             FROM embeddings
+           ), twins AS (
+             SELECT vec_id + 10000 AS vec_id,
+                    list_concat([e[1] * 1.1], e[2:]) AS e
+             FROM base WHERE vec_id >= 8 AND vec_id < 16
+           ), corpus AS (
+             SELECT * FROM base UNION ALL SELECT * FROM twins
+           ), q AS (
+             SELECT * FROM base WHERE vec_id >= 8 AND vec_id < 16
+           ), pairs AS (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    round(
+                      list_reduce(list_prepend(0.0,
+                          list_transform(list_zip(c.e, q.e), p -> p[1] * p[2])),
+                          (a, b) -> a + b)
+                      / (sqrt(list_reduce(list_prepend(0.0,
+                             list_transform(c.e, x -> x * x)), (a, b) -> a + b))
+                       * sqrt(list_reduce(list_prepend(0.0,
+                             list_transform(q.e, x -> x * x)), (a, b) -> a + b))),
+                      6) AS cosine
+             FROM corpus c, q WHERE c.vec_id <> q.vec_id
+           )
+           SELECT query_id, neighbor_id, cosine, TRUE AS pq_found_twin
+           FROM (
+             SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+             FROM pairs
+           ) WHERE rn <= 5""",
+    ),
+    "q_sim_knn_label": QuerySpec(
+        q_sim_knn_label,
+        """WITH v AS (
+             SELECT vec_id, label,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             FROM embeddings
+           ), q AS (SELECT * FROM v WHERE vec_id < 16),
+           pairs AS (
+             SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                    c.label AS nbr_label,
+                    round(
+                      list_reduce(list_prepend(0.0,
+                          list_transform(list_zip(c.e, q.e), p -> p[1] * p[2])),
+                          (a, b) -> a + b)
+                      / (sqrt(list_reduce(list_prepend(0.0,
+                             list_transform(c.e, x -> x * x)), (a, b) -> a + b))
+                       * sqrt(list_reduce(list_prepend(0.0,
+                             list_transform(q.e, x -> x * x)), (a, b) -> a + b))),
+                      6) AS cosine
+             FROM v c, q WHERE c.vec_id <> q.vec_id
+           ), nn AS (
+             SELECT query_id, neighbor_id, nbr_label FROM (
+               SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rn
+               FROM pairs
+             ) WHERE rn <= 5
+           ), votes AS (
+             SELECT query_id, nbr_label, count(*) AS votes
+             FROM nn GROUP BY 1, 2
+           ), pred AS (
+             SELECT query_id, nbr_label AS pred_label, votes FROM (
+               SELECT *, ROW_NUMBER() OVER (
+                 PARTITION BY query_id ORDER BY votes DESC, nbr_label) AS rn
+               FROM votes
+             ) WHERE rn = 1
+           )
+           SELECT query_id, q.label AS true_label, pred_label, votes
+           FROM pred JOIN q ON q.vec_id = query_id""",
     ),
     "q_sim_topk_ivf": QuerySpec(
         q_sim_topk_ivf,

@@ -486,3 +486,43 @@ def test_star_contraction_matches_label_propagation(spark):
     mb = dict(zip(b.doc_id, b.cluster_id))
     assert ma == mb, (ma, mb)
     assert mb[99] == 99  # isolated node labels itself
+
+
+def test_pq_codes_compact_and_twin_ranks_first(spark):
+    # PQ contract: each vector stores as m small ints (the 32x memory
+    # lever vs 64 doubles), and ADC must rank a planted near-identical
+    # twin at the very top for its own query — quantization error may
+    # not bury a true near-dup
+    import numpy as np
+
+    from python_darima_spark.operators.similarity import (
+        pq_encode,
+        pq_topk,
+        pq_train,
+        sample_vectors_bounded,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("embedding"),
+    )
+    twins = base.where(F.col("vec_id") < 4).select(
+        (F.col("vec_id") + 10000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("embedding", 1) * F.lit(1.1)),
+            F.slice("embedding", 2, F.size("embedding") - 1),
+        ).alias("embedding"),
+    )
+    corpus = base.unionByName(twins)
+    book = pq_train(sample_vectors_bounded(corpus, n=2048), m=8, ksub=16)
+    assert book.shape == (8, 16, 8)
+    codes = pq_encode(corpus, book)
+    row = codes.where(F.col("vec_id") == 0).first()
+    assert len(row["pq_code"]) == 8
+    assert all(0 <= c < 16 for c in row["pq_code"])
+    queries = base.where(F.col("vec_id") < 4)
+    top = pq_topk(codes, book, queries, k=5).toPandas()
+    for q in range(4):
+        mine = top[top.query_id == q].sort_values("adc_dist")
+        assert mine.neighbor_id.iloc[0] == q + 10000, mine.head()
