@@ -162,6 +162,35 @@ def q_sink_parquet(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sink_zorder(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-ORDER re-layout sink + pruned re-scan (sources/writers.py:
+    write_zordered_parquet — the Delta/Iceberg OPTIMIZE ZORDER layout in
+    plain Spark): events rewritten clustered by the Morton key over
+    (user_id, value) quantile ranks, then read back through a 2-D box
+    filter and aggregated. Hash-matched: re-layout must be
+    data-invisible (the oracle filters the original table). The actual
+    SKIPPING win — ≥ 2× fewer candidate files on value-only predicates
+    where a single-key sort reads everything — is quantified from
+    parquet footers in tests/test_sinks.py."""
+    from python_darima_spark.sources.writers import write_zordered_parquet
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"pds_sink_zorder_{os.path.basename(os.path.normpath(sf))}",
+    )
+    ev = load(spark, sf, "events").select("event_id", "user_id", "value")
+    write_zordered_parquet(ev, path, "user_id", "value", num_files=16)
+    got = spark.read.parquet(path).where(
+        (F.col("user_id").between(40, 60)) & (F.col("value") <= 4.0)
+    )
+    return got.groupBy("user_id").agg(
+        F.count("*").alias("n"),
+        F.round(
+            F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0, 2
+        ).alias("sum_value"),
+    )
+
+
 def q_sink_orc(spark: SparkSession, sf: str) -> DataFrame:
     """ORC sink + re-scan — second columnar format beside parquet (both
     are first-class Spark sources; ORC is the ecosystem's other standard
@@ -864,6 +893,15 @@ QUERIES = {
         """SELECT o_orderstatus, o_orderpriority,
                   round(sum(o_totalprice), 2) AS total
            FROM orders GROUP BY o_orderstatus, o_orderpriority""",
+    ),
+    "q_sink_zorder": QuerySpec(
+        q_sink_zorder,
+        """SELECT user_id, count(*) AS n,
+                  round(sum(CAST(round(value * 100) AS BIGINT)) / 100.0, 2)
+                      AS sum_value
+           FROM events
+           WHERE user_id BETWEEN 40 AND 60 AND value <= 4.0
+           GROUP BY user_id""",
     ),
     "q_sink_orc": QuerySpec(
         q_sink_orc,

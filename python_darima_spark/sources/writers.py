@@ -82,3 +82,85 @@ def write_bucketed_table(
     if sort_cols:
         w = w.sortBy(*sort_cols)
     w.saveAsTable(table)
+
+
+def zorder_key(x_col: str, y_col: str, x_bounds, y_bounds, bits: int = 6):
+    """Morton (Z-order) key for two numeric columns: each value maps to
+    its ``bits``-bit QUANTILE RANK (count of precomputed boundaries ≤
+    value — an O(2^bits) JVM fold, no UDF), then the two ranks' bits
+    interleave with shift/mask terms unrolled at plan build time (shift
+    amounts must be literals).
+
+    Rank-based scaling, not min/max: a linear scale collapses under
+    skew (one outlier compresses the mass into a few ranks — measured
+    on the events fixture, where value spans 0..490 with the mass below
+    20, linear scaling made Z-order WORSE than a plain sort), which is
+    why production Z-order implementations cluster by range-partition
+    rank. Boundaries arrive as parameters (one approx_percentile agg
+    upstream) so the key expression stays deterministic and
+    codegen-able."""
+    from pyspark.sql import functions as F
+
+    def _rank(col: str, bounds) -> object:
+        arr = F.array(*[F.lit(float(b)) for b in bounds])
+        return F.aggregate(
+            arr,
+            F.lit(0),
+            lambda acc, b: acc
+            + F.when(F.col(col).cast("double") >= b, 1).otherwise(0),
+        ).cast("long")
+
+    xr, yr = _rank(x_col, x_bounds), _rank(y_col, y_bounds)
+    terms = []
+    for i in range(bits):
+        terms.append(
+            F.shiftleft(F.shiftright(xr, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+        terms.append(
+            F.shiftleft(F.shiftright(yr, i).bitwiseAND(F.lit(1)), 2 * i)
+        )
+    key = terms[0]
+    for t in terms[1:]:
+        key = key + t
+    return key
+
+
+def write_zordered_parquet(
+    df: DataFrame,
+    path: str,
+    x_col: str,
+    y_col: str,
+    num_files: int = 8,
+    bits: int = 6,
+    mode: str = "overwrite",
+) -> None:
+    """Re-layout ``df`` by Z-order over (x_col, y_col) — the
+    Delta/Iceberg OPTIMIZE ZORDER layout in plain Spark primitives: one
+    approx_percentile agg for per-column quantile boundaries,
+    range-partition on the Morton key into ``num_files`` tasks, sort
+    within each, write parquet.
+
+    What it buys (quantified in tests/test_sinks.py): a single-column
+    sort gives perfect min/max skipping on its key and NONE on any
+    other column; Z-order trades some of the key's skipping for useful
+    skipping on BOTH — on the mixed workload (user-only, value-only,
+    box predicates) the Morton layout leaves ~half the candidate files
+    of the single-key sort, with the value-only cases (where the plain
+    sort reads everything) cut by ≥ 2×."""
+    from pyspark.sql import functions as F
+
+    nq = 1 << bits
+    qs = ",".join(str(i / nq) for i in range(1, nq))
+    b = df.agg(
+        F.expr(f"approx_percentile({x_col}, array({qs}), 2000)").alias("xb"),
+        F.expr(f"approx_percentile({y_col}, array({qs}), 2000)").alias("yb"),
+    ).first()
+    key = zorder_key(x_col, y_col, b["xb"], b["yb"], bits)
+    (
+        df.withColumn("_zkey", key)
+        .repartitionByRange(num_files, "_zkey")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey")
+        .write.mode(mode)
+        .parquet(path)
+    )

@@ -112,3 +112,70 @@ def test_scan_dpp_plan_has_dynamic_pruning(spark, sf_dir):
     want = docs.where(F.col("lang").isin(langs)).groupBy("lang").count()
     got = {r.lang: r.n_docs for r in df.collect()}
     assert got == {r.lang: r["count"] for r in want.collect()}
+
+
+def test_zorder_layout_skips_on_mixed_workload(spark, sf_dir):
+    # Z-order vs single-key sort, same file count, same data. The
+    # honest contract: the plain user_id sort is UNBEATABLE on
+    # user_id-only predicates but reads EVERY file for value-only ones;
+    # the Morton layout must (a) cut value-only candidates by ≥ 2× and
+    # (b) win the mixed workload overall. Parquet footers make the
+    # skipping measurable without running a query.
+    import glob
+    import tempfile
+
+    import pyarrow.parquet as pq
+
+    from python_darima_spark.sources.writers import write_zordered_parquet
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "value"
+    )
+    nf = 16
+    zdir = tempfile.mkdtemp(prefix="pds_zorder_")
+    ldir = tempfile.mkdtemp(prefix="pds_linear_")
+    write_zordered_parquet(ev, zdir, "user_id", "value", num_files=nf)
+    (
+        ev.repartitionByRange(nf, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(ldir)
+    )
+
+    def candidate_files(d, ulo, uhi, vlo, vhi):
+        n = 0
+        for f in glob.glob(f"{d}/*.parquet"):
+            md = pq.ParquetFile(f).metadata
+            names = [md.schema.column(i).name for i in range(md.num_columns)]
+            ui, vi = names.index("user_id"), names.index("value")
+            hits = False
+            for rg in range(md.num_row_groups):
+                us = md.row_group(rg).column(ui).statistics
+                vs = md.row_group(rg).column(vi).statistics
+                if us.min <= uhi and us.max >= ulo and vs.min <= vhi and vs.max >= vlo:
+                    hits = True
+            n += hits
+        return n
+
+    inf = float("inf")
+    workload = [
+        (40, 60, -inf, inf),        # user-only
+        (-inf, inf, 2.0, 4.0),      # value-only (plain sort: full scan)
+        (-inf, inf, 100.0, 120.0),  # value-only, different band
+        (40, 60, 2.0, 4.0),         # 2-D box
+    ]
+    z = [candidate_files(zdir, *b) for b in workload]
+    lin = [candidate_files(ldir, *b) for b in workload]
+    # value-only predicates: the sorted layout prunes (almost) nothing
+    # — value is uncorrelated with its sort key — and Z-order must cut
+    # those candidates at least 2×
+    assert lin[1] >= nf - 2 and lin[2] >= nf - 2, (z, lin)
+    assert z[1] * 2 <= lin[1] and z[2] * 2 <= lin[2], (z, lin)
+    # the mixed workload overall must favor Z-order
+    assert sum(z) < sum(lin), (z, lin)
+    # and the layout change must not change the data
+    assert (
+        spark.read.parquet(zdir).count()
+        == spark.read.parquet(ldir).count()
+        == ev.count()
+    )
