@@ -67,6 +67,7 @@ _PRIORITY = [
     "q_sim_knn_label",
     "q_sim_topk_pq",
     "q_sink_zorder",
+    "q_ts_holtwinters",
     # --- never driver-verified: added in round 2 AFTER the last probe
     # refresh (commit c940100); absent from CORRECTNESS_r01/r02 and from
     # PROBE_r02.json. Round 3 puts them first.

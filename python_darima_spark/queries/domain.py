@@ -16,7 +16,10 @@ from python_darima_spark.darima.pipeline import (
     evaluate,
     forecast,
 )
-from python_darima_spark.operators.timeseries import resample_regular
+from python_darima_spark.operators.timeseries import (
+    holt_winters_forecast,
+    resample_regular,
+)
 from python_darima_spark.queries import QuerySpec, load
 
 # Small tol for the sf0.01 check: series are ~720 hourly points, so a
@@ -223,6 +226,19 @@ def q_ts_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ts_holtwinters(spark: SparkSession, sf: str) -> DataFrame:
+    """Additive Holt-Winters 24-step forecast per series — the second
+    forecasting family beside the ARIMA pipeline (exponential smoothing;
+    operators/timeseries.py:holt_winters_forecast). Rows-only driver
+    check like the other fit/forecast entries (the sequential recursion
+    is not SQL-expressible); the real oracle is the single-series numpy
+    twin asserted equal in tests/test_domain_queries.py."""
+    fc = holt_winters_forecast(_hourly_series(spark, sf), period=24, h=24)
+    return fc.select(
+        "series_id", "step", "ts", F.round("mean", 6).alias("mean")
+    )
+
+
 def q_ts_eval_metrics(spark: SparkSession, sf: str) -> DataFrame:
     """Driver-visible run of the reference's EVALUATION stage (R32-R35,
     /root/reference/darima.py:425-488): per-timestamp MASE / sMAPE /
@@ -272,6 +288,7 @@ def q_ts_eval_metrics(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES = {
+    "q_ts_holtwinters": QuerySpec(q_ts_holtwinters),  # rows-only: numpy oracle in tests
     "q_ts_eval_metrics": QuerySpec(
         q_ts_eval_metrics,
         """WITH t AS (

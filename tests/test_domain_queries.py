@@ -91,3 +91,41 @@ def test_forecast_query_shape(spark):
     assert (fc["hi_95"] >= fc["hi_80"]).all()
     assert (fc["lo_95"] <= fc["lo_80"]).all()
     assert np.isfinite(fc["mean"]).all()
+
+
+def test_holt_winters_matches_numpy_twin(spark):
+    # the grouped-map Holt-Winters must agree with the single-series
+    # numpy recursion exactly (same floats, same order), and forecast
+    # timestamps must continue the hourly grid
+    import numpy as np
+    import pandas as pd
+
+    from python_darima_spark.operators.timeseries import (
+        holt_winters_forecast,
+        holt_winters_numpy,
+    )
+
+    rng = np.arange(24 * 8)
+    y = 10 + 0.05 * rng + 5 * np.sin(2 * np.pi * (rng % 24) / 24)
+    ts0 = pd.Timestamp("2024-01-01")
+    pdf = pd.DataFrame(
+        {
+            "series_id": "s1",
+            "ts": [ts0 + pd.Timedelta(hours=int(i)) for i in rng],
+            "y": y,
+        }
+    )
+    out = (
+        holt_winters_forecast(spark.createDataFrame(pdf), period=24, h=12)
+        .orderBy("step")
+        .toPandas()
+    )
+    want = holt_winters_numpy(y, 24, 12)
+    assert len(out) == 12
+    np.testing.assert_allclose(out["mean"].to_numpy(), want, rtol=0, atol=0)
+    assert out.ts.iloc[0] == ts0 + pd.Timedelta(hours=24 * 8)
+    # short series (< 2 periods) produce no forecast rather than garbage
+    short = holt_winters_forecast(
+        spark.createDataFrame(pdf.head(30)), period=24, h=12
+    )
+    assert short.count() == 0
