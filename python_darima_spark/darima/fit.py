@@ -116,13 +116,18 @@ def select_orders_by_holdout(
     different, explosive model over thousands of steps)."""
     y = np.asarray(y, dtype=float)
     n = y.size
-    cands = [(dd, 0) for dd in range(0, max_d + 1)]
-    if m > 1 and n >= 6 * m:
-        cands += [(0, 1), (1, 1)]
     hold = int(np.clip(n // 8, 8, 4096))
     split = n - hold
     if split < max(3 * m, 32):
         return select_orders_of_differencing(y, m, max_d)
+    cands = [(dd, 0) for dd in range(0, max_d + 1)]
+    # seasonal candidates are admissible whenever the TRAIN side spans
+    # the 3 full periods the threshold heuristic itself requires (the
+    # guard above guarantees split >= 3*m) — gating on the longer
+    # 6*m-of-total made D=1 unreachable for 3-6-period windows even
+    # where the fallback heuristic would have differenced seasonally
+    if m > 1:
+        cands += [(0, 1), (1, 1)]
     sel_tol = tol
     tr, ho = y[:split], y[split:]
     best: tuple | None = None

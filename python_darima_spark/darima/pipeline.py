@@ -31,7 +31,6 @@ from python_darima_spark.darima.arima_math import DEFAULT_TOL, ar_to_ma, normal_
 from python_darima_spark.darima.fit import fit_window_to_coef_rows
 from python_darima_spark.operators.timeseries import split_series
 
-FIT_SCHEMA = "series_id string, window_id int, coef string, value double"
 FORECAST_SCHEMA = (
     "series_id string, step int, ts timestamp, mean double, se double, "
     "lo_80 double, hi_80 double, lo_95 double, hi_95 double"
@@ -91,8 +90,11 @@ def fit_windows(
     through Arrow — measured ~12 ms/window at 15k windows vs ~0.75 ms of
     actual fit math; this path moves grouping/sorting into Tungsten and
     amortizes the Python crossing, 5.7 s → ~2 s on the many-series probe.
-    Nulls: ``collect_list`` drops null y values, so ``n_obs`` counts real
-    observations (the fit itself always dropped NaNs before estimating).
+    Nulls: rows with null y are filtered BEFORE packing —
+    ``collect_list(struct(ts, y))`` would otherwise keep them (the struct
+    is non-null even when ``y`` is) — so ``n_obs`` counts real
+    observations and the DLSA ``T_total`` stays consistent with each
+    window's NaN-dropped fit length.
     """
     m, tol, method = cfg.period, cfg.tol, cfg.method
     max_p, max_q, max_P = cfg.max_p, cfg.max_q, cfg.max_P
@@ -118,7 +120,7 @@ def fit_windows(
             series_df, cfg.num_windows, series_col, ts_col, cfg.split_strategy
         )
     )
-    packed = with_windows.groupBy(
+    packed = with_windows.where(F.col(y_col).isNotNull()).groupBy(
         F.col(series_col).cast("string").alias("series_id"),
         F.col("window_id").cast("int").alias("window_id"),
     ).agg(

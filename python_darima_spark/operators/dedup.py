@@ -314,10 +314,15 @@ def simhash(
     the same token space MinHash uses, so fingerprint distance tracks
     shingle-Jaccard; on corpora with a shared vocabulary word tokens
     saturate and near-dup/non-dup Hamming bands overlap)."""
-    if tokenizer.startswith("shingle"):
+    if tokenizer.startswith("shingle") and tokenizer[7:].isdigit():
         token_arr = F.array_distinct(char_shingles(text_col, int(tokenizer[7:])))
-    else:
+    elif tokenizer == "words":
         token_arr = F.array_distinct(F.split(F.lower(F.col(text_col)), r"\s+"))
+    else:
+        raise ValueError(
+            f"tokenizer must be 'words' or 'shingle<k>' (e.g. 'shingle5'), "
+            f"got {tokenizer!r}"
+        )
     tokens = F.explode(token_arr).alias("tok")
     hashed = fan_out(df, id_col).select(F.col(id_col), tokens).select(
         id_col, F.xxhash64("tok").alias("h")
@@ -517,7 +522,11 @@ def containment_pairs(
     inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
     cont_a = inter / F.size("_sa")
     cont_b = inter / F.size("_sb")
-    return (
+    # materialize the (small) survivor-pair set eagerly so the two cached
+    # shingle tables can be released here — a lazy return would pin them
+    # for the session lifetime (every invocation leaking two cache
+    # entries), and the caller has no handle to unpersist them
+    result = (
         joined.where(F.greatest(cont_a, cont_b) >= threshold)
         .select(
             "id_a",
@@ -525,7 +534,11 @@ def containment_pairs(
             F.round(cont_a, 6).alias("containment_a"),
             F.round(cont_b, 6).alias("containment_b"),
         )
+        .localCheckpoint(eager=True)
     )
+    sh.unpersist()
+    e.unpersist()
+    return result
 
 
 def connected_components(
@@ -678,6 +691,15 @@ def connected_components_star(
         e = new_e
         if stable:
             break
+    else:
+        # the final groupBy(u).min(v) below is only correct at the star
+        # fixpoint; labeling from an intermediate edge list would return
+        # silently-wrong clusters
+        raise RuntimeError(
+            f"connected_components_star did not converge within "
+            f"{max_iterations} iterations (expected O(log n) rounds); "
+            f"raise max_iterations"
+        )
     # at convergence every non-root points directly at its component min
     final = e.groupBy("u").agg(F.min("v").alias("_label"))
     return (

@@ -347,7 +347,11 @@ def pq_train(
     for j in range(m):
         sub = arr[:, j * dsub : (j + 1) * dsub]
         stride = max(1, n // ksub)
-        cents = sub[::stride][:ksub].copy()
+        # modular indexing tiles the sample when n < ksub (duplicate
+        # centroids are legal seeds: empty clusters keep their seed and
+        # the codebook shape contract (m, ksub, dsub) always holds);
+        # for n >= ksub this is the same strided pick as sub[::stride]
+        cents = sub[(np.arange(ksub) * stride) % n].copy()
         for _ in range(lloyd_iters):
             d2 = ((sub[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
             assign = np.argmin(d2, axis=1)

@@ -114,12 +114,14 @@ def q_ts_many_series(spark: SparkSession, sf: str) -> DataFrame:
         "ts",
         F.col("value").alias("y"),
     )
-    # NO persist (round 3): since the fit stage packs windows via a JVM
-    # aggregate, the resampled grid has exactly ONE consumer — caching it
-    # only added a 4.6M-row materialization barrier between resample and
-    # fit (measured: warm rep ~11.7 s with persist, ~5 s letting the plan
-    # pipeline end to end). Re-add a checkpoint only if a second consumer
-    # (e.g. forecasting against the same grid) appears.
+    # NO persist (round 3): split_series(strategy="range") does read the
+    # resampled grid twice (the min/max bounds aggregate plus the probe
+    # side of the bounds join), but the bounds side collapses to a tiny
+    # per-series aggregate — recomputing that subtree is cheaper than the
+    # 4.6M-row materialization barrier a persist puts between resample
+    # and fit (measured: warm rep ~11.7 s with persist, ~5 s pipelined).
+    # Revisit if resample grows real per-row cost (interpolation) or a
+    # full-width second consumer (e.g. forecasting the same grid) appears.
     hourly = resample_regular(series, "1 hour")
     cfg = DarimaConfig(
         num_windows=2, period=24, tol=24,

@@ -1420,14 +1420,14 @@ QUERIES = {
              FROM chars GROUP BY 1, 2
            )
            SELECT doc_id AS media_id, CAST(64 AS INT) AS n_bytes,
-                  max(CASE WHEN j = 0 THEN b END) AS b0,
-                  max(CASE WHEN j = 1 THEN b END) AS b1,
-                  max(CASE WHEN j = 2 THEN b END) AS b2,
-                  max(CASE WHEN j = 3 THEN b END) AS b3,
-                  max(CASE WHEN j = 4 THEN b END) AS b4,
-                  max(CASE WHEN j = 5 THEN b END) AS b5,
-                  max(CASE WHEN j = 6 THEN b END) AS b6,
-                  max(CASE WHEN j = 7 THEN b END) AS b7
+                  coalesce(max(CASE WHEN j = 0 THEN b END), 0) AS b0,
+                  coalesce(max(CASE WHEN j = 1 THEN b END), 0) AS b1,
+                  coalesce(max(CASE WHEN j = 2 THEN b END), 0) AS b2,
+                  coalesce(max(CASE WHEN j = 3 THEN b END), 0) AS b3,
+                  coalesce(max(CASE WHEN j = 4 THEN b END), 0) AS b4,
+                  coalesce(max(CASE WHEN j = 5 THEN b END), 0) AS b5,
+                  coalesce(max(CASE WHEN j = 6 THEN b END), 0) AS b6,
+                  coalesce(max(CASE WHEN j = 7 THEN b END), 0) AS b7
            FROM agg GROUP BY doc_id""",
     ),
     "q_multimodal_features": QuerySpec(

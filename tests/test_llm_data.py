@@ -378,11 +378,12 @@ def test_containment_finds_doc_inside_doc_jaccard_misses(spark):
 
 def test_changepoint_locates_planted_mean_shift(spark):
     """CUSUM argmax lands on a planted level shift: 200 hourly points,
-    mean jumps +50 at t=120. The detector must place cp_ts at (or within
-    a couple of hours of) the shift and report the two levels."""
+    mean jumps +50 at t=120. Calls the SHIPPED operator (not a local
+    restatement of its windows) and checks cp_ts lands at/near the shift
+    and that mean_before/mean_after recover the two planted levels."""
     import numpy as np
 
-    from python_darima_spark.queries.domain import q_ts_changepoint  # noqa: F401
+    from python_darima_spark.operators.timeseries import cusum_changepoint
 
     rng = np.random.default_rng(7)
     n, shift_at = 200, 120
@@ -395,35 +396,14 @@ def test_changepoint_locates_planted_mean_shift(spark):
             "y": np.round(y, 6),
         }
     )
-    hourly = spark.createDataFrame(pdf)
-    from pyspark.sql import Window
-    from pyspark.sql import functions as F
-
-    wall = Window.partitionBy("series_id")
-    wrun = (
-        Window.partitionBy("series_id")
-        .orderBy("ts")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    cum = hourly.withColumn("_mu", F.avg("y").over(wall)).withColumn(
-        "abs_s",
-        F.round(F.abs(F.sum(F.col("y") - F.col("_mu")).over(wrun)), 4),
-    )
-    cp = (
-        cum.withColumn(
-            "_rn",
-            F.row_number().over(
-                Window.partitionBy("series_id").orderBy(
-                    F.desc("abs_s"), F.asc("ts")
-                )
-            ),
-        )
-        .where(F.col("_rn") == 1)
-        .toPandas()
-    )
-    got = cp.ts.iloc[0]
+    cp = cusum_changepoint(spark.createDataFrame(pdf)).toPandas()
+    assert len(cp) == 1
+    got = cp.cp_ts.iloc[0]
     want = ts0 + pd.Timedelta(hours=shift_at - 1)  # argmax sits at the last
+    # pre-shift point
     assert abs((got - want).total_seconds()) <= 2 * 3600, (got, want)
+    assert abs(cp.mean_before.iloc[0] - 10.0) < 1.0, cp
+    assert abs(cp.mean_after.iloc[0] - 60.0) < 1.0, cp
 
 
 def test_classifier_recovers_planted_signal(spark):
