@@ -66,6 +66,8 @@ HEADLINE = [
     "q_agg_cube",
     "q_text_classifier",
     "q_ts_eval_metrics",
+    "q_graph_pagerank",
+    "q_dedup_incremental",
 ]
 
 

@@ -3,13 +3,16 @@ every stage is an engine operator, composed the way a 100 TB curation job
 would be:
 
   scan → quality filter (stats + repetition) → language filter
-       → exact dedup → MinHash near-dedup → decontamination
-       → train/val/test split → sequence packing → partitioned parquet
+       → exact dedup → MinHash near-dedup → containment → decontamination
+       → source-mixture resampling → train/val/test split
+       → shuffle-shard addressing → sequence packing → partitioned parquet
 
-Scale shape: the whole pipeline is 4 keyed shuffles (near-dup bands,
-decontamination gram join, packing windows, final write repartition) —
-everything else is map-only JVM expressions. Nothing ever collects to
-the driver; each stage's cut statistics are computed with aggregates.
+Scale shape: the whole pipeline is a handful of keyed shuffles (near-dup
+bands, containment index, decontamination gram join, packing windows,
+final write repartition) — everything else is map-only JVM expressions
+(the mixture stage is a dim-sized broadcast onto a map-only filter).
+Nothing ever collects to the driver; each stage's cut statistics are
+computed with aggregates.
 
 Run: ``python examples/llm_data_pipeline.py [sf_dir]`` (default sf0.01).
 """
@@ -119,15 +122,43 @@ def main() -> None:
         contaminated, "doc_id", "left_anti"
     )
 
-    # 6. deterministic split + 7. sequence packing per (split, shard)
+    # 5b. mixture control: downsample over-represented sources to a
+    # target share (weights planted per source index here) — one tiny
+    # broadcast aggregate onto a map-only md5 filter
+    w_src = F.pmod(F.substring("source", 4, 10).cast("int"), F.lit(4)) + 1
+    stats_src = (
+        docs.groupBy("source")
+        .agg(F.count("*").cast("double").alias("_cnt"))
+        .withColumn("_w", w_src.cast("double"))
+    )
+    tot = stats_src.agg(F.sum("_cnt").alias("_tot"), F.sum("_w").alias("_ws"))
+    rates = stats_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1.0), (F.col("_w") / F.col("_ws") * F.col("_tot")) / F.col("_cnt")
+        ).alias("_rate"),
+    )
+    docs = (
+        docs.join(F.broadcast(rates), "source")
+        .where(hash_split_bucket("doc_id").cast("double") < F.col("_rate") * 256)
+        .drop("_rate")
+    )
+
+    # 6. deterministic split + global shuffle-shard addressing
+    # (shard = md5 bucket, so export order is content-addressed and
+    # source locality is broken) + 7. sequence packing per (split, shard)
     b = hash_split_bucket("doc_id")
-    docs = docs.withColumn(
-        "split",
-        F.when(b < 204, "train").when(b < 230, "val").otherwise("test"),
-    ).withColumn("n_tok", token_count("text"))
+    docs = (
+        docs.withColumn(
+            "split",
+            F.when(b < 204, "train").when(b < 230, "val").otherwise("test"),
+        )
+        .withColumn("shard", (b % 8).cast("int"))
+        .withColumn("n_tok", token_count("text"))
+    )
     w = (
-        Window.partitionBy("split", F.col("doc_id") % 8)
-        .orderBy("doc_id")
+        Window.partitionBy("split", "shard")
+        .orderBy(F.md5(F.col("doc_id").cast("string")), "doc_id")
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     docs = docs.withColumn(

@@ -111,14 +111,15 @@ def minhash_signatures(
     )
 
 
-def minhash_candidate_pairs(
+def band_hashes(
     sig_df: DataFrame,
     id_col: str = "doc_id",
     num_bands: int = 16,
     rows_per_band: int = 4,
 ) -> DataFrame:
-    """LSH banding: docs sharing any band hash become candidate pairs.
-    Shuffle key is (band_id, band_hash) — n·bands rows total, never n²."""
+    """Explode a signature table to its LSH band keys:
+    ``(id, band_id, band_hash)`` — n·bands skinny rows. Shared by the
+    self-join (all-pairs) and probe-vs-index (incremental) shapes."""
     bands = F.array(
         *[
             F.struct(
@@ -130,9 +131,20 @@ def minhash_candidate_pairs(
             for i in range(num_bands)
         ]
     )
-    exploded = sig_df.select(
-        F.col(id_col), F.explode(bands).alias("b")
-    ).select(id_col, "b.band_id", "b.band_hash")
+    return sig_df.select(F.col(id_col), F.explode(bands).alias("b")).select(
+        id_col, "b.band_id", "b.band_hash"
+    )
+
+
+def minhash_candidate_pairs(
+    sig_df: DataFrame,
+    id_col: str = "doc_id",
+    num_bands: int = 16,
+    rows_per_band: int = 4,
+) -> DataFrame:
+    """LSH banding: docs sharing any band hash become candidate pairs.
+    Shuffle key is (band_id, band_hash) — n·bands rows total, never n²."""
+    exploded = band_hashes(sig_df, id_col, num_bands, rows_per_band)
     l = exploded.alias("l")
     r = exploded.alias("r")
     return (
@@ -229,6 +241,104 @@ def minhash_near_duplicates(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def minhash_incremental(
+    new_df: DataFrame,
+    index_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    num_bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """INCREMENTAL near-dup: probe a NEW batch against an EXISTING corpus
+    — the production shape for continuously-ingested training data,
+    where re-running all-pairs dedup over 100 TB per ingest is not an
+    option. Returns ``(id_new, id_old, jaccard)`` with exact shingle
+    Jaccard ≥ threshold; new-vs-new duplicates are intentionally NOT
+    reported (run the all-pairs pass within the batch for those).
+
+    Same hash family and banding as :func:`minhash_near_duplicates`
+    (``seed`` must match the index's), but the band join is
+    new-batch × index instead of a self-join: cost scales with
+    ``|new| · bands`` probe rows against the bucketed index, independent
+    of corpus size per ingest. At scale the index side is a PERSISTED
+    table of (band_id, band_hash, id) bucketed by band key — signatures
+    are computed once at ingest and appended, so each increment pays
+    only its own shingling. Candidates are estimate-prefiltered and
+    exact-verified from the texts, so the emitted pair set equals the
+    true cross-batch Jaccard pairs (the same verified contract the
+    all-pairs operator hash-checks against its SQL restatement).
+    """
+    rows_per_band = num_hashes // num_bands
+    sig_new = minhash_signatures(
+        new_df, text_col, id_col, num_hashes, shingle_k, seed
+    ).persist()
+    sig_idx = minhash_signatures(
+        index_df, text_col, id_col, num_hashes, shingle_k, seed
+    ).persist()
+    cands = (
+        band_hashes(sig_new, id_col, num_bands, rows_per_band)
+        .withColumnRenamed(id_col, "id_new")
+        .join(
+            band_hashes(sig_idx, id_col, num_bands, rows_per_band)
+            .withColumnRenamed(id_col, "id_old"),
+            ["band_id", "band_hash"],
+        )
+        .select("id_new", "id_old")
+        .distinct()
+    )
+    est_match = F.aggregate(
+        F.zip_with("_sa", "_sb", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    pre = (
+        cands.join(
+            sig_new.select(F.col(id_col).alias("id_new"), F.col("sig").alias("_sa")),
+            on="id_new",
+        )
+        .join(
+            sig_idx.select(F.col(id_col).alias("id_old"), F.col("sig").alias("_sb")),
+            on="id_old",
+        )
+        .where(est_match / F.lit(float(num_hashes)) >= F.lit(threshold - 0.2))
+        .select("id_new", "id_old")
+    )
+    joined = (
+        pre.join(
+            new_df.select(
+                F.col(id_col).alias("id_new"), F.col(text_col).alias("_txt_a")
+            ),
+            on="id_new",
+        )
+        .join(
+            index_df.select(
+                F.col(id_col).alias("id_old"), F.col(text_col).alias("_txt_b")
+            ),
+            on="id_old",
+        )
+        .withColumn("_sh_a", F.array_distinct(char_shingles("_txt_a", shingle_k)))
+        .withColumn("_sh_b", F.array_distinct(char_shingles("_txt_b", shingle_k)))
+    )
+    inter = F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
+    union = F.size(F.array_union("_sh_a", "_sh_b")).cast("double")
+    # eager-materialize the small verified-pair set so both cached
+    # signature tables can be released here (same lifecycle as
+    # containment_pairs — a lazy return would leak two cache entries
+    # per invocation)
+    result = (
+        joined.withColumn("jaccard", inter / union)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_new", "id_old", F.round("jaccard", 6).alias("jaccard"))
+        .localCheckpoint(eager=True)
+    )
+    sig_new.unpersist()
+    sig_idx.unpersist()
+    return result
 
 
 def ngram_jaccard_pairs(

@@ -35,6 +35,7 @@ _MODULES = [
     "python_darima_spark.queries.streaming_q",
     "python_darima_spark.queries.tpch",
     "python_darima_spark.queries.subqueries",
+    "python_darima_spark.queries.graph",
 ]
 
 # Execution order: the driver's correctness pass records at most ~50
@@ -47,6 +48,12 @@ _MODULES = [
 # listed follows in module order. PROBE_r03.json is the full local
 # replica of the driver gate over ALL entries regardless of the cap.
 _PRIORITY = [
+    # --- never driver-verified: round-3c additions (iterative graph
+    # analytics + training-data export/mixing + incremental dedup)
+    "q_graph_pagerank",
+    "q_shuffle_shard",
+    "q_mixture_sample",
+    "q_dedup_incremental",
     # --- never driver-verified: the round-3b TPC-H completion (the suite
     # now covers all 22) — no CORRECTNESS row yet, so they lead.
     "q_tpch_q2",

@@ -1,0 +1,92 @@
+"""Graph analytics queries: PageRank over a fixture-derived graph.
+
+The graph is the part↔supplier bipartite sourcing network from
+``lineitem``: an edge for every distinct (partkey, suppkey) pair, made
+SYMMETRIC (both directions) so the chain is ergodic — no dangling
+nodes, and the operator's no-redistribution simplification is exact.
+Part nodes are offset by 1e6 to disjoint the two key spaces.
+
+The DuckDB oracle restates the SAME fixed-iteration recurrence with the
+iterations UNROLLED as chained CTEs (r0 → r5) rather than a recursive
+CTE: the recursive form would need an aggregate in the recursive term,
+which SQL restricts — and unrolling keeps the oracle a pure ANSI
+restatement of exactly what the Spark loop computes. Ranks are emitted
+scaled by N (``rank_x_n`` ≈ 1 for an average node) and rounded to 6
+decimals so both engines' summation-order ulps cannot flip the hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from python_darima_spark.operators.graph import pagerank
+from python_darima_spark.queries import QuerySpec, load
+
+_PART_OFFSET = 1_000_000
+_DAMPING = 0.85
+_ITERS = 5
+
+
+def q_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """5-iteration PageRank on the symmetric part↔supplier graph.
+
+    Per iteration: one shuffle on ``src`` (ranks ⋈ checkpointed
+    adjacency) + one hash aggregate on ``dst`` — see
+    operators/graph.py for the 100 TB notes."""
+    li = load(spark, sf, "lineitem")
+    part_node = (F.col("l_partkey") + F.lit(_PART_OFFSET)).cast("long")
+    supp_node = F.col("l_suppkey").cast("long")
+    edges = li.select(part_node.alias("src"), supp_node.alias("dst")).union(
+        li.select(supp_node.alias("src"), part_node.alias("dst"))
+    )
+    pr = pagerank(edges, damping=_DAMPING, iterations=_ITERS)
+    return pr.select(
+        "node", F.round(F.col("rank") * F.col("n"), 6).alias("rank_x_n")
+    )
+
+
+def _pagerank_oracle() -> str:
+    head = f"""WITH e AS (
+             SELECT DISTINCT l_partkey + {_PART_OFFSET} AS src,
+                    CAST(l_suppkey AS BIGINT) AS dst
+             FROM lineitem
+             UNION
+             SELECT DISTINCT CAST(l_suppkey AS BIGINT),
+                    l_partkey + {_PART_OFFSET}
+             FROM lineitem
+           ), deg AS (
+             SELECT src, CAST(count(*) AS DOUBLE) AS deg FROM e GROUP BY src
+           ), nodes AS (
+             SELECT DISTINCT src AS node FROM e
+             UNION SELECT DISTINCT dst FROM e
+           ), nn AS (
+             SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes
+           ), r0 AS (
+             SELECT node, 1.0 / nn.n AS rank FROM nodes, nn
+           )"""
+    step = """, r{next} AS (
+             SELECT nd.node,
+                    (1.0 - {d}) / (SELECT n FROM nn)
+                    + {d} * coalesce(c.s, 0.0) AS rank
+             FROM nodes nd
+             LEFT JOIN (
+               SELECT e.dst AS node, sum(r.rank / deg.deg) AS s
+               FROM e
+               JOIN r{cur} r ON r.node = e.src
+               JOIN deg ON deg.src = e.src
+               GROUP BY e.dst
+             ) c ON c.node = nd.node
+           )"""
+    body = "".join(
+        step.format(cur=i, next=i + 1, d=_DAMPING) for i in range(_ITERS)
+    )
+    tail = f"""
+           SELECT node, round(rank * (SELECT n FROM nn), 6) AS rank_x_n
+           FROM r{_ITERS}"""
+    return head + body + tail
+
+
+QUERIES = {
+    "q_graph_pagerank": QuerySpec(q_graph_pagerank, _pagerank_oracle()),
+}

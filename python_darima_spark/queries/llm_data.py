@@ -29,6 +29,7 @@ from python_darima_spark.operators import ensure_parallelism
 from python_darima_spark.operators.dedup import (
     containment_pairs,
     dedup_exact,
+    minhash_incremental,
     minhash_near_duplicates,
     ngram_jaccard_pairs,
     simhash_verified_pairs,
@@ -348,6 +349,80 @@ def q_split_assign(spark: SparkSession, sf: str) -> DataFrame:
         b.alias("bucket"),
         F.when(b < 204, "train").when(b < 230, "val").otherwise("test").alias("split"),
     )
+
+
+def q_shuffle_shard(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic global shuffle + shard assignment — the training-data
+    EXPORT step: break source locality (docs arrive clustered by
+    crawl/source; training wants them well-mixed) and emit a stable
+    (shard, position) address for every doc.
+
+    Shard = md5-bucket % 8 (map-only, content-addressed, engine-portable
+    — same helper as the train/val/test split); position = row_number
+    over md5 WITHIN the shard. The window is PARTITIONED BY shard on
+    purpose: a single global row_number() would funnel 100 TB through
+    one task, while per-shard numbering shuffles once on the shard key
+    and scales with shard count (shards stay statistically balanced by
+    the hash). Re-running on re-partitioned / re-ingested data yields
+    byte-identical shards — the reproducibility contract training
+    pipelines need."""
+    docs = ensure_parallelism(load(spark, sf, "documents"))
+    h = F.md5(F.col("doc_id").cast("string"))
+    shard = (hash_split_bucket("doc_id") % 8).cast("int")
+    w = Window.partitionBy("shard").orderBy("_h", "doc_id")
+    return (
+        docs.select("doc_id", h.alias("_h"), shard.alias("shard"))
+        .withColumn("pos", F.row_number().over(w))
+        .select("doc_id", "shard", "pos")
+    )
+
+
+def q_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Source-mixture resampling — hit a TARGET domain mixture by
+    deterministic per-source downsampling (the data-mixing step of LLM
+    curation: e.g. cap low-quality crawl at X % of tokens). Target
+    shares here are planted non-uniform (source srcK gets weight
+    K%4+1), keep-rate(source) = min(1, target_share·total/count), and
+    the keep decision is the md5 bucket vs rate·256 — a pure function
+    of (doc_id, per-source stats), so the sample is reproducible and
+    engine-portable. Plan: one tiny groupBy(source) aggregate broadcast
+    back onto a map-only filter — no row-level shuffle at any scale."""
+    docs = ensure_parallelism(load(spark, sf, "documents"))
+    w_src = F.pmod(F.substring("source", 4, 10).cast("int"), F.lit(4)) + 1
+    stats = (
+        docs.groupBy("source")
+        .agg(F.count("*").cast("double").alias("_cnt"))
+        .withColumn("_w", w_src.cast("double"))
+    )
+    tot = stats.agg(
+        F.sum("_cnt").alias("_tot"), F.sum("_w").alias("_wsum")
+    )
+    rates = stats.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1.0),
+            (F.col("_w") / F.col("_wsum") * F.col("_tot")) / F.col("_cnt"),
+        ).alias("_rate"),
+    )
+    b = hash_split_bucket("doc_id").cast("double")
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .where(b < F.col("_rate") * 256.0)
+        .select("doc_id", "source", F.round("_rate", 6).alias("keep_rate"))
+    )
+
+
+def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental near-dup: the doc_id%5==0 slice plays the NEW ingest
+    batch, the rest the EXISTING corpus; MinHash band-probe new→index,
+    exact-verified (operators/dedup.py minhash_incremental). Same
+    verified-pair contract as q_dedup_near, so the oracle is the exact
+    cross-batch Jaccard restatement — the hash match is the recall
+    statement for the asymmetric probe shape."""
+    docs = load(spark, sf, "documents")
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    idx = docs.where(F.col("doc_id") % 5 != 0)
+    return minhash_incremental(new, idx, threshold=0.5)
 
 
 def q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
@@ -868,6 +943,75 @@ QUERIES = {
         _SHINGLE_JACCARD_ORACLE,
     ),
     "q_dedup_simhash": QuerySpec(q_dedup_simhash, _SHINGLE_JACCARD_ORACLE),
+    # asymmetric twin of the verified-pair contract: new (%5==0) probed
+    # against existing (%5!=0); the oracle is the exact cross-batch
+    # Jaccard, so a hash match proves the banded probe missed nothing
+    "q_dedup_incremental": QuerySpec(
+        q_dedup_incremental,
+        """WITH sh AS (
+             SELECT doc_id,
+                    list_distinct(list_transform(
+                        generate_series(1, greatest(length(text) - 4, 1)),
+                        i -> substring(text, CAST(i AS INT), 5))) AS s
+             FROM documents
+           ), e AS (
+             SELECT doc_id, unnest(s) AS g FROM sh
+           ), sizes AS (
+             SELECT doc_id, len(s) AS n FROM sh
+           ), inter AS (
+             SELECT a.doc_id AS id_new, b.doc_id AS id_old, count(*) AS i
+             FROM e a JOIN e b
+               ON a.g = b.g AND a.doc_id % 5 = 0 AND b.doc_id % 5 != 0
+             GROUP BY 1, 2
+           )
+           SELECT id_new, id_old,
+                  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+           FROM inter
+           JOIN sizes sa ON sa.doc_id = id_new
+           JOIN sizes sb ON sb.doc_id = id_old
+           WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5""",
+    ),
+    "q_shuffle_shard": QuerySpec(
+        q_shuffle_shard,
+        """WITH b AS (
+             SELECT doc_id, md5(CAST(doc_id AS VARCHAR)) AS h,
+                    CAST(((instr('0123456789abcdef',
+                                 substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+                          * 16
+                          + instr('0123456789abcdef',
+                                  substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+                         % 8 AS INT) AS shard
+             FROM documents
+           )
+           SELECT doc_id, shard,
+                  CAST(row_number() OVER (
+                      PARTITION BY shard ORDER BY h, doc_id) AS INT) AS pos
+           FROM b""",
+    ),
+    "q_mixture_sample": QuerySpec(
+        q_mixture_sample,
+        """WITH s AS (
+             SELECT source, CAST(count(*) AS DOUBLE) AS cnt,
+                    CAST(CAST(substr(source, 4) AS INT) % 4 + 1 AS DOUBLE) AS w
+             FROM documents GROUP BY source
+           ), t AS (
+             SELECT sum(cnt) AS tot, sum(w) AS wsum FROM s
+           ), r AS (
+             SELECT source, least(1.0, (w / wsum * tot) / cnt) AS rate
+             FROM s, t
+           ), b AS (
+             SELECT doc_id, source,
+                    (instr('0123456789abcdef',
+                           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                    + instr('0123456789abcdef',
+                            substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+                    AS bucket
+             FROM documents
+           )
+           SELECT b.doc_id, b.source, round(r.rate, 6) AS keep_rate
+           FROM b JOIN r USING (source)
+           WHERE CAST(bucket AS DOUBLE) < r.rate * 256.0""",
+    ),
     "q_dedup_containment": QuerySpec(
         q_dedup_containment,
         """WITH sh AS (

@@ -1,0 +1,74 @@
+"""PageRank: numpy power-iteration parity + structural sanity.
+
+The registry-level hash check (q_graph_pagerank vs the unrolled-CTE
+DuckDB oracle) covers the fixture graph; these tests pin the OPERATOR
+contract on planted graphs where the expected structure is known.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from python_darima_spark.operators.graph import pagerank
+
+
+def _numpy_pagerank(edges, damping, iterations):
+    """Dense restatement of the operator's exact semantics: dedup edges,
+    node set = src ∪ dst, no dangling redistribution."""
+    edges = sorted(set((int(u), int(v)) for u, v in edges if u != v))
+    nodes = sorted({u for u, _ in edges} | {v for _, v in edges})
+    idx = {node: i for i, node in enumerate(nodes)}
+    n = len(nodes)
+    deg = np.zeros(n)
+    for u, _ in edges:
+        deg[idx[u]] += 1
+    ranks = np.full(n, 1.0 / n)
+    for _ in range(iterations):
+        new = np.full(n, (1.0 - damping) / n)
+        for u, v in edges:
+            new[idx[v]] += damping * ranks[idx[u]] / deg[idx[u]]
+        ranks = new
+    return {node: ranks[idx[node]] for node in nodes}
+
+
+def test_pagerank_matches_power_iteration(spark):
+    """Mixed graph: a cycle, a chord, a sink (no out-edges, rank leaks),
+    and a source (no in-edges, settles at the teleport floor)."""
+    edges = [
+        (1, 2), (2, 3), (3, 1),      # cycle
+        (1, 3),                      # chord
+        (3, 4),                      # 4 is a sink
+        (5, 1), (5, 2),              # 5 is a source
+    ]
+    want = _numpy_pagerank(edges, damping=0.85, iterations=5)
+    got = (
+        pagerank(
+            spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"])),
+            damping=0.85,
+            iterations=5,
+        )
+        .toPandas()
+        .set_index("node")
+    )
+    assert set(got.index) == set(want)
+    for node, r in want.items():
+        assert abs(got.loc[node, "rank"] - r) < 1e-12, (node, r)
+    # source node has no in-edges -> exactly the teleport floor
+    assert abs(got.loc[5, "rank"] - (1 - 0.85) / 5) < 1e-12
+
+
+def test_pagerank_hub_outranks_leaves(spark):
+    """Symmetric star: the hub must outrank every leaf, leaves tie."""
+    leaves = list(range(1, 9))
+    edges = [(0, leaf) for leaf in leaves] + [(leaf, 0) for leaf in leaves]
+    got = (
+        pagerank(spark.createDataFrame(pd.DataFrame(edges, columns=["src", "dst"])))
+        .toPandas()
+        .set_index("node")["rank"]
+    )
+    hub, leaf_ranks = got.loc[0], got.drop(0)
+    assert (hub > leaf_ranks).all()
+    assert leaf_ranks.std() < 1e-15
+    # symmetric graph has no dangling mass: total rank is conserved
+    assert abs(got.sum() - 1.0) < 1e-9

@@ -60,6 +60,75 @@ def test_minhash_finds_injected_pair(spark, docs_with_dups):
     assert exact_row.jaccard.iloc[0] == pytest.approx(1.0)
 
 
+def test_minhash_incremental_cross_batch_only(spark, docs_with_dups):
+    """Asymmetric probe contract: new-batch docs are matched against the
+    index only. Plant the near-dups so one pair CROSSES the batch split
+    (found) and the new batch also contains a within-batch exact dup of
+    another new doc (correctly NOT reported)."""
+    from python_darima_spark.operators.dedup import minhash_incremental
+
+    base = docs_with_dups.toPandas()
+    t5 = base.loc[base.doc_id == 5, "text"].iloc[0]
+    within = pd.DataFrame(
+        {
+            "doc_id": [9003, 9004],
+            "text": [t5, t5],  # both NEW, dup of each other AND of idx doc 5
+            "lang": ["en", "en"],
+            "source": ["dup", "dup"],
+            "n_chars": [len(t5), len(t5)],
+        }
+    )
+    alldocs = spark.createDataFrame(
+        pd.concat([base, within], ignore_index=True)
+    )
+    new = alldocs.where("doc_id >= 9000")  # 9001..9004
+    idx = alldocs.where("doc_id < 9000")
+    pairs = minhash_incremental(new, idx, threshold=0.5).toPandas()
+    got = set(zip(pairs.id_new, pairs.id_old))
+    # every new doc matches its index-side original
+    assert (9001, 0) in got and (9002, 1) in got
+    assert (9003, 5) in got and (9004, 5) in got
+    # the new-new dup pair is NOT reported (asymmetric contract)
+    assert not ((pairs.id_new >= 9000) & (pairs.id_old >= 9000)).any()
+    # and index-index pairs never appear
+    assert (pairs.id_new >= 9000).all()
+
+
+def test_shuffle_shard_deterministic_and_dense(spark, sf_dir):
+    """Shard/pos addresses: reproducible across runs, shard ids dense in
+    [0, 8), positions contiguous 1..k within every shard."""
+    from python_darima_spark.queries.llm_data import q_shuffle_shard
+
+    a = q_shuffle_shard(spark, sf_dir).toPandas().sort_values("doc_id")
+    b = q_shuffle_shard(spark, sf_dir).toPandas().sort_values("doc_id")
+    assert a.reset_index(drop=True).equals(b.reset_index(drop=True))
+    assert set(a.shard) == set(range(8))
+    for shard, grp in a.groupby("shard"):
+        assert sorted(grp.pos) == list(range(1, len(grp) + 1))
+    # hash-balanced: no shard more than 2.5x the mean at fixture scale
+    assert a.shard.value_counts().max() <= 2.5 * len(a) / 8
+
+
+def test_mixture_sample_hits_target_rates(spark, sf_dir):
+    """Planted non-uniform mixture: weight-3/4 sources keep everything
+    (rate capped at 1), weight-1 sources keep ~40% of the uniform
+    fixture; kept counts land within the md5-bucket tolerance."""
+    from python_darima_spark.queries.llm_data import q_mixture_sample
+
+    kept = q_mixture_sample(spark, sf_dir).toPandas()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    cnt = docs.groupby("source").size()
+    for source, grp in kept.groupby("source"):
+        k = int(source[3:]) % 4 + 1
+        rate = grp.keep_rate.iloc[0]
+        if k >= 3:
+            assert rate == 1.0 and len(grp) == cnt[source], source
+        else:
+            # md5 buckets are uniform-ish; allow +-35% of the target
+            target = rate * cnt[source]
+            assert abs(len(grp) - target) <= 0.35 * cnt[source] + 2, source
+
+
 def test_simhash_finds_exact_dup(spark, docs_with_dups):
     pairs = simhash_near_duplicates(
         docs_with_dups, "text", "doc_id", max_hamming=3
