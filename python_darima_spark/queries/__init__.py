@@ -54,6 +54,7 @@ _PRIORITY = [
     "q_shuffle_shard",
     "q_mixture_sample",
     "q_dedup_incremental",
+    "q_decontaminate_semantic",
     # --- never driver-verified: the round-3b TPC-H completion (the suite
     # now covers all 22) — no CORRECTNESS row yet, so they lead.
     "q_tpch_q2",

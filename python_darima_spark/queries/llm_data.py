@@ -35,6 +35,9 @@ from python_darima_spark.operators.dedup import (
     simhash_verified_pairs,
 )
 from python_darima_spark.operators.similarity import (
+    _as_double,
+    _dot,
+    _norm,
     cosine_topk,
     embedding_near_duplicates,
     ivf_topk,
@@ -409,6 +412,40 @@ def q_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
         docs.join(F.broadcast(rates), "source")
         .where(b < F.col("_rate") * 256.0)
         .select("doc_id", "source", F.round("_rate", 6).alias("keep_rate"))
+    )
+
+
+def q_decontaminate_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    """SEMANTIC decontamination — the embedding-space complement of the
+    exact 5-gram pass (q_text_decontaminate): flag corpus vectors whose
+    max cosine to ANY eval-set vector (vec_id % 50 == 0 stands in for
+    the benchmark embeddings) clears a review threshold. Paraphrased
+    contamination shares no n-grams but lands close in embedding space
+    — this is the standard second line of defense.
+
+    Plan: eval side is benchmark-sized → broadcast; corpus streams
+    through one crossJoin + per-vector max aggregate (the q_sim_topk
+    shape with the roles flipped: reduce over the SMALL side). The
+    threshold 0.35 sits in the fixture's natural similarity tail (no
+    cross-slice planted twins exist), so the flag set is non-empty and
+    fully deterministic: cosine rounded BEFORE max/compare, both
+    engines. At 100 TB swap the brute-force probe for ivf_topk against
+    the eval centroids; the flag contract is unchanged."""
+    emb = load(spark, sf, "embeddings")
+    ev = emb.where(F.col("vec_id") % 50 == 0)
+    corpus = ensure_parallelism(emb.where(F.col("vec_id") % 50 != 0))
+    c = corpus.select("vec_id", _as_double(F.col("embedding")).alias("_cv"))
+    q = ev.select(_as_double(F.col("embedding")).alias("_qv"))
+    cos = F.round(
+        _dot(F.col("_cv"), F.col("_qv"))
+        / (_norm(F.col("_cv")) * _norm(F.col("_qv"))),
+        6,
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .groupBy("vec_id")
+        .agg(F.max(cos).alias("max_cos"))
+        .select("vec_id", "max_cos", (F.col("max_cos") >= 0.35).alias("flagged"))
     )
 
 
@@ -943,6 +980,35 @@ QUERIES = {
         _SHINGLE_JACCARD_ORACLE,
     ),
     "q_dedup_simhash": QuerySpec(q_dedup_simhash, _SHINGLE_JACCARD_ORACLE),
+    "q_decontaminate_semantic": QuerySpec(
+        q_decontaminate_semantic,
+        """WITH v AS (
+             SELECT vec_id,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             FROM embeddings
+           ), q AS (
+             SELECT e AS qe FROM v WHERE vec_id % 50 = 0
+           ), c AS (
+             SELECT vec_id, e FROM v WHERE vec_id % 50 != 0
+           ), p AS (
+             SELECT c.vec_id,
+                    round(
+                      list_reduce(list_prepend(0.0,
+                          list_transform(list_zip(c.e, q.qe),
+                                         pp -> pp[1] * pp[2])),
+                          (a, b) -> a + b)
+                      / (sqrt(list_reduce(list_prepend(0.0,
+                             list_transform(c.e, x -> x * x)), (a, b) -> a + b))
+                       * sqrt(list_reduce(list_prepend(0.0,
+                             list_transform(q.qe, x -> x * x)),
+                             (a, b) -> a + b))),
+                      6) AS cos
+             FROM c, q
+           )
+           SELECT vec_id, max(cos) AS max_cos,
+                  max(cos) >= 0.35 AS flagged
+           FROM p GROUP BY vec_id""",
+    ),
     # asymmetric twin of the verified-pair contract: new (%5==0) probed
     # against existing (%5!=0); the oracle is the exact cross-batch
     # Jaccard, so a hash match proves the banded probe missed nothing

@@ -58,6 +58,32 @@ def test_pagerank_matches_power_iteration(spark):
     assert abs(got.loc[5, "rank"] - (1 - 0.85) / 5) < 1e-12
 
 
+def test_pagerank_plan_shape(spark, sf_dir):
+    """The iterative plan must stay keyed: N rides as 1-row broadcasts
+    (BroadcastNestedLoopJoin with a single-row side — one per crossJoin,
+    i.e. iterations + init + final), never a real CartesianProduct, and
+    each iteration contributes exactly one equi-join of ranks into the
+    checkpointed adjacency."""
+    from python_darima_spark.queries.graph import q_graph_pagerank
+
+    plan = (
+        q_graph_pagerank(spark, sf_dir)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan
+    # 5 iterations + rank init + final scale = 7 single-row crossJoins
+    assert plan.count("BroadcastNestedLoopJoin") == 7
+    # per-iteration ranks ⋈ adj equi-joins (SMJ or hash — engine's pick)
+    equi_joins = (
+        plan.count("SortMergeJoin")
+        + plan.count("BroadcastHashJoin")
+        + plan.count("ShuffledHashJoin")
+    )
+    assert equi_joins >= 10  # 5 rank joins + 5 contrib left-joins
+
+
 def test_pagerank_hub_outranks_leaves(spark):
     """Symmetric star: the hub must outrank every leaf, leaves tie."""
     leaves = list(range(1, 9))
