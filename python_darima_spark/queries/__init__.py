@@ -55,6 +55,8 @@ _PRIORITY = [
     "q_mixture_sample",
     "q_dedup_incremental",
     "q_decontaminate_semantic",
+    "q_ts_backtest",
+    "q_ts_xcorr",
     # --- never driver-verified: the round-3b TPC-H completion (the suite
     # now covers all 22) — no CORRECTNESS row yet, so they lead.
     "q_tpch_q2",

@@ -289,6 +289,89 @@ def q_ts_eval_metrics(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ts_backtest(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLING-ORIGIN BACKTESTING — the evaluation harness the reference
+    lacks (it scores one fixed holdout, darima.py:417-488; rolling
+    origins are the standard for forecast model selection): three
+    origins per series (cutoff = max_ts − fold·48 h), horizon 24 h,
+    seasonal-naive forecaster ŷ(t) = y(t − 24 h) so every quantity is
+    SQL-expressible and the fold/join/metric plumbing is hash-verified
+    end-to-end (swap in `forecast()` for the ARIMA path — same fold
+    frame, rows-only). Per (series, fold): MAE and sMAPE over the 24
+    points. Plan: fold frame is a per-series aggregate (broadcast-
+    sized); the horizon slice and the t−24 h prediction join are keyed
+    on (series, ts) — two keyed joins, no window over the full grid."""
+    grid = _hourly_series(spark, sf)
+    folds = (
+        grid.groupBy("series_id")
+        .agg(F.max("ts").alias("_hi"))
+        .select(
+            "series_id",
+            "_hi",
+            F.explode(F.expr("array(1, 2, 3)")).alias("fold"),
+        )
+        .withColumn(
+            "cutoff", F.expr("_hi - make_interval(0, 0, 0, 0, fold * 48, 0, 0)")
+        )
+    )
+    horizon = grid.join(F.broadcast(folds), "series_id").where(
+        (F.col("ts") > F.col("cutoff"))
+        & (
+            F.col("ts")
+            <= F.expr("cutoff + make_interval(0, 0, 0, 0, 24, 0, 0)")
+        )
+    )
+    pred = grid.select(
+        "series_id",
+        F.expr("ts + make_interval(0, 0, 0, 0, 24, 0, 0)").alias("ts"),
+        F.col("y").alias("_pred"),
+    )
+    scored = horizon.join(pred, ["series_id", "ts"])
+    ae = F.abs(F.col("y") - F.col("_pred"))
+    denom = F.abs("y") + F.abs("_pred")
+    smape_term = F.when(denom == 0, F.lit(0.0)).otherwise(2.0 * ae / denom)
+    return (
+        scored.groupBy("series_id", "fold")
+        .agg(
+            F.count("*").alias("n_points"),
+            F.round(F.avg(ae), 4).alias("mae"),
+            F.round(F.avg(smape_term), 6).alias("smape"),
+        )
+    )
+
+
+def q_ts_xcorr(spark: SparkSession, sf: str) -> DataFrame:
+    """Lead-lag CROSS-CORRELATION matrix between series: Pearson corr of
+    series A at t against series B at t − lag for lags 0..2 h — the
+    standard screen for leading indicators across a metric catalog. One
+    keyed self-join on the shifted timestamp (the lag set rides an
+    explode on the probe side), one corr aggregate per (A, B, lag);
+    corr is rounded to 4 so the two engines' streaming-moment
+    accumulation orders cannot flip the hash. At scale the join is keyed
+    on (ts) with series fan-out — partition the grid by time range and
+    both sides co-locate."""
+    grid = _hourly_series(spark, sf)
+    probe = (
+        grid.select(
+            F.col("series_id").alias("sid_a"), "ts", F.col("y").alias("_ya")
+        )
+        .withColumn("lag", F.explode(F.expr("array(0, 1, 2)")))
+        .withColumn(
+            "_bts", F.expr("ts - make_interval(0, 0, 0, 0, lag, 0, 0)")
+        )
+    )
+    base = grid.select(
+        F.col("series_id").alias("sid_b"),
+        F.col("ts").alias("_bts"),
+        F.col("y").alias("_yb"),
+    )
+    return (
+        probe.join(base, "_bts")
+        .groupBy("sid_a", "sid_b", "lag")
+        .agg(F.round(F.corr("_ya", "_yb"), 4).alias("xcorr"))
+    )
+
+
 QUERIES = {
     "q_ts_holtwinters": QuerySpec(q_ts_holtwinters),  # rows-only: numpy oracle in tests
     "q_ts_eval_metrics": QuerySpec(
@@ -343,6 +426,68 @@ QUERIES = {
            JOIN last_day ON last_day.series_id = test.series_id
                         AND hod = hour(test.ts)
            JOIN scale ON scale.series_id = test.series_id""",
+    ),
+    "q_ts_backtest": QuerySpec(
+        q_ts_backtest,
+        """WITH t AS (
+             SELECT event_type AS series_id, date_trunc('hour', ts) AS ts,
+                    sum(value) AS y
+             FROM events GROUP BY 1, 2
+           ), b AS (
+             SELECT series_id, min(ts) AS lo, max(ts) AS hi FROM t GROUP BY 1
+           ), g AS (
+             SELECT series_id,
+                    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ts
+             FROM b
+           ), grid AS (
+             SELECT g.series_id, g.ts, coalesce(t.y, 0.0) AS y
+             FROM g LEFT JOIN t USING (series_id, ts)
+           ), f AS (
+             SELECT series_id, fold,
+                    hi - to_hours(fold * 48) AS cutoff
+             FROM (SELECT series_id, max(ts) AS hi FROM grid GROUP BY 1),
+                  (SELECT unnest([1, 2, 3]) AS fold)
+           ), h AS (
+             SELECT grid.series_id, grid.ts, grid.y, f.fold
+             FROM grid JOIN f USING (series_id)
+             WHERE grid.ts > f.cutoff
+               AND grid.ts <= f.cutoff + to_hours(24)
+           ), p AS (
+             SELECT series_id, ts + to_hours(24) AS ts, y AS pred FROM grid
+           )
+           SELECT h.series_id, h.fold,
+                  CAST(count(*) AS BIGINT) AS n_points,
+                  round(avg(abs(h.y - p.pred)), 4) AS mae,
+                  round(avg(CASE WHEN abs(h.y) + abs(p.pred) = 0 THEN 0.0
+                            ELSE 2.0 * abs(h.y - p.pred)
+                                 / (abs(h.y) + abs(p.pred)) END), 6) AS smape
+           FROM h JOIN p USING (series_id, ts)
+           GROUP BY 1, 2""",
+    ),
+    "q_ts_xcorr": QuerySpec(
+        q_ts_xcorr,
+        """WITH t AS (
+             SELECT event_type AS series_id, date_trunc('hour', ts) AS ts,
+                    sum(value) AS y
+             FROM events GROUP BY 1, 2
+           ), b AS (
+             SELECT series_id, min(ts) AS lo, max(ts) AS hi FROM t GROUP BY 1
+           ), g AS (
+             SELECT series_id,
+                    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ts
+             FROM b
+           ), grid AS (
+             SELECT g.series_id, g.ts, coalesce(t.y, 0.0) AS y
+             FROM g LEFT JOIN t USING (series_id, ts)
+           ), pr AS (
+             SELECT series_id AS sid_a, ts, y AS ya,
+                    unnest([0, 1, 2]) AS lag
+             FROM grid
+           )
+           SELECT pr.sid_a, b2.series_id AS sid_b, pr.lag,
+                  round(corr(pr.ya, b2.y), 4) AS xcorr
+           FROM pr JOIN grid b2 ON b2.ts = pr.ts - to_hours(pr.lag)
+           GROUP BY 1, 2, 3""",
     ),
     "q_ts_resample": QuerySpec(
         q_ts_resample,
