@@ -57,6 +57,8 @@ _PRIORITY = [
     "q_decontaminate_semantic",
     "q_ts_backtest",
     "q_ts_xcorr",
+    "q_window_distribution",
+    "q_regex_fns",
     # --- never driver-verified: the round-3b TPC-H completion (the suite
     # now covers all 22) — no CORRECTNESS row yet, so they lead.
     "q_tpch_q2",

@@ -669,6 +669,24 @@ def q_window_rank(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_window_distribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Distribution window functions — percent_rank and cume_dist over
+    account balance within market segment (the quantile-position view
+    ranking alone can't give). Both are pure rank arithmetic
+    ((rank−1)/(n−1), rank_with_ties/n), so with a tiebroken ordering the
+    values are exact rationals and the cross-engine hash is safe without
+    rounding tricks; rounded to 6 anyway for display stability."""
+    c = load(spark, sf, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    return c.select(
+        "c_custkey",
+        "c_mktsegment",
+        F.round("c_acctbal", 2).alias("acctbal"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
 def q_window_lag(spark: SparkSession, sf: str) -> DataFrame:
     """lag/lead feature columns — the reference's lag design matrix
     (darima.py:320) as window functions."""
@@ -1143,6 +1161,16 @@ QUERIES = {
              WINDOW w AS (PARTITION BY o_custkey
                           ORDER BY o_totalprice DESC, o_orderkey)
            ) WHERE rn <= 3""",
+    ),
+    "q_window_distribution": QuerySpec(
+        q_window_distribution,
+        """SELECT c_custkey, c_mktsegment,
+                  round(c_acctbal, 2) AS acctbal,
+                  round(PERCENT_RANK() OVER w, 6) AS pct_rank,
+                  round(CUME_DIST() OVER w, 6) AS cume
+           FROM customer
+           WINDOW w AS (PARTITION BY c_mktsegment
+                        ORDER BY c_acctbal, c_custkey)""",
     ),
     "q_window_lag": QuerySpec(
         q_window_lag,

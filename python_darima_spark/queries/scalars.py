@@ -146,6 +146,24 @@ def q_json_variant(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_regex_fns(spark: SparkSession, sf: str) -> DataFrame:
+    """Regex scalar surface: extract / count / replace / match over
+    document text. Patterns stay in the ASCII-class subset where Java
+    regex (Spark) and RE2 (DuckDB) agree exactly; both engines return ''
+    for a non-matching extract, and Spark's replace-all is matched by
+    DuckDB's 'g' flag. Map-only JVM expressions — the regex hot path
+    never leaves codegen."""
+    docs = load(spark, sf, "documents")
+    head = F.substring("text", 1, 40)
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("text", r"([0-9]+)", 1).alias("first_number"),
+        F.regexp_count("text", F.lit(r"[0-9]")).cast("int").alias("n_digits"),
+        F.regexp_replace(head, r"[aeiou]", "").alias("devoweled_head"),
+        F.col("text").rlike(r"[A-Z][a-z]+").alias("has_title_word"),
+    )
+
+
 def q_null_fns(spark: SparkSession, sf: str) -> DataFrame:
     """Null-handling scalars: coalesce / nullif / greatest / least and
     null-safe equality — the semantics every filter/join in the engine
@@ -164,6 +182,17 @@ def q_null_fns(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES = {
+    "q_regex_fns": QuerySpec(
+        q_regex_fns,
+        """SELECT doc_id,
+                  regexp_extract(text, '([0-9]+)', 1) AS first_number,
+                  CAST(len(regexp_extract_all(text, '[0-9]')) AS INT)
+                      AS n_digits,
+                  regexp_replace(substring(text, 1, 40), '[aeiou]', '', 'g')
+                      AS devoweled_head,
+                  regexp_matches(text, '[A-Z][a-z]+') AS has_title_word
+           FROM documents""",
+    ),
     "q_null_fns": QuerySpec(
         q_null_fns,
         """SELECT o_orderkey,
