@@ -59,6 +59,7 @@ _PRIORITY = [
     "q_ts_xcorr",
     "q_window_distribution",
     "q_regex_fns",
+    "q_dq_checks",
     # --- never driver-verified: the round-3b TPC-H completion (the suite
     # now covers all 22) — no CORRECTNESS row yet, so they lead.
     "q_tpch_q2",

@@ -669,6 +669,45 @@ def q_window_rank(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dq_checks(spark: SparkSession, sf: str) -> DataFrame:
+    """DATA-QUALITY AUDIT — the constraint checks a warehouse runs after
+    every load, as one query: FK orphans (lineitem → orders anti-join),
+    PK duplicates (orderkey multiplicity), domain violations
+    (non-positive quantity), null-rate (order priority), and a
+    cross-table temporal invariant (shipdate before its order's
+    orderdate — needs the FK join). Long output (check, violations) so
+    new checks append without schema changes. Plan: each check is one
+    aggregate or one semi/anti-join — at 100 TB the FK checks are keyed
+    shuffles on the join key and everything else is map-side; the union
+    of 1-row aggregates is driver-free."""
+    o = load(spark, sf, "orders")
+    li = load(spark, sf, "lineitem")
+
+    def one(name: str, df: DataFrame) -> DataFrame:
+        return df.select(
+            F.lit(name).alias("check"), F.count("*").alias("violations")
+        )
+
+    orphans = one(
+        "orphan_lineitem",
+        li.join(o.select("o_orderkey"),
+                li.l_orderkey == o.o_orderkey, "left_anti"),
+    )
+    dups = one(
+        "dup_orderkey",
+        o.groupBy("o_orderkey").count().where(F.col("count") > 1),
+    )
+    qty = one("nonpositive_qty", li.where(F.col("l_quantity") <= 0))
+    nulls = one("null_priority", o.where(F.col("o_orderpriority").isNull()))
+    early = one(
+        "ship_before_order",
+        li.join(o, li.l_orderkey == o.o_orderkey).where(
+            F.col("l_shipdate") < F.col("o_orderdate")
+        ),
+    )
+    return orphans.union(dups).union(qty).union(nulls).union(early)
+
+
 def q_window_distribution(spark: SparkSession, sf: str) -> DataFrame:
     """Distribution window functions — percent_rank and cume_dist over
     account balance within market segment (the quantile-position view
@@ -1161,6 +1200,28 @@ QUERIES = {
              WINDOW w AS (PARTITION BY o_custkey
                           ORDER BY o_totalprice DESC, o_orderkey)
            ) WHERE rn <= 3""",
+    ),
+    "q_dq_checks": QuerySpec(
+        q_dq_checks,
+        """SELECT 'orphan_lineitem' AS check,
+                  CAST(count(*) AS BIGINT) AS violations
+           FROM lineitem l
+           WHERE NOT EXISTS (SELECT 1 FROM orders o
+                             WHERE o.o_orderkey = l.l_orderkey)
+           UNION ALL
+           SELECT 'dup_orderkey', CAST(count(*) AS BIGINT) FROM (
+             SELECT o_orderkey FROM orders
+             GROUP BY o_orderkey HAVING count(*) > 1)
+           UNION ALL
+           SELECT 'nonpositive_qty', CAST(count(*) AS BIGINT)
+           FROM lineitem WHERE l_quantity <= 0
+           UNION ALL
+           SELECT 'null_priority', CAST(count(*) AS BIGINT)
+           FROM orders WHERE o_orderpriority IS NULL
+           UNION ALL
+           SELECT 'ship_before_order', CAST(count(*) AS BIGINT)
+           FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+           WHERE l.l_shipdate < o.o_orderdate""",
     ),
     "q_window_distribution": QuerySpec(
         q_window_distribution,
