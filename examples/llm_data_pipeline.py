@@ -37,6 +37,7 @@ from python_darima_spark.functions.text import (
     token_count,
     word_ngrams,
 )
+from python_darima_spark.operators import source_mixture_rates
 from python_darima_spark.operators.dedup import (
     containment_pairs,
     dedup_exact,
@@ -126,18 +127,7 @@ def main() -> None:
     # target share (weights planted per source index here) — one tiny
     # broadcast aggregate onto a map-only md5 filter
     w_src = F.pmod(F.substring("source", 4, 10).cast("int"), F.lit(4)) + 1
-    stats_src = (
-        docs.groupBy("source")
-        .agg(F.count("*").cast("double").alias("_cnt"))
-        .withColumn("_w", w_src.cast("double"))
-    )
-    tot = stats_src.agg(F.sum("_cnt").alias("_tot"), F.sum("_w").alias("_ws"))
-    rates = stats_src.crossJoin(F.broadcast(tot)).select(
-        "source",
-        F.least(
-            F.lit(1.0), (F.col("_w") / F.col("_ws") * F.col("_tot")) / F.col("_cnt")
-        ).alias("_rate"),
-    )
+    rates = source_mixture_rates(docs, "source", w_src)
     docs = (
         docs.join(F.broadcast(rates), "source")
         .where(hash_split_bucket("doc_id").cast("double") < F.col("_rate") * 256)

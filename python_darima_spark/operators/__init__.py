@@ -60,3 +60,29 @@ def ensure_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
     if df.rdd.getNumPartitions() < tgt:
         return df.repartition(tgt)
     return df
+
+
+def source_mixture_rates(
+    df: DataFrame, group_col: str, weight: Column
+) -> DataFrame:
+    """Per-group keep rates that hit a TARGET mixture by downsampling:
+    ``rate(g) = min(1, (w_g / Σw) · total / count_g)`` — groups whose
+    observed share already exceeds their target share get a fractional
+    rate, the rest keep everything. Returns ``(group_col, _rate)``,
+    dim-sized: one tiny aggregate + a 1-row cross join, meant to be
+    ``broadcast()`` back onto a map-only keep filter (e.g.
+    ``hash_split_bucket(id) < _rate * 256``). Shared by
+    q_mixture_sample and the example curation pipeline."""
+    stats = (
+        df.groupBy(group_col)
+        .agg(F.count("*").cast("double").alias("_cnt"))
+        .withColumn("_w", weight.cast("double"))
+    )
+    tot = stats.agg(F.sum("_cnt").alias("_tot"), F.sum("_w").alias("_wsum"))
+    return stats.crossJoin(F.broadcast(tot)).select(
+        group_col,
+        F.least(
+            F.lit(1.0),
+            (F.col("_w") / F.col("_wsum") * F.col("_tot")) / F.col("_cnt"),
+        ).alias("_rate"),
+    )

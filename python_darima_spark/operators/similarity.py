@@ -25,17 +25,17 @@ from pyspark.sql import functions as F
 from python_darima_spark.operators import fan_out
 
 
-def _as_double(col):
+def as_double_vec(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
-def _dot(a, b):
+def dot_product(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
     )
 
 
-def _norm(a):
+def l2_norm(a):
     return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, x: acc + x
@@ -61,16 +61,16 @@ def cosine_topk(
     # fan_out: the corpus side carries the O(n·k·dim) dot-product work and
     # must not inherit a compact scan's single partition.
     c = fan_out(corpus, id_col).select(
-        F.col(id_col).alias("neighbor_id"), _as_double(F.col(vec_col)).alias("_cv")
+        F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("_cv")
     )
     q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_qv")
+        F.col(id_col).alias("query_id"), as_double_vec(F.col(vec_col)).alias("_qv")
     )
     pairs = c.crossJoin(F.broadcast(q)).where(
         F.col("neighbor_id") != F.col("query_id")
     )
-    cos = _dot(F.col("_cv"), F.col("_qv")) / (
-        _norm(F.col("_cv")) * _norm(F.col("_qv"))
+    cos = dot_product(F.col("_cv"), F.col("_qv")) / (
+        l2_norm(F.col("_cv")) * l2_norm(F.col("_qv"))
     )
     if round_to is not None:
         cos = F.round(cos, round_to)
@@ -99,7 +99,7 @@ def sample_vectors_bounded(
     big the corpus is (the round-1 version pulled a fixed FRACTION of the
     corpus, which is a driver OOM at 100 TB)."""
     pdf = (
-        df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+        df.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("_v"))
         .orderBy(F.xxhash64(F.col(id_col)), F.col(id_col))
         .limit(n)
         .toPandas()
@@ -142,9 +142,9 @@ def assign_centroids(
             for row in centroids
         ]
     )
-    vec = _as_double(F.col(vec_col))
+    vec = as_double_vec(F.col(vec_col))
     sims = F.transform(
-        cent_lit, lambda cv: _dot(cv, vec) / (_norm(cv) * _norm(vec))
+        cent_lit, lambda cv: dot_product(cv, vec) / (l2_norm(cv) * l2_norm(vec))
     )
     best = F.array_position(sims, F.array_max(sims)) - 1
     return fan_out(corpus, id_col).withColumn("centroid_id", best.cast("int"))
@@ -205,15 +205,15 @@ def ivf_topk(
         )
     )
     q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(F.col(vec_col)).alias("_qv")
+        F.col(id_col).alias("query_id"), as_double_vec(F.col(vec_col)).alias("_qv")
     )
     cand = (
         clustered.join(probe_df, on="centroid_id")
         .join(F.broadcast(q), on="query_id")
         .where(F.col(id_col) != F.col("query_id"))
     )
-    cos = _dot(_as_double(F.col(vec_col)), F.col("_qv")) / (
-        _norm(_as_double(F.col(vec_col))) * _norm(F.col("_qv"))
+    cos = dot_product(as_double_vec(F.col(vec_col)), F.col("_qv")) / (
+        l2_norm(as_double_vec(F.col(vec_col))) * l2_norm(F.col("_qv"))
     )
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col(id_col)
@@ -308,7 +308,7 @@ def embedding_near_duplicates(
         .select("id_a", "id_b")
         .distinct()
     )
-    vecs = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    vecs = df.select(F.col(id_col), as_double_vec(F.col(vec_col)).alias("_v"))
     pairs = cands.join(
         vecs.select(F.col(id_col).alias("id_a"), F.col("_v").alias("_va")),
         on="id_a",
@@ -316,8 +316,8 @@ def embedding_near_duplicates(
         vecs.select(F.col(id_col).alias("id_b"), F.col("_v").alias("_vb")),
         on="id_b",
     )
-    cos = _dot(F.col("_va"), F.col("_vb")) / (
-        _norm(F.col("_va")) * _norm(F.col("_vb"))
+    cos = dot_product(F.col("_va"), F.col("_vb")) / (
+        l2_norm(F.col("_va")) * l2_norm(F.col("_vb"))
     )
     return (
         pairs.withColumn("cosine", F.round(cos, 6))
@@ -389,7 +389,7 @@ def pq_encode(
         return pd.Series([row for row in out])
 
     return fan_out(corpus, id_col).withColumn(
-        "pq_code", _codes(_as_double(F.col(vec_col)))
+        "pq_code", _codes(as_double_vec(F.col(vec_col)))
     )
 
 

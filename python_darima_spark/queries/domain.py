@@ -372,6 +372,24 @@ def q_ts_xcorr(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# Shared oracle restatement of resample_regular's hourly grid (sum per
+# hour, per-series gap-free spine, gaps filled with 0.0) — the input CTE
+# for every oracle that consumes _hourly_series.
+_GRID_CTE = """t AS (
+             SELECT event_type AS series_id, date_trunc('hour', ts) AS ts,
+                    sum(value) AS y
+             FROM events GROUP BY 1, 2
+           ), b AS (
+             SELECT series_id, min(ts) AS lo, max(ts) AS hi FROM t GROUP BY 1
+           ), g AS (
+             SELECT series_id,
+                    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ts
+             FROM b
+           ), grid AS (
+             SELECT g.series_id, g.ts, coalesce(t.y, 0.0) AS y
+             FROM g LEFT JOIN t USING (series_id, ts)
+           )"""
+
 QUERIES = {
     "q_ts_holtwinters": QuerySpec(q_ts_holtwinters),  # rows-only: numpy oracle in tests
     "q_ts_eval_metrics": QuerySpec(
@@ -429,20 +447,7 @@ QUERIES = {
     ),
     "q_ts_backtest": QuerySpec(
         q_ts_backtest,
-        """WITH t AS (
-             SELECT event_type AS series_id, date_trunc('hour', ts) AS ts,
-                    sum(value) AS y
-             FROM events GROUP BY 1, 2
-           ), b AS (
-             SELECT series_id, min(ts) AS lo, max(ts) AS hi FROM t GROUP BY 1
-           ), g AS (
-             SELECT series_id,
-                    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ts
-             FROM b
-           ), grid AS (
-             SELECT g.series_id, g.ts, coalesce(t.y, 0.0) AS y
-             FROM g LEFT JOIN t USING (series_id, ts)
-           ), f AS (
+        f"""WITH {_GRID_CTE}, f AS (
              SELECT series_id, fold,
                     hi - to_hours(fold * 48) AS cutoff
              FROM (SELECT series_id, max(ts) AS hi FROM grid GROUP BY 1),
@@ -466,20 +471,7 @@ QUERIES = {
     ),
     "q_ts_xcorr": QuerySpec(
         q_ts_xcorr,
-        """WITH t AS (
-             SELECT event_type AS series_id, date_trunc('hour', ts) AS ts,
-                    sum(value) AS y
-             FROM events GROUP BY 1, 2
-           ), b AS (
-             SELECT series_id, min(ts) AS lo, max(ts) AS hi FROM t GROUP BY 1
-           ), g AS (
-             SELECT series_id,
-                    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ts
-             FROM b
-           ), grid AS (
-             SELECT g.series_id, g.ts, coalesce(t.y, 0.0) AS y
-             FROM g LEFT JOIN t USING (series_id, ts)
-           ), pr AS (
+        f"""WITH {_GRID_CTE}, pr AS (
              SELECT series_id AS sid_a, ts, y AS ya,
                     unnest([0, 1, 2]) AS lag
              FROM grid
@@ -491,19 +483,8 @@ QUERIES = {
     ),
     "q_ts_resample": QuerySpec(
         q_ts_resample,
-        """WITH t AS (
-             SELECT event_type AS series_id, date_trunc('hour', ts) AS ts,
-                    sum(value) AS y
-             FROM events GROUP BY 1, 2
-           ), b AS (
-             SELECT series_id, min(ts) AS lo, max(ts) AS hi FROM t GROUP BY 1
-           ), g AS (
-             SELECT series_id,
-                    unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS ts
-             FROM b
-           )
-           SELECT g.series_id, g.ts, round(coalesce(t.y, 0.0), 6) AS y
-           FROM g LEFT JOIN t USING (series_id, ts)""",
+        f"""WITH {_GRID_CTE}
+           SELECT series_id, ts, round(y, 6) AS y FROM grid""",
     ),
     "q_ts_rollup": QuerySpec(
         q_ts_rollup,

@@ -25,7 +25,7 @@ from python_darima_spark.functions.text import (
     whitespace_token_count,
     word_ngrams,
 )
-from python_darima_spark.operators import ensure_parallelism
+from python_darima_spark.operators import ensure_parallelism, source_mixture_rates
 from python_darima_spark.operators.dedup import (
     containment_pairs,
     dedup_exact,
@@ -35,10 +35,10 @@ from python_darima_spark.operators.dedup import (
     simhash_verified_pairs,
 )
 from python_darima_spark.operators.similarity import (
-    _as_double,
-    _dot,
-    _norm,
+    as_double_vec,
     cosine_topk,
+    dot_product,
+    l2_norm,
     embedding_near_duplicates,
     ivf_topk,
     pq_encode,
@@ -392,21 +392,7 @@ def q_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
     back onto a map-only filter — no row-level shuffle at any scale."""
     docs = ensure_parallelism(load(spark, sf, "documents"))
     w_src = F.pmod(F.substring("source", 4, 10).cast("int"), F.lit(4)) + 1
-    stats = (
-        docs.groupBy("source")
-        .agg(F.count("*").cast("double").alias("_cnt"))
-        .withColumn("_w", w_src.cast("double"))
-    )
-    tot = stats.agg(
-        F.sum("_cnt").alias("_tot"), F.sum("_w").alias("_wsum")
-    )
-    rates = stats.crossJoin(F.broadcast(tot)).select(
-        "source",
-        F.least(
-            F.lit(1.0),
-            (F.col("_w") / F.col("_wsum") * F.col("_tot")) / F.col("_cnt"),
-        ).alias("_rate"),
-    )
+    rates = source_mixture_rates(docs, "source", w_src)
     b = hash_split_bucket("doc_id").cast("double")
     return (
         docs.join(F.broadcast(rates), "source")
@@ -434,11 +420,11 @@ def q_decontaminate_semantic(spark: SparkSession, sf: str) -> DataFrame:
     emb = load(spark, sf, "embeddings")
     ev = emb.where(F.col("vec_id") % 50 == 0)
     corpus = ensure_parallelism(emb.where(F.col("vec_id") % 50 != 0))
-    c = corpus.select("vec_id", _as_double(F.col("embedding")).alias("_cv"))
-    q = ev.select(_as_double(F.col("embedding")).alias("_qv"))
+    c = corpus.select("vec_id", as_double_vec(F.col("embedding")).alias("_cv"))
+    q = ev.select(as_double_vec(F.col("embedding")).alias("_qv"))
     cos = F.round(
-        _dot(F.col("_cv"), F.col("_qv"))
-        / (_norm(F.col("_cv")) * _norm(F.col("_qv"))),
+        dot_product(F.col("_cv"), F.col("_qv"))
+        / (l2_norm(F.col("_cv")) * l2_norm(F.col("_qv"))),
         6,
     )
     return (
