@@ -897,6 +897,46 @@ def q_merge_scd2(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """COHORT RETENTION — the third classic event-analytics shape beside
+    sessionization and funnels: cohort every user by first-activity week,
+    then count distinct users active at each week offset and the
+    retained fraction of the cohort. Two keyed aggregates (first-touch
+    per user, distinct user-week activity), one join back on user, one
+    final rollup — every shuffle is on user_id or the (cohort, offset)
+    key, nothing driver-side. Week buckets via date_trunc('week', ...)
+    (Monday start in both engines); offsets are exact integer day
+    arithmetic, so the hash has no float boundary at all except the
+    rounded retention ratio."""
+    ev = load(spark, sf, "events")
+    weekly = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    cohort = weekly.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = cohort.groupBy("cohort_week").agg(
+        F.count("*").alias("cohort_users")
+    )
+    return (
+        weekly.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("int").alias(
+                "week_offset"
+            ),
+        )
+        .agg(F.count_distinct("user_id").alias("active_users"))
+        .join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "active_users",
+            F.round(
+                F.col("active_users") / F.col("cohort_users"), 6
+            ).alias("retained_pct"),
+        )
+    )
+
+
 def q_funnel_steps(spark: SparkSession, sf: str) -> DataFrame:
     """Ordered funnel per user (view → click → purchase, each step
     strictly AFTER the previous step's first occurrence) — the event-
@@ -1340,6 +1380,30 @@ QUERIES = {
            )
            SELECT *, valid_to = TIMESTAMP '2200-01-01' AS is_current
            FROM merged""",
+    ),
+    "q_cohort_retention": QuerySpec(
+        q_cohort_retention,
+        """WITH weekly AS (
+             SELECT DISTINCT user_id, date_trunc('week', ts) AS week
+             FROM events
+           ), cohort AS (
+             SELECT user_id, min(week) AS cohort_week
+             FROM weekly GROUP BY user_id
+           ), sizes AS (
+             SELECT cohort_week, count(*) AS cohort_users
+             FROM cohort GROUP BY cohort_week
+           ), act AS (
+             SELECT c.cohort_week,
+                    CAST(datediff('day', c.cohort_week, w.week) / 7 AS INT)
+                        AS week_offset,
+                    count(DISTINCT w.user_id) AS active_users
+             FROM weekly w JOIN cohort c USING (user_id)
+             GROUP BY 1, 2
+           )
+           SELECT a.cohort_week, a.week_offset, a.active_users,
+                  round(CAST(a.active_users AS DOUBLE) / s.cohort_users, 6)
+                      AS retained_pct
+           FROM act a JOIN sizes s USING (cohort_week)""",
     ),
     "q_funnel_steps": QuerySpec(
         q_funnel_steps,
