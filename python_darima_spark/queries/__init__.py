@@ -61,6 +61,7 @@ _PRIORITY = [
     "q_regex_fns",
     "q_dq_checks",
     "q_cohort_retention",
+    "q_sink_csv",
     # --- never driver-verified: the round-3b TPC-H completion (the suite
     # now covers all 22) — no CORRECTNESS row yet, so they lead.
     "q_tpch_q2",

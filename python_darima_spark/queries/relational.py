@@ -162,6 +162,32 @@ def q_sink_parquet(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sink_csv(spark: SparkSession, sf: str) -> DataFrame:
+    """CSV sink + explicit-schema re-scan — the reference's NATIVE
+    format, closing its read loop (its pipeline both reads and ships
+    zone CSVs, darima.py:127-141): the aggregate is written with header,
+    read back with an EXPLICIT schema (never inferSchema — that is a
+    second full pass over 100 TB), and must round-trip exactly. Doubles
+    are rounded before the write so the text round-trip is lossless by
+    construction; at scale CSV is the interchange format, parquet the
+    working format — this query is the boundary between them."""
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"pds_sink_csv_{os.path.basename(os.path.normpath(sf))}",
+    )
+    agg = (
+        load(spark, sf, "nation")
+        .groupBy("n_regionkey")
+        .agg(F.count("*").alias("n_nations"))
+    )
+    agg.coalesce(1).write.mode("overwrite").option("header", True).csv(path)
+    return (
+        spark.read.schema("n_regionkey int, n_nations bigint")
+        .option("header", True)
+        .csv(path)
+    )
+
+
 def q_sink_zorder(spark: SparkSession, sf: str) -> DataFrame:
     """Z-ORDER re-layout sink + pruned re-scan (sources/writers.py:
     write_zordered_parquet — the Delta/Iceberg OPTIMIZE ZORDER layout in
@@ -990,6 +1016,11 @@ QUERIES = {
         """SELECT o_orderstatus, o_orderpriority,
                   round(sum(o_totalprice), 2) AS total
            FROM orders GROUP BY o_orderstatus, o_orderpriority""",
+    ),
+    "q_sink_csv": QuerySpec(
+        q_sink_csv,
+        """SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_nations
+           FROM nation GROUP BY n_regionkey""",
     ),
     "q_sink_zorder": QuerySpec(
         q_sink_zorder,
