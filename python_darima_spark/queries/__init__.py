@@ -62,6 +62,8 @@ _PRIORITY = [
     "q_dq_checks",
     "q_cohort_retention",
     "q_sink_csv",
+    "q_window_median",
+    "q_join_nullsafe",
     # --- never driver-verified: the round-3b TPC-H completion (the suite
     # now covers all 22) — no CORRECTNESS row yet, so they lead.
     "q_tpch_q2",

@@ -923,6 +923,64 @@ def q_merge_scd2(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_window_median(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLING MEDIAN over a ±3-row frame — Spark has no median window
+    function (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so the engine
+    composes it from primitives that DO ride frames:
+    ``array_sort(collect_list(v) over frame)`` + middle element(s), with
+    the even-count frame (window edges) interpolated as the mean of the
+    two middles — exactly DuckDB's native ``median(...) OVER`` semantics,
+    which is the oracle. Frame arrays are bounded (7 rows) so the
+    per-row state is O(frame), not O(partition)."""
+    ev = load(spark, sf, "events").where(F.col("user_id") % 29 == 0)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, 3)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, (n / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    med = F.when(
+        n % 2 == 1, F.element_at(arr, ((n + 1) / 2).cast("int"))
+    ).otherwise((lo + hi) / 2.0)
+    return (
+        ev.select(
+            "event_id",
+            "user_id",
+            F.round("value", 4).alias("value"),
+            F.round(med, 4).alias("rolling_median"),
+        )
+    )
+
+
+def q_join_nullsafe(spark: SparkSession, sf: str) -> DataFrame:
+    """NULL-SAFE equi-join (``<=>`` / IS NOT DISTINCT FROM) — the
+    semantic corner where plain equality silently drops rows: nulls are
+    planted with nullif(event_type, 'view'), the two halves of the
+    event table join on the null-safe key, and the null group MUST
+    cross-match (n_left_nulls × n_right_nulls pairs). Spark plans
+    ``<=>`` as a hash join (null-safe equality is still an equi-key),
+    not a nested loop — the plan shape survives scale."""
+    ev = load(spark, sf, "events").where(F.col("user_id") % 97 == 0)
+    k = F.nullif(F.col("event_type"), F.lit("view"))
+    left = ev.where(F.col("event_id") % 2 == 0).select(
+        k.alias("lk"), F.col("value").alias("lv")
+    )
+    right = ev.where(F.col("event_id") % 2 == 1).select(
+        k.alias("rk"), F.col("value").alias("rv")
+    )
+    return (
+        left.join(right, F.col("lk").eqNullSafe(F.col("rk")))
+        .groupBy(F.coalesce("lk", F.lit("<null>")).alias("join_key"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.sum(F.col("lv") + F.col("rv")), 2).alias("sum_vals"),
+        )
+    )
+
+
 def q_cohort_retention(spark: SparkSession, sf: str) -> DataFrame:
     """COHORT RETENTION — the third classic event-analytics shape beside
     sessionization and funnels: cohort every user by first-activity week,
@@ -1411,6 +1469,30 @@ QUERIES = {
            )
            SELECT *, valid_to = TIMESTAMP '2200-01-01' AS is_current
            FROM merged""",
+    ),
+    "q_window_median": QuerySpec(
+        q_window_median,
+        """SELECT event_id, user_id, round(value, 4) AS value,
+                  round(median(value) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 4)
+                      AS rolling_median
+           FROM events WHERE user_id % 29 = 0""",
+    ),
+    "q_join_nullsafe": QuerySpec(
+        q_join_nullsafe,
+        """WITH e AS (
+             SELECT event_id, value,
+                    nullif(event_type, 'view') AS k
+             FROM events WHERE user_id % 97 = 0
+           )
+           SELECT coalesce(l.k, '<null>') AS join_key,
+                  CAST(count(*) AS BIGINT) AS n_pairs,
+                  round(sum(l.value + r.value), 2) AS sum_vals
+           FROM (SELECT * FROM e WHERE event_id % 2 = 0) l
+           JOIN (SELECT * FROM e WHERE event_id % 2 = 1) r
+             ON l.k IS NOT DISTINCT FROM r.k
+           GROUP BY 1""",
     ),
     "q_cohort_retention": QuerySpec(
         q_cohort_retention,
