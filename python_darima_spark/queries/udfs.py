@@ -97,6 +97,48 @@ def q_udtf_table(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_udf_map_arrow(spark: SparkSession, sf: str) -> DataFrame:
+    """``mapInArrow`` — the lowest-overhead Python crossing: raw pyarrow
+    RecordBatches, no pandas conversion at all (pandas_udf pays
+    Arrow→pandas→Arrow per batch; this stays columnar end-to-end). The
+    kernel computes a margin-rate column with pyarrow.compute — one
+    vectorized call per ~10k-row batch. Use this tier when the logic is
+    expressible in Arrow compute kernels; it is the fastest possible
+    Python path, though still second to staying JVM-side entirely."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def margin(batches):
+        for batch in batches:
+            price = batch.column("l_extendedprice")
+            tax = batch.column("l_tax")
+            disc = batch.column("l_discount")
+            rate = pc.multiply(pc.subtract(1.0, disc), pc.add(1.0, tax))
+            yield pa.RecordBatch.from_arrays(
+                [
+                    batch.column("l_orderkey"),
+                    batch.column("l_linenumber"),
+                    rate,
+                    pc.multiply(price, rate),
+                ],
+                names=["l_orderkey", "l_linenumber", "rate", "net"],
+            )
+
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice", "l_tax", "l_discount"
+    )
+    # NO rounding anywhere: the Arrow kernel's products are bit-identical
+    # to DuckDB's (same IEEE ops in the same order — q_udf_scalar proves
+    # the exact-match works), but ROUNDING them is not portable here:
+    # pc.round is half-to-even, Spark's round goes through an exact
+    # BigDecimal HALF_UP, DuckDB rounds in float space — 12 of 60k nets
+    # sit within an ulp of a .xx5 boundary and split between them. Raw
+    # doubles hash equal; rounded ones don't.
+    return li.mapInArrow(
+        margin, "l_orderkey long, l_linenumber int, rate double, net double"
+    )
+
+
 def q_udf_cogrouped_map(spark: SparkSession, sf: str) -> DataFrame:
     """Cogrouped-map UDF (``groupBy().cogroup().applyInPandas``) — the
     primitive the DARIMA forecast stage runs on (coefs ⨝ series per key,
@@ -132,6 +174,16 @@ def q_udf_cogrouped_map(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES = {
+    # exact-product contract, no rounding (see the kernel comment): the
+    # same IEEE multiply chain on both engines is bit-identical, which
+    # is a STRONGER check than any rounded comparison
+    "q_udf_map_arrow": QuerySpec(
+        q_udf_map_arrow,
+        """SELECT l_orderkey, l_linenumber,
+                  (1 - l_discount) * (1 + l_tax) AS rate,
+                  l_extendedprice * ((1 - l_discount) * (1 + l_tax)) AS net
+           FROM lineitem""",
+    ),
     "q_udf_cogrouped_map": QuerySpec(
         q_udf_cogrouped_map,
         """SELECT c_nationkey,
