@@ -125,6 +125,44 @@ def q_scan_pysource(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_sink_pysource(spark: SparkSession, sf: str) -> DataFrame:
+    """CUSTOM CONNECTOR sink via the Python Data Source API — the WRITE
+    half of the connector story (sources/pysource.py JsonlDirDataSource):
+    per-task temp files + driver-side atomic rename commit (the Hadoop
+    committer protocol in ~40 lines of Python), so partial/speculated
+    tasks never surface output. The aggregate is written through the
+    custom sink, read back as JSON-lines with an explicit schema, and
+    must hash-match the oracle — covering task write, commit message
+    flow, and the rename commit end-to-end."""
+    import glob
+    import shutil
+
+    from python_darima_spark.sources.pysource import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"pds_sink_pysource_{os.path.basename(os.path.normpath(sf))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    agg = (
+        load(spark, sf, "customer")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count("*").alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+        )
+    )
+    agg.coalesce(2).write.format("jsonl_dir").option("path", path).mode(
+        "append"
+    ).save()
+    assert not glob.glob(os.path.join(path, "*.tmp"))  # commit renamed all
+    return (
+        spark.read.schema("c_mktsegment string, n_cust bigint, sum_bal double")
+        .json(os.path.join(path, "*.jsonl"))
+    )
+
+
 def q_sink_json(spark: SparkSession, sf: str) -> DataFrame:
     """JSON sink + re-scan (ref R31: driver-side json.dump of the forecast,
     /root/reference/darima.py:410-412 — engine uses a distributed writer)."""
@@ -1074,6 +1112,12 @@ QUERIES = {
         """SELECT o_orderstatus, o_orderpriority,
                   round(sum(o_totalprice), 2) AS total
            FROM orders GROUP BY o_orderstatus, o_orderpriority""",
+    ),
+    "q_sink_pysource": QuerySpec(
+        q_sink_pysource,
+        """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
+                  round(sum(c_acctbal), 2) AS sum_bal
+           FROM customer GROUP BY c_mktsegment""",
     ),
     "q_sink_csv": QuerySpec(
         q_sink_csv,

@@ -28,8 +28,10 @@ from datetime import datetime, timedelta
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 _EPOCH = datetime(2024, 1, 1)
@@ -148,3 +150,72 @@ class SyntheticSeriesStreamReader(SimpleDataSourceStreamReader):
 def register_synthetic_stream_source(spark) -> None:
     """Idempotent registration (re-registering the same name is allowed)."""
     spark.dataSource.register(SyntheticSeriesStreamSource)
+
+
+class JsonlDirDataSource(DataSource):
+    """WRITE side of the Python Data Source API — a JSON-lines directory
+    sink with two-phase commit, the connector shape for any non-file
+    target (record service, feature store, queue) written without JVM
+    code:
+
+    * each TASK writes its partition to ``part-<pid>.jsonl.tmp`` and
+      returns the filename in its ``WriterCommitMessage`` — nothing is
+      visible mid-job;
+    * ``commit()`` runs on the DRIVER only after every task succeeded
+      and atomically renames the temp files into place; ``abort()``
+      deletes them — so a failed/speculated task never leaves partial
+      output (the same tmp+rename protocol Hadoop output committers
+      use).
+
+    Rows are serialized with sorted keys so output bytes are a pure
+    function of the data, partition by partition."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_dir"
+
+    def writer(self, schema, overwrite: bool) -> "JsonlDirWriter":
+        return JsonlDirWriter(self.options)
+
+
+class JsonlDirWriter(DataSourceWriter):
+    def __init__(self, options: dict) -> None:
+        self.path = options["path"]
+
+    def write(self, iterator) -> WriterCommitMessage:
+        import json
+        import os
+
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId()
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"part-{pid:05d}.jsonl.tmp")
+        with open(tmp, "w") as f:
+            for row in iterator:
+                f.write(json.dumps(row.asDict(), sort_keys=True) + "\n")
+        return _JsonlCommit(tmp)
+
+    def commit(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None:
+                os.replace(m.tmp_file, m.tmp_file[: -len(".tmp")])
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None and os.path.exists(m.tmp_file):
+                os.remove(m.tmp_file)
+
+
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, tmp_file: str) -> None:
+        self.tmp_file = tmp_file
+
+
+def register_jsonl_sink(spark) -> None:
+    """Idempotent registration (re-registering the same name is allowed)."""
+    spark.dataSource.register(JsonlDirDataSource)

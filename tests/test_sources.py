@@ -210,3 +210,34 @@ def test_python_streaming_datasource_multibatch(spark):
     got = {(r["series_id"], r["idx"]): r["y"] for r in rows}
     assert got[(2, 47)] == series_value(2, 47)
     assert got[(0, 0)] == series_value(0, 0)
+
+
+def test_python_datasource_writer_two_phase_commit(spark, tmp_path):
+    """The custom jsonl_dir sink must (a) leave ONLY committed .jsonl
+    files (no .tmp survivors — commit renames, abort deletes), (b) write
+    sorted-key deterministic bytes, (c) round-trip the data exactly."""
+    import glob
+    import json
+    import os
+
+    from python_darima_spark.sources.pysource import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "jsonl_sink")
+    df = spark.range(0, 100).selectExpr(
+        "id", "id * 2 AS doubled", "CAST(id % 3 AS STRING) AS bucket"
+    )
+    df.repartition(4).write.format("jsonl_dir").option("path", out).mode(
+        "append"
+    ).save()
+    files = sorted(os.listdir(out))
+    assert files and all(f.endswith(".jsonl") for f in files), files
+    assert not glob.glob(os.path.join(out, "*.tmp"))
+    rows = []
+    for f in files:
+        with open(os.path.join(out, f)) as fh:
+            for line in fh:
+                rec = json.loads(line)
+                assert list(rec) == sorted(rec), "keys must be sorted"
+                rows.append((rec["id"], rec["doubled"], rec["bucket"]))
+    assert sorted(rows) == [(i, 2 * i, str(i % 3)) for i in range(100)]
