@@ -66,6 +66,7 @@ _PRIORITY = [
     "q_join_nullsafe",
     "q_udf_map_arrow",
     "q_sink_pysource",
+    "q_ts_backtest_arima",
     # --- never driver-verified: the round-3b TPC-H completion (the suite
     # now covers all 22) — no CORRECTNESS row yet, so they lead.
     "q_tpch_q2",
