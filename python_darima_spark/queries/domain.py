@@ -298,9 +298,15 @@ def q_ts_backtest(spark: SparkSession, sf: str) -> DataFrame:
     SQL-expressible and the fold/join/metric plumbing is hash-verified
     end-to-end (swap in `forecast()` for the ARIMA path — same fold
     frame, rows-only). Per (series, fold): MAE and sMAPE over the 24
-    points. Plan: fold frame is a per-series aggregate (broadcast-
-    sized); the horizon slice and the t−24 h prediction join are keyed
-    on (series, ts) — two keyed joins, no window over the full grid."""
+    points, carried as EXACT integer micro-unit sums (floor(x·1e4+0.5)
+    per term, summed as BIGINT — the classifier/zorder pattern): a
+    float average is summation-order-dependent at the ulp level, and
+    with 24 terms one fixture cell landed within an ulp of the round(4)
+    boundary, flipping between partition counts. Integer sums are
+    order-independent, so the contract has no float aggregation at all.
+    Plan: fold frame is a per-series aggregate (broadcast-sized); the
+    horizon slice and the t−24 h prediction join are keyed on
+    (series, ts) — two keyed joins, no window over the full grid."""
     grid = _hourly_series(spark, sf)
     folds = (
         grid.groupBy("series_id")
@@ -334,8 +340,10 @@ def q_ts_backtest(spark: SparkSession, sf: str) -> DataFrame:
         scored.groupBy("series_id", "fold")
         .agg(
             F.count("*").alias("n_points"),
-            F.round(F.avg(ae), 4).alias("mae"),
-            F.round(F.avg(smape_term), 6).alias("smape"),
+            F.sum(F.floor(ae * 1e4 + 0.5).cast("long")).alias("sum_ae_e4"),
+            F.sum(F.floor(smape_term * 1e6 + 0.5).cast("long")).alias(
+                "sum_smape_e6"
+            ),
         )
     )
 
@@ -505,10 +513,13 @@ QUERIES = {
            )
            SELECT h.series_id, h.fold,
                   CAST(count(*) AS BIGINT) AS n_points,
-                  round(avg(abs(h.y - p.pred)), 4) AS mae,
-                  round(avg(CASE WHEN abs(h.y) + abs(p.pred) = 0 THEN 0.0
+                  CAST(sum(CAST(floor(abs(h.y - p.pred) * 1e4 + 0.5)
+                                AS BIGINT)) AS BIGINT) AS sum_ae_e4,
+                  CAST(sum(CAST(floor(
+                      (CASE WHEN abs(h.y) + abs(p.pred) = 0 THEN 0.0
                             ELSE 2.0 * abs(h.y - p.pred)
-                                 / (abs(h.y) + abs(p.pred)) END), 6) AS smape
+                                 / (abs(h.y) + abs(p.pred)) END) * 1e6 + 0.5)
+                      AS BIGINT)) AS BIGINT) AS sum_smape_e6
            FROM h JOIN p USING (series_id, ts)
            GROUP BY 1, 2""",
     ),

@@ -151,7 +151,6 @@ def test_arima_backtest_beats_seasonal_naive(spark):
     m = arima.merge(naive, on=["series_id", "fold"], suffixes=("_a", "_n"))
     assert len(m) == len(arima) == len(naive)
     assert (m.n_points_a == m.n_points_n).all()
-    assert m.mae_a.mean() < m.mae_n.mean(), (
-        m.mae_a.mean(),
-        m.mae_n.mean(),
-    )
+    # the naive twin carries MAE as exact micro-unit sums
+    naive_mae = m.sum_ae_e4 / 1e4 / m.n_points_n
+    assert m.mae.mean() < naive_mae.mean(), (m.mae.mean(), naive_mae.mean())
