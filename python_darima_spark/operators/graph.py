@@ -1,4 +1,4 @@
-"""Iterative graph analytics on DataFrames: PageRank.
+"""Iterative graph analytics on DataFrames: PageRank + BFS distances.
 
 The reference has no graph surface; this exists because large-scale
 curation pipelines rank documents/hosts by link structure (the classic
@@ -99,3 +99,53 @@ def pagerank(
             )
         )
     return ranks.crossJoin(F.broadcast(n_df))
+
+
+def bfs_distances(
+    edges: DataFrame,
+    sources: DataFrame,
+    max_hops: int = 3,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    node_col: str = "node",
+) -> DataFrame:
+    """Breadth-first HOP DISTANCES from a source set — the frontier
+    pattern, the third iterative-graph shape beside PageRank (fixpoint
+    on values) and connected components (fixpoint on labels): per hop,
+    expand the frontier through one keyed join, drop already-visited
+    nodes with one anti-join, and checkpoint the (small) visited set so
+    lineage stays linear. Returns ``(node, dist)`` with dist = minimum
+    hops ≤ ``max_hops`` (sources at 0) — BFS first-reach IS the min
+    distance, which is what the SQL oracle's min-over-all-walks
+    restates. At 100 TB the frontier join shuffles on ``src`` like the
+    PageRank iteration; the visited set is the growing side, so for
+    deep traversals persist it bucketed by node."""
+    e = (
+        edges.select(
+            F.col(src_col).cast("long").alias("src"),
+            F.col(dst_col).cast("long").alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = (
+        sources.select(F.col(node_col).cast("long").alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+        .localCheckpoint(eager=True)
+    )
+    visited = frontier
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            e.join(
+                frontier.select(F.col("node").alias("src")), "src"
+            )
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("dist", F.lit(hop))
+        )
+        visited = visited.union(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited

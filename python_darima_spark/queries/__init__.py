@@ -67,6 +67,7 @@ _PRIORITY = [
     "q_udf_map_arrow",
     "q_sink_pysource",
     "q_ts_backtest_arima",
+    "q_graph_bfs",
     # --- never driver-verified: the round-3b TPC-H completion (the suite
     # now covers all 22) — no CORRECTNESS row yet, so they lead.
     "q_tpch_q2",

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from python_darima_spark.operators.graph import pagerank
+from python_darima_spark.operators.graph import bfs_distances, pagerank
 from python_darima_spark.queries import QuerySpec, load
 
 _PART_OFFSET = 1_000_000
@@ -87,6 +87,48 @@ def _pagerank_oracle() -> str:
     return head + body + tail
 
 
+def q_graph_bfs(spark: SparkSession, sf: str) -> DataFrame:
+    """BFS hop distances (≤ 3) from the supplier seed set
+    (s_suppkey % 50 == 0) over the same symmetric part↔supplier graph.
+    The oracle is a genuine RECURSIVE CTE (walk expansion bounded by
+    depth, min(dist) per node) — pure frontier expansion needs no
+    aggregate in the recursive term, so unlike PageRank the recursion
+    doesn't have to be unrolled."""
+    li = load(spark, sf, "lineitem")
+    part_node = (F.col("l_partkey") + F.lit(_PART_OFFSET)).cast("long")
+    supp_node = F.col("l_suppkey").cast("long")
+    edges = li.select(part_node.alias("src"), supp_node.alias("dst")).union(
+        li.select(supp_node.alias("src"), part_node.alias("dst"))
+    )
+    seeds = (
+        load(spark, sf, "supplier")
+        .where(F.col("s_suppkey") % 50 == 0)
+        .select(F.col("s_suppkey").alias("node"))
+    )
+    return bfs_distances(edges, seeds, max_hops=3)
+
+
+_BFS_ORACLE = f"""WITH RECURSIVE e AS (
+             SELECT DISTINCT l_partkey + {_PART_OFFSET} AS src,
+                    CAST(l_suppkey AS BIGINT) AS dst
+             FROM lineitem
+             UNION
+             SELECT DISTINCT CAST(l_suppkey AS BIGINT),
+                    l_partkey + {_PART_OFFSET}
+             FROM lineitem
+           ), walk(node, dist) AS (
+             SELECT CAST(s_suppkey AS BIGINT), 0
+             FROM supplier WHERE s_suppkey % 50 = 0
+             UNION ALL
+             SELECT e.dst, w.dist + 1
+             FROM walk w JOIN e ON e.src = w.node
+             WHERE w.dist < 3
+           )
+           SELECT node, CAST(min(dist) AS INT) AS dist
+           FROM walk GROUP BY node"""
+
+
 QUERIES = {
     "q_graph_pagerank": QuerySpec(q_graph_pagerank, _pagerank_oracle()),
+    "q_graph_bfs": QuerySpec(q_graph_bfs, _BFS_ORACLE),
 }

@@ -98,3 +98,24 @@ def test_pagerank_hub_outranks_leaves(spark):
     assert leaf_ranks.std() < 1e-15
     # symmetric graph has no dangling mass: total rank is conserved
     assert abs(got.sum() - 1.0) < 1e-9
+
+
+def test_bfs_distances_on_planted_graph(spark):
+    """Chain + branch: distances are minimum hops, unreachable and
+    beyond-max_hops nodes are absent, sources sit at 0."""
+    edges = pd.DataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (2, 10), (99, 100)],
+        columns=["src", "dst"],
+    )
+    sources = pd.DataFrame({"node": [1]})
+    from python_darima_spark.operators.graph import bfs_distances
+
+    got = {
+        r.node: r.dist
+        for r in bfs_distances(
+            spark.createDataFrame(edges),
+            spark.createDataFrame(sources),
+            max_hops=3,
+        ).collect()
+    }
+    assert got == {1: 0, 2: 1, 3: 2, 10: 2, 4: 3}  # 5 is 4 hops; 99/100 unreachable
