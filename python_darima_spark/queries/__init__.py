@@ -68,6 +68,7 @@ _PRIORITY = [
     "q_sink_pysource",
     "q_ts_backtest_arima",
     "q_graph_bfs",
+    "q_ts_trend",
     # --- never driver-verified: the round-3b TPC-H completion (the suite
     # now covers all 22) — no CORRECTNESS row yet, so they lead.
     "q_tpch_q2",

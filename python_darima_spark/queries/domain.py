@@ -391,6 +391,32 @@ def q_ts_backtest_arima(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ts_trend(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-series LINEAR TREND via the SQL regression aggregates
+    (regr_slope / regr_intercept / regr_r2) — the cheap screen a metric
+    catalog runs before reaching for a model: one hash aggregate per
+    series, no window, no Python. The regressor is hours SINCE SERIES
+    START (one broadcast-joined min per series), not epoch hours —
+    centering keeps the moment sums far from catastrophic cancellation,
+    so the 6-decimal rounding sits ~6 orders above the engines'
+    summation-order ulps."""
+    grid = _hourly_series(spark, sf)
+    start = grid.groupBy("series_id").agg(F.min("ts").alias("_t0"))
+    x = (
+        F.col("ts").cast("double") - F.col("_t0").cast("double")
+    ) / 3600.0
+    return (
+        grid.join(F.broadcast(start), "series_id")
+        .groupBy("series_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.regr_slope(F.col("y"), x), 6).alias("slope_per_hour"),
+            F.round(F.regr_intercept(F.col("y"), x), 4).alias("intercept"),
+            F.round(F.regr_r2(F.col("y"), x), 6).alias("r2"),
+        )
+    )
+
+
 def q_ts_xcorr(spark: SparkSession, sf: str) -> DataFrame:
     """Lead-lag CROSS-CORRELATION matrix between series: Pearson corr of
     series A at t against series B at t − lag for lags 0..2 h — the
@@ -522,6 +548,21 @@ QUERIES = {
                       AS BIGINT)) AS BIGINT) AS sum_smape_e6
            FROM h JOIN p USING (series_id, ts)
            GROUP BY 1, 2""",
+    ),
+    "q_ts_trend": QuerySpec(
+        q_ts_trend,
+        f"""WITH {_GRID_CTE}, s AS (
+             SELECT series_id, min(ts) AS t0 FROM grid GROUP BY 1
+           )
+           SELECT g2.series_id, CAST(count(*) AS BIGINT) AS n,
+                  round(regr_slope(g2.y,
+                      epoch(g2.ts - s.t0) / 3600.0), 6) AS slope_per_hour,
+                  round(regr_intercept(g2.y,
+                      epoch(g2.ts - s.t0) / 3600.0), 4) AS intercept,
+                  round(regr_r2(g2.y,
+                      epoch(g2.ts - s.t0) / 3600.0), 6) AS r2
+           FROM grid g2 JOIN s USING (series_id)
+           GROUP BY g2.series_id""",
     ),
     "q_ts_xcorr": QuerySpec(
         q_ts_xcorr,
