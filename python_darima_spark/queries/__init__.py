@@ -69,6 +69,8 @@ _PRIORITY = [
     "q_ts_backtest_arima",
     "q_graph_bfs",
     "q_ts_trend",
+    "q_text_editdist",
+    "q_agg_bool_listagg",
     # --- never driver-verified: the round-3b TPC-H completion (the suite
     # now covers all 22) — no CORRECTNESS row yet, so they lead.
     "q_tpch_q2",

@@ -733,6 +733,24 @@ def q_window_rank(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_agg_bool_listagg(spark: SparkSession, sf: str) -> DataFrame:
+    """Boolean aggregates (bool_and / bool_or — SQL EVERY/SOME) plus an
+    ORDERED string aggregation per group. Spark has no ordered
+    string_agg, so the engine composes it from deterministic primitives:
+    ``array_join(array_sort(collect_distinct), ...)`` — collect order
+    after a shuffle is nondeterministic, sorting inside the expression
+    is what makes the result a pure function of the data (DuckDB
+    restates it as ``string_agg(DISTINCT ... ORDER BY ...)``)."""
+    o = load(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        F.bool_or(F.col("o_orderpriority") == "1-URGENT").alias("any_urgent"),
+        F.array_join(
+            F.array_sort(F.collect_set("o_orderpriority")), "|"
+        ).alias("priorities"),
+    )
+
+
 def q_dq_checks(spark: SparkSession, sf: str) -> DataFrame:
     """DATA-QUALITY AUDIT — the constraint checks a warehouse runs after
     every load, as one query: FK orphans (lineitem → orders anti-join),
@@ -1373,6 +1391,15 @@ QUERIES = {
              WINDOW w AS (PARTITION BY o_custkey
                           ORDER BY o_totalprice DESC, o_orderkey)
            ) WHERE rn <= 3""",
+    ),
+    "q_agg_bool_listagg": QuerySpec(
+        q_agg_bool_listagg,
+        """SELECT o_orderstatus,
+                  bool_and(o_totalprice > 0) AS all_positive,
+                  bool_or(o_orderpriority = '1-URGENT') AS any_urgent,
+                  string_agg(DISTINCT o_orderpriority, '|'
+                             ORDER BY o_orderpriority) AS priorities
+           FROM orders GROUP BY o_orderstatus""",
     ),
     "q_dq_checks": QuerySpec(
         q_dq_checks,

@@ -164,6 +164,30 @@ def q_regex_fns(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_text_editdist(spark: SparkSession, sf: str) -> DataFrame:
+    """Levenshtein EDIT DISTANCE between consecutive documents' 32-char
+    prefixes — the string-distance scalar both engines implement with
+    identical unit-cost semantics (insert/delete/substitute = 1), plus
+    a normalized similarity. Map-only after one keyed self-join on
+    doc_id+1; integer distances, so only the ratio is rounded."""
+    docs = load(spark, sf, "documents")
+    a = docs.select("doc_id", F.substring("text", 1, 32).alias("_ta"))
+    b = docs.select(
+        (F.col("doc_id") - 1).alias("doc_id"),
+        F.substring("text", 1, 32).alias("_tb"),
+    )
+    d = F.levenshtein("_ta", "_tb")
+    maxlen = F.greatest(F.length("_ta"), F.length("_tb"))
+    return (
+        a.join(b, "doc_id")
+        .select(
+            "doc_id",
+            d.alias("edit_dist"),
+            F.round(F.lit(1.0) - d / maxlen, 6).alias("similarity"),
+        )
+    )
+
+
 def q_null_fns(spark: SparkSession, sf: str) -> DataFrame:
     """Null-handling scalars: coalesce / nullif / greatest / least and
     null-safe equality — the semantics every filter/join in the engine
@@ -182,6 +206,20 @@ def q_null_fns(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES = {
+    "q_text_editdist": QuerySpec(
+        q_text_editdist,
+        """SELECT a.doc_id,
+                  CAST(levenshtein(substring(a.text, 1, 32),
+                                   substring(b.text, 1, 32)) AS INT)
+                      AS edit_dist,
+                  round(1.0 - CAST(levenshtein(substring(a.text, 1, 32),
+                                               substring(b.text, 1, 32))
+                                   AS DOUBLE)
+                        / greatest(length(substring(a.text, 1, 32)),
+                                   length(substring(b.text, 1, 32))), 6)
+                      AS similarity
+           FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1""",
+    ),
     "q_regex_fns": QuerySpec(
         q_regex_fns,
         """SELECT doc_id,
