@@ -71,6 +71,7 @@ _PRIORITY = [
     "q_ts_trend",
     "q_text_editdist",
     "q_agg_bool_listagg",
+    "q_agg_moments",
     # --- never driver-verified: the round-3b TPC-H completion (the suite
     # now covers all 22) — no CORRECTNESS row yet, so they lead.
     "q_tpch_q2",

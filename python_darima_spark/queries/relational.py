@@ -733,6 +733,23 @@ def q_window_rank(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_agg_moments(spark: SparkSession, sf: str) -> DataFrame:
+    """Higher-moment aggregates — skewness and excess kurtosis of the
+    price distribution per return flag. The semantic trap this entry
+    pins: Spark's skewness/kurtosis are POPULATION moments (g1,
+    excess g2) while DuckDB's are bias-corrected SAMPLE statistics (G1,
+    G2) — silently different by an n-dependent factor. The oracle
+    restates the conversion explicitly (g1 = G1·(n−2)/√(n(n−1));
+    kurtosis_pop is DuckDB's population twin), so the hash match
+    DOCUMENTS the definitional mapping instead of hiding it."""
+    li = load(spark, sf, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.round(F.skewness("l_extendedprice"), 6).alias("skew_pop"),
+        F.round(F.kurtosis("l_extendedprice"), 6).alias("kurt_pop_excess"),
+    )
+
+
 def q_agg_bool_listagg(spark: SparkSession, sf: str) -> DataFrame:
     """Boolean aggregates (bool_and / bool_or — SQL EVERY/SOME) plus an
     ORDERED string aggregation per group. Spark has no ordered
@@ -1391,6 +1408,16 @@ QUERIES = {
              WINDOW w AS (PARTITION BY o_custkey
                           ORDER BY o_totalprice DESC, o_orderkey)
            ) WHERE rn <= 3""",
+    ),
+    "q_agg_moments": QuerySpec(
+        q_agg_moments,
+        """SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+                  round(skewness(l_extendedprice)
+                        * (count(*) - 2)
+                        / sqrt(count(*) * (count(*) - 1.0)), 6) AS skew_pop,
+                  round(kurtosis_pop(l_extendedprice), 6)
+                      AS kurt_pop_excess
+           FROM lineitem GROUP BY l_returnflag""",
     ),
     "q_agg_bool_listagg": QuerySpec(
         q_agg_bool_listagg,
