@@ -37,7 +37,10 @@ from python_darima_spark.functions.text import (
     token_count,
     word_ngrams,
 )
-from python_darima_spark.operators import source_mixture_rates
+from python_darima_spark.operators import (
+    planted_source_weight,
+    source_mixture_rates,
+)
 from python_darima_spark.operators.dedup import (
     containment_pairs,
     dedup_exact,
@@ -126,11 +129,16 @@ def main() -> None:
     # 5b. mixture control: downsample over-represented sources to a
     # target share (weights planted per source index here) — one tiny
     # broadcast aggregate onto a map-only md5 filter
-    w_src = F.pmod(F.substring("source", 4, 10).cast("int"), F.lit(4)) + 1
-    rates = source_mixture_rates(docs, "source", w_src)
+    rates = source_mixture_rates(docs, "source", planted_source_weight())
+    # SALTED bucket — decorrelated from the split bucket below: with the
+    # same hash, a source kept at rate r would survive only in buckets
+    # < r·256, i.e. entirely inside the train range, starving val/test
+    mix_b = hash_split_bucket(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))
+    )
     docs = (
         docs.join(F.broadcast(rates), "source")
-        .where(hash_split_bucket("doc_id").cast("double") < F.col("_rate") * 256)
+        .where(mix_b.cast("double") < F.col("_rate") * 256)
         .drop("_rate")
     )
 

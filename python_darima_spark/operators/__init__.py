@@ -86,3 +86,12 @@ def source_mixture_rates(
             (F.col("_w") / F.col("_wsum") * F.col("_tot")) / F.col("_cnt"),
         ).alias("_rate"),
     )
+
+
+def planted_source_weight(source_col: str = "source") -> Column:
+    """The fixture's PLANTED mixture-weight expression (source ``srcK``
+    gets weight K%4+1) — one definition shared by q_mixture_sample and
+    the example pipeline so the planted scenario can't silently
+    desynchronize (the DuckDB oracle and tests restate it as
+    ``CAST(substr(source, 4) AS INT) % 4 + 1``)."""
+    return F.pmod(F.substring(source_col, 4, 10).cast("int"), F.lit(4)) + 1

@@ -145,6 +145,11 @@ def bfs_distances(
             .distinct()
             .join(visited.select("node"), "node", "left_anti")
             .withColumn("dist", F.lit(hop))
+            # checkpoint the FRONTIER too, not just visited: an
+            # unmaterialized frontier would re-execute every previous
+            # hop's join chain at each expansion (O(hops²) joins) and
+            # compute nxt twice (once into visited, once as next probe)
+            .localCheckpoint(eager=True)
         )
         visited = visited.union(nxt).localCheckpoint(eager=True)
         frontier = nxt

@@ -333,8 +333,13 @@ def q_ts_backtest(spark: SparkSession, sf: str) -> DataFrame:
         F.col("y").alias("_pred"),
     )
     scored = horizon.join(pred, ["series_id", "ts"])
-    ae = F.abs(F.col("y") - F.col("_pred"))
-    denom = F.abs("y") + F.abs("_pred")
+    # terms are built from ROUNDED grid values: grid.y is itself a float
+    # sum whose ulps vary with partitioning, and an unrounded ae can sit
+    # exactly on a floor(·1e4+0.5) boundary — rounding first pins both
+    # engines to the identical double before any integer conversion
+    y6, p6 = F.round("y", 6), F.round("_pred", 6)
+    ae = F.abs(y6 - p6)
+    denom = F.abs(y6) + F.abs(p6)
     smape_term = F.when(denom == 0, F.lit(0.0)).otherwise(2.0 * ae / denom)
     return (
         scored.groupBy("series_id", "fold")
@@ -539,12 +544,16 @@ QUERIES = {
            )
            SELECT h.series_id, h.fold,
                   CAST(count(*) AS BIGINT) AS n_points,
-                  CAST(sum(CAST(floor(abs(h.y - p.pred) * 1e4 + 0.5)
+                  CAST(sum(CAST(floor(
+                      abs(round(h.y, 6) - round(p.pred, 6)) * 1e4 + 0.5)
                                 AS BIGINT)) AS BIGINT) AS sum_ae_e4,
                   CAST(sum(CAST(floor(
-                      (CASE WHEN abs(h.y) + abs(p.pred) = 0 THEN 0.0
-                            ELSE 2.0 * abs(h.y - p.pred)
-                                 / (abs(h.y) + abs(p.pred)) END) * 1e6 + 0.5)
+                      (CASE WHEN abs(round(h.y, 6)) + abs(round(p.pred, 6))
+                                 = 0 THEN 0.0
+                            ELSE 2.0 * abs(round(h.y, 6) - round(p.pred, 6))
+                                 / (abs(round(h.y, 6))
+                                    + abs(round(p.pred, 6))) END)
+                      * 1e6 + 0.5)
                       AS BIGINT)) AS BIGINT) AS sum_smape_e6
            FROM h JOIN p USING (series_id, ts)
            GROUP BY 1, 2""",

@@ -25,7 +25,11 @@ from python_darima_spark.functions.text import (
     whitespace_token_count,
     word_ngrams,
 )
-from python_darima_spark.operators import ensure_parallelism, source_mixture_rates
+from python_darima_spark.operators import (
+    ensure_parallelism,
+    planted_source_weight,
+    source_mixture_rates,
+)
 from python_darima_spark.operators.dedup import (
     containment_pairs,
     dedup_exact,
@@ -391,9 +395,14 @@ def q_mixture_sample(spark: SparkSession, sf: str) -> DataFrame:
     engine-portable. Plan: one tiny groupBy(source) aggregate broadcast
     back onto a map-only filter — no row-level shuffle at any scale."""
     docs = ensure_parallelism(load(spark, sf, "documents"))
-    w_src = F.pmod(F.substring("source", 4, 10).cast("int"), F.lit(4)) + 1
-    rates = source_mixture_rates(docs, "source", w_src)
-    b = hash_split_bucket("doc_id").cast("double")
+    rates = source_mixture_rates(docs, "source", planted_source_weight())
+    # SALTED bucket (":mix" suffix), decorrelated from the train/val/test
+    # split bucket: reusing the raw doc_id bucket for both decisions
+    # would systematically exclude downsampled sources from val/test
+    # (keep-rate r keeps only buckets < r·256, all inside the train range)
+    b = hash_split_bucket(
+        F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))
+    ).cast("double")
     return (
         docs.join(F.broadcast(rates), "source")
         .where(b < F.col("_rate") * 256.0)
@@ -1054,9 +1063,11 @@ QUERIES = {
            ), b AS (
              SELECT doc_id, source,
                     (instr('0123456789abcdef',
-                           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) * 16
+                           substr(md5(CAST(doc_id AS VARCHAR) || ':mix'),
+                                  1, 1)) - 1) * 16
                     + instr('0123456789abcdef',
-                            substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1
+                            substr(md5(CAST(doc_id AS VARCHAR) || ':mix'),
+                                   2, 1)) - 1
                     AS bucket
              FROM documents
            )

@@ -158,14 +158,17 @@ class JsonlDirDataSource(DataSource):
     target (record service, feature store, queue) written without JVM
     code:
 
-    * each TASK writes its partition to ``part-<pid>.jsonl.tmp`` and
-      returns the filename in its ``WriterCommitMessage`` — nothing is
-      visible mid-job;
-    * ``commit()`` runs on the DRIVER only after every task succeeded
-      and atomically renames the temp files into place; ``abort()``
-      deletes them — so a failed/speculated task never leaves partial
-      output (the same tmp+rename protocol Hadoop output committers
-      use).
+    * each TASK ATTEMPT writes its partition to
+      ``part-<pid>-<attempt>.jsonl.tmp`` — the attempt id in the name is
+      what makes speculation/retry safe (two live attempts of the same
+      partition write DIFFERENT files; Hadoop committers use per-attempt
+      paths for exactly this reason) — and returns (tmp, final) in its
+      ``WriterCommitMessage``; nothing is visible mid-job;
+    * ``commit()`` runs on the DRIVER only after every task succeeded:
+      under overwrite it first clears stale committed files, then
+      atomically renames the winning attempts into place; ``abort()``
+      deletes every temp file under the path (including orphans from
+      attempts that died mid-write and never returned a message).
 
     Rows are serialized with sorted keys so output bytes are a pure
     function of the data, partition by partition."""
@@ -175,12 +178,13 @@ class JsonlDirDataSource(DataSource):
         return "jsonl_dir"
 
     def writer(self, schema, overwrite: bool) -> "JsonlDirWriter":
-        return JsonlDirWriter(self.options)
+        return JsonlDirWriter(self.options, overwrite)
 
 
 class JsonlDirWriter(DataSourceWriter):
-    def __init__(self, options: dict) -> None:
+    def __init__(self, options: dict, overwrite: bool = False) -> None:
         self.path = options["path"]
+        self.overwrite = overwrite
 
     def write(self, iterator) -> WriterCommitMessage:
         import json
@@ -188,32 +192,53 @@ class JsonlDirWriter(DataSourceWriter):
 
         from pyspark import TaskContext
 
-        pid = TaskContext.get().partitionId()
+        ctx = TaskContext.get()
+        pid = ctx.partitionId()
+        attempt = ctx.taskAttemptId()
         os.makedirs(self.path, exist_ok=True)
-        tmp = os.path.join(self.path, f"part-{pid:05d}.jsonl.tmp")
+        tmp = os.path.join(self.path, f"part-{pid:05d}-{attempt}.jsonl.tmp")
+        final = os.path.join(self.path, f"part-{pid:05d}.jsonl")
         with open(tmp, "w") as f:
             for row in iterator:
                 f.write(json.dumps(row.asDict(), sort_keys=True) + "\n")
-        return _JsonlCommit(tmp)
+        return _JsonlCommit(tmp, final)
 
     def commit(self, messages) -> None:
+        import glob
         import os
 
+        winners = {m.final_file for m in messages if m is not None}
+        if self.overwrite:
+            # honor mode("overwrite"): stale committed files from earlier
+            # jobs (possibly with MORE partitions) must not survive, or a
+            # re-read mixes old and new rows
+            for old in glob.glob(os.path.join(self.path, "part-*.jsonl")):
+                if old not in winners:
+                    os.remove(old)
         for m in messages:
             if m is not None:
-                os.replace(m.tmp_file, m.tmp_file[: -len(".tmp")])
+                os.replace(m.tmp_file, m.final_file)
+        # losing speculative attempts returned no message; their temps
+        # are swept here so a committed directory holds only .jsonl
+        for stale in glob.glob(os.path.join(self.path, "*.jsonl.tmp")):
+            os.remove(stale)
 
     def abort(self, messages) -> None:
+        import glob
         import os
 
-        for m in messages:
-            if m is not None and os.path.exists(m.tmp_file):
-                os.remove(m.tmp_file)
+        # messages only cover attempts that RETURNED; an attempt that
+        # died mid-write leaves an orphan .tmp — sweep them all (temps
+        # under this path belong to this sink's jobs by construction)
+        for stale in glob.glob(os.path.join(self.path, "*.jsonl.tmp")):
+            if os.path.exists(stale):
+                os.remove(stale)
 
 
 class _JsonlCommit(WriterCommitMessage):
-    def __init__(self, tmp_file: str) -> None:
+    def __init__(self, tmp_file: str, final_file: str) -> None:
         self.tmp_file = tmp_file
+        self.final_file = final_file
 
 
 def register_jsonl_sink(spark) -> None:
