@@ -72,6 +72,7 @@ _PRIORITY = [
     "q_text_editdist",
     "q_agg_bool_listagg",
     "q_agg_moments",
+    "q_agg_filter_clause",
     # --- never driver-verified: the round-3b TPC-H completion (the suite
     # now covers all 22) — no CORRECTNESS row yet, so they lead.
     "q_tpch_q2",

@@ -31,6 +31,27 @@ def _register(spark: SparkSession, sf: str, *tables: str) -> None:
         load(spark, sf, t).createOrReplaceTempView(t)
 
 
+def q_agg_filter_clause(spark: SparkSession, sf: str) -> DataFrame:
+    """ANSI ``FILTER (WHERE …)`` aggregate modifier — one pass over the
+    fact table computing several differently-conditioned aggregates
+    (the tidy form of the sum(CASE WHEN…) idiom; Catalyst compiles both
+    to the same conditional partial aggregates, so it is one scan + one
+    keyed exchange, never one pass per condition). Runs through
+    ``spark.sql`` because the point is the SQL surface; DuckDB executes
+    the identical statement."""
+    _register(spark, sf, "lineitem")
+    return spark.sql(
+        """SELECT l_returnflag,
+                  count(*) AS n_all,
+                  count(*) FILTER (WHERE l_discount > 0.05) AS n_discounted,
+                  round(sum(l_extendedprice)
+                        FILTER (WHERE l_tax = 0), 2) AS rev_taxfree,
+                  round(avg(l_quantity)
+                        FILTER (WHERE l_linestatus = 'F'), 4) AS avg_qty_f
+           FROM lineitem GROUP BY l_returnflag"""
+    )
+
+
 def q_subquery_scalar(spark: SparkSession, sf: str) -> DataFrame:
     """Uncorrelated scalar subquery: orders beating the global average
     price. Catalyst runs the 1-row aggregate once and folds it into the
@@ -77,6 +98,18 @@ def q_subquery_exists(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES = {
+    "q_agg_filter_clause": QuerySpec(
+        q_agg_filter_clause,
+        """SELECT l_returnflag,
+                  CAST(count(*) AS BIGINT) AS n_all,
+                  CAST(count(*) FILTER (WHERE l_discount > 0.05)
+                       AS BIGINT) AS n_discounted,
+                  round(sum(l_extendedprice)
+                        FILTER (WHERE l_tax = 0), 2) AS rev_taxfree,
+                  round(avg(l_quantity)
+                        FILTER (WHERE l_linestatus = 'F'), 4) AS avg_qty_f
+           FROM lineitem GROUP BY l_returnflag""",
+    ),
     "q_subquery_scalar": QuerySpec(
         q_subquery_scalar,
         """SELECT o_orderkey, round(o_totalprice, 2) AS price
