@@ -31,6 +31,25 @@ def _register(spark: SparkSession, sf: str, *tables: str) -> None:
         load(spark, sf, t).createOrReplaceTempView(t)
 
 
+def q_join_lateral(spark: SparkSession, sf: str) -> DataFrame:
+    """Correlated LATERAL join — top-2 customers by balance per nation,
+    written as the ANSI lateral derived table. Catalyst decorrelates
+    the ORDER BY/LIMIT subquery into a rank-window over the join
+    (DomainJoin rewrite): the plan is ONE partitioned window + filter,
+    not a per-nation re-execution — the same physical shape as the
+    hand-written q_topk_group, which is the point: the declarative
+    lateral form costs nothing over the manual window. DuckDB executes
+    the identical statement."""
+    _register(spark, sf, "nation", "customer")
+    return spark.sql(
+        """SELECT n.n_name, t.c_name, t.bal
+           FROM nation n,
+           LATERAL (SELECT c_name, round(c_acctbal, 2) AS bal
+                    FROM customer c WHERE c.c_nationkey = n.n_nationkey
+                    ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t"""
+    )
+
+
 def q_agg_filter_clause(spark: SparkSession, sf: str) -> DataFrame:
     """ANSI ``FILTER (WHERE …)`` aggregate modifier — one pass over the
     fact table computing several differently-conditioned aggregates
@@ -98,6 +117,14 @@ def q_subquery_exists(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES = {
+    "q_join_lateral": QuerySpec(
+        q_join_lateral,
+        """SELECT n.n_name, t.c_name, t.bal
+           FROM nation n,
+           LATERAL (SELECT c_name, round(c_acctbal, 2) AS bal
+                    FROM customer c WHERE c.c_nationkey = n.n_nationkey
+                    ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t""",
+    ),
     "q_agg_filter_clause": QuerySpec(
         q_agg_filter_clause,
         """SELECT l_returnflag,
