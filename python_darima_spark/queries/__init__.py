@@ -74,6 +74,7 @@ _PRIORITY = [
     "q_agg_moments",
     "q_agg_filter_clause",
     "q_join_lateral",
+    "q_agg_group_by_all",
     # --- never driver-verified: the round-3b TPC-H completion (the suite
     # now covers all 22) — no CORRECTNESS row yet, so they lead.
     "q_tpch_q2",

@@ -31,6 +31,25 @@ def _register(spark: SparkSession, sf: str, *tables: str) -> None:
         load(spark, sf, t).createOrReplaceTempView(t)
 
 
+def q_agg_group_by_all(spark: SparkSession, sf: str) -> DataFrame:
+    """``GROUP BY ALL`` — the modern shorthand (DuckDB popularized it;
+    Spark adopted it in 3.4): grouping keys inferred as every
+    non-aggregate select item, removing the classic drift bug where a
+    column added to SELECT is forgotten in GROUP BY. Both engines parse
+    the identical statement; Catalyst resolves it to the same hash
+    aggregate as the explicit form. (QUALIFY, the other modern
+    shorthand, is NOT in open-source Spark — documented here so the
+    surface map is honest.)"""
+    _register(spark, sf, "orders")
+    return spark.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+                  date_trunc('month', o_orderdate) AS month,
+                  count(*) AS n,
+                  round(sum(o_totalprice), 2) AS revenue
+           FROM orders GROUP BY ALL"""
+    )
+
+
 def q_join_lateral(spark: SparkSession, sf: str) -> DataFrame:
     """Correlated LATERAL join — top-2 customers by balance per nation,
     written as the ANSI lateral derived table. Catalyst decorrelates
@@ -117,6 +136,14 @@ def q_subquery_exists(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES = {
+    "q_agg_group_by_all": QuerySpec(
+        q_agg_group_by_all,
+        """SELECT o_orderstatus, o_orderpriority,
+                  date_trunc('month', o_orderdate) AS month,
+                  CAST(count(*) AS BIGINT) AS n,
+                  round(sum(o_totalprice), 2) AS revenue
+           FROM orders GROUP BY ALL""",
+    ),
     "q_join_lateral": QuerySpec(
         q_join_lateral,
         """SELECT n.n_name, t.c_name, t.bal
