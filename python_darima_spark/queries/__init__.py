@@ -75,6 +75,8 @@ _PRIORITY = [
     "q_agg_filter_clause",
     "q_join_lateral",
     "q_agg_group_by_all",
+    "q_setop_all",
+    "q_union_by_name",
     # --- never driver-verified: the round-3b TPC-H completion (the suite
     # now covers all 22) — no CORRECTNESS row yet, so they lead.
     "q_tpch_q2",

@@ -1128,7 +1128,75 @@ def q_setop(spark: SparkSession, sf: str) -> DataFrame:
     return both.unionByName(cust_only)
 
 
+def q_setop_all(spark: SparkSession, sf: str) -> DataFrame:
+    """BAG-semantics set operations — INTERSECT ALL keeps
+    min(multiplicity), EXCEPT ALL subtracts multiplicities; the variant
+    q_setop's set-semantics forms can't express (they collapse
+    duplicates first). Inputs are genuine multisets (order priorities,
+    thousands of duplicate rows); output is the per-value multiplicity
+    after each op, so the hash pins the COUNTS the bag semantics
+    produce, not just membership."""
+    o = load(spark, sf, "orders")
+    all_pri = o.select(F.col("o_orderpriority").alias("pri"))
+    big_pri = o.where(F.col("o_totalprice") > 150000).select(
+        F.col("o_orderpriority").alias("pri")
+    )
+    inter = (
+        all_pri.intersectAll(big_pri)
+        .groupBy("pri")
+        .agg(F.count("*").alias("n"))
+        .withColumn("op", F.lit("intersect_all"))
+    )
+    diff = (
+        all_pri.exceptAll(big_pri)
+        .groupBy("pri")
+        .agg(F.count("*").alias("n"))
+        .withColumn("op", F.lit("except_all"))
+    )
+    return inter.unionByName(diff)
+
+
+def q_union_by_name(spark: SparkSession, sf: str) -> DataFrame:
+    """Union by COLUMN NAME with missing columns null-filled
+    (``unionByName(allowMissingColumns=True)`` / DuckDB's
+    ``UNION ALL BY NAME``) — the schema-evolution-tolerant append:
+    positional UNION would silently misalign or reject when two
+    extracts carry different column subsets. One side lacks ``bal``,
+    the other lacks ``segment``; both engines fill the holes with
+    NULL."""
+    c = load(spark, sf, "customer")
+    a = c.where(F.col("c_custkey") % 2 == 0).select(
+        "c_custkey", F.col("c_mktsegment").alias("segment")
+    )
+    b = c.where(F.col("c_custkey") % 2 == 1).select(
+        "c_custkey", F.round("c_acctbal", 2).alias("bal")
+    )
+    return a.unionByName(b, allowMissingColumns=True)
+
+
 QUERIES = {
+    "q_setop_all": QuerySpec(
+        q_setop_all,
+        """WITH a AS (SELECT o_orderpriority AS pri FROM orders),
+                b AS (SELECT o_orderpriority AS pri FROM orders
+                      WHERE o_totalprice > 150000)
+           SELECT pri, CAST(count(*) AS BIGINT) AS n,
+                  'intersect_all' AS op
+           FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+           GROUP BY pri
+           UNION ALL
+           SELECT pri, CAST(count(*) AS BIGINT) AS n, 'except_all' AS op
+           FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+           GROUP BY pri""",
+    ),
+    "q_union_by_name": QuerySpec(
+        q_union_by_name,
+        """SELECT c_custkey, c_mktsegment AS segment
+           FROM customer WHERE c_custkey % 2 = 0
+           UNION ALL BY NAME
+           SELECT c_custkey, round(c_acctbal, 2) AS bal
+           FROM customer WHERE c_custkey % 2 = 1""",
+    ),
     "q_scan_parquet": QuerySpec(
         q_scan_parquet,
         "SELECT l_orderkey, l_partkey, l_quantity FROM lineitem",
