@@ -267,11 +267,20 @@ def minhash_incremental(
     ``|new| · bands`` probe rows against the bucketed index, independent
     of corpus size per ingest. At scale the index side is a PERSISTED
     table of (band_id, band_hash, id) bucketed by band key — signatures
-    are computed once at ingest and appended, so each increment pays
-    only its own shingling. Candidates are estimate-prefiltered and
-    exact-verified from the texts, so the emitted pair set equals the
-    true cross-batch Jaccard pairs (the same verified contract the
-    all-pairs operator hash-checks against its SQL restatement).
+    are computed once at ingest and appended by
+    :func:`minhash_index_append`, so each increment pays only its own
+    shingling. Candidates are estimate-prefiltered and exact-verified
+    from the texts, so every EMITTED pair is a true Jaccard-≥-threshold
+    pair (no false positives ever). Recall is w.h.p. for pairs well
+    above the threshold, not certain: a pair at similarity s collides
+    in ≥1 of b bands with probability 1−(1−s^r)^b (≈64% at s=0.5 with
+    b=16, r=4; >99.9% at s≥0.8), and the estimate prefilter at
+    ``threshold − 0.2`` is a ~3σ margin at 64 hashes — the same
+    banding-recall contract :func:`minhash_near_duplicates` documents.
+    Fixtures for hash-checked oracles must therefore keep their true
+    pairs comfortably above the threshold (the q_dedup_incremental
+    fixture pairs sit at j ≥ 0.8, where missed-pair probability is
+    < 1e-3 per pair).
     """
     rows_per_band = num_hashes // num_bands
     sig_new = minhash_signatures(
@@ -291,6 +300,32 @@ def minhash_incremental(
         .select("id_new", "id_old")
         .distinct()
     )
+    result = _probe_verified_pairs(
+        cands, sig_new, sig_idx, new_df, index_df,
+        text_col, id_col, threshold, num_hashes, shingle_k,
+    )
+    sig_new.unpersist()
+    sig_idx.unpersist()
+    return result
+
+
+def _probe_verified_pairs(
+    cands: DataFrame,
+    sig_new: DataFrame,
+    sig_idx: DataFrame,
+    new_df: DataFrame,
+    old_texts: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    num_hashes: int,
+    shingle_k: int,
+) -> DataFrame:
+    """Shared tail of the incremental probe shapes: estimate-prefilter
+    candidate (id_new, id_old) pairs on their signatures, then
+    exact-verify from the texts. Eager-materializes the (small) verified
+    set so callers can release their cached signature tables immediately
+    (a lazy return would leak cache entries per invocation)."""
     est_match = F.aggregate(
         F.zip_with("_sa", "_sb", lambda x, y: (x == y).cast("int")),
         F.lit(0),
@@ -316,7 +351,7 @@ def minhash_incremental(
             on="id_new",
         )
         .join(
-            index_df.select(
+            old_texts.select(
                 F.col(id_col).alias("id_old"), F.col(text_col).alias("_txt_b")
             ),
             on="id_old",
@@ -326,18 +361,93 @@ def minhash_incremental(
     )
     inter = F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
     union = F.size(F.array_union("_sh_a", "_sh_b")).cast("double")
-    # eager-materialize the small verified-pair set so both cached
-    # signature tables can be released here (same lifecycle as
-    # containment_pairs — a lazy return would leak two cache entries
-    # per invocation)
-    result = (
+    return (
         joined.withColumn("jaccard", inter / union)
         .where(F.col("jaccard") >= threshold)
         .select("id_new", "id_old", F.round("jaccard", 6).alias("jaccard"))
         .localCheckpoint(eager=True)
     )
+
+
+def minhash_index_append(
+    batch_df: DataFrame,
+    index_path: str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    num_bands: int = 16,
+    seed: int = 42,
+) -> None:
+    """WRITE path of the incremental dedup index: shingle + MinHash the
+    batch ONCE and append its ``(id, sig)`` rows to ``{index}/sigs`` and
+    its ``(id, band_id, band_hash)`` rows to ``{index}/bands`` (parquet,
+    directory-partitioned by band_id so a probe prunes to its band).
+    Each ingest pays only its own signatures — the corpus is never
+    re-shingled. At cluster scale the bands table would instead be a
+    metastore table ``bucketBy(N, "band_hash")`` so probe joins are
+    co-located shuffle-free; the path layout here is the
+    filesystem-only equivalent. Texts are NOT stored — exact
+    verification joins back to the corpus by id, so the index stays
+    skinny (~(8+8·num_hashes) bytes/doc + bands) no matter how large
+    documents are."""
+    rows_per_band = num_hashes // num_bands
+    sig = minhash_signatures(
+        batch_df, text_col, id_col, num_hashes, shingle_k, seed
+    ).persist()
+    sig.write.mode("append").parquet(f"{index_path}/sigs")
+    band_hashes(sig, id_col, num_bands, rows_per_band).write.mode(
+        "append"
+    ).partitionBy("band_id").parquet(f"{index_path}/bands")
+    sig.unpersist()
+
+
+def minhash_probe_index(
+    new_df: DataFrame,
+    index_path: str,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    num_bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """PROBE a new batch against the PERSISTED index maintained by
+    :func:`minhash_index_append` — the full production loop: append
+    batch N, probe batch N+1 against everything ingested so far, append
+    batch N+1, … Cost per ingest is O(|new|·bands) probe rows against
+    the bucketed bands table + exact verification of the surviving
+    candidates; the corpus is touched only by id for candidate texts
+    (a semi-join-sized read, never a re-shingle). ``corpus_df`` must
+    contain the texts of every id previously appended (``seed`` /
+    ``num_hashes`` / ``shingle_k`` must match the index's). Same
+    emitted-pair contract as :func:`minhash_incremental`: no false
+    positives ever; recall w.h.p. by the banding bound documented
+    there."""
+    spark = new_df.sparkSession
+    rows_per_band = num_hashes // num_bands
+    sig_new = minhash_signatures(
+        new_df, text_col, id_col, num_hashes, shingle_k, seed
+    ).persist()
+    bands_idx = spark.read.parquet(f"{index_path}/bands")
+    cands = (
+        band_hashes(sig_new, id_col, num_bands, rows_per_band)
+        .withColumnRenamed(id_col, "id_new")
+        .join(
+            bands_idx.withColumnRenamed(id_col, "id_old"),
+            ["band_id", "band_hash"],
+        )
+        .select("id_new", "id_old")
+        .distinct()
+    )
+    sig_idx = spark.read.parquet(f"{index_path}/sigs")
+    result = _probe_verified_pairs(
+        cands, sig_new, sig_idx, new_df, corpus_df,
+        text_col, id_col, threshold, num_hashes, shingle_k,
+    )
     sig_new.unpersist()
-    sig_idx.unpersist()
     return result
 
 

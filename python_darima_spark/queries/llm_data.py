@@ -457,6 +457,41 @@ def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
     return minhash_incremental(new, idx, threshold=0.5)
 
 
+def q_dedup_index_append(spark: SparkSession, sf: str) -> DataFrame:
+    """Incremental dedup WRITE path round-trip (the production ingest
+    loop): batch 1 (doc_id%5∈{1,2}) and batch 2 (doc_id%5∈{3,4}) are
+    appended to a persisted band/signature index in two separate jobs
+    (operators/dedup.py minhash_index_append — signatures computed once
+    per batch, never re-shingled); the NEW batch (doc_id%5==0) then
+    probes the accumulated index (minhash_probe_index), so the result
+    proves append really accumulates: pairs land against BOTH earlier
+    batches. The oracle is the exact cross-batch Jaccard restatement —
+    identical contract to q_dedup_incremental, now through the persisted
+    index instead of an in-flight signature table."""
+    import os
+    import shutil
+    import tempfile
+
+    from python_darima_spark.operators.dedup import (
+        minhash_index_append,
+        minhash_probe_index,
+    )
+
+    docs = load(spark, sf, "documents")
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"pds_minhash_index_{os.path.basename(os.path.normpath(sf))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    minhash_index_append(docs.where(F.col("doc_id") % 5 == 1), path)
+    minhash_index_append(
+        docs.where((F.col("doc_id") % 5).isin(2, 3, 4)), path
+    )
+    corpus = docs.where(F.col("doc_id") % 5 != 0)
+    new = docs.where(F.col("doc_id") % 5 == 0)
+    return minhash_probe_index(new, path, corpus, threshold=0.5)
+
+
 def q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """Within-document repetition signal (the Gopher/C4-style quality
     rule): fraction of duplicated word-3-grams per doc. Map-only JVM
@@ -1009,6 +1044,31 @@ QUERIES = {
     # Jaccard, so a hash match proves the banded probe missed nothing
     "q_dedup_incremental": QuerySpec(
         q_dedup_incremental,
+        """WITH sh AS (
+             SELECT doc_id,
+                    list_distinct(list_transform(
+                        generate_series(1, greatest(length(text) - 4, 1)),
+                        i -> substring(text, CAST(i AS INT), 5))) AS s
+             FROM documents
+           ), e AS (
+             SELECT doc_id, unnest(s) AS g FROM sh
+           ), sizes AS (
+             SELECT doc_id, len(s) AS n FROM sh
+           ), inter AS (
+             SELECT a.doc_id AS id_new, b.doc_id AS id_old, count(*) AS i
+             FROM e a JOIN e b
+               ON a.g = b.g AND a.doc_id % 5 = 0 AND b.doc_id % 5 != 0
+             GROUP BY 1, 2
+           )
+           SELECT id_new, id_old,
+                  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+           FROM inter
+           JOIN sizes sa ON sa.doc_id = id_new
+           JOIN sizes sb ON sb.doc_id = id_old
+           WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5""",
+    ),
+    "q_dedup_index_append": QuerySpec(
+        q_dedup_index_append,
         """WITH sh AS (
              SELECT doc_id,
                     list_distinct(list_transform(

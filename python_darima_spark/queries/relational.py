@@ -156,7 +156,9 @@ def q_sink_pysource(spark: SparkSession, sf: str) -> DataFrame:
     agg.coalesce(2).write.format("jsonl_dir").option("path", path).mode(
         "append"
     ).save()
-    assert not glob.glob(os.path.join(path, "*.tmp"))  # commit renamed all
+    leftover = glob.glob(os.path.join(path, "*.tmp"))
+    if leftover:  # commit must have renamed every temp (survives python -O)
+        raise RuntimeError(f"jsonl_dir commit left temp files: {leftover}")
     return (
         spark.read.schema("c_mktsegment string, n_cust bigint, sum_bal double")
         .json(os.path.join(path, "*.jsonl"))

@@ -171,6 +171,14 @@ def q_scan_pysource_stream(spark: SparkSession, sf: str) -> DataFrame:
             time.sleep(0.3)
     finally:
         q.stop()
+    landed = spark.table(name).count()
+    if landed < expected:  # distinguish slow-drain timeout from a real
+        # correctness failure — a partial aggregate would hash-mismatch
+        # with no indication the stream simply hadn't finished
+        raise RuntimeError(
+            f"synthetic stream drained {landed}/{expected} rows before the "
+            "120 s deadline — machine too slow, not a correctness failure"
+        )
     y6 = F.round(F.col("y") * 1e6).cast("bigint")
     return (
         spark.table(name)

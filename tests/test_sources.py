@@ -241,3 +241,24 @@ def test_python_datasource_writer_two_phase_commit(spark, tmp_path):
                 assert list(rec) == sorted(rec), "keys must be sorted"
                 rows.append((rec["id"], rec["doubled"], rec["bucket"]))
     assert sorted(rows) == [(i, 2 * i, str(i % 3)) for i in range(100)]
+
+
+def test_python_datasource_writer_append_accumulates(spark, tmp_path):
+    """ADVICE r3: two append jobs must ACCUMULATE (job-unique final
+    filenames), not silently rename over the previous job's partitions;
+    overwrite must still clear every earlier job's files."""
+    from python_darima_spark.sources.pysource import register_jsonl_sink
+
+    register_jsonl_sink(spark)
+    out = str(tmp_path / "jsonl_append")
+    df = spark.range(0, 50).selectExpr("id")
+    w = df.repartition(2).write.format("jsonl_dir").option("path", out)
+    w.mode("append").save()
+    w.mode("append").save()
+    schema = "id bigint"
+    assert spark.read.schema(schema).json(out + "/*.jsonl").count() == 100
+    # same partition count twice → duplicate part ids; job id disambiguates
+    w.mode("overwrite").save()
+    back = spark.read.schema(schema).json(out + "/*.jsonl")
+    assert back.count() == 50
+    assert back.selectExpr("count(distinct id) c").first().c == 50
