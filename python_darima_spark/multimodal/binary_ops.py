@@ -10,20 +10,47 @@ iterator of frames, and Spark never materializes more than
 rows (documents), so these stages scale linearly with executors; keep
 payloads out of shuffle keys and only ever shuffle extracted features.
 
-The actual codecs (PIL/ffmpeg/soundfile) are NOT in this container, so
-``decode_media`` raises NotImplementedError unless ``fake=True``, which
-substitutes a deterministic byte-histogram "decoder" — the Spark-side
-schema, batching, and partitioning are real and tested either way.
+Codec support (round-4): PNG decode/encode is REAL and dependency-free
+(stdlib zlib + numpy, multimodal/codecs.py), so ``decode_media`` /
+``resize_media`` run genuinely on ``image/png`` payloads in this
+container. Other formats (JPEG/WebP/…) use Pillow WHEN IMPORTABLE;
+declaring them without PIL present refuses at PLAN time — the honest
+capability guard the fake path always had. ``fake=True`` keeps the
+deterministic byte-histogram stand-in used by the hash-checked oracles.
 """
 
 from __future__ import annotations
 
+import importlib.util
 from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_HAS_PIL = importlib.util.find_spec("PIL") is not None
+
+
+def _supported_formats() -> set[str]:
+    # PNG always (stdlib codec); everything else only through Pillow
+    return {"image/png"} if not _HAS_PIL else {
+        "image/png", "image/jpeg", "image/webp", "image/bmp", "image/gif",
+    }
+
+
+def _decode_image(payload: bytes, fmt: str) -> np.ndarray:
+    """Real decode: stdlib PNG codec for image/png, Pillow otherwise.
+    Returns a uint8 array (h, w) or (h, w, ch)."""
+    if fmt == "image/png":
+        from python_darima_spark.multimodal.codecs import png_decode
+
+        return png_decode(payload)
+    import io
+
+    from PIL import Image  # guarded by _supported_formats at plan time
+
+    return np.asarray(Image.open(io.BytesIO(payload)))
 
 MEDIA_SCHEMA = (
     "media_id long, modality string, format string, payload binary, "
@@ -65,18 +92,61 @@ def decode_media(
     df: DataFrame,
     fake: bool = False,
     batch_feature_dim: int = 16,
+    formats: tuple[str, ...] = ("image/png",),
 ) -> DataFrame:
     """mapInPandas decode/feature-extract stage.
 
-    Real codecs are unavailable here: ``fake=False`` raises
-    NotImplementedError AT PLAN TIME (not per-row inside executors, where
-    it would surface as a storm of task failures).
+    ``fake=True``: deterministic byte-histogram stand-in over the raw
+    payload (the hash-checked oracle contract; n_bytes = payload bytes).
+
+    ``fake=False``: REAL decode. ``formats`` declares what the payloads
+    contain; any declared format without an available codec refuses AT
+    PLAN TIME (not per-row inside executors, where it would surface as a
+    storm of task failures) — PNG is always available via the stdlib
+    codec, other image formats require Pillow. The feature is the same
+    16-bin L1-normalized histogram, computed over DECODED PIXEL bytes
+    (n_bytes = decoded sample count), so for a losslessly encoded raster
+    real-decode features provably equal the raw-byte features — the
+    q_multimodal_decode_real oracle exploits exactly this.
     """
     if not fake:
-        raise NotImplementedError(
-            "no media codecs in this environment; pass fake=True for the "
-            "deterministic byte-histogram decoder (plumbing is identical)"
-        )
+        missing = sorted(set(formats) - _supported_formats())
+        if missing:
+            raise NotImplementedError(
+                f"no codec for {missing} in this environment "
+                f"(PIL importable: {_HAS_PIL}); PNG is always supported, "
+                "or pass fake=True for the byte-histogram stand-in"
+            )
+        declared = set(formats)
+
+        def extract_real(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                rows = {"media_id": [], "modality": [], "n_bytes": [], "feature": []}
+                for mid, mod, fmt, p in zip(
+                    pdf["media_id"], pdf["modality"], pdf["format"], pdf["payload"]
+                ):
+                    if fmt not in declared:
+                        raise ValueError(
+                            f"media {mid}: format {fmt!r} not in the declared "
+                            f"set {sorted(declared)} — declare it in formats="
+                        )
+                    img = _decode_image(
+                        p if isinstance(p, bytes) else bytes(p), fmt
+                    )
+                    px = img.reshape(-1)
+                    hist = np.bincount(px >> 4, minlength=16).astype(float)
+                    total = hist.sum()
+                    rows["media_id"].append(mid)
+                    rows["modality"].append(mod)
+                    rows["n_bytes"].append(int(px.size))
+                    rows["feature"].append(
+                        (hist / total if total else hist).tolist()
+                    )
+                yield pd.DataFrame(rows)
+
+        return df.mapInPandas(extract_real, FEATURE_SCHEMA)
 
     def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -99,28 +169,134 @@ def decode_media(
     return df.mapInPandas(extract, FEATURE_SCHEMA)
 
 
+def attach_png_from_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Media table with REAL ``image/png`` payloads: each doc's utf-8
+    bytes become a 1×n greyscale raster encoded through the stdlib PNG
+    codec inside an Arrow ``mapInPandas`` stage — genuine encoded bytes
+    (signature, CRCs, DEFLATE), not a fake. Because the encode is
+    lossless, decoded pixels equal the original text bytes, which is
+    what makes a real decode stage SQL-oracle-checkable."""
+    from python_darima_spark.multimodal.codecs import png_encode
+
+    src = df.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("_raw"),
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, widths = [], []
+            for raw in pdf["_raw"]:
+                b = raw if isinstance(raw, bytes) else bytes(raw)
+                b = b if b else b"\x00"  # PNG cannot encode a 0×0 image
+                arr = np.frombuffer(b, dtype=np.uint8)[None, :]
+                payloads.append(png_encode(arr))
+                widths.append(arr.shape[1])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": "image",
+                    "format": "image/png",
+                    "payload": payloads,
+                    "meta_width": widths,
+                    "meta_height": 1,
+                    "meta_duration_s": None,
+                }
+            )
+
+    return src.mapInPandas(encode, MEDIA_SCHEMA)
+
+
 RESIZED_SCHEMA = (
     "media_id long, modality string, payload binary, "
     "meta_width int, meta_height int"
 )
 
 
+def _pool_image(img: np.ndarray, width: int, height: int) -> np.ndarray:
+    """Area-mean-pool a decoded raster to (height, width), per channel,
+    round-half-up — the same arithmetic as the fake path's byte pooling
+    so both are SQL-restatable."""
+    if img.ndim == 2:
+        img = img[:, :, None]
+    h0, w0, ch = img.shape
+    ri = np.minimum((np.arange(h0) * height) // max(h0, 1), height - 1)
+    ci = np.minimum((np.arange(w0) * width) // max(w0, 1), width - 1)
+    flat = (ri[:, None] * width + ci[None, :]).ravel()
+    cnts = np.maximum(np.bincount(flat, minlength=width * height), 1)
+    out = np.empty((height * width, ch), dtype=np.uint8)
+    for c in range(ch):
+        sums = np.bincount(
+            flat, weights=img[:, :, c].ravel().astype(float),
+            minlength=width * height,
+        )
+        out[:, c] = np.floor(sums / cnts + 0.5).astype(np.uint8)
+    res = out.reshape(height, width, ch)
+    return res[:, :, 0] if ch == 1 else res
+
+
 def resize_media(
-    df: DataFrame, width: int = 8, height: int = 8, fake: bool = False
+    df: DataFrame,
+    width: int = 8,
+    height: int = 8,
+    fake: bool = False,
+    formats: tuple[str, ...] = ("image/png",),
 ) -> DataFrame:
     """mapInPandas resize stage: payload in → resized payload out, with
-    updated metadata. Like ``decode_media``, the real codec path refuses
-    at PLAN time; ``fake=True`` runs a deterministic stand-in (treat the
-    payload as a row-major byte raster of its metadata dimensions and
-    mean-pool into the target grid) so schema, batching, and output
-    payload sizing are exercised for real. Output payloads are exactly
-    ``width*height`` bytes — the property downstream batch sizing relies
-    on."""
+    updated metadata.
+
+    ``fake=False`` (round-4): REAL decode → area-mean-pool → re-encode
+    through the stdlib PNG codec (Pillow formats when importable;
+    undecodable declared formats refuse at PLAN time, same guard as
+    ``decode_media``). Output payloads are real PNGs of exactly
+    (height, width).
+
+    ``fake=True``: deterministic stand-in (treat the payload as a
+    row-major byte raster of its metadata dimensions and mean-pool into
+    the target grid) so schema, batching, and output payload sizing are
+    exercised identically; output payloads are exactly ``width*height``
+    raw bytes — the property the hash-checked oracle restates."""
     if not fake:
-        raise NotImplementedError(
-            "no media codecs in this environment; pass fake=True for the "
-            "deterministic mean-pool resizer (plumbing is identical)"
-        )
+        missing = sorted(set(formats) - _supported_formats())
+        if missing:
+            raise NotImplementedError(
+                f"no codec for {missing} in this environment "
+                f"(PIL importable: {_HAS_PIL}); PNG is always supported, "
+                "or pass fake=True for the raw-raster stand-in"
+            )
+        from python_darima_spark.multimodal.codecs import png_encode
+
+        declared = set(formats)
+
+        def resize_real(
+            batches: Iterator[pd.DataFrame],
+        ) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                payloads = []
+                for mid, fmt, p in zip(
+                    pdf["media_id"], pdf["format"], pdf["payload"]
+                ):
+                    if fmt not in declared:
+                        raise ValueError(
+                            f"media {mid}: format {fmt!r} not declared"
+                        )
+                    img = _decode_image(
+                        p if isinstance(p, bytes) else bytes(p), fmt
+                    )
+                    payloads.append(png_encode(_pool_image(img, width, height)))
+                yield pd.DataFrame(
+                    {
+                        "media_id": pdf["media_id"],
+                        "modality": pdf["modality"],
+                        "payload": payloads,
+                        "meta_width": width,
+                        "meta_height": height,
+                    }
+                )
+
+        return df.mapInPandas(resize_real, RESIZED_SCHEMA)
 
     def _pool(payload: bytes, w0: int, h0: int) -> bytes:
         arr = np.frombuffer(payload, dtype=np.uint8).astype(np.float64)
