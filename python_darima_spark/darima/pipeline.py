@@ -51,6 +51,13 @@ class DarimaConfig:
     max_q: int = 2
     max_P: int = 2
     max_Q: int = 1
+    # "grid" (default): exhaustive AIC over the compact bounds above.
+    # "reference": the reference's EXACT search — Hyndman–Khandakar
+    # stepwise under AICc at max.p=max.q=max.P=max.Q=20, max.order=40
+    # (auto_arima.R:74 with forecast's default stepwise=TRUE), overriding
+    # the bounds above. "stepwise": HK stepwise at the configured bounds.
+    search: str = "grid"
+    max_order: int = 40
     # Pin differencing orders instead of per-window holdout selection.
     # Selection is per window and cannot see the cross-window combine: a
     # domain-informed global choice (e.g. (d=0, D=1) for strongly seasonal
@@ -99,6 +106,12 @@ def fit_windows(
     m, tol, method = cfg.period, cfg.tol, cfg.method
     max_p, max_q, max_P = cfg.max_p, cfg.max_q, cfg.max_P
     max_Q = cfg.max_Q
+    search, max_order = cfg.search, cfg.max_order
+    if search == "reference":
+        # reference-bounds parity: auto_arima.R:74
+        search = "stepwise"
+        max_p = max_q = max_P = max_Q = 20
+        max_order = 40
     d_forced, D_forced = cfg.d, cfg.D
 
     @F.pandas_udf("array<double>")
@@ -108,7 +121,7 @@ def fit_windows(
             rows = fit_window_to_coef_rows(
                 np.asarray(arr, dtype=float), m=m, tol=tol, method=method,
                 max_p=max_p, max_q=max_q, max_P=max_P, max_Q=max_Q,
-                d=d_forced, D=D_forced,
+                d=d_forced, D=D_forced, search=search, max_order=max_order,
             )
             out.append([float(v) for _, v in rows])
         return pd.Series(out)

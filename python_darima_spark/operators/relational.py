@@ -138,6 +138,55 @@ def range_join(
     )
 
 
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    lo_a: str,
+    hi_a: str,
+    lo_b: str,
+    hi_b: str,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Interval×interval OVERLAP join as a bucketed EQUI-join — the
+    sibling of :func:`range_join` for the two-intervals case (session vs
+    campaign windows, availability vs booking spans, …).
+
+    Both sides explode onto the fixed-width time buckets they span and
+    hash-join on ``(key, bucket)``; the exact inclusive-overlap predicate
+    ``lo_a ≤ hi_b AND lo_b ≤ hi_a`` stays as a residual filter. Unlike
+    the point case, an overlapping pair shares EVERY bucket in its
+    intersection, so instead of a post-join ``distinct`` (a second
+    shuffle of the full output) each pair is kept only in its FIRST
+    shared bucket — ``bkt = max(⌊lo_a/w⌋, ⌊lo_b/w⌋)``, which both sides
+    are guaranteed to contain — making the match exactly-once by
+    construction. One shuffle per side, same cost as any equi-join, and
+    the residual comparisons are all codegen'd."""
+    b = F.lit(int(bucket_seconds))
+
+    def bkts(lo: str, hi: str):
+        return F.explode(
+            F.sequence(
+                F.floor(epoch_seconds(lo) / b), F.floor(epoch_seconds(hi) / b)
+            )
+        )
+
+    l = left.withColumn("_bkt", bkts(lo_a, hi_a))
+    r = right.withColumn("_bkt", bkts(lo_b, hi_b))
+    first_shared = F.greatest(
+        F.floor(epoch_seconds(lo_a) / b), F.floor(epoch_seconds(lo_b) / b)
+    )
+    return (
+        l.join(r, on=[on, "_bkt"])
+        .where(
+            (F.col(lo_a) <= F.col(hi_b))
+            & (F.col(lo_b) <= F.col(hi_a))
+            & (F.col("_bkt") == first_shared)
+        )
+        .drop("_bkt")
+    )
+
+
 def top_k_per_group(
     df: DataFrame, group_cols: list[str], order_cols: list, k: int
 ) -> DataFrame:

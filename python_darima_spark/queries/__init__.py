@@ -89,13 +89,10 @@ _PRIORITY = [
     "q_dedup_index_append",
     "q_multimodal_decode_real",
     "q_ts_fit_reference_bounds",
-    "q_text_minhash_jaccard_est",
     "q_sample_reservoir",
-    "q_text_dedup_url",
-    "q_agg_hll_union",
-    "q_window_session_rank",
     "q_join_interval_overlap",
     "q_text_ngram_lm",
+    "q_text_quality_gopher",
     "q_embed_pca",
     "q_doc_dedup_pipeline",
     # --- touched by round-4 ADVICE fixes (writer filename scheme /

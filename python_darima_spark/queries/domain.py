@@ -66,6 +66,22 @@ def q_ts_fit_combine_dlsa(spark: SparkSession, sf: str) -> DataFrame:
     return darima(_hourly_series(spark, sf), cfg).coefs
 
 
+def q_ts_fit_reference_bounds(spark: SparkSession, sf: str) -> DataFrame:
+    """DARIMA fit with the REFERENCE'S exact search procedure and bounds:
+    Hyndman–Khandakar stepwise under AICc at max.p=max.q=max.P=max.Q=20,
+    max.order=40 — what forecast::auto.arima actually executes at
+    /root/reference/auto_arima.R:74 (its stepwise=TRUE default means the
+    reference never enumerates the 21⁴ grid either), plus the root-
+    admissibility rejection (|root| ≥ 1.001) R's myarima applies. Parity
+    evidence: GEFCom accuracy band pinned in
+    tests/test_reference_accuracy.py (MASE 2.0966 vs 2.1565 for the
+    compact grid). Fit recursion is not SQL-expressible → rows-only."""
+    cfg = DarimaConfig(
+        num_windows=4, period=24, tol=48, search="reference", method="mean"
+    )
+    return darima(_hourly_series(spark, sf), cfg).coefs
+
+
 def q_ts_forecast(spark: SparkSession, sf: str) -> DataFrame:
     """Fit + combine + 24-step-ahead forecast with 80/95% intervals."""
     series = _hourly_series(spark, sf)
@@ -705,6 +721,7 @@ QUERIES = {
     ),
     "q_ts_fit_combine": QuerySpec(q_ts_fit_combine, None),
     "q_ts_fit_combine_dlsa": QuerySpec(q_ts_fit_combine_dlsa, None),
+    "q_ts_fit_reference_bounds": QuerySpec(q_ts_fit_reference_bounds, None),
     "q_ts_forecast": QuerySpec(q_ts_forecast, None),
     # rows-only: the fold/metric plumbing is hash-verified via
     # q_ts_backtest (seasonal-naive twin); this swaps in the real model

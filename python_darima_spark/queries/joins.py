@@ -168,6 +168,53 @@ def q_join_range(spark: SparkSession, sf: str) -> DataFrame:
     ).select("purchase_id", "click_id")
 
 
+def q_join_interval_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Interval×interval overlap join: per-user activity spans of each
+    event type (min..max ts), paired where the spans intersect —
+    via the bucketed equi-join rewrite with first-shared-bucket
+    exactly-once matching (operators/relational.py
+    interval_overlap_join), never the nested-loop plan a raw
+    ``a.lo <= b.hi AND b.lo <= a.hi`` join gets. The oracle states the
+    naive non-equi formulation; the hash match proves the rewrite emits
+    exactly the overlap set, once each."""
+    from python_darima_spark.operators.relational import interval_overlap_join
+
+    e = load(spark, sf, "events")
+    spans = e.groupBy("user_id", "event_type").agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    )
+    a = spans.select(
+        "user_id",
+        F.col("event_type").alias("type_a"),
+        F.col("lo").alias("lo_a"),
+        F.col("hi").alias("hi_a"),
+    )
+    b = spans.select(
+        "user_id",
+        F.col("event_type").alias("type_b"),
+        F.col("lo").alias("lo_b"),
+        F.col("hi").alias("hi_b"),
+    )
+    return (
+        interval_overlap_join(
+            a, b, on="user_id", lo_a="lo_a", hi_a="hi_a",
+            lo_b="lo_b", hi_b="hi_b", bucket_seconds=86400,
+        )
+        .where(F.col("type_a") < F.col("type_b"))
+        .select(
+            "user_id",
+            "type_a",
+            "type_b",
+            # micro-second integers: exact on both engines (fractional
+            # epoch seconds would hit double rounding)
+            (
+                F.unix_micros(F.least("hi_a", "hi_b").cast("timestamp"))
+                - F.unix_micros(F.greatest("lo_a", "lo_b").cast("timestamp"))
+            ).alias("overlap_us"),
+        )
+    )
+
+
 def q_join_asof(spark: SparkSession, sf: str) -> DataFrame:
     """As-of join: for each purchase event, the latest prior (≤) click by
     the same user. Union+window implementation (see
@@ -234,6 +281,22 @@ QUERIES = {
         q_join_theta,
         """SELECT s_suppkey, n_nationkey, s_acctbal
            FROM supplier JOIN nation ON s_acctbal >= n_nationkey * 300.0""",
+    ),
+    "q_join_interval_overlap": QuerySpec(
+        q_join_interval_overlap,
+        """WITH s AS (
+             SELECT user_id, event_type, min(ts) AS lo, max(ts) AS hi
+             FROM events GROUP BY 1, 2
+           )
+           SELECT a.user_id,
+                  a.event_type AS type_a,
+                  b.event_type AS type_b,
+                  epoch_us(least(a.hi, b.hi)) - epoch_us(greatest(a.lo, b.lo))
+                      AS overlap_us
+           FROM s a JOIN s b
+             ON a.user_id = b.user_id
+            AND a.event_type < b.event_type
+            AND a.lo <= b.hi AND b.lo <= a.hi""",
     ),
     "q_join_range": QuerySpec(
         q_join_range,

@@ -492,6 +492,166 @@ def q_dedup_index_append(spark: SparkSession, sf: str) -> DataFrame:
     return minhash_probe_index(new, path, corpus, threshold=0.5)
 
 
+def q_sample_reservoir(spark: SparkSession, sf: str) -> DataFrame:
+    """Global deterministic k-reservoir: the engine-portable equivalent
+    of uniform reservoir sampling — rank every doc by a keyed hash and
+    keep the k smallest. The plan is TakeOrderedAndProject (per-partition
+    k-heaps + a k-sized driver merge), NOT a global sort: O(n) scan,
+    O(k) memory, one narrow stage — exactly how you'd reservoir-sample
+    100 TB. Hash ranking ≡ a fixed uniform random draw per doc, but
+    reproducible at any partitioning and restatable in SQL (md5 exists
+    in both engines; the 'rsv4' salt decorrelates it from the md5-ranked
+    q_group_sample strata draw)."""
+    docs = ensure_parallelism(load(spark, sf, "documents"))
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            "n_chars",
+            F.md5(F.concat(F.lit("rsv4"), F.col("doc_id").cast("string"))).alias(
+                "_r"
+            ),
+        )
+        .orderBy("_r")
+        .limit(100)
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
+def q_text_ngram_lm(spark: SparkSession, sf: str) -> DataFrame:
+    """Bigram language model with add-1 smoothing, trained and applied
+    in one query — the KenLM-style quality signal one tier above
+    q_text_perplexity's unigram LM: p(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V).
+    Same scale shape as the unigram query: the probability table is
+    observed-bigram-sized (broadcast back), never corpus-sized, and
+    per-doc scores sum INTEGER micro-nats so cross-engine double
+    summation order can't flip the hash."""
+    docs = ensure_parallelism(load(spark, sf, "documents"))
+    words = F.filter(
+        F.split(F.lower("text"), r"\s+"), lambda w: F.length(w) > 0
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - 1, F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", F.element_at(words, i), F.element_at(words, i + 1)
+        ),
+    )
+    # tokens are whitespace-split, so ' ' is an unambiguous bigram
+    # separator and split-on-space recovers the first word exactly
+    doc_bg = docs.where(F.size(words) >= 2).select(
+        "doc_id", F.explode(grams).alias("bg")
+    ).withColumn("w1", F.split("bg", " ")[0])
+    c2 = doc_bg.groupBy("bg", "w1").agg(F.count("*").alias("c2"))
+    uni = docs.select(F.explode(words).alias("w"))
+    c1 = uni.groupBy(F.col("w").alias("w1")).agg(F.count("*").alias("c1"))
+    v = uni.agg(F.countDistinct("w").alias("v"))
+    prob = (
+        c2.join(c1, "w1")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "bg",
+            F.round(
+                F.log((F.col("c2") + 1) / (F.col("c1") + F.col("v"))) * 1e6
+            )
+            .cast("bigint")
+            .alias("lp6"),
+        )
+    )
+    per_doc = (
+        doc_bg.join(F.broadcast(prob), "bg")
+        .groupBy("doc_id")
+        .agg(F.sum("lp6").alias("s"), F.count("*").alias("n_bigrams"))
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_bigrams",
+        F.round(F.exp(-(F.col("s") / 1e6) / F.col("n_bigrams")), 4).alias("ppl2"),
+    )
+
+
+def q_text_quality_gopher(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher/C4-style composite quality gate: the rule battery a
+    curation pipeline actually applies before training — word count in
+    [8, 10k], mean word length in [2, 12], ≥80% alphabetic-containing
+    words, duplicate-3-gram ratio < 30% — emitted as one keep flag plus
+    a reasons BITMASK (bit per failed rule) so downstream can audit
+    drop causes without re-running the rules. Entirely map-only JVM
+    array expressions: at 100 TB this is a single scan stage fused into
+    the reader, no shuffle, no UDF. Ratios are single divisions of
+    exact integer counts, so both engines compute bit-identical doubles
+    and the threshold comparisons can't diverge."""
+    docs = ensure_parallelism(load(spark, sf, "documents"))
+    words = F.filter(
+        F.split(F.lower("text"), r"\s+"), lambda w: F.length(w) > 0
+    )
+    d = docs.where(F.size(words) > 0).select(
+        "doc_id",
+        F.size(words).alias("n_words"),
+        F.aggregate(
+            words, F.lit(0), lambda a, w: a + F.length(w)
+        ).alias("n_chars_w"),
+        F.size(
+            F.filter(words, lambda w: w.rlike("[a-z]"))
+        ).alias("n_alpha_words"),
+        F.size(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(1), F.greatest(F.size(words) - 2, F.lit(1))
+                    ),
+                    lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+                )
+            )
+        ).alias("n_distinct_3g"),
+        F.greatest(F.size(words) - 2, F.lit(1)).alias("n_3g"),
+    )
+    mean_wl = F.col("n_chars_w") / F.col("n_words")
+    alpha_ratio = F.col("n_alpha_words") / F.col("n_words")
+    dup_ratio = 1.0 - F.col("n_distinct_3g") / F.col("n_3g")
+    r_count = (F.col("n_words") < 8) | (F.col("n_words") > 10000)
+    r_wl = (mean_wl < 2.0) | (mean_wl > 12.0)
+    r_alpha = alpha_ratio < 0.8
+    r_dup = dup_ratio >= 0.3
+    reasons = (
+        r_count.cast("int")
+        + r_wl.cast("int") * 2
+        + r_alpha.cast("int") * 4
+        + r_dup.cast("int") * 8
+    )
+    return d.select(
+        "doc_id",
+        "n_words",
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(dup_ratio, 6).alias("dup_3gram_ratio"),
+        reasons.alias("drop_reasons"),
+        (reasons == 0).alias("keep"),
+    )
+
+
+def q_doc_dedup_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The COMPOSED dedup pass a corpus actually runs, end-to-end in one
+    query: exact dedup (sha2 digest, min-id keeper per byte-identical
+    group) → MinHash-LSH near-dup over the survivors → greedy min-id
+    survivorship (drop any doc that near-matches a smaller surviving
+    id; one-hop rule, so the output is order-free and SQL-restatable).
+    Every stage is the scale shape already verified standalone
+    (q_dedup_exact / q_dedup_near); what this entry proves is the
+    COMPOSITION — survivors of stage 1 feed stage 2's shingling, and
+    the final anti-join runs on the verified pair set."""
+    docs = load(spark, sf, "documents")
+    exact_survivors = dedup_exact(docs, "text", "doc_id")
+    pairs = minhash_near_duplicates(
+        exact_survivors, "text", "doc_id", threshold=0.5
+    )
+    dropped = pairs.where(F.col("id_a") < F.col("id_b")).select(
+        F.col("id_b").alias("doc_id")
+    ).distinct()
+    return (
+        exact_survivors.join(dropped, "doc_id", "left_anti")
+        .select("doc_id", "lang", "n_chars")
+    )
+
+
 def q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """Within-document repetition signal (the Gopher/C4-style quality
     rule): fraction of duplicated word-3-grams per doc. Map-only JVM
@@ -617,6 +777,30 @@ def q_embed_normalize(spark: SparkSession, sf: str) -> DataFrame:
         F.aggregate("_q", F.lit(0), lambda a, x: a + x).alias("q_sum"),
         F.array_min("_q").alias("q_min"),
         F.array_max("_q").alias("q_max"),
+    )
+
+
+def q_embed_pca(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed PCA over the embedding column (operators/linalg.py):
+    one treeAggregate-style pass collects a (d+d²)-double partial PER
+    PARTITION (driver cost O(partitions), never O(rows)), the 64×64
+    eigendecomposition runs on the driver, and the projection back out
+    is a map-only Arrow stage with the (k×d) loading matrix in the UDF
+    closure. Eigendecomposition is not SQL-expressible → rows-only
+    driver check; the numpy twin (exact same math on collected data,
+    sign-canonicalized) is asserted in tests/test_llm_data.py."""
+    from python_darima_spark.operators.linalg import pca_fit, pca_project
+
+    emb = ensure_parallelism(load(spark, sf, "embeddings"))
+    mean, vals, comps = pca_fit(emb, "embedding", k=4)
+    out = pca_project(emb, mean, comps, "embedding")
+    return out.select(
+        "vec_id",
+        "label",
+        *[
+            F.round(F.element_at("pc", i + 1), 4).alias(f"pc{i + 1}")
+            for i in range(4)
+        ],
     )
 
 
@@ -1117,6 +1301,121 @@ QUERIES = {
            JOIN sizes sa ON sa.doc_id = id_new
            JOIN sizes sb ON sb.doc_id = id_old
            WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5""",
+    ),
+    # eigendecomposition is inherently non-SQL → rows-only driver check;
+    # numpy-twin parity asserted in tests/test_llm_data.py
+    "q_embed_pca": QuerySpec(q_embed_pca, None),
+    "q_sample_reservoir": QuerySpec(
+        q_sample_reservoir,
+        """SELECT doc_id, lang, n_chars FROM documents
+           ORDER BY md5('rsv4' || CAST(doc_id AS VARCHAR)) LIMIT 100""",
+    ),
+    "q_text_ngram_lm": QuerySpec(
+        q_text_ngram_lm,
+        r"""WITH w AS (
+             SELECT doc_id,
+                    list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> length(x) > 0) AS ws
+             FROM documents
+           ), bg AS (
+             SELECT doc_id,
+                    unnest(list_transform(
+                        generate_series(1, len(ws) - 1),
+                        i -> ws[i] || ' ' || ws[i + 1])) AS bg
+             FROM w WHERE len(ws) >= 2
+           ), c2 AS (
+             SELECT bg, string_split(bg, ' ')[1] AS w1, count(*) AS c2
+             FROM bg GROUP BY 1, 2
+           ), uni AS (
+             SELECT unnest(ws) AS w FROM w
+           ), c1 AS (
+             SELECT w AS w1, count(*) AS c1 FROM uni GROUP BY 1
+           ), v AS (
+             SELECT count(DISTINCT w) AS v FROM uni
+           ), prob AS (
+             SELECT bg,
+                    CAST(round(ln((c2 + 1.0) / (c1 + v)) * 1e6) AS BIGINT)
+                        AS lp6
+             FROM c2 JOIN c1 USING (w1) CROSS JOIN v
+           )
+           SELECT doc_id,
+                  count(*) AS n_bigrams,
+                  round(exp(-(sum(lp6) / 1e6) / count(*)), 4) AS ppl2
+           FROM bg JOIN prob USING (bg) GROUP BY doc_id""",
+    ),
+    "q_text_quality_gopher": QuerySpec(
+        q_text_quality_gopher,
+        r"""WITH w AS (
+             SELECT doc_id,
+                    list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> length(x) > 0) AS ws
+             FROM documents
+           ), d AS (
+             SELECT doc_id,
+                    len(ws) AS n_words,
+                    list_sum(list_transform(ws, x -> length(x))) AS n_chars_w,
+                    len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+                        AS n_alpha_words,
+                    len(list_distinct(list_transform(
+                        generate_series(1, greatest(len(ws) - 2, 1)),
+                        i -> array_to_string(ws[i:i+2], ' '))))
+                        AS n_distinct_3g,
+                    greatest(len(ws) - 2, 1) AS n_3g
+             FROM w WHERE len(ws) > 0
+           )
+           SELECT doc_id,
+                  CAST(n_words AS INT) AS n_words,
+                  round(n_chars_w * 1.0 / n_words, 6) AS mean_word_len,
+                  round(1.0 - n_distinct_3g * 1.0 / n_3g, 6)
+                      AS dup_3gram_ratio,
+                  CAST((CASE WHEN n_words < 8 OR n_words > 10000
+                             THEN 1 ELSE 0 END)
+                     + (CASE WHEN n_chars_w * 1.0 / n_words < 2.0
+                               OR n_chars_w * 1.0 / n_words > 12.0
+                             THEN 2 ELSE 0 END)
+                     + (CASE WHEN n_alpha_words * 1.0 / n_words < 0.8
+                             THEN 4 ELSE 0 END)
+                     + (CASE WHEN 1.0 - n_distinct_3g * 1.0 / n_3g >= 0.3
+                             THEN 8 ELSE 0 END) AS INT) AS drop_reasons,
+                  ((n_words >= 8 AND n_words <= 10000)
+                   AND n_chars_w * 1.0 / n_words >= 2.0
+                   AND n_chars_w * 1.0 / n_words <= 12.0
+                   AND n_alpha_words * 1.0 / n_words >= 0.8
+                   AND 1.0 - n_distinct_3g * 1.0 / n_3g < 0.3) AS keep
+           FROM d""",
+    ),
+    "q_doc_dedup_pipeline": QuerySpec(
+        q_doc_dedup_pipeline,
+        """WITH keyed AS (
+             SELECT doc_id, sha256(text) AS digest FROM documents
+           ), keepers AS (
+             SELECT min(doc_id) AS doc_id FROM keyed GROUP BY digest
+           ), surv AS (
+             SELECT d.doc_id, d.lang, d.n_chars, d.text
+             FROM keepers k JOIN documents d USING (doc_id)
+           ), sh AS (
+             SELECT doc_id,
+                    list_distinct(list_transform(
+                        generate_series(1, greatest(length(text) - 4, 1)),
+                        i -> substring(text, CAST(i AS INT), 5))) AS s
+             FROM surv
+           ), e AS (
+             SELECT doc_id, unnest(s) AS g FROM sh
+           ), sizes AS (
+             SELECT doc_id, len(s) AS n FROM sh
+           ), inter AS (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+             FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+             GROUP BY 1, 2
+           ), dropped AS (
+             SELECT DISTINCT id_b AS doc_id
+             FROM inter
+             JOIN sizes sa ON sa.doc_id = id_a
+             JOIN sizes sb ON sb.doc_id = id_b
+             WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+           )
+           SELECT s.doc_id, s.lang, s.n_chars
+           FROM surv s ANTI JOIN dropped d ON s.doc_id = d.doc_id""",
     ),
     "q_shuffle_shard": QuerySpec(
         q_shuffle_shard,

@@ -145,3 +145,39 @@ def test_seasonal_ma_beats_misspecified_fit():
     without_q = auto_ar_fit(y, m=m, max_p=3, max_q=1, max_P=1, max_Q=0, d=0, D=0)
     assert with_q["sigma2"] <= without_q["sigma2"] * 1.001
     assert with_q["sma"].size == 1
+
+
+def test_stepwise_recovers_ar2_and_respects_bounds():
+    """HK stepwise at reference bounds must land on a model close to the
+    truth for a clean AR(2) and never exceed the declared order caps."""
+    y = _simulate_ar([0.5, 0.3], 2000, mu=10.0, seed=3)
+    fit = auto_ar_fit(
+        y, m=1, max_p=20, max_q=20, max_P=20, max_Q=20,
+        search="stepwise", max_order=40, d=0, D=0,
+    )
+    p, q = len(fit["ar"]), len(fit["ma"])
+    assert 1 <= p <= 20 and 0 <= q <= 20 and p + q <= 40
+    # the AR mass at lags 1-2 should dominate whatever enrichment AICc kept
+    assert fit["ar"][0] == pytest.approx(0.5, abs=0.12)
+    # and the linearized pi operator forecasts sanely (non-explosive)
+    assert np.isfinite(fit["pi"]).all() and np.abs(fit["pi"]).sum() < 5.0
+
+
+def test_roots_admissibility_rejects_explosive():
+    """The forecast::myarima admissibility check: explosive AR and
+    non-invertible MA candidates are rejected; stationary ones pass."""
+    from python_darima_spark.darima.fit import _roots_admissible
+
+    def cand(ar=(), ma=(), P=0, Q=0):
+        ar, ma = list(ar), list(ma)
+        beta = np.array([0.0] + ar + ma)
+        return {
+            "p": len(ar), "q": len(ma), "P": 0, "Q": 0,
+            "beta": beta, "n_eff": 100, "aic": 0.0, "sigma2": 1.0,
+        }
+
+    assert _roots_admissible(cand(ar=[0.5]))
+    assert not _roots_admissible(cand(ar=[1.05]))       # explosive AR
+    assert not _roots_admissible(cand(ar=[0.7, 0.31]))  # root ~ unit circle
+    assert _roots_admissible(cand(ma=[0.5]))
+    assert not _roots_admissible(cand(ma=[-1.2]))       # non-invertible MA

@@ -275,6 +275,40 @@ def test_embedding_near_dup_recall_at_threshold(spark):
     assert recall >= 0.9, f"recall {recall:.2f} over {len(truth)} true pairs"
 
 
+def test_pca_matches_numpy_twin(spark, sf_dir):
+    """Distributed PCA (partition Gram partials + driver eigh) must
+    reproduce single-node numpy PCA exactly: same spectrum, orthonormal
+    sign-canonicalized components, same projections."""
+    from python_darima_spark.operators.linalg import pca_fit, pca_project
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    mean, vals, comps = pca_fit(emb, "embedding", k=4)
+
+    local = emb.orderBy("vec_id").toPandas()
+    X = np.asarray(local["embedding"].tolist(), dtype=float)
+    mu = X.mean(0)
+    cov = (X - mu).T @ (X - mu) / X.shape[0]
+    ev, evec = np.linalg.eigh(cov)
+    order = np.argsort(ev)[::-1][:4]
+    np.testing.assert_allclose(mean, mu, atol=1e-9)
+    np.testing.assert_allclose(vals, ev[order], rtol=1e-8)
+    # orthonormal components, canonical sign
+    np.testing.assert_allclose(comps @ comps.T, np.eye(4), atol=1e-9)
+    for i in range(4):
+        assert comps[i, np.abs(comps[i]).argmax()] > 0
+    # distributed projection == numpy projection, row-aligned by vec_id
+    got = (
+        pca_project(emb, mean, comps, "embedding")
+        .orderBy("vec_id")
+        .toPandas()
+    )
+    assert (got.vec_id.to_numpy() == local.vec_id.to_numpy()).all()
+    want = (X - mu) @ comps.T
+    np.testing.assert_allclose(np.asarray(got.pc.tolist()), want, atol=1e-8)
+    # spectrum actually explains variance in decreasing order
+    assert vals[0] >= vals[1] >= vals[2] >= vals[3] >= 0
+
+
 def test_bounded_query_guard_refuses(spark, monkeypatch):
     """VERDICT r3 ask #8: ivf_topk/pq_topk collect the query side under a
     bounded contract — an over-bound query set must fail at plan time
@@ -410,10 +444,15 @@ def test_resize_media_fake_pooling(spark):
     a = out.sort_values("media_id").payload.map(bytes).tolist()
     b = out2.sort_values("media_id").payload.map(bytes).tolist()
     assert a == b
-    # real codec path refuses at plan time
+    # a declared format with no codec still refuses at plan time (PNG is
+    # genuinely resizable now — tests/test_codecs.py covers the real path)
+    import importlib.util
+
     import pytest as _pt
-    with _pt.raises(NotImplementedError):
-        resize_media(media, fake=False)
+
+    if importlib.util.find_spec("PIL") is None:
+        with _pt.raises(NotImplementedError):
+            resize_media(media, fake=False, formats=("image/webp",))
 
 
 def test_pack_greedy_vs_python_and_capacity(spark):
