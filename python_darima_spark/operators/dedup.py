@@ -141,10 +141,33 @@ def minhash_candidate_pairs(
     id_col: str = "doc_id",
     num_bands: int = 16,
     rows_per_band: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """LSH banding: docs sharing any band hash become candidate pairs.
-    Shuffle key is (band_id, band_hash) — n·bands rows total, never n²."""
+    Shuffle key is (band_id, band_hash) — n·bands rows total, never n².
+
+    ``max_bucket_size``: per-bucket self-joins are quadratic in bucket
+    size, so one HOT bucket (boilerplate text whose common shingles win
+    several minhash minima across unrelated docs) can dominate the whole
+    candidate stage — the sf1 scale probe measured candidates growing
+    17× for 10× docs on the dense-vocabulary fixture for exactly this
+    reason. Setting a cap skips buckets larger than the cap (one extra
+    keyed count, then a semi-filter), the standard production LSH
+    mitigation: a pair whose EVERY shared band is hot is dropped
+    (bounded recall cost — genuinely near-dup pairs collide in many
+    bands, so they survive unless all their bands are hot), while cost
+    becomes ≤ cap × bucket rows. Default None keeps the exact banding
+    contract the hash-checked oracles verify."""
     exploded = band_hashes(sig_df, id_col, num_bands, rows_per_band)
+    if max_bucket_size is not None:
+        sizes = exploded.groupBy("band_id", "band_hash").agg(
+            F.count("*").alias("_bsz")
+        )
+        exploded = (
+            exploded.join(sizes, ["band_id", "band_hash"])
+            .where(F.col("_bsz") <= max_bucket_size)
+            .drop("_bsz")
+        )
     l = exploded.alias("l")
     r = exploded.alias("r")
     return (
@@ -170,6 +193,7 @@ def minhash_near_duplicates(
     shingle_k: int = 5,
     num_bands: int = 16,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """End-to-end near-dup pairs: MinHash → LSH candidates → signature
     Jaccard-estimate prefilter → EXACT Jaccard verification. Returns
@@ -195,7 +219,9 @@ def minhash_near_duplicates(
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_k, seed
     ).persist()
-    cands = minhash_candidate_pairs(sigs, id_col, num_bands, rows_per_band)
+    cands = minhash_candidate_pairs(
+        sigs, id_col, num_bands, rows_per_band, max_bucket_size
+    )
     est_match = F.aggregate(
         F.zip_with("_sa", "_sb", lambda x, y: (x == y).cast("int")),
         F.lit(0),

@@ -694,3 +694,40 @@ def test_pq_codes_compact_and_twin_ranks_first(spark):
     for q in range(4):
         mine = top[top.query_id == q].sort_values("adc_dist")
         assert mine.neighbor_id.iloc[0] == q + 10000, mine.head()
+
+
+def test_minhash_hot_bucket_cap_prunes_but_keeps_true_pairs(spark):
+    """The max_bucket_size knob (sf1 scale-probe finding): a boilerplate
+    block shared by many unrelated docs creates one hot LSH bucket whose
+    self-join is quadratic. With the cap, candidates from the hot bucket
+    are skipped while a genuinely near-dup pair — which collides in its
+    own non-hot bands — is still found."""
+    import pandas as pd
+
+    from python_darima_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        minhash_near_duplicates,
+        minhash_signatures,
+    )
+
+    boiler = "subscribe to our newsletter for updates terms apply "
+    rows = [
+        # 40 unrelated docs sharing ONLY the boilerplate prefix
+        {"doc_id": i, "text": boiler + f"unique tail {i} " + "x" * i}
+        for i in range(40)
+    ]
+    # plus one true near-dup pair with its own distinct content
+    twin = "completely different content about distributed query engines " * 3
+    rows += [
+        {"doc_id": 100, "text": twin},
+        {"doc_id": 101, "text": twin + " tiny suffix"},
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    sigs = minhash_signatures(df)
+    uncapped = minhash_candidate_pairs(sigs).count()
+    capped = minhash_candidate_pairs(sigs, max_bucket_size=10).count()
+    assert capped < uncapped  # the hot buckets actually pruned
+    pairs = minhash_near_duplicates(
+        df, threshold=0.5, max_bucket_size=10
+    ).toPandas()
+    assert ((pairs.id_a == 100) & (pairs.id_b == 101)).any()

@@ -104,3 +104,49 @@ def test_range_join_matches_naive_between(spark, points, intervals, span_h):
     assert got_set == want_set
     # exactly-once: no duplicate pairs survived the bucket explosion
     assert len(got) == len(got_set)
+
+
+@given(
+    left=ROWS,
+    right=ROWS,
+    span_l=st.integers(min_value=0, max_value=5),
+    span_r=st.integers(min_value=0, max_value=5),
+)
+@settings(**_SETTINGS)
+def test_interval_overlap_join_matches_naive(spark, left, right, span_l, span_r):
+    """Bucketed interval×interval overlap (first-shared-bucket matching)
+    must emit exactly the naive inclusive-overlap pair set, once each —
+    across interval spans shorter and longer than the bucket width."""
+    from python_darima_spark.operators.relational import interval_overlap_join
+
+    lp, rp = _to_pdf(left), _to_pdf(right, id_start=1000)
+    if not len(lp) or not len(rp):
+        return
+    lp = lp.assign(lo_a=lp["ts"], hi_a=lp["ts"] + pd.Timedelta(hours=span_l))
+    rp = rp.assign(lo_b=rp["ts"], hi_b=rp["ts"] + pd.Timedelta(hours=span_r))
+
+    got = (
+        interval_overlap_join(
+            spark.createDataFrame(lp[["k", "rid", "lo_a", "hi_a"]]),
+            spark.createDataFrame(
+                rp[["k", "rid", "lo_b", "hi_b"]].rename(columns={"rid": "iid"})
+            ),
+            on="k", lo_a="lo_a", hi_a="hi_a", lo_b="lo_b", hi_b="hi_b",
+            bucket_seconds=7200,
+        )
+        .select("rid", "iid")
+        .toPandas()
+    )
+    got_pairs = list(map(tuple, got.to_numpy()))
+
+    naive = lp.merge(
+        rp.rename(columns={"rid": "iid"}), on="k", suffixes=("_l", "_r")
+    )
+    naive = naive[
+        (naive["lo_a"] <= naive["hi_b"]) & (naive["lo_b"] <= naive["hi_a"])
+    ]
+    want = set(zip(naive["rid"], naive["iid"]))
+
+    assert set(got_pairs) == want
+    # exactly-once: the first-shared-bucket rule deduplicates by construction
+    assert len(got_pairs) == len(set(got_pairs))

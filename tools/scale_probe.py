@@ -11,10 +11,15 @@ same keys; dimension tables nation/region stay fixed like TPC-H dims):
   foreign keys shifted consistently so referential joins stay 1:N;
 * events: copy k>0 gets suffixed event_type (new series) and shifted
   event_id/user_id — the q_ts_many_series parallel axis grows 10×;
-* documents: shifted doc_id; copy k>0 texts get a per-copy salt so
-  cross-copy near-dup pairs don't explode quadratically (original
-  WITHIN-copy dup structure is preserved in every copy → dedup output
-  scales linearly, as a real 10× corpus would);
+* documents: shifted doc_id; copy k>0 texts are alphabet-ROTATED
+  (translate with a per-copy Caesar map — a bijection applied
+  uniformly), which preserves the original WITHIN-copy dup/near-dup
+  structure exactly while destroying cross-copy shingle overlap, so
+  dedup output scales linearly like a real 10× corpus. (The first
+  attempt appended a short per-copy salt; long docs kept >0.5 Jaccard
+  to their 9 siblings, every copy group became a genuine near-dup
+  clique, and q_dedup_near measured a bogus 38.8× "super-linear" ratio
+  that was really quadratic TRUE-PAIR growth in the synthetic data.);
 * embeddings: shifted vec_id, vectors unchanged.
 
 Then times each probe query at sf0.1 and sf1 (noop-format write, same
@@ -106,7 +111,17 @@ def build() -> None:
     copy("part", f"p_partkey + k*{P} AS p_partkey, p_name, p_brand, p_type, p_size, p_retailprice")
     copy("supplier", f"s_suppkey + k*{S} AS s_suppkey, s_name, s_nationkey, s_acctbal")
     copy("events", f"event_id + k*{E} AS event_id, ts, user_id + k*{U} AS user_id, CASE WHEN k = 0 THEN event_type ELSE event_type || '_' || k END AS event_type, value, props")
-    copy("documents", f"doc_id + k*{D} AS doc_id, CASE WHEN k = 0 THEN text ELSE text || ' zq' || k || 'x' || doc_id END AS text, lang, source, CAST(length(CASE WHEN k = 0 THEN text ELSE text || ' zq' || k || 'x' || doc_id END) AS INT) AS n_chars")
+    az = "abcdefghijklmnopqrstuvwxyz"
+    rot = " ".join(
+        f"WHEN {k} THEN translate(text, '{az}', '{az[k:] + az[:k]}')"
+        for k in range(1, FACTOR)
+    )
+    rot_text = f"CASE k {rot} ELSE text END"
+    copy(
+        "documents",
+        f"doc_id + k*{D} AS doc_id, {rot_text} AS text, lang, source, "
+        f"CAST(length(text) AS INT) AS n_chars",
+    )
     copy("embeddings", f"vec_id + k*{V} AS vec_id, embedding, label")
     for dim in ("nation", "region"):
         dst = f"{OUT}/{dim}.parquet"
