@@ -95,6 +95,8 @@ _PRIORITY = [
     "q_text_quality_gopher",
     "q_embed_pca",
     "q_doc_dedup_pipeline",
+    "q_dedup_exact_substr",
+    "q_ts_anomaly_mad",
     # --- touched by round-4 ADVICE fixes (writer filename scheme /
     # stream-drain guard); rows were green in r3 but re-verify.
     "q_sink_pysource",

@@ -198,6 +198,39 @@ def q_ts_stl(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ts_anomaly_mad(spark: SparkSession, sf: str) -> DataFrame:
+    """BATCH robust anomaly detection per series: rolling 24-row median
+    + IQR over events (the Tukey-fence variant of median/MAD — IQR is
+    frame-expressible as two quantiles where a true MAD would need a
+    nested median-of-deviations window), flag |y − med| > 1.5·IQR. The
+    batch complement of the STREAMING q_stream_anomaly EWMA detector,
+    and fully SQL-expressible, so the driver hash-checks it. One keyed
+    window per series — no global sort; frames are ROWS-based over a
+    deterministic (ts, event_id) order so both engines see identical
+    frame contents; quantile interpolation on identical doubles is
+    bit-identical, so the flag set cannot diverge."""
+    from python_darima_spark.operators import fan_out
+
+    e = fan_out(load(spark, sf, "events"), "event_type")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-23, 0)
+    )
+    med = F.expr("percentile(value, 0.5)").over(w)
+    p25 = F.expr("percentile(value, 0.25)").over(w)
+    p75 = F.expr("percentile(value, 0.75)").over(w)
+    d = e.select(
+        "event_id",
+        "event_type",
+        F.round("value", 6).alias("value"),
+        F.round(med, 6).alias("med"),
+        F.round(p75 - p25, 6).alias("iqr"),
+        (F.abs(F.col("value") - med) > 1.5 * (p75 - p25)).alias("is_anomaly"),
+    )
+    return d
+
+
 def q_ts_changepoint(spark: SparkSession, sf: str) -> DataFrame:
     """Offline CUSUM changepoint per series (Page 1954 shape, depth-1
     binary segmentation): S_t = Σ_{i≤t}(y_i − ȳ); the mean-shift point is
@@ -687,6 +720,24 @@ QUERIES = {
            SELECT dt.series_id, dt.ts, dt.y, dt.trend, seas.seasonal,
                   round(dt.detr - seas.seasonal, 6) AS resid
            FROM dt JOIN seas USING (series_id, hod)""",
+    ),
+    "q_ts_anomaly_mad": QuerySpec(
+        q_ts_anomaly_mad,
+        """WITH x AS (
+             SELECT event_id, event_type, value,
+                    quantile_cont(value, 0.5) OVER w AS med,
+                    quantile_cont(value, 0.25) OVER w AS p25,
+                    quantile_cont(value, 0.75) OVER w AS p75
+             FROM events
+             WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                          ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+           )
+           SELECT event_id, event_type,
+                  round(value, 6) AS value,
+                  round(med, 6) AS med,
+                  round(p75 - p25, 6) AS iqr,
+                  abs(value - med) > 1.5 * (p75 - p25) AS is_anomaly
+           FROM x""",
     ),
     "q_ts_changepoint": QuerySpec(
         q_ts_changepoint,

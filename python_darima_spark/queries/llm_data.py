@@ -652,6 +652,48 @@ def q_doc_dedup_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_exact_substr(spark: SparkSession, sf: str) -> DataFrame:
+    """EXACT-SUBSTRING dedup signal (the Lee et al. 'Deduplicating
+    Training Data' family, approximated at fixed span length): every
+    8-word span is counted corpus-wide; a doc's copied-content ratio is
+    the fraction of its spans that appear in ANY other document. The
+    suffix-array build the paper uses is replaced by the distributed
+    shape: explode spans (map-only, inside the scan stage), one count
+    agg keyed by span, join back, per-doc ratio — at 100 TB the span
+    table shuffles on the span hash like any keyed agg, and docs with
+    ratio above a cut are the cross-doc-boilerplate removals. Span
+    counts use the span STRING itself as the key here (hash-free) so
+    the DuckDB restatement is exact."""
+    docs = ensure_parallelism(load(spark, sf, "documents"))
+    words = F.filter(
+        F.split(F.lower("text"), r"\s+"), lambda w: F.length(w) > 0
+    )
+    spans = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - 7, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, 8)),
+    )
+    doc_spans = docs.where(F.size(words) >= 8).select(
+        "doc_id", F.explode(F.array_distinct(spans)).alias("span")
+    )
+    span_docs = doc_spans.groupBy("span").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    per_doc = (
+        doc_spans.join(span_docs, "span")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.sum((F.col("n_docs") > 1).cast("int")).alias("n_shared"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_spans",
+        "n_shared",
+        F.round(F.col("n_shared") / F.col("n_spans"), 6).alias("copied_ratio"),
+    )
+
+
 def q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """Within-document repetition signal (the Gopher/C4-style quality
     rule): fraction of duplicated word-3-grams per doc. Map-only JVM
@@ -1305,6 +1347,32 @@ QUERIES = {
     # eigendecomposition is inherently non-SQL → rows-only driver check;
     # numpy-twin parity asserted in tests/test_llm_data.py
     "q_embed_pca": QuerySpec(q_embed_pca, None),
+    "q_dedup_exact_substr": QuerySpec(
+        q_dedup_exact_substr,
+        r"""WITH w AS (
+             SELECT doc_id,
+                    list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> length(x) > 0) AS ws
+             FROM documents
+           ), ds AS (
+             SELECT DISTINCT doc_id, span FROM (
+               SELECT doc_id,
+                      unnest(list_transform(
+                          generate_series(1, greatest(len(ws) - 7, 1)),
+                          i -> array_to_string(ws[i:i+7], ' '))) AS span
+               FROM w WHERE len(ws) >= 8
+             )
+           ), sd AS (
+             SELECT span, count(DISTINCT doc_id) AS n_docs FROM ds GROUP BY 1
+           )
+           SELECT doc_id,
+                  count(*) AS n_spans,
+                  CAST(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                      AS n_shared,
+                  round(sum(CASE WHEN n_docs > 1 THEN 1 ELSE 0 END) * 1.0
+                        / count(*), 6) AS copied_ratio
+           FROM ds JOIN sd USING (span) GROUP BY doc_id""",
+    ),
     "q_sample_reservoir": QuerySpec(
         q_sample_reservoir,
         """SELECT doc_id, lang, n_chars FROM documents
