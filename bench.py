@@ -68,6 +68,15 @@ HEADLINE = [
     "q_ts_eval_metrics",
     "q_graph_pagerank",
     "q_dedup_incremental",
+    "q_dedup_index_append",
+    "q_doc_dedup_pipeline",
+    "q_multimodal_decode_real",
+    "q_text_ngram_lm",
+    "q_text_quality_gopher",
+    "q_embed_pca",
+    "q_join_interval_overlap",
+    "q_dedup_exact_substr",
+    "q_ts_anomaly_mad",
 ]
 
 

@@ -527,22 +527,25 @@ def q_text_ngram_lm(spark: SparkSession, sf: str) -> DataFrame:
     per-doc scores sum INTEGER micro-nats so cross-engine double
     summation order can't flip the hash."""
     docs = ensure_parallelism(load(spark, sf, "documents"))
-    words = F.filter(
-        F.split(F.lower("text"), r"\s+"), lambda w: F.length(w) > 0
+    # tokenize once into a projected column (interpreted HOFs get no CSE)
+    base = docs.withColumn(
+        "_ws",
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda w: F.length(w) > 0),
     )
+    ws = F.col("_ws")
     grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - 1, F.lit(1))),
+        F.sequence(F.lit(1), F.greatest(F.size(ws) - 1, F.lit(1))),
         lambda i: F.concat_ws(
-            " ", F.element_at(words, i), F.element_at(words, i + 1)
+            " ", F.element_at(ws, i), F.element_at(ws, i + 1)
         ),
     )
     # tokens are whitespace-split, so ' ' is an unambiguous bigram
     # separator and split-on-space recovers the first word exactly
-    doc_bg = docs.where(F.size(words) >= 2).select(
+    doc_bg = base.where(F.size(ws) >= 2).select(
         "doc_id", F.explode(grams).alias("bg")
     ).withColumn("w1", F.split("bg", " ")[0])
     c2 = doc_bg.groupBy("bg", "w1").agg(F.count("*").alias("c2"))
-    uni = docs.select(F.explode(words).alias("w"))
+    uni = base.select(F.explode(ws).alias("w"))
     c1 = uni.groupBy(F.col("w").alias("w1")).agg(F.count("*").alias("c1"))
     v = uni.agg(F.countDistinct("w").alias("v"))
     prob = (
@@ -581,29 +584,40 @@ def q_text_quality_gopher(spark: SparkSession, sf: str) -> DataFrame:
     exact integer counts, so both engines compute bit-identical doubles
     and the threshold comparisons can't diverge."""
     docs = ensure_parallelism(load(spark, sf, "documents"))
-    words = F.filter(
-        F.split(F.lower("text"), r"\s+"), lambda w: F.length(w) > 0
-    )
-    d = docs.where(F.size(words) > 0).select(
-        "doc_id",
-        F.size(words).alias("n_words"),
-        F.aggregate(
-            words, F.lit(0), lambda a, w: a + F.length(w)
-        ).alias("n_chars_w"),
-        F.size(
-            F.filter(words, lambda w: w.rlike("[a-z]"))
-        ).alias("n_alpha_words"),
-        F.size(
-            F.array_distinct(
-                F.transform(
-                    F.sequence(
-                        F.lit(1), F.greatest(F.size(words) - 2, F.lit(1))
-                    ),
-                    lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+    # project the tokenization ONCE: higher-order lambdas are interpreted
+    # (no codegen CSE), so inlining `words` into each of the five rule
+    # expressions re-splits the text five times — measured ~3 s vs ~1 s
+    # for the same rules over a materialized array column at sf0.1
+    ws = F.col("_ws")
+    d = (
+        docs.withColumn(
+            "_ws",
+            F.filter(
+                F.split(F.lower("text"), r"\s+"), lambda w: F.length(w) > 0
+            ),
+        )
+        .where(F.size(ws) > 0)
+        .select(
+            "doc_id",
+            F.size(ws).alias("n_words"),
+            F.aggregate(
+                ws, F.lit(0), lambda a, w: a + F.length(w)
+            ).alias("n_chars_w"),
+            F.size(
+                F.filter(ws, lambda w: w.rlike("[a-z]"))
+            ).alias("n_alpha_words"),
+            F.size(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(
+                            F.lit(1), F.greatest(F.size(ws) - 2, F.lit(1))
+                        ),
+                        lambda i: F.concat_ws(" ", F.slice(ws, i, 3)),
+                    )
                 )
-            )
-        ).alias("n_distinct_3g"),
-        F.greatest(F.size(words) - 2, F.lit(1)).alias("n_3g"),
+            ).alias("n_distinct_3g"),
+            F.greatest(F.size(ws) - 2, F.lit(1)).alias("n_3g"),
+        )
     )
     mean_wl = F.col("n_chars_w") / F.col("n_words")
     alpha_ratio = F.col("n_alpha_words") / F.col("n_words")
@@ -665,14 +679,16 @@ def q_dedup_exact_substr(spark: SparkSession, sf: str) -> DataFrame:
     counts use the span STRING itself as the key here (hash-free) so
     the DuckDB restatement is exact."""
     docs = ensure_parallelism(load(spark, sf, "documents"))
-    words = F.filter(
-        F.split(F.lower("text"), r"\s+"), lambda w: F.length(w) > 0
+    base = docs.withColumn(
+        "_ws",
+        F.filter(F.split(F.lower("text"), r"\s+"), lambda w: F.length(w) > 0),
     )
+    ws = F.col("_ws")
     spans = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - 7, F.lit(1))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, 8)),
+        F.sequence(F.lit(1), F.greatest(F.size(ws) - 7, F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(ws, i, 8)),
     )
-    doc_spans = docs.where(F.size(words) >= 8).select(
+    doc_spans = base.where(F.size(ws) >= 8).select(
         "doc_id", F.explode(F.array_distinct(spans)).alias("span")
     )
     span_docs = doc_spans.groupBy("span").agg(
