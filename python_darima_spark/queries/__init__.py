@@ -97,6 +97,8 @@ _PRIORITY = [
     "q_doc_dedup_pipeline",
     "q_dedup_exact_substr",
     "q_ts_anomaly_mad",
+    "q_stream_dedup_rocksdb",
+    "q_scan_binaryfile",
     # --- touched by round-4 ADVICE fixes (writer filename scheme /
     # stream-drain guard); rows were green in r3 but re-verify.
     "q_sink_pysource",

@@ -1164,6 +1164,80 @@ def q_multimodal_decode_real(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_scan_binaryfile(spark: SparkSession, sf: str) -> DataFrame:
+    """Spark's ``binaryFile`` SOURCE over a directory of real PNG files —
+    the missing media-ingestion scan family (everything upstream of
+    q_multimodal_decode_real assumed payloads already in a table). The
+    files are materialized ONCE per sf by the EXECUTORS (mapInPandas
+    side-effect write per partition — the scale shape; the driver never
+    holds a payload), then read back with
+    ``spark.read.format("binaryFile")``, media id parsed from the path,
+    content decoded by the real PNG codec, histogram-checked against the
+    text-byte oracle. At 100 TB this is exactly how an image corpus on
+    object storage enters the engine: a listing-parallel binary scan +
+    an Arrow decode stage, with ``pathGlobFilter``/partitioned layouts
+    doing the pruning."""
+    import os
+    import tempfile
+
+    from python_darima_spark.multimodal.binary_ops import (
+        attach_png_from_text,
+        decode_media,
+    )
+
+    tag = os.path.basename(os.path.normpath(sf))
+    path = os.path.join(tempfile.gettempdir(), f"pds_png_files_{tag}")
+    marker = os.path.join(path, "_SUCCESS")
+    if not os.path.exists(marker):
+        os.makedirs(path, exist_ok=True)
+        media = attach_png_from_text(
+            ensure_parallelism(load(spark, sf, "documents"))
+        )
+
+        def write_files(batches):
+            import pandas as pd
+
+            n = 0
+            for pdf in batches:
+                for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                    b = payload if isinstance(payload, bytes) else bytes(payload)
+                    tmp = os.path.join(path, f".{mid}.png.tmp")
+                    with open(tmp, "wb") as f:
+                        f.write(b)
+                    os.replace(tmp, os.path.join(path, f"{mid}.png"))
+                    n += 1
+            yield pd.DataFrame({"n": [n]})
+
+        media.select("media_id", "payload").mapInPandas(
+            write_files, "n long"
+        ).agg(F.sum("n")).collect()
+        open(marker, "w").close()
+
+    scanned = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.png")
+        .load(path)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.png$", 1)
+            .cast("long")
+            .alias("media_id"),
+            F.lit("image").alias("modality"),
+            F.lit("image/png").alias("format"),
+            F.col("content").alias("payload"),
+            F.lit(None).cast("int").alias("meta_width"),
+            F.lit(None).cast("int").alias("meta_height"),
+            F.lit(None).cast("double").alias("meta_duration_s"),
+        )
+    )
+    feats = decode_media(scanned, fake=False, formats=("image/png",))
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.element_at("feature", 1), 6).alias("f1"),
+        F.round(F.element_at("feature", 7), 6).alias("f7"),
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     """Binary-payload → mapInPandas feature extraction (deterministic fake
     decoder; real plumbing). Returns per-media byte counts + 16-d feature."""
@@ -2105,6 +2179,21 @@ QUERIES = {
                   coalesce(max(CASE WHEN j = 6 THEN b END), 0) AS b6,
                   coalesce(max(CASE WHEN j = 7 THEN b END), 0) AS b7
            FROM agg GROUP BY doc_id""",
+    ),
+    "q_scan_binaryfile": QuerySpec(
+        q_scan_binaryfile,
+        # binaryFile scan -> real PNG decode round-trips the text bytes,
+        # same contract as q_multimodal_decode_real
+        """WITH c AS (
+             SELECT doc_id, unnest(split(text, '')) AS ch FROM documents
+           )
+           SELECT doc_id AS media_id,
+                  CAST(count(*) AS BIGINT) AS n_bytes,
+                  round(sum(CASE WHEN unicode(ch) // 16 = 0 THEN 1 ELSE 0 END)
+                        / count(*), 6) AS f1,
+                  round(sum(CASE WHEN unicode(ch) // 16 = 6 THEN 1 ELSE 0 END)
+                        / count(*), 6) AS f7
+           FROM c GROUP BY doc_id""",
     ),
     "q_multimodal_decode_real": QuerySpec(
         q_multimodal_decode_real,

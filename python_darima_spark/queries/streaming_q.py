@@ -63,6 +63,30 @@ def q_stream_dedup(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_stream_dedup_rocksdb(spark: SparkSession, sf: str) -> DataFrame:
+    """The SAME stateful dedup on the ROCKSDB state-store provider — the
+    backend that makes 100 TB-scale streaming state viable (state lives
+    off-heap in per-partition RocksDB instances with incremental
+    checkpointing, instead of the default HDFS-backed in-memory maps
+    that must FIT in executor memory). RocksDB ships in Spark's JVM —
+    no extra packages — so unlike the protobuf-gated transformWithState
+    twin this runs here. Identical results to q_stream_dedup by
+    construction (same oracle): the hash match proves state-backend
+    choice is result-invisible, which is the migration guarantee for
+    flipping the provider on a production checkpoint."""
+    name = run_stream_to_table(
+        stream_dedup(_replayed(spark, sf)),
+        "append",
+        extra_confs={
+            "spark.sql.streaming.stateStore.providerClass": (
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider"
+            )
+        },
+    )
+    return spark.table(name)
+
+
 def q_stream_join(spark: SparkSession, sf: str) -> DataFrame:
     """Stream-static join: the replayed stream enriched per micro-batch
     with a broadcast dimension (event_type → category), then a tumbling
@@ -347,6 +371,18 @@ QUERIES = {
     "q_stream_anomaly": QuerySpec(q_stream_anomaly, None),  # stateful UDF
     "q_stream_dedup": QuerySpec(
         q_stream_dedup,
+        """SELECT user_id, event_type, event_id FROM (
+             SELECT user_id, event_type, event_id,
+                    ROW_NUMBER() OVER (
+                      PARTITION BY user_id, event_type
+                      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS rn
+             FROM events
+           ) WHERE rn = 1""",
+    ),
+    # same oracle as q_stream_dedup on purpose: the state-backend swap
+    # (HDFS-map -> RocksDB) must be result-invisible
+    "q_stream_dedup_rocksdb": QuerySpec(
+        q_stream_dedup_rocksdb,
         """SELECT user_id, event_type, event_id FROM (
              SELECT user_id, event_type, event_id,
                     ROW_NUMBER() OVER (
