@@ -113,10 +113,13 @@ def sarima_to_ar(
         pi[j] = acc
 
     pie = -pi[1:]  # y_t = ... + pie_i y_{t-i}
-    s = pie.sum()
-    idx = np.arange(1, tol + 1, dtype=float)
-    beta0 = mean * (1.0 - s) + drift * float(idx @ pie)
-    beta1 = drift * (1.0 - s)
+    # a non-invertible candidate's pi series diverges; downstream holdout
+    # scoring rejects it on the non-finite forecast, so don't warn here
+    with np.errstate(over="ignore", invalid="ignore"):
+        s = pie.sum()
+        idx = np.arange(1, tol + 1, dtype=float)
+        beta0 = mean * (1.0 - s) + drift * float(idx @ pie)
+        beta1 = drift * (1.0 - s)
     return {"beta0": float(beta0), "beta1": float(beta1), "pi": pie}
 
 

@@ -145,11 +145,15 @@ def select_orders_by_holdout(
         T = split
         p = min(sel_tol, T)
         ext = np.concatenate([tr, np.zeros(hold)])
-        for i in range(hold):
-            t_idx = T + i + 1
-            lags = ext[t_idx - 1 - p : t_idx - 1][::-1]
-            ext[T + i] = b0 + b1 * t_idx + float(pi[:p] @ lags)
-        mae = float(np.abs(ho - ext[T:]).mean())
+        # explosive candidates (e.g. d=2 trends) legitimately overflow
+        # to inf over thousands of steps — the non-finite mae below
+        # rejects them, so the warning is noise in executor logs
+        with np.errstate(over="ignore", invalid="ignore"):
+            for i in range(hold):
+                t_idx = T + i + 1
+                lags = ext[t_idx - 1 - p : t_idx - 1][::-1]
+                ext[T + i] = b0 + b1 * t_idx + float(pi[:p] @ lags)
+            mae = float(np.abs(ho - ext[T:]).mean())
         if not np.isfinite(mae):
             continue
         key = (mae, d + D, d)  # deterministic; prefer less differencing

@@ -99,6 +99,9 @@ _PRIORITY = [
     "q_ts_anomaly_mad",
     "q_stream_dedup_rocksdb",
     "q_scan_binaryfile",
+    "q_text_entropy",
+    "q_scan_schema_evolution",
+    "q_sink_compaction",
     # --- touched by round-4 ADVICE fixes (writer filename scheme /
     # stream-drain guard); rows were green in r3 but re-verify.
     "q_sink_pysource",

@@ -710,6 +710,44 @@ def q_dedup_exact_substr(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_text_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document character-level Shannon entropy — the compressibility
+    proxy quality filters cut on (gibberish ≈ 4.7 bits/char of uniform
+    noise, boilerplate ≪ natural text's ≈ 4.1): explode chars, count per
+    (doc, char), entropy from the count histogram. Per-term
+    contributions are rounded to INTEGER micro-bits before the per-doc
+    sum (the associativity trick every float-summing oracle here uses)
+    so cross-engine aggregation order can't flip the hash. Keyed agg on
+    (doc_id, ch) then (doc_id) — two shuffles of skinny rows, no UDF."""
+    docs = ensure_parallelism(load(spark, sf, "documents"))
+    chars = docs.select(
+        "doc_id", F.explode(F.split("text", "")).alias("ch")
+    ).where(F.length("ch") > 0)
+    per_char = chars.groupBy("doc_id", "ch").agg(F.count("*").alias("c"))
+    n = per_char.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    # term = c * log2(c/n), in micro-bits as bigint
+    term = F.round(
+        F.col("c") * F.log2(F.col("c") / F.col("n")) * 1e6
+    ).cast("bigint")
+    return (
+        per_char.join(n, "doc_id")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n").alias("n_chars_tot"),
+            F.sum(term).alias("_s"),
+            F.count("*").alias("n_distinct_chars"),
+        )
+        .select(
+            "doc_id",
+            "n_chars_tot",
+            "n_distinct_chars",
+            F.round(-(F.col("_s") / 1e6) / F.col("n_chars_tot"), 4).alias(
+                "entropy_bits"
+            ),
+        )
+    )
+
+
 def q_text_repetition(spark: SparkSession, sf: str) -> DataFrame:
     """Within-document repetition signal (the Gopher/C4-style quality
     rule): fraction of duplicated word-3-grams per doc. Map-only JVM
@@ -1437,6 +1475,24 @@ QUERIES = {
     # eigendecomposition is inherently non-SQL → rows-only driver check;
     # numpy-twin parity asserted in tests/test_llm_data.py
     "q_embed_pca": QuerySpec(q_embed_pca, None),
+    "q_text_entropy": QuerySpec(
+        q_text_entropy,
+        """WITH ch AS (
+             SELECT doc_id, unnest(split(text, '')) AS ch FROM documents
+           ), pc AS (
+             SELECT doc_id, ch, count(*) AS c FROM ch
+             WHERE length(ch) > 0 GROUP BY 1, 2
+           ), n AS (
+             SELECT doc_id, sum(c) AS n FROM pc GROUP BY 1
+           )
+           SELECT doc_id,
+                  CAST(max(n) AS BIGINT) AS n_chars_tot,
+                  count(*) AS n_distinct_chars,
+                  round(-(sum(CAST(round(c * log2(c * 1.0 / n) * 1e6)
+                                   AS BIGINT)) / 1e6) / max(n), 4)
+                      AS entropy_bits
+           FROM pc JOIN n USING (doc_id) GROUP BY doc_id""",
+    ),
     "q_dedup_exact_substr": QuerySpec(
         q_dedup_exact_substr,
         r"""WITH w AS (

@@ -202,6 +202,85 @@ def q_sink_parquet(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_scan_schema_evolution(spark: SparkSession, sf: str) -> DataFrame:
+    """SCHEMA-EVOLUTION scan: two parquet batches written with DIFFERENT
+    schemas (batch 2 adds a column) read back as ONE table via
+    ``mergeSchema`` — the lakehouse reality where producers add fields
+    over time and old files must keep reading (missing columns → null).
+    At 100 TB mergeSchema's footer-merge pass is why evolved tables
+    should pin the schema explicitly once known; the oracle restates the
+    union-by-name-with-nulls semantics the merged scan must produce."""
+    import shutil
+
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"pds_schema_evo_{os.path.basename(os.path.normpath(sf))}",
+    )
+    shutil.rmtree(path, ignore_errors=True)
+    orders = load(spark, sf, "orders")
+    old_batch = orders.where(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    new_batch = orders.where(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.year("o_orderdate").alias("o_year"),  # the evolved column
+    )
+    old_batch.write.mode("overwrite").parquet(f"{path}/b=0")
+    new_batch.write.mode("overwrite").parquet(f"{path}/b=1")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{path}/b=0", f"{path}/b=1"
+    )
+    return merged.groupBy("o_orderstatus", "o_year").agg(
+        F.count("*").alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+    )
+
+
+def q_sink_compaction(spark: SparkSession, sf: str) -> DataFrame:
+    """Small-files COMPACTION (the OPTIMIZE/rewrite-data-files maintenance
+    op every lakehouse table needs): a fragmented write (64 files) is
+    compacted to a target file count with ``repartition`` and the result
+    re-read; file counts are surfaced in the output so the driver check
+    also PROVES compaction happened (fragmented > compacted) while the
+    row data round-trips exactly. At scale the repartition count comes
+    from table-size / target-file-size and runs partition-by-partition
+    on a partitioned table — this is the single-partition kernel."""
+    import glob
+    import shutil
+
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"pds_compaction_{os.path.basename(os.path.normpath(sf))}",
+    )
+    frag, comp = f"{base}/frag", f"{base}/compact"
+    shutil.rmtree(base, ignore_errors=True)
+    li = load(spark, sf, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    li.repartition(64).write.mode("overwrite").parquet(frag)
+    n_frag = len(glob.glob(f"{frag}/part-*.parquet"))
+    spark.read.parquet(frag).repartition(4).write.mode("overwrite").parquet(
+        comp
+    )
+    n_comp = len(glob.glob(f"{comp}/part-*.parquet"))
+    return (
+        spark.read.parquet(comp)
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum("l_quantity").cast("bigint").alias("sum_qty"),
+            # cents-exact: double sums are summation-order-dependent
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+            .alias("sum_price_cents"),
+            F.countDistinct("l_orderkey").alias("n_orders"),
+        )
+        .withColumn("files_before", F.lit(n_frag))
+        .withColumn("files_after", F.lit(n_comp))
+        .withColumn("compacted", F.lit(n_comp < n_frag))
+    )
+
+
 def q_sink_csv(spark: SparkSession, sf: str) -> DataFrame:
     """CSV sink + explicit-schema re-scan — the reference's NATIVE
     format, closing its read loop (its pipeline both reads and ships
@@ -1223,6 +1302,34 @@ QUERIES = {
         """SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_cust,
                   round(sum(c_acctbal), 2) AS sum_bal
            FROM customer GROUP BY c_mktsegment""",
+    ),
+    "q_scan_schema_evolution": QuerySpec(
+        q_scan_schema_evolution,
+        """WITH u AS (
+             SELECT o_orderkey, o_orderstatus, o_totalprice,
+                    CAST(NULL AS INT) AS o_year
+             FROM orders WHERE o_orderkey % 2 = 0
+             UNION ALL
+             SELECT o_orderkey, o_orderstatus, o_totalprice,
+                    CAST(year(o_orderdate) AS INT) AS o_year
+             FROM orders WHERE o_orderkey % 2 = 1
+           )
+           SELECT o_orderstatus, o_year,
+                  count(*) AS n,
+                  round(sum(o_totalprice), 2) AS total
+           FROM u GROUP BY 1, 2""",
+    ),
+    "q_sink_compaction": QuerySpec(
+        q_sink_compaction,
+        """SELECT count(*) AS n_rows,
+                  CAST(sum(l_quantity) AS BIGINT) AS sum_qty,
+                  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                       AS BIGINT) AS sum_price_cents,
+                  count(DISTINCT l_orderkey) AS n_orders,
+                  64 AS files_before,
+                  4 AS files_after,
+                  true AS compacted
+           FROM lineitem""",
     ),
     "q_sink_csv": QuerySpec(
         q_sink_csv,
