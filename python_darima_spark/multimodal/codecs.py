@@ -93,6 +93,11 @@ def png_decode(data: bytes) -> np.ndarray:
     while pos + 8 <= len(data):
         (length,) = struct.unpack(">I", data[pos : pos + 4])
         tag = data[pos + 4 : pos + 8]
+        if pos + 12 + length > len(data):
+            # a short body would silently shrink the CRC'd region and a
+            # missing CRC would raise struct.error — both must be the
+            # documented ValueError instead
+            raise ValueError(f"truncated {tag!r} chunk")
         body = data[pos + 8 : pos + 8 + length]
         crc = struct.unpack(">I", data[pos + 8 + length : pos + 12 + length])[0]
         if zlib.crc32(tag + body) & 0xFFFFFFFF != crc:

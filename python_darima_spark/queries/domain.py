@@ -217,16 +217,22 @@ def q_ts_anomaly_mad(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-23, 0)
     )
-    med = F.expr("percentile(value, 0.5)").over(w)
+    med = F.round(F.expr("percentile(value, 0.5)").over(w), 6)
     p25 = F.expr("percentile(value, 0.25)").over(w)
     p75 = F.expr("percentile(value, 0.75)").over(w)
+    iqr = F.round(p75 - p25, 6)
+    val = F.round("value", 6)
+    # the flag compares the ROUNDED med/iqr/value (the emitted columns),
+    # not the raw doubles: Spark percentile() vs DuckDB quantile_cont
+    # interpolate identically in exact arithmetic, but a last-ulp
+    # difference on a borderline row must not flip the flag (r4 ADVICE)
     d = e.select(
         "event_id",
         "event_type",
-        F.round("value", 6).alias("value"),
-        F.round(med, 6).alias("med"),
-        F.round(p75 - p25, 6).alias("iqr"),
-        (F.abs(F.col("value") - med) > 1.5 * (p75 - p25)).alias("is_anomaly"),
+        val.alias("value"),
+        med.alias("med"),
+        iqr.alias("iqr"),
+        (F.abs(val - med) > 1.5 * iqr).alias("is_anomaly"),
     )
     return d
 
@@ -736,7 +742,8 @@ QUERIES = {
                   round(value, 6) AS value,
                   round(med, 6) AS med,
                   round(p75 - p25, 6) AS iqr,
-                  abs(value - med) > 1.5 * (p75 - p25) AS is_anomaly
+                  abs(round(value, 6) - round(med, 6))
+                      > 1.5 * round(p75 - p25, 6) AS is_anomaly
            FROM x""",
     ),
     "q_ts_changepoint": QuerySpec(

@@ -73,10 +73,18 @@ def q_dedup_near(spark: SparkSession, sf: str) -> DataFrame:
     false negative — so the hash match IS the recall statement (recall
     1.0 on this fixture, where planted near-dups sit well above the 0.5
     banding threshold; the probabilistic tail is covered by the Python
-    oracle + MLlib cross-check in tests)."""
+    oracle + MLlib cross-check in tests).
+
+    CAPPED BY DEFAULT (round 5): ``max_bucket_size=50`` — the sf1 scale
+    probe measured uncapped candidates going 13.6× at 10× data because
+    a few boilerplate-shingle buckets go quadratic, so the certified
+    path is now the scale-safe one. The cap is recall-lossless on every
+    fixture SF (tests assert all true pairs survive at sf0.001/0.01,
+    and the sf0.1 measurement is 256/256); the hash-matched exact-verify
+    oracle therefore still holds verbatim under the cap."""
     docs = load(spark, sf, "documents")
     return minhash_near_duplicates(
-        docs, "text", "doc_id", threshold=0.5
+        docs, "text", "doc_id", threshold=0.5, max_bucket_size=50
     ).orderBy("id_a", "id_b")
 
 
@@ -459,7 +467,7 @@ def q_dedup_incremental(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_dedup_index_append(spark: SparkSession, sf: str) -> DataFrame:
     """Incremental dedup WRITE path round-trip (the production ingest
-    loop): batch 1 (doc_id%5∈{1,2}) and batch 2 (doc_id%5∈{3,4}) are
+    loop): batch 1 (doc_id%5==1) and batch 2 (doc_id%5∈{2,3,4}) are
     appended to a persisted band/signature index in two separate jobs
     (operators/dedup.py minhash_index_append — signatures computed once
     per batch, never re-shingled); the NEW batch (doc_id%5==0) then
@@ -651,11 +659,14 @@ def q_doc_dedup_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     Every stage is the scale shape already verified standalone
     (q_dedup_exact / q_dedup_near); what this entry proves is the
     COMPOSITION — survivors of stage 1 feed stage 2's shingling, and
-    the final anti-join runs on the verified pair set."""
+    the final anti-join runs on the verified pair set. Like
+    q_dedup_near, the LSH stage runs with the scale-safe
+    ``max_bucket_size=50`` cap by default (round 5) — recall-lossless
+    on the fixture, so the oracle is unchanged."""
     docs = load(spark, sf, "documents")
     exact_survivors = dedup_exact(docs, "text", "doc_id")
     pairs = minhash_near_duplicates(
-        exact_survivors, "text", "doc_id", threshold=0.5
+        exact_survivors, "text", "doc_id", threshold=0.5, max_bucket_size=50
     )
     dropped = pairs.where(F.col("id_a") < F.col("id_b")).select(
         F.col("id_b").alias("doc_id")
@@ -1223,8 +1234,29 @@ def q_scan_binaryfile(spark: SparkSession, sf: str) -> DataFrame:
         decode_media,
     )
 
+    # Cache key = sf basename + a fingerprint of the documents table
+    # source (every file's relpath/size/mtime): a regenerated fixture or
+    # two roots sharing a basename get DIFFERENT cache dirs, so a stale
+    # _SUCCESS can never serve old payloads (round-4 ADVICE).
+    import hashlib
+
+    src = os.path.join(sf, "documents.parquet")
+    h = hashlib.sha256(src.encode())
+    if os.path.isdir(src):
+        for root, _dirs, files in sorted(os.walk(src)):
+            for fn in sorted(files):
+                st = os.stat(os.path.join(root, fn))
+                h.update(
+                    f"{os.path.relpath(os.path.join(root, fn), src)}"
+                    f":{st.st_size}:{st.st_mtime_ns};".encode()
+                )
+    elif os.path.exists(src):
+        st = os.stat(src)
+        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
     tag = os.path.basename(os.path.normpath(sf))
-    path = os.path.join(tempfile.gettempdir(), f"pds_png_files_{tag}")
+    path = os.path.join(
+        tempfile.gettempdir(), f"pds_png_files_{tag}_{h.hexdigest()[:12]}"
+    )
     marker = os.path.join(path, "_SUCCESS")
     if not os.path.exists(marker):
         os.makedirs(path, exist_ok=True)

@@ -81,6 +81,12 @@ def test_png_decode_rejects_malformed():
     corrupt = good[:40] + bytes([good[40] ^ 0xFF]) + good[41:]
     with pytest.raises(ValueError):
         png_decode(corrupt)
+    # truncated mid-chunk: must be the documented ValueError, never a
+    # struct.error from a short CRC slice, and never a silent decode of
+    # a shortened (but CRC-plausible) body (r4 ADVICE)
+    for cut in (len(good) - 3, len(good) // 2, 20):
+        with pytest.raises(ValueError):
+            png_decode(good[:cut])
 
 
 def test_decode_media_real_png_through_spark(spark):

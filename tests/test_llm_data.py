@@ -731,3 +731,30 @@ def test_minhash_hot_bucket_cap_prunes_but_keeps_true_pairs(spark):
         df, threshold=0.5, max_bucket_size=10
     ).toPandas()
     assert ((pairs.id_a == 100) & (pairs.id_b == 101)).any()
+
+
+def test_registry_cap_is_recall_lossless_on_fixture(spark, sf_dir):
+    """Round-5 contract behind the capped-by-default registry entries
+    (q_dedup_near / q_doc_dedup_pipeline run max_bucket_size=50): on the
+    real fixture the capped pair set EQUALS the uncapped pair set, so the
+    exact-verify DuckDB oracle restates the capped run verbatim. If a
+    fixture regeneration ever plants a pair whose every shared band is
+    hot, this fails before the driver's hash does."""
+    from python_darima_spark.operators.dedup import minhash_near_duplicates
+    from python_darima_spark.queries.llm_data import load
+
+    docs = load(spark, sf_dir, "documents")
+    uncapped = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_duplicates(
+            docs, "text", "doc_id", threshold=0.5
+        ).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in minhash_near_duplicates(
+            docs, "text", "doc_id", threshold=0.5, max_bucket_size=50
+        ).collect()
+    }
+    assert capped == uncapped
+    assert len(capped) > 0
