@@ -49,14 +49,41 @@ _MODULES = [
 # order. PROBE_r04.json is the full local replica of the driver gate
 # over ALL entries regardless of the cap.
 _PRIORITY = [
-    # --- stale rows: oracle upgraded in r3 (exact-verify / recall-flag
-    # formulations) AFTER their last driver row, which still says
-    # `no_oracle` from r1/r2. Probe-green; need a fresh driver row.
-    "q_sim_topk_ivf",
+    # --- ROUND-5 head (r4 verdict ask #8). Position 1: the union's one
+    # red row — its ORACLE was fixed this round (HUGEINT→BIGINT casts,
+    # the registry convention above); the driver must re-verify it.
+    "q_tpch_q12",
+    # --- NEW in round 5 (no driver row yet)
+    "q_ts_forecast_unrolled",
+    # --- formulation changed in round 5 after their r4 green rows:
+    # q_dedup_near/q_doc_dedup_pipeline now run the capped
+    # (max_bucket_size=50) LSH as the certified default;
+    # q_ts_anomaly_mad compares rounded med/iqr in the flag;
+    # q_scan_binaryfile's file cache is fingerprint-keyed;
+    # q_dedup_index_append only changed a docstring but sits with its
+    # family.
     "q_dedup_near",
+    "q_doc_dedup_pipeline",
+    "q_ts_anomaly_mad",
+    "q_scan_binaryfile",
+    "q_dedup_index_append",
+    # --- rows-only entries (no SQL oracle possible): refresh their
+    # rows-only driver rows.
+    "q_ts_fit_combine",
+    "q_ts_forecast",
+    "q_ts_fit_reference_bounds",
+    "q_embed_pca",
+    "q_ts_many_series",
+    "q_stream_anomaly",
+    "q_ts_backtest_arima",
+    "q_ts_holtwinters",
+    "q_ts_fit_combine_dlsa",
+    # --- everything below is driver-hash-green in the r1–r4 union,
+    # ordered most-recently-verified-last so the window re-covers the
+    # r4 batch first if room remains.
+    "q_sim_topk_ivf",
     "q_dedup_simhash",
     "q_dedup_embedding",
-    # --- never driver-verified: round-3 additions past r3's 50-row cap
     "q_subquery_scalar",
     "q_subquery_corr",
     "q_subquery_exists",
@@ -64,7 +91,6 @@ _PRIORITY = [
     "q_tpch_q6",
     "q_tpch_q7",
     "q_tpch_q10",
-    "q_tpch_q12",
     "q_tpch_q13",
     "q_tpch_q14",
     "q_tpch_q17",
@@ -82,40 +108,20 @@ _PRIORITY = [
     "q_join_runtime_filter",
     "q_stream_upsert",
     "q_scan_pysource",
-    # --- formulation changed in round 3 after its r2 row (normalize /
-    # quantize oracle rewrite); re-verify to be safe.
     "q_embed_normalize",
-    # --- NEW in round 4 (no driver row yet, inside the window)
-    "q_dedup_index_append",
     "q_multimodal_decode_real",
-    "q_ts_fit_reference_bounds",
     "q_sample_reservoir",
     "q_join_interval_overlap",
     "q_text_ngram_lm",
     "q_text_quality_gopher",
-    "q_embed_pca",
-    "q_doc_dedup_pipeline",
     "q_dedup_exact_substr",
-    "q_ts_anomaly_mad",
     "q_stream_dedup_rocksdb",
-    "q_scan_binaryfile",
     "q_text_entropy",
     "q_scan_schema_evolution",
     "q_sink_compaction",
-    # --- touched by round-4 ADVICE fixes (writer filename scheme /
-    # stream-drain guard); rows were green in r3 but re-verify.
     "q_sink_pysource",
     "q_scan_pysource_stream",
     "q_dedup_incremental",
-    # --- rows-only entries (no SQL oracle possible): refresh their
-    # rows-only driver rows if the window still has room.
-    "q_ts_fit_combine",
-    "q_ts_forecast",
-    "q_ts_many_series",
-    "q_stream_anomaly",
-    "q_ts_backtest_arima",
-    "q_ts_holtwinters",
-    "q_ts_fit_combine_dlsa",
     # --- hash-verified in r3 (CORRECTNESS_r03)
     "q_graph_pagerank",
     "q_shuffle_shard",

@@ -7,9 +7,12 @@ q_ts_resample IS SQL-expressible and hash-matched."""
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from python_darima_spark.darima.arima_math import normal_ppf
 from python_darima_spark.darima.pipeline import (
     DarimaConfig,
     darima,
@@ -87,6 +90,76 @@ def q_ts_forecast(spark: SparkSession, sf: str) -> DataFrame:
     series = _hourly_series(spark, sf)
     coefs = darima(series, _CFG).coefs
     return forecast(series, coefs, h=24, cfg=_CFG)
+
+
+#: Fixed surrogate model for q_ts_forecast_unrolled: AR(2) + drift with
+#: literal coefficients, and the ψ-weight standard errors they imply
+#: (ψ0=1, ψ1=a1, ψ2=a1²+a2; se_k = √(σ²·Σ_{j<k}ψ_j²)) computed ONCE here
+#: and inlined as the SAME literal into both engines — the recursion and
+#: interval arithmetic stay data-dependent and in-engine.
+_UF_B0, _UF_B1, _UF_A1, _UF_A2, _UF_SIG2 = 5.0, 0.001, 0.6, 0.3, 2.25
+_UF_PSI1 = _UF_A1
+_UF_PSI2 = _UF_A1 * _UF_A1 + _UF_A2
+_UF_SE = [
+    math.sqrt(_UF_SIG2 * s)
+    for s in (
+        1.0,
+        1.0 + _UF_PSI1**2,
+        1.0 + _UF_PSI1**2 + _UF_PSI2**2,
+    )
+]
+_UF_Z = {80: normal_ppf(0.9), 95: normal_ppf(0.975)}
+
+
+def q_ts_forecast_unrolled(spark: SparkSession, sf: str) -> DataFrame:
+    """Hash-green surrogate for the forecast RECURSION (r4 verdict ask
+    #6, the q_ts_eval_metrics trick): a FIXED-coefficient AR(2)+drift
+    model, horizon 3, unrolled into closed-form column expressions —
+    f₁ = β₀+β₁(T+1)+a₁y_T+a₂y_{T-1}, f₂/f₃ chained on f₁ — so the exact
+    arithmetic q_ts_forecast runs inside its Arrow UDF (design index,
+    lag feed-forward, mean∓z·se intervals; reference
+    /root/reference/darima.py:292-351) is restated as chained CTEs the
+    DuckDB oracle value-hashes. q_ts_forecast itself stays rows-only
+    (data-fit coefficients + h=24 recursion are not SQL-expressible);
+    this pins the arithmetic. Last-2-obs via one keyed window, then a
+    3-row explode per series — no Python, no shuffle beyond the grid's."""
+    series = _hourly_series(spark, sf)
+    w = Window.partitionBy("series_id").orderBy(F.desc("ts"))
+    ranked = series.withColumn("_rn", F.row_number().over(w))
+    base = ranked.groupBy("series_id").agg(
+        F.max("ts").alias("ts_last"),
+        F.count("*").alias("t_n"),
+        # y_T / y_{T-1} rounded to 6 BEFORE the recursion on both
+        # engines, so hourly-sum ulps can't feed the chained arithmetic
+        F.round(F.max(F.when(F.col("_rn") == 1, F.col("y"))), 6).alias("y1"),
+        F.round(F.max(F.when(F.col("_rn") == 2, F.col("y"))), 6).alias("y2"),
+    )
+    b0, b1, a1, a2 = (F.lit(c) for c in (_UF_B0, _UF_B1, _UF_A1, _UF_A2))
+    tN = F.col("t_n")
+    f1 = b0 + b1 * (tN + 1).cast("double") + a1 * F.col("y1") + a2 * F.col("y2")
+    stepped = base.withColumn("f1", f1)
+    f2 = b0 + b1 * (tN + 2).cast("double") + a1 * F.col("f1") + a2 * F.col("y1")
+    stepped = stepped.withColumn("f2", f2)
+    f3 = b0 + b1 * (tN + 3).cast("double") + a1 * F.col("f2") + a2 * F.col("f1")
+    stepped = stepped.withColumn("f3", f3)
+
+    def row(k: int) -> F.Column:
+        mean = F.col(f"f{k}")
+        se = F.lit(_UF_SE[k - 1])
+        return F.struct(
+            F.lit(k).alias("step"),
+            F.expr(f"ts_last + INTERVAL {k} HOURS").alias("ts"),
+            F.round(mean, 6).alias("mean"),
+            F.round(se, 6).alias("se"),
+            F.round(mean - F.lit(_UF_Z[80]) * se, 6).alias("lo_80"),
+            F.round(mean + F.lit(_UF_Z[80]) * se, 6).alias("hi_80"),
+            F.round(mean - F.lit(_UF_Z[95]) * se, 6).alias("lo_95"),
+            F.round(mean + F.lit(_UF_Z[95]) * se, 6).alias("hi_95"),
+        )
+
+    return stepped.select(
+        "series_id", F.explode(F.array(row(1), row(2), row(3))).alias("_f")
+    ).select("series_id", "_f.*")
 
 
 def q_ts_seasonal(spark: SparkSession, sf: str) -> DataFrame:
@@ -781,6 +854,47 @@ QUERIES = {
     "q_ts_fit_combine_dlsa": QuerySpec(q_ts_fit_combine_dlsa, None),
     "q_ts_fit_reference_bounds": QuerySpec(q_ts_fit_reference_bounds, None),
     "q_ts_forecast": QuerySpec(q_ts_forecast, None),
+    "q_ts_forecast_unrolled": QuerySpec(
+        q_ts_forecast_unrolled,
+        f"""WITH {_GRID_CTE}, ranked AS (
+             SELECT series_id, ts, y, row_number() OVER (
+                 PARTITION BY series_id ORDER BY ts DESC) AS rn
+             FROM grid
+           ), base AS (
+             SELECT series_id, max(ts) AS ts_last, count(*) AS t_n,
+                    round(max(CASE WHEN rn = 1 THEN y END), 6) AS y1,
+                    round(max(CASE WHEN rn = 2 THEN y END), 6) AS y2
+             FROM ranked GROUP BY series_id
+           ), s1 AS (
+             SELECT *, {_UF_B0!r} + {_UF_B1!r} * CAST(t_n + 1 AS DOUBLE)
+                       + {_UF_A1!r} * y1 + {_UF_A2!r} * y2 AS f1
+             FROM base
+           ), s2 AS (
+             SELECT *, {_UF_B0!r} + {_UF_B1!r} * CAST(t_n + 2 AS DOUBLE)
+                       + {_UF_A1!r} * f1 + {_UF_A2!r} * y1 AS f2
+             FROM s1
+           ), s3 AS (
+             SELECT *, {_UF_B0!r} + {_UF_B1!r} * CAST(t_n + 3 AS DOUBLE)
+                       + {_UF_A1!r} * f2 + {_UF_A2!r} * f1 AS f3
+             FROM s2
+           )
+           SELECT series_id, step, ts,
+                  round(mean, 6) AS mean, round(se, 6) AS se,
+                  round(mean - {_UF_Z[80]!r} * se, 6) AS lo_80,
+                  round(mean + {_UF_Z[80]!r} * se, 6) AS hi_80,
+                  round(mean - {_UF_Z[95]!r} * se, 6) AS lo_95,
+                  round(mean + {_UF_Z[95]!r} * se, 6) AS hi_95
+           FROM (
+             SELECT series_id, 1 AS step, ts_last + INTERVAL 1 HOUR AS ts,
+                    f1 AS mean, {_UF_SE[0]!r} AS se FROM s3
+             UNION ALL
+             SELECT series_id, 2, ts_last + INTERVAL 2 HOUR,
+                    f2, {_UF_SE[1]!r} FROM s3
+             UNION ALL
+             SELECT series_id, 3, ts_last + INTERVAL 3 HOUR,
+                    f3, {_UF_SE[2]!r} FROM s3
+           )""",
+    ),
     # rows-only: the fold/metric plumbing is hash-verified via
     # q_ts_backtest (seasonal-naive twin); this swaps in the real model
     "q_ts_backtest_arima": QuerySpec(q_ts_backtest_arima, None),

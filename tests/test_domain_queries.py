@@ -154,3 +154,54 @@ def test_arima_backtest_beats_seasonal_naive(spark):
     # the naive twin carries MAE as exact micro-unit sums
     naive_mae = m.sum_ae_e4 / 1e4 / m.n_points_n
     assert m.mae.mean() < naive_mae.mean(), (m.mae.mean(), naive_mae.mean())
+
+
+def test_unrolled_forecast_matches_real_pipeline(spark, sf_dir):
+    """The q_ts_forecast_unrolled surrogate must compute the SAME numbers
+    the real cogrouped-Arrow forecast() recursion produces when given the
+    surrogate's fixed coefficients (tol=2, h=3) — proving the hash-green
+    SQL restatement certifies the actual pipeline arithmetic, not a
+    lookalike."""
+    import pandas as pd
+
+    from python_darima_spark.darima.pipeline import DarimaConfig, forecast
+    from python_darima_spark.queries.domain import (
+        _UF_A1,
+        _UF_A2,
+        _UF_B0,
+        _UF_B1,
+        _UF_SIG2,
+        _hourly_series,
+        q_ts_forecast_unrolled,
+    )
+
+    series = _hourly_series(spark, sf_dir)
+    sids = [r.series_id for r in series.select("series_id").distinct().collect()]
+    coef_rows = []
+    for sid in sids:
+        coef_rows += [
+            {"series_id": sid, "coef": "beta0", "value": _UF_B0},
+            {"series_id": sid, "coef": "beta1", "value": _UF_B1},
+            {"series_id": sid, "coef": "ar1", "value": _UF_A1},
+            {"series_id": sid, "coef": "ar2", "value": _UF_A2},
+            {"series_id": sid, "coef": "sigma2", "value": _UF_SIG2},
+        ]
+    coefs = spark.createDataFrame(pd.DataFrame(coef_rows))
+    cfg = DarimaConfig(period=24, tol=2, levels=(80, 95))
+    real = (
+        forecast(series, coefs, h=3, cfg=cfg)
+        .toPandas()
+        .sort_values(["series_id", "step"])
+        .reset_index(drop=True)
+    )
+    surr = (
+        q_ts_forecast_unrolled(spark, sf_dir)
+        .toPandas()
+        .sort_values(["series_id", "step"])
+        .reset_index(drop=True)
+    )
+    assert len(real) == len(surr) == 3 * len(sids)
+    for col in ("mean", "se", "lo_80", "hi_80", "lo_95", "hi_95"):
+        # surrogate rounds y-lags to 6dp before the recursion; allow that
+        assert (real[col] - surr[col]).abs().max() < 1e-5, col
+    assert (real.ts.values == surr.ts.values).all()

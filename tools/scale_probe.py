@@ -63,6 +63,20 @@ PROBE_QUERIES = [
     "q_window_rank",
     "q_sim_topk",
     "q_pack_sequences",
+    "q_text_ngram_lm",
+    "q_text_quality_gopher",
+    "q_dedup_exact_substr",
+    "q_sample_reservoir",
+    "q_doc_dedup_pipeline",
+    "q_ts_anomaly_mad",
+    # round-5 additions (r4 verdict ask #5): the uncovered expensive
+    # families with plausible super-linear failure modes —
+    # prefix-filter candidate growth, index growth across appends,
+    # ADC-table × corpus product, CC round count on larger components
+    "q_dedup_containment",
+    "q_dedup_index_append",
+    "q_sim_topk_pq",
+    "q_dedup_cluster_star",
 ]
 
 
