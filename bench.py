@@ -77,6 +77,7 @@ HEADLINE = [
     "q_join_interval_overlap",
     "q_dedup_exact_substr",
     "q_ts_anomaly_mad",
+    "q_ts_forecast_unrolled",
 ]
 
 
@@ -152,23 +153,62 @@ def main() -> None:
         sf_val: float | str = float(sf)
     except ValueError:
         sf_val = sf
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_median": medians,
-                "reps": all_reps,
-                "methodology": f"warm min of {reps} reps (page-cache + UDF-pool warmup first); medians and raw reps alongside",
-                "loadavg_before": [round(x, 2) for x in load_before],
-                "loadavg_after": [round(x, 2) for x in os.getloadavg()],
-                "noise_note": "shared host: ambient load inflates single reps up to ~4x (PLANS.md 2.10); compare warm minima across rounds, medians within a round",
-                "sf": sf_val,
-            }
+
+    # sf1 pass (round-4 verdict ask #4): the sf0.1 numbers are fixed-
+    # overhead-dominated (SCALE_PROBE: most 10x-data ratios well below
+    # 10), so the 2x-of-baseline bar is insensitive at sf0.1. When the
+    # 10x-replicated dataset built by tools/scale_probe.py is present
+    # (run `python tools/scale_probe.py --build-only` to create it;
+    # .scaledata/ is gitignored, it's a 10x derivation of the driver's
+    # own sf0.1 parquet, not new data), re-time the headline set there
+    # with one fewer rep and report it alongside. Opt out with
+    # SPARK_GRAFT_BENCH_SF1=0.
+    sf1_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           ".scaledata", "sf1")
+    sf1_timings: dict[str, float] = {}
+    sf1_reps_n = max(1, reps - 1)
+    if (
+        os.environ.get("SPARK_GRAFT_BENCH_SF1", "1") != "0"
+        and os.path.isdir(sf1_dir)
+        and str(sf_val) == "0.1"
+    ):
+        for name in HEADLINE:
+            spec = reg.get(name)
+            if spec is None:
+                continue
+            rep_times = []
+            for _ in range(sf1_reps_n):
+                t0 = time.perf_counter()
+                spec.fn(spark, sf1_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                rep_times.append(time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            sf1_timings[name] = round(min(rep_times), 3)
+            print(f"  [sf1] {name}: {sf1_timings[name]:.2f}s", file=sys.stderr)
+
+    out = {
+        "metric": "headline_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_median": medians,
+        "reps": all_reps,
+        "methodology": f"warm min of {reps} reps (page-cache + UDF-pool warmup first); medians and raw reps alongside",
+        "loadavg_before": [round(x, 2) for x in load_before],
+        "loadavg_after": [round(x, 2) for x in os.getloadavg()],
+        "noise_note": "shared host: ambient load inflates single reps up to ~4x (PLANS.md 2.10); compare warm minima across rounds, medians within a round",
+        "sf": sf_val,
+    }
+    if sf1_timings:
+        out["sf1_queries"] = sf1_timings
+        out["sf1_total"] = round(sum(sf1_timings.values()), 3)
+        out["sf1_methodology"] = (
+            f"same headline set on the 10x-replicated .scaledata/sf1 "
+            f"(tools/scale_probe.py derivation of sf0.1), warm min of "
+            f"{sf1_reps_n} rep(s)"
         )
-    )
+    print(json.dumps(out))
     spark.stop()
 
 

@@ -22,6 +22,7 @@ deterministic byte-histogram stand-in used by the hash-checked oracles.
 from __future__ import annotations
 
 import importlib.util
+import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -361,4 +362,51 @@ def frame_sample(
     return df.select(
         "media_id",
         F.posexplode(offsets).alias("frame_idx", "byte_offset"),
+    )
+
+
+AUDIO_FRAMES_SCHEMA = (
+    "media_id long, frame_idx int, n_samples int, sum_sq long, rms double"
+)
+
+
+def audio_frame_energy(df: DataFrame, frame_len: int = 32) -> DataFrame:
+    """Audio-style framing + per-frame RMS energy over the payload,
+    interpreting each byte as an unsigned 8-bit PCM sample centered at
+    128 — the frame/hop/feature plumbing of an audio pipeline with the
+    codec swapped for the byte-literal stand-in (this container ships no
+    audio libs; a real deployment replaces the ``arr`` line with
+    soundfile/ffmpeg decode and nothing else changes).
+
+    Runs as ONE mapInPandas stage: Arrow delivers payload batches, numpy
+    frames them, and only the skinny (media_id, frame features) rows come
+    back — payload bytes never shuffle. ``sum_sq`` is the EXACT integer
+    sum of squared centered samples (cross-engine hashable with no
+    summation-order exposure); ``rms`` derives from it in one double
+    division + sqrt, bit-identical on identical inputs.
+    """
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [], "frame_idx": [], "n_samples": [],
+                "sum_sq": [], "rms": [],
+            }
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = payload if isinstance(payload, bytes) else bytes(payload)
+                arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64) - 128
+                for i in range(0, arr.size, frame_len):
+                    fr = arr[i : i + frame_len]
+                    ss = int((fr * fr).sum())
+                    out["media_id"].append(mid)
+                    out["frame_idx"].append(i // frame_len)
+                    out["n_samples"].append(fr.size)
+                    out["sum_sq"].append(ss)
+                    out["rms"].append(
+                        round(math.sqrt(ss / float(fr.size)), 6)
+                    )
+            yield pd.DataFrame(out)
+
+    return df.select("media_id", "payload").mapInPandas(
+        frames, AUDIO_FRAMES_SCHEMA
     )

@@ -55,6 +55,8 @@ _PRIORITY = [
     "q_tpch_q12",
     # --- NEW in round 5 (no driver row yet)
     "q_ts_forecast_unrolled",
+    "q_multimodal_frame_sample",
+    "q_multimodal_audio_energy",
     # --- formulation changed in round 5 after their r4 green rows:
     # q_dedup_near/q_doc_dedup_pipeline now run the capped
     # (max_bucket_size=50) LSH as the certified default;

@@ -1327,6 +1327,62 @@ def q_multimodal_features(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
+    """Video-style frame sampling made driver-visible (the brief's
+    frame-sample op; operator multimodal/binary_ops.py frame_sample):
+    every 64th byte offset of the payload is a sampled "frame", capped
+    at 8 per media — the offset sequence is JVM-computed and posexploded
+    (the fan-out is relational, never a Python loop), then each frame's
+    first byte is read back as frame_byte by joining frames→text on the
+    media key (the fixture payload is utf-8 of an all-ASCII text column,
+    so char index == byte offset and the oracle can restate the CONTENT
+    of each sampled frame, not just the offset arithmetic). At 100 TB
+    the join-back is a keyed equi join of an 8×-fanout skinny table
+    against the payload store — same shape as any media-shard lookup;
+    a real decoder would replace ascii() with the frame decode inside
+    the existing mapInPandas stage."""
+    from python_darima_spark.multimodal.binary_ops import (
+        attach_media_from_text,
+        frame_sample,
+    )
+
+    docs = load(spark, sf, "documents")
+    media = attach_media_from_text(docs)
+    frames = frame_sample(media, every_n_bytes=64, max_frames=8)
+    return frames.join(
+        docs.select(F.col("doc_id").alias("media_id"), "text"), "media_id"
+    ).select(
+        "media_id",
+        "frame_idx",
+        "byte_offset",
+        F.expr("ascii(substring(text, byte_offset + 1, 1))").alias(
+            "frame_byte"
+        ),
+    )
+
+
+def q_multimodal_audio_energy(spark: SparkSession, sf: str) -> DataFrame:
+    """Audio-modality plumbing made driver-visible: payload bytes play
+    unsigned 8-bit PCM samples, framed at 32 samples/frame inside one
+    Arrow mapInPandas stage that emits per-frame exact integer
+    sum-of-squares + derived RMS (multimodal/binary_ops.py
+    audio_frame_energy — the codec is the byte-literal stand-in, the
+    framing/feature plumbing is the real shape). The all-ASCII fixture
+    text makes the byte stream SQL-restatable (unicode(char) == byte),
+    so the hash oracle covers the actual Python crossing end-to-end —
+    framing boundaries, partial last frame, and the integer feature —
+    not a lookalike. Scale: map-only, payloads never shuffle, output is
+    the skinny feature table."""
+    from python_darima_spark.multimodal.binary_ops import (
+        attach_media_from_text,
+        audio_frame_energy,
+    )
+
+    docs = load(spark, sf, "documents")
+    media = attach_media_from_text(docs)
+    return audio_frame_energy(media, frame_len=32)
+
+
 _SHINGLE_JACCARD_ORACLE = """WITH sh AS (
              SELECT doc_id,
                     list_distinct(list_transform(
@@ -2311,5 +2367,41 @@ QUERIES = {
                   round(sum(CASE WHEN unicode(ch) // 16 = 6 THEN 1 ELSE 0 END)
                         / count(*), 6) AS f7
            FROM c GROUP BY doc_id""",
+    ),
+    "q_multimodal_frame_sample": QuerySpec(
+        q_multimodal_frame_sample,
+        """WITH offs AS (
+             SELECT doc_id AS media_id, text,
+                    unnest(generate_series(
+                        0, greatest(strlen(text) - 1, 0), 64)) AS off
+             FROM documents
+           )
+           SELECT media_id,
+                  CAST(off // 64 AS INTEGER) AS frame_idx,
+                  CAST(off AS INTEGER) AS byte_offset,
+                  CAST(unicode(substring(text, CAST(off + 1 AS INT), 1))
+                       AS INTEGER) AS frame_byte
+           FROM offs
+           WHERE off <= 64 * 7""",
+    ),
+    "q_multimodal_audio_energy": QuerySpec(
+        q_multimodal_audio_energy,
+        """WITH ch AS (
+             SELECT doc_id AS media_id,
+                    unnest(generate_series(1, strlen(text))) AS i,
+                    text
+             FROM documents
+           ), samples AS (
+             SELECT media_id,
+                    CAST((i - 1) // 32 AS INTEGER) AS frame_idx,
+                    unicode(substring(text, CAST(i AS INT), 1)) - 128 AS s
+             FROM ch
+           )
+           SELECT media_id, frame_idx,
+                  CAST(count(*) AS INTEGER) AS n_samples,
+                  CAST(sum(s * s) AS BIGINT) AS sum_sq,
+                  round(sqrt(CAST(sum(s * s) AS DOUBLE)
+                             / CAST(count(*) AS DOUBLE)), 6) AS rms
+           FROM samples GROUP BY media_id, frame_idx""",
     ),
 }

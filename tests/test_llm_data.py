@@ -758,3 +758,32 @@ def test_registry_cap_is_recall_lossless_on_fixture(spark, sf_dir):
     }
     assert capped == uncapped
     assert len(capped) > 0
+
+
+def test_audio_frame_energy_boundaries(spark):
+    """Framing edge cases for the audio plumbing: exact multiples of the
+    frame length, a partial last frame, and a payload shorter than one
+    frame — sum_sq is the exact integer a numpy-free restatement gives."""
+    import pandas as pd
+
+    from python_darima_spark.multimodal.binary_ops import audio_frame_energy
+
+    rows = [
+        {"media_id": 1, "payload": bytes(range(64))},        # 2 full frames
+        {"media_id": 2, "payload": bytes(range(40))},        # 1 full + 8
+        {"media_id": 3, "payload": b"\x80" * 5},             # sub-frame, rms 0
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    out = audio_frame_energy(df, frame_len=32).toPandas()
+    got = {
+        (r.media_id, r.frame_idx): (r.n_samples, r.sum_sq, r.rms)
+        for r in out.itertuples()
+    }
+    def ss(lo, hi):
+        return sum((b - 128) ** 2 for b in range(lo, hi))
+    import math
+    assert got[(1, 0)] == (32, ss(0, 32), round(math.sqrt(ss(0, 32) / 32.0), 6))
+    assert got[(1, 1)] == (32, ss(32, 64), round(math.sqrt(ss(32, 64) / 32.0), 6))
+    assert got[(2, 1)][0] == 8 and got[(2, 1)][1] == ss(32, 40)
+    assert got[(3, 0)] == (5, 0, 0.0)
+    assert len(got) == 2 + 2 + 1
