@@ -489,66 +489,102 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     n: int = 3,
     threshold: float = 0.5,
-    block_on_length: int = 64,
 ) -> DataFrame:
-    """Word n-gram Jaccard similarity with cheap length-bucket blocking
-    (docs whose token counts differ grossly can't clear the threshold, so
-    only same-or-adjacent length buckets are compared).
+    """Word n-gram Jaccard similarity with PREFIX-FILTER candidate
+    generation (the containment_pairs construction applied to the
+    symmetric threshold).
 
-    The adjacency predicate ``|blk_a − blk_b| ≤ 1`` is rewritten as an
-    EQUI-join: one side explodes to its three probe buckets
-    ``{blk−1, blk, blk+1}`` and the join key is plain equality — a hash
-    join instead of the nested-loop plan a non-equi predicate forces.
-    Each qualifying pair matches exactly once (exactly one probe value
-    equals the other side's bucket), so no dedup pass is needed.
+    History: through round 4 this used length-bucket blocking
+    (``|blk_a − blk_b| ≤ 1`` rewritten as a 3-probe equi-join). The
+    round-5 sf1 scale probe exposed it as degenerate on this corpus:
+    with ~8–90-word docs and 64-word buckets, essentially EVERY doc
+    lands in buckets 0/1, the "blocked" join is a full cross join, and
+    at 10× data the candidate count grows 100× (the q_dedup_cluster_star
+    probe ran >20 min at sf1 before being killed). Blocking keys must
+    discriminate; a bucket wider than the corpus's length distribution
+    does not.
 
-    Per-pair cost is kept minimal: the gram arrays are persisted (both
-    join sides read the same shingling pass once), a size-ratio prefilter
-    ``min(|A|,|B|)/max(|A|,|B|) ≥ t`` (an integer compare — implied by
-    J(A,B) ≥ t) prunes pairs before any array traversal, and the union
-    size is derived as ``|A|+|B|−|A∩B|`` so only ONE O(|A|+|B|) array op
-    (the intersect) runs per surviving pair."""
-    words = F.split(F.lower(F.col(text_col)), r"\s+")
+    Candidates now come from the inverted-index prefix filter: order
+    each doc's grams by global document frequency ascending and probe
+    only the ``floor((1−t)·|A|)+1`` RAREST against the full index.
+    Recall is provably 1.0: J(A,B) ≥ t implies |A∩B| ≥ t·|A∪B| ≥ t·|A|,
+    so at most ``(1−t)·|A|`` of A's grams miss B and at least one probe
+    gram must hit. Word 3-grams are overwhelmingly df=1, so posting
+    lists are short and candidate volume tracks true-pair volume, not
+    corpus-pair volume. The size-ratio prefilter
+    ``min(|A|,|B|) ≥ t·max(|A|,|B|)`` (implied by J ≥ t) still prunes
+    before any array traversal, and the union size derives as
+    ``|A|+|B|−|A∩B|`` so ONE O(|A|+|B|) intersect runs per survivor.
+    At 100 TB: two shuffles of the skinny (id, gram) table + keyed
+    equi-joins — same posture as containment_pairs; per-gram posting
+    lists can additionally be length-capped if a boilerplate gram goes
+    hot (same tradeoff as the LSH ``max_bucket_size``)."""
     grams = F.expr(
         f"transform(sequence(1, greatest(size(split(lower({text_col}), '\\\\s+')) - {n - 1}, 1)),"
         f" i -> concat_ws(' ', slice(split(lower({text_col}), '\\\\s+'), i, {n})))"
     )
     base = (
         fan_out(df, id_col)
-        .select(
-            F.col(id_col),
-            F.array_distinct(grams).alias("_grams"),
-            (F.size(words) / block_on_length).cast("int").alias("_blk"),
-        )
+        .select(F.col(id_col), F.array_distinct(grams).alias("_grams"))
         .withColumn("_ng", F.size("_grams"))
         .persist()
     )
-    probe = base.withColumn(
-        "_blk_probe",
-        F.explode(
-            F.array(F.col("_blk") - 1, F.col("_blk"), F.col("_blk") + 1)
+    e = base.select(id_col, F.explode("_grams").alias("g")).persist()
+    dfc = e.groupBy("g").agg(F.count("*").alias("_df"))
+    ranked = e.join(dfc, "g").withColumn(
+        "_rn",
+        F.row_number().over(Window.partitionBy(id_col).orderBy("_df", "g")),
+    )
+    szs = base.select(F.col(id_col), F.col("_ng"))
+    probe = (
+        ranked.join(szs, id_col)
+        .where(F.col("_rn") <= F.floor((1.0 - threshold) * F.col("_ng")) + 1)
+        .select(F.col(id_col).alias("_pid"), "g")
+    )
+    index = e.select(F.col(id_col).alias("_iid"), "g")
+    cands = (
+        probe.join(index, "g")
+        .where(F.col("_pid") != F.col("_iid"))
+        .select(
+            F.least("_pid", "_iid").alias("id_a"),
+            F.greatest("_pid", "_iid").alias("id_b"),
+        )
+        .distinct()
+    )
+    joined = cands.join(
+        base.select(
+            F.col(id_col).alias("id_a"),
+            F.col("_grams").alias("_ga"),
+            F.col("_ng").alias("_na"),
         ),
+        on="id_a",
+    ).join(
+        base.select(
+            F.col(id_col).alias("id_b"),
+            F.col("_grams").alias("_gb"),
+            F.col("_ng").alias("_nb"),
+        ),
+        on="id_b",
     )
-    l, r = probe.alias("l"), base.alias("r")
-    size_ok = F.least("l._ng", "r._ng").cast("double") >= (
-        F.greatest("l._ng", "r._ng") * threshold
+    size_ok = F.least("_na", "_nb").cast("double") >= (
+        F.greatest("_na", "_nb") * threshold
     )
-    pairs = l.join(
-        r,
-        (F.col("l._blk_probe") == F.col("r._blk"))
-        & (F.col(f"l.{id_col}") < F.col(f"r.{id_col}")),
-    ).where(size_ok)
-    inter = F.size(F.array_intersect("l._grams", "r._grams")).cast("double")
-    union = F.col("l._ng") + F.col("r._ng") - inter
-    return (
-        pairs.withColumn("jaccard", inter / union)
+    inter = F.size(F.array_intersect("_ga", "_gb")).cast("double")
+    union = F.col("_na") + F.col("_nb") - inter
+    result = (
+        joined.where(size_ok)
+        .withColumn("jaccard", inter / union)
         .where(F.col("jaccard") >= threshold)
         .select(
-            F.col(f"l.{id_col}").alias("id_a"),
-            F.col(f"r.{id_col}").alias("id_b"),
+            "id_a",
+            "id_b",
             F.round("jaccard", 6).alias("jaccard"),
         )
+        .localCheckpoint(eager=True)
     )
+    base.unpersist()
+    e.unpersist()
+    return result
 
 
 def simhash(

@@ -107,7 +107,7 @@ def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_dedup_ngram(spark: SparkSession, sf: str) -> DataFrame:
-    """Word-3-gram Jaccard pairs ≥ 0.3 with length-bucket blocking.
+    """Word-3-gram Jaccard pairs ≥ 0.3 via the prefix-filter inverted index (round 5; was length-bucket blocking — see ngram_jaccard_pairs docstring for the sf1 degeneracy that forced the rewrite).
     SQL-matched: the oracle restates shingling + intersect/union in DuckDB
     list functions."""
     docs = load(spark, sf, "documents")

@@ -179,8 +179,15 @@ def main() -> None:
             f"ratio={row['ratio']:5.1f}x",
             flush=True,
         )
+    # merge into the existing artifact so partial runs (single-query
+    # re-measures after a fix) don't clobber the full table
+    merged: dict[str, dict] = {}
+    if os.path.exists("SCALE_PROBE.json"):
+        with open("SCALE_PROBE.json") as f:
+            merged = json.load(f).get("results", {})
+    merged.update(results)
     with open("SCALE_PROBE.json", "w") as f:
-        json.dump({"factor": FACTOR, "results": results}, f, indent=1)
+        json.dump({"factor": FACTOR, "results": merged}, f, indent=1)
     spark.stop()
 
 
