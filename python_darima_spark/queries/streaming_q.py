@@ -144,6 +144,89 @@ def q_stream_upsert(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_stream_dedup_near(spark: SparkSession, sf: str) -> DataFrame:
+    """STREAMING NEAR-DUP INGEST — the production loop the batch dedup
+    family feeds: documents arrive as micro-batches (the doc_id%5==0
+    slice replayed in 2 doc_id-ordered chunks), the doc_id%5!=0 corpus
+    is pre-indexed, and each micro-batch runs append-then-probe via
+    ``foreachBatch`` against the PERSISTED MinHash index
+    (operators/dedup.py minhash_index_append / minhash_probe_index):
+    batch N finds its pairs against corpus ∪ batches 1..N — so the union
+    of emissions is every J≥0.5 pair with at least one streamed element
+    (cross corpus, cross earlier batches, and within-batch via the
+    self-probe, normalized least/greatest + batch-local distinct;
+    self-pairs dropped). Exactly-once per pair by construction: a
+    cross-batch pair emits only when its LATER element probes.
+
+    foreachBatch is the right harness (not a stream-static join):
+    probe-then-append must observe the index ACCUMULATED through this
+    very stream, which a static join side frozen at plan time cannot.
+    The oracle is the all-pairs exact-Jaccard restatement filtered to
+    pairs touching the streamed slice — every emitted pair is
+    exact-verified, so the hash match is again the recall-1.0 statement.
+    Scale: per-ingest cost is O(|batch|·bands) probe rows against the
+    band-partitioned index + verification; state lives in the index
+    files, not the stream's state store (nothing stateful in-plan)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from python_darima_spark.operators.dedup import (
+        minhash_index_append,
+        minhash_probe_index,
+    )
+    from python_darima_spark.streaming.windows import (
+        read_document_stream,
+        stage_document_chunks,
+    )
+
+    docs_all = load(spark, sf, "documents")
+    corpus = docs_all.where(F.col("doc_id") % 5 != 0)
+    base = tempfile.mkdtemp(prefix="pds_stream_neardup_")
+    ix = f"{base}/index"
+    out = f"{base}/pairs"
+    ckpt = f"{base}/ckpt"
+    shutil.rmtree(ix, ignore_errors=True)
+    minhash_index_append(corpus, ix)
+    # pre-create the sink so an (impossible-on-fixture) zero-pair run
+    # still reads back as an empty 3-column table
+    spark.createDataFrame(
+        [], "id_a long, id_b long, jaccard double"
+    ).write.mode("overwrite").parquet(out)
+
+    def process(batch_df, _batch_id) -> None:
+        minhash_index_append(batch_df, ix)
+        pairs = minhash_probe_index(
+            batch_df, ix, docs_all, threshold=0.5
+        )
+        (
+            pairs.where(F.col("id_new") != F.col("id_old"))
+            .select(
+                F.least("id_new", "id_old").alias("id_a"),
+                F.greatest("id_new", "id_old").alias("id_b"),
+                "jaccard",
+            )
+            .distinct()
+            .write.mode("append")
+            .parquet(out)
+        )
+
+    staged = stage_document_chunks(spark, sf, num_chunks=2)
+    q = (
+        read_document_stream(spark, staged)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", ckpt)
+        .queryName(f"pds_neardup_{uuid.uuid4().hex[:8]}")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    if q.isActive:
+        q.stop()
+        raise TimeoutError("near-dup ingest stream did not finish in 180s")
+    return spark.read.parquet(out)
+
+
 def q_scan_pysource_stream(spark: SparkSession, sf: str) -> DataFrame:
     """CUSTOM STREAMING CONNECTOR via the Python Data Source API (Spark
     4 ``SimpleDataSourceStreamReader``, sources/pysource.py): the
@@ -246,6 +329,31 @@ def q_stream_anomaly_tws(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES = {
+    "q_stream_dedup_near": QuerySpec(
+        q_stream_dedup_near,
+        """WITH sh AS (
+             SELECT doc_id,
+                    list_distinct(list_transform(
+                        generate_series(1, greatest(length(text) - 4, 1)),
+                        i -> substring(text, CAST(i AS INT), 5))) AS s
+             FROM documents
+           ), e AS (
+             SELECT doc_id, unnest(s) AS g FROM sh
+           ), sizes AS (
+             SELECT doc_id, len(s) AS n FROM sh
+           ), inter AS (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+             FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+             GROUP BY 1, 2
+           )
+           SELECT id_a, id_b,
+                  round(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 6) AS jaccard
+           FROM inter
+           JOIN sizes sa ON sa.doc_id = id_a
+           JOIN sizes sb ON sb.doc_id = id_b
+           WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+             AND (id_a % 5 = 0 OR id_b % 5 = 0)""",
+    ),
     "q_scan_pysource_stream": QuerySpec(
         q_scan_pysource_stream,
         """WITH g AS (

@@ -370,3 +370,60 @@ def run_stream_to_table(
             else:
                 spark.conf.set(k, v)
     return name
+
+
+DOCS_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def stage_document_chunks(
+    spark: SparkSession,
+    sf_dir: str,
+    num_chunks: int = 2,
+    id_filter: str = "doc_id % 5 = 0",
+) -> str:
+    """Write the ``id_filter`` slice of documents as ``num_chunks``
+    doc_id-ordered parquet files so a file stream replays them as
+    in-order ingest micro-batches (the document-corpus twin of
+    :func:`stage_event_chunks`). Cached per (sf, chunks, filter)."""
+    from python_darima_spark.queries import load
+
+    import hashlib
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    # stable digest (NOT Python hash(), which is per-process salted and
+    # would defeat the cache) keyed by the slice predicate
+    fkey = hashlib.md5(id_filter.encode()).hexdigest()[:8]
+    path = os.path.join(
+        tempfile.gettempdir(),
+        f"pds_stream_docs_{tag}_{num_chunks}_{fkey}",
+    )
+    done = os.path.join(path, "_STAGED")
+    if not os.path.exists(done):
+        docs = load(spark, sf_dir, "documents").where(id_filter)
+        ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+        per = max(1, (len(ids) + num_chunks - 1) // num_chunks)
+        for i in range(num_chunks):
+            lo = i * per
+            chunk_ids = ids[lo : lo + per]
+            if not chunk_ids:
+                continue
+            (
+                docs.where(F.col("doc_id").isin(chunk_ids))
+                .sort("doc_id")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(path, f"chunk={i + 1:03d}"))
+            )
+        open(done, "w").close()
+    return path
+
+
+def read_document_stream(spark: SparkSession, staged_path: str) -> DataFrame:
+    """File-source stream over staged document chunks, one per batch."""
+    return (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(staged_path + "/chunk=*")
+    )

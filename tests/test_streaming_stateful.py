@@ -140,3 +140,28 @@ def test_tws_twin_matches_apply_in_pandas_with_state(spark, sf_dir):
     pa = spark.table(a).toPandas().sort_values(cols).reset_index(drop=True)
     pb = spark.table(b).toPandas().sort_values(cols).reset_index(drop=True)
     pd.testing.assert_frame_equal(pa[cols], pb[cols], check_dtype=False)
+
+
+def test_stream_dedup_near_equals_batch_contract(spark, sf_dir):
+    """The streaming append-then-probe ingest must emit EXACTLY the
+    batch near-dup pairs touching the streamed slice (doc_id%5==0) —
+    cross-corpus, cross-batch AND within-batch, each exactly once.
+    Compares against the batch all-pairs operator filtered to the same
+    contract."""
+    from python_darima_spark.operators.dedup import minhash_near_duplicates
+    from python_darima_spark.queries import load
+    from python_darima_spark.queries.streaming_q import q_stream_dedup_near
+
+    streamed = q_stream_dedup_near(spark, sf_dir).toPandas()
+    assert streamed.duplicated(["id_a", "id_b"]).sum() == 0  # exactly-once
+    docs = load(spark, sf_dir, "documents")
+    batch = minhash_near_duplicates(
+        docs, "text", "doc_id", threshold=0.5
+    ).toPandas()
+    want = {
+        (r.id_a, r.id_b)
+        for r in batch.itertuples()
+        if r.id_a % 5 == 0 or r.id_b % 5 == 0
+    }
+    got = {(r.id_a, r.id_b) for r in streamed.itertuples()}
+    assert got == want and len(got) > 0
