@@ -1383,6 +1383,50 @@ def q_multimodal_audio_energy(spark: SparkSession, sf: str) -> DataFrame:
     return audio_frame_energy(media, frame_len=32)
 
 
+def q_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
+    """URL canonicalization + canonical-form dedup — the crawl-side
+    pipeline stage upstream of content dedup (two fetches of
+    `HTTPS://Host.com:443/a/?utm_source=x#top` and `https://host.com/a`
+    are the same document; canonicalize BEFORE fetching and the corpus
+    never contains the duplicate). The fixture's `source` column holds
+    opaque ids, so this uses the planted-injection pattern (cf.
+    q_text_pii: the oracle checks the OPERATOR, not the fixture):
+    deterministic messy URLs are constructed per doc — mixed-case host,
+    explicit default port, tracking param, fragment, trailing slash —
+    then canonicalized by a JVM regexp chain (fragment strip → default
+    port strip → utm param strip → trailing-slash-before-query strip →
+    lowercase), and deduped by canonical form (min-doc_id keeper via one
+    keyed window). Every regex is BACKREFERENCE-FREE so Java regex and
+    RE2 (DuckDB) agree by construction. Scale: map-only expressions +
+    one keyed window on the canonical URL — the standard first shuffle
+    of a crawl frontier."""
+    docs = load(spark, sf, "documents")
+    host = F.when(F.col("doc_id") % 3 == 0, F.upper("source")).otherwise(
+        F.col("source")
+    )
+    port = F.when(F.col("doc_id") % 4 == 0, F.lit(":443")).otherwise(F.lit(""))
+    slash = F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit(""))
+    frag = F.when(F.col("doc_id") % 5 == 0, F.lit("#sec1")).otherwise(F.lit(""))
+    raw = F.concat(
+        F.lit("https://"), host, F.lit(".example.com"), port,
+        F.lit("/docs/"), (F.col("doc_id") % 40).cast("string"), slash,
+        F.lit("?utm_source=feed&id="), (F.col("doc_id") % 7).cast("string"),
+        frag,
+    )
+    c = F.regexp_replace(raw, r"#.*$", "")
+    c = F.regexp_replace(c, r":443/", "/")
+    c = F.regexp_replace(c, r"utm_[a-z]+=[^&]*&", "")
+    c = F.regexp_replace(c, r"/\?", "?")
+    canon = F.lower(c)
+    w = Window.partitionBy("canon_url")
+    return (
+        docs.select("doc_id", raw.alias("raw_url"), canon.alias("canon_url"))
+        .withColumn(
+            "is_canonical", F.col("doc_id") == F.min("doc_id").over(w)
+        )
+    )
+
+
 _SHINGLE_JACCARD_ORACLE = """WITH sh AS (
              SELECT doc_id,
                     list_distinct(list_transform(
@@ -2383,6 +2427,39 @@ QUERIES = {
                        AS INTEGER) AS frame_byte
            FROM offs
            WHERE off <= 64 * 7""",
+    ),
+    "q_url_canonicalize": QuerySpec(
+        q_url_canonicalize,
+        """WITH u AS (
+             SELECT doc_id,
+                    'https://' ||
+                    CASE WHEN doc_id % 3 = 0 THEN upper(source)
+                         ELSE source END ||
+                    '.example.com' ||
+                    CASE WHEN doc_id % 4 = 0 THEN ':443' ELSE '' END ||
+                    '/docs/' || CAST(doc_id % 40 AS VARCHAR) ||
+                    CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END ||
+                    '?utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR) ||
+                    CASE WHEN doc_id % 5 = 0 THEN '#sec1' ELSE '' END
+                        AS raw_url
+             FROM documents
+           ), c AS (
+             SELECT doc_id, raw_url,
+                    lower(
+                      regexp_replace(
+                        regexp_replace(
+                          regexp_replace(
+                            regexp_replace(raw_url, '#.*$', ''),
+                            ':443/', '/'),
+                          'utm_[a-z]+=[^&]*&', ''),
+                        '/\\?', '?')
+                    ) AS canon_url
+             FROM u
+           )
+           SELECT doc_id, raw_url, canon_url,
+                  doc_id = min(doc_id) OVER (PARTITION BY canon_url)
+                      AS is_canonical
+           FROM c""",
     ),
     "q_multimodal_audio_energy": QuerySpec(
         q_multimodal_audio_energy,

@@ -401,21 +401,29 @@ def stage_document_chunks(
     )
     done = os.path.join(path, "_STAGED")
     if not os.path.exists(done):
-        docs = load(spark, sf_dir, "documents").where(id_filter)
-        ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
-        per = max(1, (len(ids) + num_chunks - 1) // num_chunks)
+        docs = load(spark, sf_dir, "documents").where(id_filter).persist()
+        # chunk boundaries from doc_id quantiles — the driver sees
+        # num_chunks-1 scalars, never an id list (same sketch-pass shape
+        # as stage_event_chunks; a collect of ids would be O(corpus) on
+        # the driver)
+        qs = [i / num_chunks for i in range(1, num_chunks)]
+        cuts = docs.approxQuantile("doc_id", qs, 0.001) if num_chunks > 1 else []
+        lo = [None, *cuts]
+        hi = [*cuts, None]
         for i in range(num_chunks):
-            lo = i * per
-            chunk_ids = ids[lo : lo + per]
-            if not chunk_ids:
-                continue
+            pred = F.lit(True)
+            if lo[i] is not None:
+                pred = F.col("doc_id") > F.lit(int(lo[i]))
+            if hi[i] is not None:
+                pred = pred & (F.col("doc_id") <= F.lit(int(hi[i])))
             (
-                docs.where(F.col("doc_id").isin(chunk_ids))
+                docs.where(pred)
                 .sort("doc_id")
                 .coalesce(1)
                 .write.mode("overwrite")
                 .parquet(os.path.join(path, f"chunk={i + 1:03d}"))
             )
+        docs.unpersist()
         open(done, "w").close()
     return path
 
