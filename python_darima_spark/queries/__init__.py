@@ -59,6 +59,8 @@ _PRIORITY = [
     "q_multimodal_audio_energy",
     "q_stream_dedup_near",
     "q_url_canonicalize",
+    "q_ts_fitted",
+    "q_ts_fitted_unrolled",
     # --- formulation changed in round 5 after their r4 green rows:
     # q_dedup_near/q_doc_dedup_pipeline now run the capped
     # (max_bucket_size=50) LSH as the certified default;

@@ -162,6 +162,54 @@ def q_ts_forecast_unrolled(spark: SparkSession, sf: str) -> DataFrame:
     ).select("series_id", "_f.*")
 
 
+def q_ts_fitted(spark: SparkSession, sf: str) -> DataFrame:
+    """In-sample one-step fitted values + residuals through the engine's
+    real ``fitted_values`` path (reference R23-R30 scoring semantics,
+    /root/reference/darima.py:320-327) with the fit+combine coefficients.
+    Rows-only like q_ts_forecast (data-fit coefficients); the ARITHMETIC
+    is hash-certified by q_ts_fitted_unrolled below."""
+    from python_darima_spark.darima.pipeline import fitted_values
+
+    series = _hourly_series(spark, sf)
+    coefs = darima(series, _CFG).coefs
+    fv = fitted_values(series, coefs, _CFG)
+    return fv.select(
+        "series_id",
+        "ts",
+        F.round("fitted", 6).alias("fitted"),
+        F.round("residual", 6).alias("residual"),
+    )
+
+
+def q_ts_fitted_unrolled(spark: SparkSession, sf: str) -> DataFrame:
+    """Hash-green surrogate for the FITTED-VALUES arithmetic: with the
+    fixed AR(2)+drift coefficients (same literals as
+    q_ts_forecast_unrolled), the one-step in-sample fit is pure window
+    algebra — fitted_t = β₀+β₁·t+a₁·y_{t-1}+a₂·y_{t-2}, null for the
+    first p points (the real path's explicit-null contract) — so the
+    exact expression the Arrow UDF evaluates
+    (darima/pipeline.py:fitted_values lag_mat @ pi) restates as two
+    lag() windows in DuckDB. Twin-tested against the real path. Lags
+    round to 6dp before the algebra on both engines (hourly-sum ulp
+    guard); the expression is written in the identical left-assoc order
+    on both sides."""
+    series = _hourly_series(spark, sf)
+    w = Window.partitionBy("series_id").orderBy("ts")
+    b0, b1, a1, a2 = (F.lit(c) for c in (_UF_B0, _UF_B1, _UF_A1, _UF_A2))
+    t_idx = F.row_number().over(w)
+    l1 = F.round(F.lag("y", 1).over(w), 6)
+    l2 = F.round(F.lag("y", 2).over(w), 6)
+    fitted = F.round(
+        b0 + b1 * t_idx.cast("double") + a1 * l1 + a2 * l2, 6
+    )
+    return series.select(
+        "series_id",
+        "ts",
+        fitted.alias("fitted"),
+        F.round(F.round("y", 6) - fitted, 6).alias("residual"),
+    )
+
+
 def q_ts_seasonal(spark: SparkSession, sf: str) -> DataFrame:
     """Hour-of-day seasonal profile per series: per-(series, hod) mean,
     support count, and the additive seasonal component (profile mean −
@@ -894,6 +942,26 @@ QUERIES = {
              SELECT series_id, 3, ts_last + INTERVAL 3 HOUR,
                     f3, {_UF_SE[2]!r} FROM s3
            )""",
+    ),
+    "q_ts_fitted": QuerySpec(q_ts_fitted, None),  # data-fit coefs
+    "q_ts_fitted_unrolled": QuerySpec(
+        q_ts_fitted_unrolled,
+        f"""WITH {_GRID_CTE}, r AS (
+             SELECT series_id, ts,
+                    round(y, 6) AS y6,
+                    row_number() OVER w AS t,
+                    round(lag(y, 1) OVER w, 6) AS l1,
+                    round(lag(y, 2) OVER w, 6) AS l2
+             FROM grid
+             WINDOW w AS (PARTITION BY series_id ORDER BY ts)
+           )
+           SELECT series_id, ts,
+                  round({_UF_B0!r} + {_UF_B1!r} * CAST(t AS DOUBLE)
+                        + {_UF_A1!r} * l1 + {_UF_A2!r} * l2, 6) AS fitted,
+                  round(y6 - round({_UF_B0!r} + {_UF_B1!r} * CAST(t AS DOUBLE)
+                        + {_UF_A1!r} * l1 + {_UF_A2!r} * l2, 6), 6)
+                      AS residual
+           FROM r""",
     ),
     # rows-only: the fold/metric plumbing is hash-verified via
     # q_ts_backtest (seasonal-naive twin); this swaps in the real model

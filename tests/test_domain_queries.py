@@ -205,3 +205,53 @@ def test_unrolled_forecast_matches_real_pipeline(spark, sf_dir):
         # surrogate rounds y-lags to 6dp before the recursion; allow that
         assert (real[col] - surr[col]).abs().max() < 1e-5, col
     assert (real.ts.values == surr.ts.values).all()
+
+
+def test_unrolled_fitted_matches_real_pipeline(spark, sf_dir):
+    """q_ts_fitted_unrolled must compute the same numbers the real
+    cogrouped-Arrow fitted_values() produces for the surrogate's fixed
+    coefficients (tol=2), including the explicit-null head."""
+    import pandas as pd
+
+    from python_darima_spark.darima.pipeline import DarimaConfig, fitted_values
+    from python_darima_spark.queries.domain import (
+        _UF_A1,
+        _UF_A2,
+        _UF_B0,
+        _UF_B1,
+        _UF_SIG2,
+        _hourly_series,
+        q_ts_fitted_unrolled,
+    )
+
+    series = _hourly_series(spark, sf_dir)
+    sids = [r.series_id for r in series.select("series_id").distinct().collect()]
+    coef_rows = []
+    for sid in sids:
+        coef_rows += [
+            {"series_id": sid, "coef": "beta0", "value": _UF_B0},
+            {"series_id": sid, "coef": "beta1", "value": _UF_B1},
+            {"series_id": sid, "coef": "ar1", "value": _UF_A1},
+            {"series_id": sid, "coef": "ar2", "value": _UF_A2},
+            {"series_id": sid, "coef": "sigma2", "value": _UF_SIG2},
+        ]
+    coefs = spark.createDataFrame(pd.DataFrame(coef_rows))
+    real = (
+        fitted_values(series, coefs, DarimaConfig(period=24, tol=2))
+        .toPandas()
+        .sort_values(["series_id", "ts"])
+        .reset_index(drop=True)
+    )
+    surr = (
+        q_ts_fitted_unrolled(spark, sf_dir)
+        .toPandas()
+        .sort_values(["series_id", "ts"])
+        .reset_index(drop=True)
+    )
+    assert len(real) == len(surr) > 0
+    # null head: exactly the first tol=2 rows of each series
+    assert real.fitted.isna().equals(surr.fitted.isna())
+    d = (real.fitted - surr.fitted).abs().max()
+    assert d < 1e-5, d
+    dr = (real.residual - surr.residual).abs().max()
+    assert dr < 1e-5, dr
