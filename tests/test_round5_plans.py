@@ -1,0 +1,115 @@
+"""Physical-plan assertions for the round-5 operators: pin the shapes
+the 100 TB posture relies on (map-only stages stay map-only, the
+capped-LSH bucket count rides the existing shuffle, the prefix-filter
+candidate joins stay equi) so regressions fail loudly."""
+
+from __future__ import annotations
+
+from python_darima_spark.queries.domain import (
+    q_ts_fitted_unrolled,
+    q_ts_forecast_unrolled,
+)
+from python_darima_spark.queries.llm_data import (
+    q_multimodal_audio_energy,
+    q_multimodal_frame_sample,
+    q_url_canonicalize,
+)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_forecast_unrolled_single_keyed_window(spark, sf_dir):
+    """Last-2-obs + 3-row fan-out: one keyed window over the series grid,
+    then pure projection — no join, no second shuffle, no Python."""
+    plan = _plan(q_ts_forecast_unrolled(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Window" in plan, plan[:1500]
+    assert "Generate" in plan  # the explode fan-out is relational
+
+
+def test_fitted_unrolled_is_window_algebra(spark, sf_dir):
+    """Two lag()s + row_number share ONE window spec: the plan must
+    contain a Window and no join/Python — the whole fit is map-side
+    after the grid's keyed shuffle."""
+    plan = _plan(q_ts_fitted_unrolled(spark, sf_dir))
+    assert "Window" in plan, plan[:1500]
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_frame_sample_fanout_relational_joinback_equi(spark, sf_dir):
+    """The offset fan-out must be a Generate (posexplode), never a
+    Python stage, and the content join-back an equi hash join."""
+    plan = _plan(q_multimodal_frame_sample(spark, sf_dir))
+    assert "Generate" in plan, plan[:1500]
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_audio_energy_single_arrow_stage(spark, sf_dir):
+    """Exactly ONE Arrow crossing (the mapInPandas framing stage);
+    payloads must not shuffle — no exchange above the Python stage other
+    than the scan-side parallelism floor."""
+    plan = _plan(q_multimodal_audio_energy(spark, sf_dir))
+    assert plan.count("MapInPandas") == 1, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_url_canonicalize_map_only_plus_one_window(spark, sf_dir):
+    """Regexp chain is map-side; the min-id-per-canon dedup is ONE keyed
+    window — no join, no Python."""
+    plan = _plan(q_url_canonicalize(spark, sf_dir))
+    assert "Window" in plan, plan[:1500]
+    assert "Join" not in plan
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+def _no_checkpoint(monkeypatch):
+    """Make localCheckpoint an identity so the operator's REAL plan is
+    inspectable (the eager checkpoint otherwise collapses everything
+    upstream into a Scan ExistingRDD)."""
+    # Spark 4: instances are pyspark.sql.classic.dataframe.DataFrame;
+    # patching the abstract pyspark.sql.DataFrame would not intercept
+    from pyspark.sql.classic.dataframe import DataFrame
+
+    monkeypatch.setattr(
+        DataFrame, "localCheckpoint", lambda self, eager=True: self
+    )
+
+
+def test_containment_estimate_prefilter_in_plan(spark, sf_dir, monkeypatch):
+    """The round-5 containment shape: all candidate/verify joins equi
+    (hash or sort-merge), no nested loop anywhere, and the signature
+    aggregation present (the 64 min-aggregate estimate stage)."""
+    _no_checkpoint(monkeypatch)
+    from python_darima_spark.queries.llm_data import load
+    from python_darima_spark.operators.dedup import containment_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    plan = _plan(containment_pairs(docs, "text", "doc_id"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the estimate stage's 64-way min aggregate is a HashAggregate over
+    # xxhash64-derived columns
+    assert "xxhash64" in plan, plan[:2000]
+    assert "HashAggregate" in plan
+    assert "Window" in plan  # the df-rank prefix window
+
+
+def test_ngram_prefix_filter_no_cross_join(spark, sf_dir, monkeypatch):
+    """The round-5 rewrite's reason to exist: the candidate stage must
+    never plan a cross/nested-loop join (the old length-bucket blocking
+    degenerated to one on this corpus)."""
+    _no_checkpoint(monkeypatch)
+    from python_darima_spark.queries.llm_data import load
+    from python_darima_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = load(spark, sf_dir, "documents")
+    plan = _plan(ngram_jaccard_pairs(docs, "text", "doc_id", n=3, threshold=0.3))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Window" in plan  # the df-rank prefix window
