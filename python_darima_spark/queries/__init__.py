@@ -61,6 +61,7 @@ _PRIORITY = [
     "q_url_canonicalize",
     "q_ts_fitted",
     "q_ts_fitted_unrolled",
+    "q_embed_project_quantized",
     # --- formulation changed in round 5 after their r4 green rows:
     # q_dedup_near/q_doc_dedup_pipeline now run the capped
     # (max_bucket_size=50) LSH as the certified default;

@@ -1383,6 +1383,44 @@ def q_multimodal_audio_energy(spark: SparkSession, sf: str) -> DataFrame:
     return audio_frame_energy(media, frame_len=32)
 
 
+def q_embed_project_quantized(spark: SparkSession, sf: str) -> DataFrame:
+    """Fixed-matrix embedding projection in EXACT integer arithmetic —
+    the apply-side of dimensionality reduction (q_embed_pca certifies
+    the eigen-fit with a numpy twin; this certifies a projection's
+    arithmetic under the driver's value hash, the unrolled-twin trick
+    applied to linear algebra). Embeddings quantize to e6 micro-units
+    (bigint), the 4×64 loading matrix is the deterministic integer
+    pattern L[k][j] = ((k·64+j) mod 7) − 3 ∈ [−3,3], and each component
+    is one zip_with·aggregate fold — an exact ``Σ e6_j·L_kj`` with no
+    float anywhere until the final display column, so summation order
+    cannot matter. Everything is JVM higher-order functions: map-only,
+    no shuffle, no Python. The same shape quantized-embedding scoring
+    (int8 dot products) uses at serving time."""
+    emb = ensure_parallelism(load(spark, sf, "embeddings"))
+    q6 = F.transform(
+        "embedding", lambda x: F.round(x * F.lit(1e6)).cast("bigint")
+    )
+    base = emb.select("vec_id", q6.alias("_q"))
+    cols = [F.col("vec_id")]
+    for k in range(4):
+        load_row = F.array(
+            *[F.lit((k * 64 + j) % 7 - 3).cast("bigint") for j in range(64)]
+        )
+        p_int = F.aggregate(
+            F.zip_with(F.col("_q"), load_row, lambda e, l: e * l),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        )
+        cols.append(p_int.alias(f"p{k}_int"))
+    out = base.select(*cols)
+    for k in range(4):
+        # raw division, NOT round(...,6): p_int/1e7 of identical bigints
+        # is bit-identical cross-engine, while rounding hits genuine
+        # decimal TIES whenever p_int ends in 5 (measured: 3/500 rows)
+        out = out.withColumn(f"p{k}", F.col(f"p{k}_int") / F.lit(1e7))
+    return out
+
+
 def q_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
     """URL canonicalization + canonical-form dedup — the crawl-side
     pipeline stage upstream of content dedup (two fetches of
@@ -2427,6 +2465,35 @@ QUERIES = {
                        AS INTEGER) AS frame_byte
            FROM offs
            WHERE off <= 64 * 7""",
+    ),
+    "q_embed_project_quantized": QuerySpec(
+        q_embed_project_quantized,
+        """WITH e AS (
+             SELECT vec_id, unnest(embedding) AS x,
+                    generate_subscripts(embedding, 1) AS j
+             FROM embeddings
+           ), s AS (
+             SELECT vec_id,
+                    CAST(sum(CAST(round(x * 1e6) AS BIGINT)
+                             * (((0 * 64 + (j - 1)) % 7) - 3)) AS BIGINT)
+                        AS p0_int,
+                    CAST(sum(CAST(round(x * 1e6) AS BIGINT)
+                             * (((1 * 64 + (j - 1)) % 7) - 3)) AS BIGINT)
+                        AS p1_int,
+                    CAST(sum(CAST(round(x * 1e6) AS BIGINT)
+                             * (((2 * 64 + (j - 1)) % 7) - 3)) AS BIGINT)
+                        AS p2_int,
+                    CAST(sum(CAST(round(x * 1e6) AS BIGINT)
+                             * (((3 * 64 + (j - 1)) % 7) - 3)) AS BIGINT)
+                        AS p3_int
+             FROM e GROUP BY vec_id
+           )
+           SELECT vec_id, p0_int, p1_int, p2_int, p3_int,
+                  p0_int / 1e7 AS p0,
+                  p1_int / 1e7 AS p1,
+                  p2_int / 1e7 AS p2,
+                  p3_int / 1e7 AS p3
+           FROM s""",
     ),
     "q_url_canonicalize": QuerySpec(
         q_url_canonicalize,
