@@ -176,16 +176,26 @@ def main() -> None:
             spec = reg.get(name)
             if spec is None:
                 continue
-            rep_times = []
-            for _ in range(sf1_reps_n):
-                t0 = time.perf_counter()
-                spec.fn(spark, sf1_dir).write.format("noop").mode(
-                    "overwrite"
-                ).save()
-                rep_times.append(time.perf_counter() - t0)
-                spark.catalog.clearCache()
-            sf1_timings[name] = round(min(rep_times), 3)
-            print(f"  [sf1] {name}: {sf1_timings[name]:.2f}s", file=sys.stderr)
+            # per-query guard: the sf1 dir is an OPTIONAL derived
+            # artifact (a partial --build-only leaves tables missing);
+            # one failure there must never discard the completed sf0.1
+            # pass below
+            try:
+                rep_times = []
+                for _ in range(sf1_reps_n):
+                    t0 = time.perf_counter()
+                    spec.fn(spark, sf1_dir).write.format("noop").mode(
+                        "overwrite"
+                    ).save()
+                    rep_times.append(time.perf_counter() - t0)
+                    spark.catalog.clearCache()
+                sf1_timings[name] = round(min(rep_times), 3)
+                print(
+                    f"  [sf1] {name}: {sf1_timings[name]:.2f}s",
+                    file=sys.stderr,
+                )
+            except Exception as exc:  # noqa: BLE001
+                print(f"  [sf1] {name}: SKIPPED ({exc})", file=sys.stderr)
 
     out = {
         "metric": "headline_total_runtime",

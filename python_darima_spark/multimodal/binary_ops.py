@@ -22,7 +22,6 @@ deterministic byte-histogram stand-in used by the hash-checked oracles.
 from __future__ import annotations
 
 import importlib.util
-import math
 from collections.abc import Iterator
 
 import numpy as np
@@ -388,24 +387,42 @@ def audio_frame_energy(df: DataFrame, frame_len: int = 32) -> DataFrame:
 
     def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out: dict[str, list] = {
-                "media_id": [], "frame_idx": [], "n_samples": [],
-                "sum_sq": [], "rms": [],
-            }
+            mids, idxs, ns, sss = [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = payload if isinstance(payload, bytes) else bytes(payload)
                 arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64) - 128
-                for i in range(0, arr.size, frame_len):
-                    fr = arr[i : i + frame_len]
-                    ss = int((fr * fr).sum())
-                    out["media_id"].append(mid)
-                    out["frame_idx"].append(i // frame_len)
-                    out["n_samples"].append(fr.size)
-                    out["sum_sq"].append(ss)
-                    out["rms"].append(
-                        round(math.sqrt(ss / float(fr.size)), 6)
-                    )
-            yield pd.DataFrame(out)
+                if arr.size == 0:
+                    continue
+                # one vectorized pass per payload: reduceat sums each
+                # frame's squares at the frame offsets (no per-frame
+                # Python loop — O(1) interpreter ops per payload)
+                offs = np.arange(0, arr.size, frame_len)
+                ss = np.add.reduceat(arr * arr, offs)
+                n = np.minimum(arr.size - offs, frame_len)
+                mids.append(np.full(offs.size, mid, dtype=np.int64))
+                idxs.append(offs // frame_len)
+                ns.append(n)
+                sss.append(ss)
+            if not mids:
+                yield pd.DataFrame(
+                    {"media_id": [], "frame_idx": [], "n_samples": [],
+                     "sum_sq": [], "rms": []}
+                )
+                continue
+            mid_a = np.concatenate(mids)
+            idx_a = np.concatenate(idxs)
+            n_a = np.concatenate(ns)
+            ss_a = np.concatenate(sss)
+            rms_a = np.round(np.sqrt(ss_a / n_a.astype(np.float64)), 6)
+            yield pd.DataFrame(
+                {
+                    "media_id": mid_a,
+                    "frame_idx": idx_a.astype(np.int32),
+                    "n_samples": n_a.astype(np.int32),
+                    "sum_sq": ss_a,
+                    "rms": rms_a,
+                }
+            )
 
     return df.select("media_id", "payload").mapInPandas(
         frames, AUDIO_FRAMES_SCHEMA

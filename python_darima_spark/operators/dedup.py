@@ -737,6 +737,46 @@ def simhash_verified_pairs(
     )
 
 
+def _containment_drop_table(
+    threshold: float, num_hashes: int = 64, eps: float = 1e-9
+) -> list[tuple[float, int]]:
+    """Ratio-bucketed sound drop thresholds for the containment
+    estimate prefilter: for each size-ratio bucket (right endpoint
+    ``rhi``), ``d`` is the largest match count whose cumulative
+    probability under Binom(H, Jmin(rhi)) is ≤ ``eps``, where
+    Jmin(r) = t/(1+r−t) is the smallest Jaccard a true containment-≥t
+    pair can have at that ratio. Dropping only pairs with matches ≤ d
+    bounds the per-true-pair miss probability by eps uniformly in r;
+    buckets whose d is −1 (no sound drop possible) are omitted, so
+    pairs beyond the last bucket pass straight to exact verification."""
+    from math import comb
+
+    out: list[tuple[float, int]] = []
+    r = 1.0
+    while r <= 6.0:
+        jmin = threshold / (1.0 + r - threshold)
+        if jmin >= 1.0:
+            r = round(r + 0.1, 2)
+            continue
+        cdf, d = 0.0, -1
+        for k in range(num_hashes + 1):
+            cdf += (
+                comb(num_hashes, k)
+                * jmin**k
+                * (1.0 - jmin) ** (num_hashes - k)
+            )
+            if cdf <= eps:
+                d = k
+            else:
+                break
+        if d >= 0:
+            out.append((r, d))
+        else:
+            break  # larger ratios only get weaker — nothing droppable
+        r = round(r + 0.1, 2)
+    return out
+
+
 def containment_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -814,13 +854,23 @@ def containment_pairs(
     # are the RAREST per doc but their posting lists still average ~60),
     # and joining ~500-string shingle arrays to all of them dominated the
     # whole query. Signatures are 64 longs — an ~10× smaller join payload
-    # and a zip_with instead of an array_intersect per pair. Containment
-    # derives from the Jaccard estimate and the known set sizes:
-    # Î = Ĵ/(1+Ĵ)·(|A|+|B|), ĉ = Î/min(|A|,|B|); the prefilter keeps
-    # ĉ ≥ t − 0.25, ≥4σ below a true pair's value for 64 hashes, so the
-    # CANDIDATE stage stays provably recall-1.0 and the estimate stage's
-    # miss probability is vanishing (the exact-verify oracle still
-    # certifies recall on the fixture — hash match = no pair missed).
+    # and a zip_with instead of an array_intersect per pair.
+    #
+    # The drop rule is RATIO-AWARE, because containment is asymmetric: a
+    # doc fully contained in an R×-larger doc has true Jaccard only
+    # t/(1+R−t) — tiny at large R — so any fixed containment-estimate
+    # cutoff silently drops exactly the pairs this operator exists for
+    # (a round-5 code review computed 53% miss at R=100 for the first,
+    # fixed-margin version). Instead: a true pair (containment ≥ t) has
+    # J ≥ Jmin(R) = t/(1+R−t), its 64-hash match count is
+    # Binom(64, Jmin)-dominated, and we drop a pair only when its match
+    # count is at or below the 1e-9 quantile of that distribution —
+    # per-true-pair miss ≤ 1e-9 UNIFORMLY in R (union-bounded ≪ 1e-6
+    # corpus-wide). Beyond R ≈ 3.2 even zero matches is consistent with
+    # a true pair, so nothing is dropped there — the filter degrades to
+    # pass-through exactly where no sound sketch filter can exist. The
+    # _DROP_TABLE thresholds are the precomputed binomial quantiles,
+    # conservative at each bucket's right endpoint.
     rng = np.random.default_rng(42)
     a = rng.integers(1, 2**30, size=64)
     b = rng.integers(0, 2**30, size=64)
@@ -850,9 +900,38 @@ def containment_pairs(
         F.lit(0),
         lambda acc, x: acc + x,
     )
-    jhat = est_match / F.lit(64.0)
-    with_est = (
+    ratio = F.greatest("_na", "_nb") / F.least("_na", "_nb")
+    # keep unless est_match ≤ d(ratio); the final None bucket (ratio
+    # beyond the table) keeps everything
+    table = _containment_drop_table(threshold)
+    drop_max: F.Column | None = None
+    for rhi, d in table:
+        cond = ratio <= F.lit(rhi)
+        drop_max = (
+            F.when(cond, F.lit(d)) if drop_max is None
+            else drop_max.when(cond, F.lit(d))
+        )
+    # SPLIT by ratio class so the signature join only runs where the
+    # drop rule has teeth: high-ratio pairs (no sound drop possible, or
+    # d=0 so ≥1 shared minhash keeps them anyway) go straight to exact
+    # verify without paying the 2×64-long signature shuffle
+    r_teeth = max((rhi for rhi, d in table if d >= 1), default=0.0)
+    sized = (
         cands.join(
+            szs.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na")),
+            "id_a",
+        )
+        .join(
+            szs.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb")),
+            "id_b",
+        )
+        .persist()
+    )
+    low_r = sized.where(ratio <= F.lit(r_teeth))
+    high_r = sized.where(ratio > F.lit(r_teeth)).select("id_a", "id_b")
+    keep = est_match > F.coalesce(drop_max, F.lit(-1))
+    est_kept = (
+        low_r.join(
             sig.select(
                 F.col(id_col).alias("id_a"), F.col("sig").alias("_siga")
             ),
@@ -864,16 +943,10 @@ def containment_pairs(
             ),
             on="id_b",
         )
-        .join(szs.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na")), "id_a")
-        .join(szs.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb")), "id_b")
-        .where(
-            (jhat / (F.lit(1.0) + jhat))
-            * (F.col("_na") + F.col("_nb"))
-            / F.least("_na", "_nb")
-            >= F.lit(threshold - 0.25)
-        )
+        .where(keep)
         .select("id_a", "id_b")
     )
+    with_est = est_kept.unionByName(high_r)
     # exact verify from the persisted shingle arrays — survivors never
     # re-shingle the raw text
     joined = with_est.join(
@@ -902,6 +975,7 @@ def containment_pairs(
     )
     sh.unpersist()
     e.unpersist()
+    sized.unpersist()
     return result
 
 

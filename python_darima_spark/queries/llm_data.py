@@ -91,18 +91,24 @@ def q_dedup_near(spark: SparkSession, sf: str) -> DataFrame:
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash near-dup pairs, HASH-MATCHED (round 3): fingerprints over
     char-5-shingles (the same token space the exact Jaccard measures),
-    pigeonhole candidates at Hamming ≤ 7, then exact-Jaccard verification
+    pigeonhole candidates at Hamming ≤ 9, then exact-Jaccard verification
     at 0.5. Every emitted pair is exact-verified, so the oracle needs no
     knowledge of the xxhash64 bit family — it is the same all-pairs
     Jaccard restatement q_dedup_near hash-matches against (the
     q_join_salted shared-oracle pattern: two independent candidate
     generators, one exact result contract), and hash equality IS the
-    recall-1.0 statement for SimHash banding on this fixture (all 25
-    true pairs measured at Hamming ≤ 6; margin: no other pair of the
-    124,750 sits below Hamming 11)."""
+    recall statement for SimHash banding at this radius. Radius history:
+    7 covered every sf0.01 true pair (max observed Hamming 6), but the
+    round-5 sf0.1 oracle probe caught ONE of sf0.1's 256 true pairs at
+    Hamming exactly 8 — SimHash tracks cosine, not Jaccard, so the
+    Hamming radius of Jaccard-0.5 pairs drifts with corpus size; 9 (10
+    pigeonhole chunks) restores recall with one bit of margin. The
+    radius-vs-candidate-volume tradeoff is inherent to SimHash banding
+    and stated rather than hidden: precision stays exact regardless
+    (every candidate is verified)."""
     docs = load(spark, sf, "documents")
     return simhash_verified_pairs(
-        docs, "text", "doc_id", max_hamming=7, threshold=0.5
+        docs, "text", "doc_id", max_hamming=9, threshold=0.5
     ).orderBy("id_a", "id_b")
 
 
@@ -188,9 +194,14 @@ def q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
     """Asymmetric containment pairs (|A∩B|/|A| ≥ 0.9) via the PREFIX
     FILTER — the doc-inside-doc case Jaccard dedup structurally misses.
     Candidate recall is provably 1.0 (each contained doc probes one more
-    shingle than it could possibly miss), every candidate is exact-
-    verified, so the all-pairs DuckDB restatement must match exactly —
-    no hash-family caveat at all for this family member."""
+    shingle than it could possibly miss); between candidates and the
+    exact verify sits the RATIO-AWARE MinHash-estimate prefilter
+    (operators/dedup.py _containment_drop_table: drop only below the
+    1e-9 binomial quantile of a true pair's match count at that size
+    ratio, pass-through where no sound sketch cutoff exists), so the
+    per-true-pair miss bound is 1e-9 — not literally zero, and stated
+    as such; every survivor is exact-verified, and the all-pairs DuckDB
+    restatement hash-matching IS the empirical recall-1.0 statement."""
     docs = load(spark, sf, "documents")
     return containment_pairs(
         docs, "text", "doc_id", threshold=0.9
@@ -1150,9 +1161,12 @@ def q_text_classifier(spark: SparkSession, sf: str) -> DataFrame:
     return per_doc.crossJoin(F.broadcast(consts)).select(
         "doc_id",
         "n_terms",
-        F.round(
-            (F.col("s") + F.col("absent6") + F.col("prior6")) / 1e6, 4
-        ).alias("log_odds"),
+        # raw division of the exact integer sum, NOT round(...,4): a sum6
+        # ending in 50 is a genuine 4dp tie and the engines' tie rules
+        # differ (found by the sf0.1 probe: doc 4604, sum6=-1604750)
+        ((F.col("s") + F.col("absent6") + F.col("prior6")) / F.lit(1e6)).alias(
+            "log_odds"
+        ),
         (F.col("s") + F.col("absent6") + F.col("prior6") > 0).alias("pred_en"),
     )
 
@@ -1347,7 +1361,11 @@ def q_multimodal_frame_sample(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     docs = load(spark, sf, "documents")
-    media = attach_media_from_text(docs)
+    # empty payloads emit no frames (frame_sample's sequence(0,0) would
+    # yield a bogus offset-0 row whose byte read diverges cross-engine:
+    # Spark ascii('')=0, DuckDB unicode('')=-1); the fixture has no empty
+    # texts, the guard makes the contract hold on any corpus
+    media = attach_media_from_text(docs.where(F.length("text") > 0))
     frames = frame_sample(media, every_n_bytes=64, max_frames=8)
     return frames.join(
         docs.select(F.col("doc_id").alias("media_id"), "text"), "media_id"
@@ -1414,10 +1432,12 @@ def q_embed_project_quantized(spark: SparkSession, sf: str) -> DataFrame:
         cols.append(p_int.alias(f"p{k}_int"))
     out = base.select(*cols)
     for k in range(4):
-        # raw division, NOT round(...,6): p_int/1e7 of identical bigints
-        # is bit-identical cross-engine, while rounding hits genuine
-        # decimal TIES whenever p_int ends in 5 (measured: 3/500 rows)
-        out = out.withColumn(f"p{k}", F.col(f"p{k}_int") / F.lit(1e7))
+        # dequantize by the e6 quantization factor (L is unit-integer,
+        # so p_int = 1e6·Σ x_j·L_kj). Raw division, NOT round(...,6):
+        # p_int/1e6 of identical bigints is bit-identical cross-engine,
+        # while rounding hits genuine decimal TIES whenever p_int ends
+        # in 5 (measured: 3/500 rows)
+        out = out.withColumn(f"p{k}", F.col(f"p{k}_int") / F.lit(1e6))
     return out
 
 
@@ -2366,7 +2386,7 @@ QUERIES = {
              FROM n_class
            )
            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_terms,
-                  round((sum(w6) + absent6 + prior6) / 1e6, 4) AS log_odds,
+                  (sum(w6) + absent6 + prior6) / 1e6 AS log_odds,
                   (sum(w6) + absent6 + prior6) > 0 AS pred_en
            FROM tk JOIN w USING (token), absent, prior
            GROUP BY doc_id, absent6, prior6""",
@@ -2464,7 +2484,7 @@ QUERIES = {
                   CAST(unicode(substring(text, CAST(off + 1 AS INT), 1))
                        AS INTEGER) AS frame_byte
            FROM offs
-           WHERE off <= 64 * 7""",
+           WHERE off <= 64 * 7 AND strlen(text) > 0""",
     ),
     "q_embed_project_quantized": QuerySpec(
         q_embed_project_quantized,
@@ -2489,10 +2509,10 @@ QUERIES = {
              FROM e GROUP BY vec_id
            )
            SELECT vec_id, p0_int, p1_int, p2_int, p3_int,
-                  p0_int / 1e7 AS p0,
-                  p1_int / 1e7 AS p1,
-                  p2_int / 1e7 AS p2,
-                  p3_int / 1e7 AS p3
+                  p0_int / 1e6 AS p0,
+                  p1_int / 1e6 AS p1,
+                  p2_int / 1e6 AS p2,
+                  p3_int / 1e6 AS p3
            FROM s""",
     ),
     "q_url_canonicalize": QuerySpec(

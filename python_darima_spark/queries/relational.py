@@ -968,13 +968,20 @@ def q_sessionize(spark: SparkSession, sf: str) -> DataFrame:
     same hash partitioning, so the whole query is a single exchange."""
     e = load(spark, sf, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = epoch_seconds("ts") - F.lag(epoch_seconds("ts")).over(w)
+    # gap in exact MICROSECONDS: whole-second epoch truncation made a
+    # 1799.9998s gap read as 1800s on the Spark side while the oracle's
+    # interval compare is exact — one flipped session boundary at sf0.1
+    # (found by the round-5 sf0.1 oracle probe; invisible at sf0.01)
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = micros - F.lag(micros).over(w)
     flagged = e.select(
         "user_id",
         "ts",
         "value",
         "event_id",
-        F.when(gap.isNull() | (gap >= 30 * 60), 1).otherwise(0).alias("is_new"),
+        F.when(
+            gap.isNull() | (gap >= 30 * 60 * 1_000_000), 1
+        ).otherwise(0).alias("is_new"),
     )
     sess = flagged.withColumn(
         "sid", F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0))

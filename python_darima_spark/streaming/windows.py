@@ -156,14 +156,40 @@ def stream_dedup(df: DataFrame, watermark: str = "40 days") -> DataFrame:
 
 # --- replay harness --------------------------------------------------------
 
+def _fixture_fingerprint(sf_dir: str, table: str) -> str:
+    """Short digest of a fixture table's files (relpath/size/mtime) for
+    staging-cache keys: a regenerated fixture or a different dataset
+    sharing a basename gets a different cache dir, so a stale _STAGED
+    marker can never serve old rows (the q_scan_binaryfile round-4
+    ADVICE hazard, applied to every staging cache)."""
+    import hashlib
+
+    src = os.path.join(sf_dir, f"{table}.parquet")
+    h = hashlib.sha256(src.encode())
+    if os.path.isdir(src):
+        for root, _dirs, files in sorted(os.walk(src)):
+            for fn in sorted(files):
+                st = os.stat(os.path.join(root, fn))
+                h.update(
+                    f"{os.path.relpath(os.path.join(root, fn), src)}"
+                    f":{st.st_size}:{st.st_mtime_ns};".encode()
+                )
+    elif os.path.exists(src):
+        st = os.stat(src)
+        h.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:12]
+
+
 def stage_event_chunks(
     spark: SparkSession, sf_dir: str, num_chunks: int = 4
 ) -> str:
     """Write events as ``num_chunks`` time-ordered parquet files so a file
-    stream replays them as in-order micro-batches. Cached per sf_dir."""
+    stream replays them as in-order micro-batches. Cached per
+    (sf_dir basename, chunk count, fixture fingerprint)."""
     tag = os.path.basename(os.path.normpath(sf_dir))
+    fp = _fixture_fingerprint(sf_dir, "events")
     path = os.path.join(
-        tempfile.gettempdir(), f"pds_stream_events_v2_{tag}_{num_chunks}"
+        tempfile.gettempdir(), f"pds_stream_events_v2_{tag}_{num_chunks}_{fp}"
     )
     done = os.path.join(path, "_STAGED")
     if not os.path.exists(done):
@@ -385,8 +411,14 @@ def stage_document_chunks(
 ) -> str:
     """Write the ``id_filter`` slice of documents as ``num_chunks``
     doc_id-ordered parquet files so a file stream replays them as
-    in-order ingest micro-batches (the document-corpus twin of
-    :func:`stage_event_chunks`). Cached per (sf, chunks, filter)."""
+    in-order ingest micro-batches. Deliberately NOT merged with
+    :func:`stage_event_chunks`: the two have different pinned contracts
+    (events cut on float epoch quantiles with >=lo/<hi bounds and sort
+    (ts, event_id) — the intra-batch order q_stream_dedup's
+    first-arrival oracle depends on; documents cut on integer doc_id
+    with >lo/<=hi), and four rounds of driver hashes stand behind the
+    event convention. Cached per (sf, chunks, filter, fixture
+    fingerprint)."""
     from python_darima_spark.queries import load
 
     import hashlib
@@ -395,9 +427,10 @@ def stage_document_chunks(
     # stable digest (NOT Python hash(), which is per-process salted and
     # would defeat the cache) keyed by the slice predicate
     fkey = hashlib.md5(id_filter.encode()).hexdigest()[:8]
+    fp = _fixture_fingerprint(sf_dir, "documents")
     path = os.path.join(
         tempfile.gettempdir(),
-        f"pds_stream_docs_{tag}_{num_chunks}_{fkey}",
+        f"pds_stream_docs_{tag}_{num_chunks}_{fkey}_{fp}",
     )
     done = os.path.join(path, "_STAGED")
     if not os.path.exists(done):

@@ -787,3 +787,29 @@ def test_audio_frame_energy_boundaries(spark):
     assert got[(2, 1)][0] == 8 and got[(2, 1)][1] == ss(32, 40)
     assert got[(3, 0)] == (5, 0, 0.0)
     assert len(got) == 2 + 2 + 1
+
+
+def test_containment_extreme_asymmetry_survives_prefilter(spark):
+    """Regression for the round-5 review finding: a doc fully contained
+    in a ~40x larger doc has true Jaccard ~0.025, so ~95% of its 64
+    minhashes disagree — a fixed containment-estimate cutoff dropped
+    such pairs >50% of the time. The ratio-aware drop table must pass
+    it through to exact verification every time."""
+    import pandas as pd
+
+    from python_darima_spark.operators.dedup import containment_pairs
+
+    small = "the quick brown fox jumps over the lazy dog again and more"
+    filler = " ".join(f"unique{i}word{i * 7}" for i in range(400))
+    rows = [
+        {"doc_id": 1, "text": small},
+        {"doc_id": 2, "text": filler + " " + small},
+        # unrelated docs so the corpus isn't degenerate
+        *[{"doc_id": 10 + i, "text": f"other doc {i} " + "z" * (30 + i)}
+          for i in range(20)],
+    ]
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    pairs = containment_pairs(df, "text", "doc_id", threshold=0.9).toPandas()
+    hit = pairs[(pairs.id_a == 1) & (pairs.id_b == 2)]
+    assert len(hit) == 1, pairs
+    assert hit.containment_a.iloc[0] >= 0.9
