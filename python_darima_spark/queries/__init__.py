@@ -41,13 +41,14 @@ _MODULES = [
 # Execution order: the driver's correctness pass records at most ~50
 # registry entries per round (confirmed: CORRECTNESS_r03 is exactly the
 # first 50 names of round 3's _PRIORITY), so the registry emits in an
-# explicit order robust to the cap: entries with NO green driver row in
-# the CORRECTNESS_r01∪r02∪r03 union lead (25 never-checked round-3
-# additions + 4 whose oracle was upgraded after their last driver row),
-# then round-4 additions, then everything already green — the least
-# costly to lose to the cap. Anything not listed follows in module
-# order. PROBE_r04.json is the full local replica of the driver gate
-# over ALL entries regardless of the cap.
+# explicit order robust to the cap: the round-5 head covers (1) the
+# union's one red row whose oracle was fixed, (2) the eight round-5
+# additions, (3) every entry whose formulation changed after its last
+# green row, (4) the rows-only refreshes — then everything already
+# green, least costly to lose to the cap. Anything not listed follows
+# in module order. PROBE_r05.json (sf0.01) and PROBE_SF01_r05.json
+# (sf0.1) are the full local replicas of the driver gate over ALL
+# entries regardless of the cap.
 _PRIORITY = [
     # --- ROUND-5 head (r4 verdict ask #8). Position 1: the union's one
     # red row — its ORACLE was fixed this round (HUGEINT→BIGINT casts,
@@ -74,6 +75,17 @@ _PRIORITY = [
     "q_ts_anomaly_mad",
     "q_scan_binaryfile",
     "q_dedup_index_append",
+    # --- also changed late in round 5 (sf0.1-probe boundary fixes and
+    # the prefix-filter/prefilter rewrites): their last green driver
+    # rows predate the new formulations, so they re-verify inside the
+    # window
+    "q_dedup_simhash",
+    "q_text_classifier",
+    "q_sessionize",
+    "q_dedup_ngram",
+    "q_dedup_cluster",
+    "q_dedup_cluster_star",
+    "q_dedup_containment",
     # --- rows-only entries (no SQL oracle possible): refresh their
     # rows-only driver rows.
     "q_ts_fit_combine",
@@ -89,7 +101,6 @@ _PRIORITY = [
     # ordered most-recently-verified-last so the window re-covers the
     # r4 batch first if room remains.
     "q_sim_topk_ivf",
-    "q_dedup_simhash",
     "q_dedup_embedding",
     "q_subquery_scalar",
     "q_subquery_corr",
@@ -106,7 +117,6 @@ _PRIORITY = [
     "q_agg_approx_quantile",
     "q_text_perplexity",
     "q_text_tfidf",
-    "q_dedup_containment",
     "q_ts_stl",
     "q_ts_changepoint",
     "q_multimodal_resize",
@@ -165,8 +175,6 @@ _PRIORITY = [
     "q_tpch_q22",
     "q_ts_eval_metrics",
     "q_agg_cube",
-    "q_text_classifier",
-    "q_dedup_cluster_star",
     "q_agg_topk_sketch",
     "q_sim_knn_label",
     "q_sim_topk_pq",
@@ -197,7 +205,6 @@ _PRIORITY = [
     "q_pack_sequences",
     "q_text_decontaminate",
     "q_text_vocab",
-    "q_sessionize",
     "q_ts_rollup",
     "q_join_salted",
     "q_topk_group",
@@ -207,7 +214,6 @@ _PRIORITY = [
     "q_doc_chunk",
     "q_scan_pruned",
     "q_stream_stream_join",
-    "q_dedup_cluster",
     "q_window_range",
     "q_agg_sketch_rollup",
     "q_tpch_q1",
@@ -238,7 +244,6 @@ _PRIORITY = [
     "q_udf_cogrouped_map",
     "q_udaf_grouped_agg",
     "q_join_outer",
-    "q_dedup_ngram",
     "q_scan_csv",
     "q_scan_json",
     "q_sink_json",
