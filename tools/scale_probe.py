@@ -77,6 +77,14 @@ PROBE_QUERIES = [
     "q_dedup_index_append",
     "q_sim_topk_pq",
     "q_dedup_cluster_star",
+    # round-5 additions: the streaming ingest loop (index growth across
+    # batches at 10× corpus), the Arrow audio stage, the map-only
+    # canonicalize, and the two ngram-family rewrites
+    "q_stream_dedup_near",
+    "q_multimodal_audio_energy",
+    "q_url_canonicalize",
+    "q_dedup_ngram",
+    "q_dedup_cluster",
 ]
 
 
