@@ -389,19 +389,29 @@ def evaluate(
         .join(scale, on=series_col)
     )
     err = F.abs(F.col("_actual") - F.col("mean"))
+    # try_divide, not `/`: a zero denominator is REACHABLE data, not a
+    # bug — sMAPE's (|a|+|m|)/2 is 0 when a test point and its forecast
+    # are both 0 (gap-filled silence at small SF; found by the round-5
+    # sf0.001 probe as an ANSI DIVIDE_BY_ZERO crash), and the MASE/MSIS
+    # scale is 0 for a constant train series. NULL matches both DuckDB
+    # (x/0 → NULL) and the undefined-metric semantics.
     cols = [
-        (err / F.col("_scale")).alias("mase"),
-        (err / ((F.abs(F.col("_actual")) + F.abs(F.col("mean"))) / 2)).alias("smape"),
+        F.try_divide(err, F.col("_scale")).alias("mase"),
+        F.try_divide(
+            err, (F.abs(F.col("_actual")) + F.abs(F.col("mean"))) / 2
+        ).alias("smape"),
     ]
     for lev in cfg.levels:
         alpha = (100 - lev) / 100.0
         lo, hi, ya = F.col(f"lo_{lev}"), F.col(f"hi_{lev}"), F.col("_actual")
-        msis = (
+        msis_num = (
             (hi - lo)
             + F.when(ya < lo, (2.0 / alpha) * (lo - ya)).otherwise(0.0)
             + F.when(ya > hi, (2.0 / alpha) * (ya - hi)).otherwise(0.0)
-        ) / F.col("_scale")
-        cols.append(msis.alias(f"msis_{lev}"))
+        )
+        cols.append(
+            F.try_divide(msis_num, F.col("_scale")).alias(f"msis_{lev}")
+        )
     return joined.select(series_col, ts_col, *cols)
 
 

@@ -33,6 +33,22 @@ _CFG = DarimaConfig(
 )
 
 
+def _rhu(col: F.Column, p: int) -> F.Column:
+    """Deterministic round-half-up via floor: ``floor(x·10^p + 0.5)/10^p``.
+
+    ``round(x, p)`` is NOT portable on tie values: the round-5 sf0.001
+    probe showed Spark and DuckDB resolve an exact decimal midpoint
+    differently even on bit-identical doubles (three queries hit it,
+    because fixture values live on a decimal grid so midpoints are
+    common). ``floor`` has no tie rule — identical doubles always
+    quantize identically; the only residual divergence window is an
+    upstream ulp difference landing exactly on a floor boundary
+    (~1e-10/row instead of certainty-per-midpoint). SQL restatement:
+    ``floor(x * 10^p + 0.5) / 10^p``."""
+    s = float(10**p)
+    return F.floor(col * F.lit(s) + F.lit(0.5)) / F.lit(s)
+
+
 def _hourly_series(spark: SparkSession, sf: str) -> DataFrame:
     ev = load(spark, sf, "events")
     series = ev.select(
@@ -231,9 +247,9 @@ def q_ts_seasonal(spark: SparkSession, sf: str) -> DataFrame:
     return prof.join(mu, "series_id").select(
         "series_id",
         "hod",
-        F.round("_hm", 4).alias("hod_mean"),
+        _rhu(F.col("_hm"), 4).alias("hod_mean"),
         "n",
-        F.round(F.col("_hm") - F.col("_m"), 4).alias("seasonal"),
+        _rhu(F.col("_hm") - F.col("_m"), 4).alias("seasonal"),
     )
 
 
@@ -273,14 +289,23 @@ def q_ts_gapfill(spark: SparkSession, sf: str) -> DataFrame:
     hours at sf0.01) resampled onto the hourly grid, nulls interpolated
     between nearest observations, edges extended. Same keyed-shuffle
     shape as q_ts_resample plus one per-series window pass."""
+    # pre-aggregate to the hourly grid with MICRO-UNIT quantized values
+    # (round-5 sf0.001 probe): interpolation between ulp-divergent raw
+    # sums flipped the final quantization on decimal-midpoint data; with
+    # y quantized FIRST, both interpolation endpoints are identical
+    # doubles and the interp expression (association-aligned with the
+    # oracle) is deterministic
     ev = load(spark, sf, "events")
-    series = ev.select(
+    hourly = ev.groupBy(
         F.pmod("user_id", F.lit(25)).cast("int").alias("series_id"),
-        "ts",
-        F.col("value").alias("y"),
+        F.date_trunc("hour", "ts").alias("ts"),
+    ).agg(
+        (
+            F.floor(F.sum("value") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        ).alias("y")
     )
-    out = resample_regular(series, "1 hour", fill="interp")
-    return out.select("series_id", "ts", F.round("y", 6).alias("y"))
+    out = resample_regular(hourly, "1 hour", fill="interp")
+    return out.select("series_id", "ts", _rhu(F.col("y"), 6).alias("y"))
 
 
 def q_ts_stl(spark: SparkSession, sf: str) -> DataFrame:
@@ -293,28 +318,47 @@ def q_ts_stl(spark: SparkSession, sf: str) -> DataFrame:
     counterpart of q_ts_seasonal's profile. Each stage's output is
     rounded before the next consumes it, so cross-engine summation-order
     ulps cannot compound across stages."""
+    # INTEGER MICRO-UNIT decomposition (round-5 sf0.001 probe): the
+    # float formulation diverged cross-engine because Spark's sliding
+    # window avg and DuckDB's segment-tree avg produce ulp-different
+    # doubles and the fixture's decimal-grid values make every
+    # quantization boundary a midpoint. Here the ONLY float→int
+    # quantization is the hourly sum (y_i6); trend/detr/seasonal/resid
+    # are exact bigint arithmetic on y_i6 — floor of a deterministic
+    # integer-ratio double, so window-avg implementation details cannot
+    # leak into the result.
     ev = load(spark, sf, "events")
     hourly = ev.groupBy(
         F.col("event_type").alias("series_id"),
         F.date_trunc("hour", "ts").alias("ts"),
-    ).agg(F.round(F.sum("value"), 6).alias("y"))
+    ).agg(
+        F.floor(F.sum("value") * F.lit(1e6) + F.lit(0.5)).alias("y_i6")
+    )
     w = Window.partitionBy("series_id").orderBy("ts").rowsBetween(-12, 12)
-    base = hourly.withColumn(
-        "trend", F.round(F.avg("y").over(w), 6)
-    ).withColumn("detr", F.round(F.col("y") - F.col("trend"), 6))
-    seas = base.groupBy(
-        "series_id", F.hour("ts").alias("hod")
-    ).agg(F.round(F.avg("detr"), 6).alias("seasonal"))
+    trend_i6 = F.floor(
+        F.sum("y_i6").over(w).cast("double") / F.count("y_i6").over(w)
+        + F.lit(0.5)
+    )
+    base = hourly.withColumn("trend_i6", trend_i6).withColumn(
+        "detr_i6", F.col("y_i6") - F.col("trend_i6")
+    )
+    seas = base.groupBy("series_id", F.hour("ts").alias("hod")).agg(
+        F.floor(
+            F.sum("detr_i6").cast("double") / F.count("*") + F.lit(0.5)
+        ).alias("seasonal_i6")
+    )
     return (
         base.withColumn("hod", F.hour("ts"))
         .join(F.broadcast(seas), ["series_id", "hod"])
         .select(
             "series_id",
             "ts",
-            "y",
-            "trend",
-            "seasonal",
-            F.round(F.col("detr") - F.col("seasonal"), 6).alias("resid"),
+            (F.col("y_i6") / F.lit(1e6)).alias("y"),
+            (F.col("trend_i6") / F.lit(1e6)).alias("trend"),
+            (F.col("seasonal_i6") / F.lit(1e6)).alias("seasonal"),
+            (
+                (F.col("detr_i6") - F.col("seasonal_i6")) / F.lit(1e6)
+            ).alias("resid"),
         )
     )
 
@@ -787,7 +831,7 @@ QUERIES = {
         """WITH t AS (
              SELECT CAST(user_id % 25 AS INT) AS series_id,
                     date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ts,
-                    sum(value) AS y
+                    floor(sum(value) * 1e6 + 0.5) / 1e6 AS y
              FROM events GROUP BY 1, 2
            ), b AS (
              SELECT series_id, min(ts) AS lo, max(ts) AS hi FROM t GROUP BY 1
@@ -815,11 +859,13 @@ QUERIES = {
              FROM j
            )
            SELECT series_id, ts,
-                  round(CASE WHEN y IS NOT NULL THEN y
+                  floor((CASE WHEN y IS NOT NULL THEN y
                              WHEN py IS NOT NULL AND ny IS NOT NULL
-                             THEN py + (ny - py) * (epoch(ts) - epoch(pts))
-                                                   / (epoch(nts) - epoch(pts))
-                             ELSE coalesce(py, ny) END, 6) AS y
+                             THEN py + (ny - py)
+                                  * ((epoch(ts) - epoch(pts))
+                                     / (epoch(nts) - epoch(pts)))
+                             ELSE coalesce(py, ny) END) * 1e6 + 0.5)
+                      / 1e6 AS y
            FROM w""",
     ),
     "q_ts_stl": QuerySpec(
@@ -827,25 +873,30 @@ QUERIES = {
         """WITH hourly AS (
              SELECT event_type AS series_id,
                     date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ts,
-                    round(sum(value), 6) AS y
+                    CAST(floor(sum(value) * 1e6 + 0.5) AS BIGINT) AS y_i6
              FROM events GROUP BY 1, 2
            ), tr AS (
-             SELECT series_id, ts, y,
-                    round(avg(y) OVER (
-                        PARTITION BY series_id ORDER BY ts
-                        ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING), 6)
-                        AS trend
+             SELECT series_id, ts, y_i6,
+                    CAST(floor(
+                        CAST(sum(y_i6) OVER w AS DOUBLE)
+                        / count(y_i6) OVER w + 0.5) AS BIGINT) AS trend_i6
              FROM hourly
+             WINDOW w AS (PARTITION BY series_id ORDER BY ts
+                          ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
            ), dt AS (
-             SELECT *, round(y - trend, 6) AS detr,
-                    hour(ts) AS hod
+             SELECT *, y_i6 - trend_i6 AS detr_i6, hour(ts) AS hod
              FROM tr
            ), seas AS (
-             SELECT series_id, hod, round(avg(detr), 6) AS seasonal
+             SELECT series_id, hod,
+                    CAST(floor(CAST(sum(detr_i6) AS DOUBLE) / count(*)
+                               + 0.5) AS BIGINT) AS seasonal_i6
              FROM dt GROUP BY 1, 2
            )
-           SELECT dt.series_id, dt.ts, dt.y, dt.trend, seas.seasonal,
-                  round(dt.detr - seas.seasonal, 6) AS resid
+           SELECT dt.series_id, dt.ts,
+                  dt.y_i6 / 1e6 AS y,
+                  dt.trend_i6 / 1e6 AS trend,
+                  seas.seasonal_i6 / 1e6 AS seasonal,
+                  (dt.detr_i6 - seas.seasonal_i6) / 1e6 AS resid
            FROM dt JOIN seas USING (series_id, hod)""",
     ),
     "q_ts_anomaly_mad": QuerySpec(
@@ -978,8 +1029,9 @@ QUERIES = {
              SELECT event_type AS series_id, avg(value) AS m
              FROM events GROUP BY 1
            )
-           SELECT p.series_id, p.hod, round(p.hm, 4) AS hod_mean, p.n,
-                  round(p.hm - mu.m, 4) AS seasonal
+           SELECT p.series_id, p.hod,
+                  floor(p.hm * 1e4 + 0.5) / 1e4 AS hod_mean, p.n,
+                  floor((p.hm - mu.m) * 1e4 + 0.5) / 1e4 AS seasonal
            FROM prof p JOIN mu USING (series_id)""",
     ),
 }
