@@ -461,6 +461,62 @@ def q_ts_holtwinters(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ts_holt_recursive(spark: SparkSession, sf: str) -> DataFrame:
+    """Hash-green EXPONENTIAL-SMOOTHING recursion — the q_ts_eval_metrics
+    trick applied to the smoothing recursion itself. q_ts_holtwinters can
+    only ever get a rows-only driver check because its per-step float
+    recursion is engine-divergent; this twin runs the SAME sequential
+    level/trend update (Holt's linear method, α=β=½) in exact integer
+    micro-unit arithmetic, so the recursion is deterministic and DuckDB
+    can replay it with a recursive CTE:
+
+        l_t = floor((y_t + l_{t-1} + b_{t-1}) / 2)
+        b_t = floor((l_t - l_{t-1} + b_{t-1}) / 2),   l_1 = y_1, b_1 = 0
+
+    Every operand stays a BIGINT (micro-units of the hourly sum), and
+    floor((a)/2.0) is exact for |a| < 2^53, so Spark's grouped Arrow UDF
+    and the oracle's recursive CTE produce bit-identical states — the
+    driver hash check covers a genuinely sequential recursion, not just
+    its unrolled first steps. Scale: identical to q_ts_holtwinters (one
+    task per series, driver holds nothing); the per-series Python loop IS
+    the operator (sequential by construction, not a missed built-in).
+    Emits final level/trend + the h∈{1,2,3} linear forecast per series."""
+    import pandas as pd
+
+    ev = load(spark, sf, "events")
+    hourly = ev.groupBy(
+        F.col("event_type").alias("series_id"),
+        F.date_trunc("hour", "ts").alias("ts"),
+    ).agg(
+        F.floor(F.sum("value") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("y_i6")
+    )
+
+    def _one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts")
+        ys = [int(v) for v in pdf["y_i6"].tolist()]
+        lev, tr = ys[0], 0
+        for y in ys[1:]:
+            nl = (y + lev + tr) // 2
+            tr = (nl - lev + tr) // 2
+            lev = nl
+        hs = [1, 2, 3]
+        return pd.DataFrame(
+            {
+                "series_id": pdf["series_id"].iloc[0],
+                "h": pd.array(hs, dtype="int32"),
+                "level": lev / 1e6,
+                "trend": tr / 1e6,
+                "yhat": [(lev + h * tr) / 1e6 for h in hs],
+            }
+        )
+
+    return hourly.groupBy("series_id").applyInPandas(
+        _one, "series_id string, h int, level double, trend double, yhat double"
+    )
+
+
 def q_ts_eval_metrics(spark: SparkSession, sf: str) -> DataFrame:
     """Driver-visible run of the reference's EVALUATION stage (R32-R35,
     /root/reference/darima.py:425-488): per-timestamp MASE / sMAPE /
@@ -694,6 +750,40 @@ _GRID_CTE = """t AS (
 
 QUERIES = {
     "q_ts_holtwinters": QuerySpec(q_ts_holtwinters),  # rows-only: numpy oracle in tests
+    "q_ts_holt_recursive": QuerySpec(
+        q_ts_holt_recursive,
+        """WITH RECURSIVE s AS (
+             SELECT event_type AS series_id,
+                    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ts,
+                    CAST(floor(sum(value) * 1e6 + 0.5) AS BIGINT) AS y
+             FROM events GROUP BY 1, 2
+           ), r AS (
+             SELECT series_id, y,
+                    row_number() OVER (
+                        PARTITION BY series_id ORDER BY ts) AS rn
+             FROM s
+           ), mx AS (
+             SELECT series_id, max(rn) AS t FROM r GROUP BY 1
+           ), rec AS (
+             SELECT series_id, rn, y AS l, CAST(0 AS BIGINT) AS b
+             FROM r WHERE rn = 1
+             UNION ALL
+             SELECT r.series_id, r.rn,
+                    CAST(floor((r.y + rec.l + rec.b) / 2.0) AS BIGINT),
+                    CAST(floor((CAST(floor((r.y + rec.l + rec.b) / 2.0)
+                                     AS BIGINT) - rec.l + rec.b) / 2.0)
+                         AS BIGINT)
+             FROM rec JOIN r ON r.series_id = rec.series_id
+                            AND r.rn = rec.rn + 1
+           )
+           SELECT rec.series_id, h.h,
+                  rec.l / 1e6 AS level,
+                  rec.b / 1e6 AS trend,
+                  (rec.l + h.h * rec.b) / 1e6 AS yhat
+           FROM rec
+           JOIN mx ON rec.series_id = mx.series_id AND rec.rn = mx.t
+           CROSS JOIN (VALUES (1), (2), (3)) AS h(h)""",
+    ),
     "q_ts_eval_metrics": QuerySpec(
         q_ts_eval_metrics,
         """WITH t AS (

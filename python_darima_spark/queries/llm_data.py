@@ -865,6 +865,79 @@ def q_text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_text_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 top-5 retrieval (k1=1.2, b=0.75) — full-text relevance
+    ranking, the operator a RAG / eval-retrieval stage actually runs
+    (q_text_tfidf is per-doc keyword extraction; this scores DOCUMENTS
+    against QUERIES). Queries are the corpus docs with doc_id%101=1
+    (bounded by construction: a query workload is small relative to the
+    corpus), their distinct terms broadcast against the posting (tf)
+    table, so candidate generation is a broadcast hash join that touches
+    only postings of query terms — never a corpus scan per query. The
+    per-term score idf·tf_component is quantized to integer micro-units
+    BEFORE the per-(query,doc) sum, so the aggregation is an exact
+    BIGINT sum and cross-engine summation order cannot move the hash
+    (the same convention as the text-stats family; the only float risk
+    left is ln() ulps at a floor boundary, shared with q_text_tfidf).
+    At 100 TB: tf/df/dl are the standard inverted-index aggregates
+    (keyed shuffles, vocab- and corpus-keyed); the scored join is
+    posting-list-sized; top-5 is a per-query window on the small
+    (query × candidate) table."""
+    docs = ensure_parallelism(load(spark, sf, "documents"))
+    words = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+    ).where(F.length("w") >= 3)
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
+    stats = dl.agg(
+        F.count("*").alias("_n"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("_avgdl"),
+    )
+    qterms = tf.where(F.col("doc_id") % 101 == 1).select(
+        F.col("doc_id").alias("query_id"), "w"
+    )
+    idf = F.log(
+        (F.col("_n").cast("double") - F.col("df") + 0.5)
+        / (F.col("df").cast("double") + 0.5)
+        + 1.0
+    )
+    tfc = (F.col("tf").cast("double") * 2.2) / (
+        F.col("tf").cast("double")
+        + 1.2 * (0.25 + 0.75 * (F.col("dl").cast("double") / F.col("_avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "w")
+        .where(F.col("doc_id") != F.col("query_id"))
+        .join(dfreq, "w")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "query_id",
+            "doc_id",
+            F.floor(idf * tfc * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("_sc"),
+        )
+    )
+    grouped = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("_sc").alias("_si")
+    )
+    win = Window.partitionBy("query_id").orderBy(
+        F.desc("_si"), F.asc("doc_id")
+    )
+    return (
+        grouped.withColumn("rank", F.row_number().over(win))
+        .where(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "doc_id",
+            "rank",
+            (F.col("_si") / F.lit(1e6)).alias("score"),
+        )
+    )
+
+
 def q_embed_normalize(spark: SparkSession, sf: str) -> DataFrame:
     """Embedding L2-normalize + symmetric int8 quantization (the standard
     pre-index compression: unit-normalize, then round(x·127) per
@@ -2207,6 +2280,53 @@ QUERIES = {
                PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rn
              FROM s
            ) WHERE rn <= 3""",
+    ),
+    "q_text_bm25": QuerySpec(
+        q_text_bm25,
+        r"""WITH w AS (
+             SELECT doc_id,
+                    unnest(string_split_regex(lower(text), '\s+')) AS w
+             FROM documents
+           ), f AS (
+             SELECT doc_id, w, count(*) AS tf
+             FROM w WHERE length(w) >= 3 GROUP BY 1, 2
+           ), dl AS (
+             SELECT doc_id, sum(tf) AS dl FROM f GROUP BY 1
+           ), d AS (
+             SELECT w, count(*) AS df FROM f GROUP BY 1
+           ), st AS (
+             SELECT count(*) AS n,
+                    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+             FROM dl
+           ), q AS (
+             SELECT doc_id AS query_id, w FROM f WHERE doc_id % 101 = 1
+           ), s AS (
+             SELECT q.query_id, f.doc_id,
+                    CAST(floor(
+                        ln((CAST(st.n AS DOUBLE) - d.df + 0.5)
+                           / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+                        * ((CAST(f.tf AS DOUBLE) * 2.2)
+                           / (CAST(f.tf AS DOUBLE)
+                              + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                                                      / st.avgdl))))
+                        * 1e6 + 0.5) AS BIGINT) AS sc
+             FROM f
+             JOIN q USING (w)
+             JOIN d USING (w)
+             JOIN dl ON f.doc_id = dl.doc_id
+             CROSS JOIN st
+             WHERE f.doc_id <> q.query_id
+           ), g AS (
+             SELECT query_id, doc_id,
+                    CAST(sum(sc) AS BIGINT) AS si
+             FROM s GROUP BY 1, 2
+           )
+           SELECT query_id, doc_id, rank, si / 1e6 AS score FROM (
+             SELECT *, CAST(row_number() OVER (
+                 PARTITION BY query_id ORDER BY si DESC, doc_id)
+                 AS INTEGER) AS rank
+             FROM g
+           ) WHERE rank <= 5""",
     ),
     "q_embed_normalize": QuerySpec(
         q_embed_normalize,

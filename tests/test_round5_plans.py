@@ -100,6 +100,111 @@ def test_containment_estimate_prefilter_in_plan(spark, sf_dir, monkeypatch):
     assert "Window" in plan  # the df-rank prefix window
 
 
+def test_holt_recursive_single_grouped_arrow_stage(spark, sf_dir):
+    """One grouped Arrow crossing (the per-series sequential recursion IS
+    the operator); everything before it is a keyed hash aggregate."""
+    from python_darima_spark.queries.domain import q_ts_holt_recursive
+
+    plan = _plan(q_ts_holt_recursive(spark, sf_dir))
+    assert plan.count("FlatMapGroupsInPandas") == 1, plan[:2000]
+    assert "CartesianProduct" not in plan
+
+
+def test_holt_recursive_matches_python_replay(spark, sf_dir):
+    """The integer recursion replayed in plain Python off the hourly
+    aggregate must reproduce the operator's level/trend/yhat exactly —
+    the twin the recursive-CTE oracle certifies cross-engine."""
+    from python_darima_spark.queries.domain import load, q_ts_holt_recursive
+    import pyspark.sql.functions as F
+
+    hourly = (
+        load(spark, sf_dir, "events")
+        .groupBy(
+            F.col("event_type").alias("series_id"),
+            F.date_trunc("hour", "ts").alias("ts"),
+        )
+        .agg(
+            F.floor(F.sum("value") * F.lit(1e6) + F.lit(0.5))
+            .cast("long")
+            .alias("y")
+        )
+        .orderBy("series_id", "ts")
+        .collect()
+    )
+    expect = {}
+    series = {}
+    for r in hourly:
+        series.setdefault(r.series_id, []).append(r.y)
+    for sid, ys in series.items():
+        lev, tr = ys[0], 0
+        for y in ys[1:]:
+            nl = (y + lev + tr) // 2
+            tr = (nl - lev + tr) // 2
+            lev = nl
+        for h in (1, 2, 3):
+            expect[(sid, h)] = (lev / 1e6, tr / 1e6, (lev + h * tr) / 1e6)
+    got = q_ts_holt_recursive(spark, sf_dir).collect()
+    assert len(got) == len(expect)
+    for r in got:
+        lev, tr, yhat = expect[(r.series_id, r.h)]
+        assert (r.level, r.trend, r.yhat) == (lev, tr, yhat)
+
+
+def test_fuzzy_join_equi_block_and_total_recall(spark, sf_dir):
+    """The SymSpell blocking must plan as an equi join (no cartesian /
+    nested loop), and the pigeonhole recall-1.0 claim must hold: every
+    probe resolves its true source NAME at distance exactly 1, and the
+    output stays |probes|-bounded (dictionary resolution, not row
+    fan-out)."""
+    from python_darima_spark.queries.joins import q_join_fuzzy, load
+
+    df = q_join_fuzzy(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    source = {
+        r.p_partkey: r.p_name
+        for r in load(spark, sf_dir, "part")
+        .where("p_partkey % 17 = 3")
+        .collect()
+    }
+    rows = df.collect()
+    hits = {
+        r.probe_key
+        for r in rows
+        if r.match_name == source[r.probe_key] and r.dist == 1
+    }
+    assert hits == set(source), "a probe failed to resolve its source name"
+    # dictionary resolution: no probe may fan out to more matches than
+    # the (tiny) set of names within distance 1
+    per_probe = {}
+    for r in rows:
+        per_probe[r.probe_key] = per_probe.get(r.probe_key, 0) + 1
+    assert max(per_probe.values()) <= 10
+
+
+def test_bm25_broadcast_qterms_no_cartesian(spark, sf_dir):
+    """Candidate generation must be a broadcast hash join of query terms
+    against the posting table; the only cross join is the 1-row stats
+    broadcast. Top-5 contract: ≤5 per query, self excluded, ranks dense
+    from 1."""
+    from python_darima_spark.queries.llm_data import q_text_bm25
+
+    df = q_text_bm25(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    rows = df.collect()
+    by_q = {}
+    for r in rows:
+        assert r.doc_id != r.query_id
+        assert r.score > 0
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= 5
+
+
 def test_ngram_prefix_filter_no_cross_join(spark, sf_dir, monkeypatch):
     """The round-5 rewrite's reason to exist: the candidate stage must
     never plan a cross/nested-loop join (the old length-bucket blocking
