@@ -78,6 +78,11 @@ HEADLINE = [
     "q_dedup_exact_substr",
     "q_ts_anomaly_mad",
     "q_ts_forecast_unrolled",
+    "q_ts_holt_recursive",
+    "q_join_fuzzy",
+    "q_text_bm25",
+    "q_text_bpe_train",
+    "q_text_bpe_apply",
 ]
 
 

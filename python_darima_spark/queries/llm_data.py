@@ -1119,6 +1119,114 @@ def q_text_vocab(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_text_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
+    """Distributed BPE TOKENIZER TRAINING, 3 merge rounds, fully under
+    the driver hash — an ITERATIVE, DATA-DEPENDENT algorithm whose every
+    round the oracle replays (each round's learned merge feeds the next
+    round's tokenization, so a wrong round-1 argmax corrupts rounds 2-3:
+    the hash certifies the whole loop, not one pass). Classic trainer
+    shape: alpha words are frequency-aggregated ONCE (pair statistics
+    over the word VOCABULARY weighted by frequency — corpus-size
+    independent after the first agg, the reason real BPE trainers scale),
+    then per round: adjacent-symbol pair counts (map-side transform +
+    explode, one keyed agg), argmax with (count desc, pair asc)
+    tie-break, and a literal single-pass replace of the winning pair.
+    The 1-row-per-round collect is bounded by contract (the centroid /
+    IVF pattern); both engines' replace() is literal non-overlapping
+    left-to-right, which IS greedy BPE application. The oracle unrolls
+    the 3 rounds as chained CTEs with scalar subqueries. At 100 TB: the
+    word-frequency table is vocab-sized (≪ corpus); each round is one
+    keyed agg + map-only replace over it; real trainers run vocab-size
+    rounds of exactly this plan. Emits (rnd, pair, weighted_count)."""
+    docs = ensure_parallelism(load(spark, sf, "documents"))
+    words = (
+        docs.select(
+            F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
+        )
+        .where(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    cur = words.select(
+        F.rtrim(F.regexp_replace("w", "(.)", "$1 ")).alias("s"), "freq"
+    ).localCheckpoint()
+    merges = []
+    for rnd in (1, 2, 3):
+        arr = cur.select(F.split("s", " ").alias("a"), "freq").where(
+            F.size("a") >= 2
+        )
+        pairs = arr.select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(a) - 1), "
+                    "i -> concat(element_at(a, i), ' ', "
+                    "element_at(a, i + 1)))"
+                )
+            ).alias("p"),
+            "freq",
+        )
+        top = (
+            pairs.groupBy("p")
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), F.asc("p"))
+            .limit(1)
+            .collect()[0]
+        )
+        merges.append((rnd, top.p, int(top.cnt)))
+        # pair strings are ^[a-z]+ [a-z]+$ by construction — safe to
+        # inline as literals
+        cur = cur.select(
+            F.expr(
+                f"replace(s, '{top.p}', '{top.p.replace(' ', '')}')"
+            ).alias("s"),
+            "freq",
+        )
+    return spark.createDataFrame(
+        merges, "rnd int, pair string, weighted_count long"
+    )
+
+
+_BPE_MERGES = ["t h", "th e", "a n", "an d", "i n", "e r", "o n", "r e"]
+
+
+def q_text_bpe_apply(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE tokenizer APPLY with a fixed ordered merge list — the serving
+    path's token counting (the 'how many tokens will this doc cost'
+    stage every curation/training pipeline runs). Per word: space the
+    characters, then apply the 8 merges in priority order as a chain of
+    literal replaces (non-overlapping left-to-right replace IS greedy
+    BPE apply; the whole chain is ONE JVM projection, no Python, no
+    shuffle until the per-doc sum). Emits per-doc word/char/token counts
+    plus an exact integer micro-ratio (tokens·1e6 div chars) so the
+    compression metric hashes without any float. At 100 TB: map-only
+    until one keyed agg on doc_id — the scan IS the cost."""
+    docs = ensure_parallelism(load(spark, sf, "documents"))
+    words = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), r"\s+")).alias("w"),
+    ).where(F.col("w").rlike("^[a-z]+$"))
+    s = "rtrim(regexp_replace(w, '(.)', '$1 '))"
+    for m in _BPE_MERGES:
+        s = f"replace({s}, '{m}', '{m.replace(' ', '')}')"
+    toks = words.select(
+        "doc_id",
+        F.length("w").alias("chars"),
+        F.size(F.split(F.expr(s), " ")).alias("toks"),
+    )
+    agg = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_words"),
+        F.sum("chars").alias("n_chars"),
+        F.sum("toks").cast("long").alias("n_tokens"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_words",
+        "n_chars",
+        "n_tokens",
+        F.expr("(n_tokens * 1000000) div n_chars").alias("ratio_e6"),
+    )
+
+
 def q_text_perplexity(spark: SparkSession, sf: str) -> DataFrame:
     """Per-document unigram-LM score — the perplexity-style quality cut a
     curation pipeline runs with a real LM: train unigram probabilities on
@@ -1630,7 +1738,81 @@ _CLUSTER_ORACLE = f"""WITH RECURSIVE pairs AS ({_NGRAM_ORACLE}),
            FROM reach GROUP BY src"""
 
 
+def _bpe_pairs_cte(src: str) -> str:
+    """Adjacent-symbol pair counts over the spaced-word CTE `src` —
+    repeated verbatim per training round so the oracle's three rounds
+    cannot drift from each other."""
+    return f"""SELECT p, CAST(sum(freq) AS BIGINT) AS cnt FROM (
+             SELECT unnest(list_transform(range(1, len(a)),
+                        i -> a[i] || ' ' || a[i+1])) AS p, freq
+             FROM (SELECT string_split(s, ' ') AS a, freq FROM {src})
+             WHERE len(a) >= 2
+           ) GROUP BY 1"""
+
+
+def _bpe_merge_cte(prev: str, m: str) -> str:
+    """Apply round CTE: replace the round's winning pair in `prev`."""
+    return f"""SELECT replace(s, (SELECT p FROM {m}),
+                    replace((SELECT p FROM {m}), ' ', '')) AS s, freq
+           FROM {prev}"""
+
+
+_BPE_TRAIN_ORACLE = rf"""WITH wd AS (
+             SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+               SELECT unnest(string_split_regex(lower(text), '\s+')) AS w
+               FROM documents
+             ) WHERE regexp_matches(w, '^[a-z]+$')
+             GROUP BY 1
+           ), s0 AS (
+             SELECT rtrim(regexp_replace(w, '(.)', '\1 ', 'g')) AS s,
+                    freq
+             FROM wd
+           ), p1 AS ({_bpe_pairs_cte("s0")}
+           ), m1 AS (SELECT p, cnt FROM p1 ORDER BY cnt DESC, p LIMIT 1
+           ), s1 AS ({_bpe_merge_cte("s0", "m1")}
+           ), p2 AS ({_bpe_pairs_cte("s1")}
+           ), m2 AS (SELECT p, cnt FROM p2 ORDER BY cnt DESC, p LIMIT 1
+           ), s2 AS ({_bpe_merge_cte("s1", "m2")}
+           ), p3 AS ({_bpe_pairs_cte("s2")}
+           ), m3 AS (SELECT p, cnt FROM p3 ORDER BY cnt DESC, p LIMIT 1
+           )
+           SELECT CAST(1 AS INTEGER) AS rnd, p AS pair,
+                  cnt AS weighted_count FROM m1
+           UNION ALL SELECT 2, p, cnt FROM m2
+           UNION ALL SELECT 3, p, cnt FROM m3"""
+
+
+def _bpe_apply_chain() -> str:
+    s = r"rtrim(regexp_replace(w, '(.)', '\1 ', 'g'))"
+    for m in _BPE_MERGES:
+        s = f"replace({s}, '{m}', '{m.replace(' ', '')}')"
+    return s
+
+
+_BPE_APPLY_ORACLE = rf"""WITH w AS (
+             SELECT doc_id,
+                    unnest(string_split_regex(lower(text), '\s+')) AS w
+             FROM documents
+           ), a AS (
+             SELECT doc_id, w, {_bpe_apply_chain()} AS s
+             FROM w WHERE regexp_matches(w, '^[a-z]+$')
+           ), g AS (
+             SELECT doc_id,
+                    CAST(count(*) AS BIGINT) AS n_words,
+                    CAST(sum(length(w)) AS BIGINT) AS n_chars,
+                    CAST(sum(len(string_split(s, ' '))) AS BIGINT)
+                        AS n_tokens
+             FROM a GROUP BY 1
+           )
+           SELECT doc_id, n_words, n_chars, n_tokens,
+                  CAST((n_tokens * 1000000) // n_chars AS BIGINT)
+                      AS ratio_e6
+           FROM g"""
+
+
 QUERIES = {
+    "q_text_bpe_train": QuerySpec(q_text_bpe_train, _BPE_TRAIN_ORACLE),
+    "q_text_bpe_apply": QuerySpec(q_text_bpe_apply, _BPE_APPLY_ORACLE),
     "q_dedup_exact": QuerySpec(
         q_dedup_exact,
         """WITH keyed AS (

@@ -205,6 +205,74 @@ def test_bm25_broadcast_qterms_no_cartesian(spark, sf_dir):
         assert len(ranks) <= 5
 
 
+def test_bpe_train_matches_python_replay(spark, sf_dir):
+    """The 3-round distributed trainer must equal a pure-Python greedy
+    BPE replay over the same word-frequency table (Counter-based, same
+    (count desc, pair asc) tie-break) — the loop's argmax chain is the
+    thing under test, not one round."""
+    from collections import Counter
+
+    import pyspark.sql.functions as F
+    from python_darima_spark.queries.llm_data import (
+        load,
+        q_text_bpe_train,
+    )
+
+    words = (
+        load(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower("text"), r"\s+")).alias("w"))
+        .where(F.col("w").rlike("^[a-z]+$"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+        .collect()
+    )
+    vocab = {tuple(r.w): r.freq for r in words}
+    expect = []
+    for rnd in (1, 2, 3):
+        counts = Counter()
+        for syms, freq in vocab.items():
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += freq
+        pair = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        expect.append((rnd, " ".join(pair), counts[pair]))
+        merged = {}
+        for syms, freq in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (
+                    i + 1 < len(syms)
+                    and (syms[i], syms[i + 1]) == pair
+                ):
+                    out.append(syms[i] + syms[i + 1])
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            key = tuple(out)
+            merged[key] = merged.get(key, 0) + freq
+        vocab = merged
+    got = [
+        (r.rnd, r.pair, r.weighted_count)
+        for r in q_text_bpe_train(spark, sf_dir).orderBy("rnd").collect()
+    ]
+    assert got == expect
+
+
+def test_bpe_apply_map_only_one_agg_no_python(spark, sf_dir):
+    """The whole merge chain is one JVM projection: no Python stage, no
+    join, exactly one aggregate exchange (doc_id)."""
+    from python_darima_spark.queries.llm_data import q_text_bpe_apply
+
+    df = q_text_bpe_apply(spark, sf_dir)
+    plan = _plan(df)
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    assert "Join" not in plan
+    rows = df.collect()
+    for r in rows:
+        assert r.n_words <= r.n_tokens <= r.n_chars
+        assert r.ratio_e6 == r.n_tokens * 1_000_000 // r.n_chars
+
+
 def test_ngram_prefix_filter_no_cross_join(spark, sf_dir, monkeypatch):
     """The round-5 rewrite's reason to exist: the candidate stage must
     never plan a cross/nested-loop join (the old length-bucket blocking
