@@ -83,6 +83,7 @@ HEADLINE = [
     "q_text_bm25",
     "q_text_bpe_train",
     "q_text_bpe_apply",
+    "q_curation_pipeline",
 ]
 
 

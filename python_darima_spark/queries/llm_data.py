@@ -688,6 +688,95 @@ def q_doc_dedup_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
+    """The FULL curation cascade a pretraining corpus runs, end-to-end
+    in one query, with a per-document VERDICT (first failing stage, in
+    declared order) so the whole pipeline's routing — not just each
+    stage — sits under the driver hash: eval-holdout (doc_id%97=0, the
+    decontamination benchmark set) → language gate (latin-script
+    tokenizer support: en/de/es/fr) → Gopher quality gate (reasons==0
+    from q_text_quality_gopher, reused verbatim; docs with zero words
+    are quality-fails) → exact dedup (min-id keeper per sha256 group,
+    among gate survivors) → near dedup (capped MinHash-LSH ≥0.5 with
+    exact verify among exact survivors, one-hop min-id survivorship) →
+    decontamination (any shared word-5-gram with the eval set) → split
+    assignment (md5 bucket 80/10/10) for the kept docs. Every stage is
+    the scale shape already certified standalone; this entry certifies
+    the COMPOSITION — each stage's input is the previous stage's
+    survivor set, and a flipped verdict anywhere reroutes downstream
+    docs and fails the hash. At 100 TB: gates are map-only and run
+    first (cheapest-first ordering), dedup stages shuffle only
+    survivors, the near-dup stage inherits the capped-LSH default, and
+    the verdict assembly is left joins on doc_id against
+    drop-set frames that are each ≪ corpus."""
+    docs = load(spark, sf, "documents")
+    gopher = q_text_quality_gopher(spark, sf).select("doc_id", "keep")
+    contaminated = q_text_decontaminate(spark, sf).select(
+        "doc_id", F.lit(True).alias("f_cont")
+    )
+    d = (
+        docs.select("doc_id", "lang", "text")
+        .join(gopher, "doc_id", "left")
+        .select(
+            "doc_id",
+            "text",
+            (F.col("doc_id") % 97 == 0).alias("f_eval"),
+            (~F.col("lang").isin("en", "de", "es", "fr")).alias(
+                "f_lang"
+            ),
+            (~F.coalesce(F.col("keep"), F.lit(False))).alias(
+                "f_quality"
+            ),
+        )
+    )
+    s2 = d.where(~F.col("f_eval") & ~F.col("f_lang") & ~F.col("f_quality"))
+    exact_w = Window.partitionBy(F.sha2("text", 256))
+    s2k = s2.select(
+        "doc_id",
+        "text",
+        (F.col("doc_id") != F.min("doc_id").over(exact_w)).alias(
+            "f_exact"
+        ),
+    )
+    s3 = s2k.where(~F.col("f_exact")).select("doc_id", "text")
+    pairs = minhash_near_duplicates(
+        s3, "text", "doc_id", threshold=0.5, max_bucket_size=50
+    )
+    near_drop = (
+        pairs.where(F.col("id_a") < F.col("id_b"))
+        .select(F.col("id_b").alias("doc_id"))
+        .distinct()
+        .select("doc_id", F.lit(True).alias("f_near"))
+    )
+    v = (
+        d.join(s2k.select("doc_id", "f_exact"), "doc_id", "left")
+        .join(near_drop, "doc_id", "left")
+        .join(contaminated, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("f_eval"), "eval_holdout")
+            .when(F.col("f_lang"), "lang")
+            .when(F.col("f_quality"), "quality")
+            .when(F.coalesce("f_exact", F.lit(False)), "exact_dup")
+            .when(F.coalesce("f_near", F.lit(False)), "near_dup")
+            .when(F.coalesce("f_cont", F.lit(False)), "contaminated")
+            .otherwise("kept")
+            .alias("verdict"),
+        )
+    )
+    b = hash_split_bucket("doc_id")
+    return v.select(
+        "doc_id",
+        "verdict",
+        F.when(
+            F.col("verdict") == "kept",
+            F.when(b < 204, "train")
+            .when(b < 230, "val")
+            .otherwise("test"),
+        ).alias("split"),
+    )
+
+
 def q_dedup_exact_substr(spark: SparkSession, sf: str) -> DataFrame:
     """EXACT-SUBSTRING dedup signal (the Lee et al. 'Deduplicating
     Training Data' family, approximated at fixed span length): every
@@ -1810,7 +1899,113 @@ _BPE_APPLY_ORACLE = rf"""WITH w AS (
            FROM g"""
 
 
+_CURATION_ORACLE = r"""WITH w AS (
+             SELECT doc_id,
+                    list_filter(string_split_regex(lower(text), '\s+'),
+                                x -> length(x) > 0) AS ws
+             FROM documents
+           ), gop AS (
+             SELECT doc_id,
+                    ((len(ws) >= 8 AND len(ws) <= 10000)
+                     AND list_sum(list_transform(ws, x -> length(x)))
+                         * 1.0 / len(ws) >= 2.0
+                     AND list_sum(list_transform(ws, x -> length(x)))
+                         * 1.0 / len(ws) <= 12.0
+                     AND len(list_filter(ws,
+                             x -> regexp_matches(x, '[a-z]')))
+                         * 1.0 / len(ws) >= 0.8
+                     AND 1.0 - len(list_distinct(list_transform(
+                             generate_series(1, greatest(len(ws) - 2, 1)),
+                             i -> array_to_string(ws[i:i+2], ' '))))
+                         * 1.0 / greatest(len(ws) - 2, 1) < 0.3) AS keep
+             FROM w WHERE len(ws) > 0
+           ), gr AS (
+             SELECT doc_id,
+                    unnest(list_distinct(list_transform(
+                        generate_series(1, greatest(
+                            len(string_split(lower(text), ' ')) - 4, 1)),
+                        i -> array_to_string(list_slice(
+                            string_split(lower(text), ' '), i, i + 4),
+                            ' ')))) AS gram
+             FROM documents
+           ), ev AS (
+             SELECT DISTINCT gram FROM gr WHERE doc_id % 97 = 0
+           ), cont AS (
+             SELECT DISTINCT gr.doc_id FROM gr JOIN ev USING (gram)
+             WHERE gr.doc_id % 97 <> 0
+           ), d AS (
+             SELECT doc_id, text,
+                    doc_id % 97 = 0 AS f_eval,
+                    lang NOT IN ('en', 'de', 'es', 'fr') AS f_lang,
+                    NOT coalesce(g.keep, FALSE) AS f_quality
+             FROM documents LEFT JOIN gop g USING (doc_id)
+           ), s2 AS (
+             SELECT * FROM d
+             WHERE NOT f_eval AND NOT f_lang AND NOT f_quality
+           ), s2k AS (
+             SELECT doc_id, text,
+                    doc_id <> min(doc_id) OVER (
+                        PARTITION BY sha256(text)) AS f_exact
+             FROM s2
+           ), s3 AS (
+             SELECT doc_id, text FROM s2k WHERE NOT f_exact
+           ), sh AS (
+             SELECT doc_id,
+                    list_distinct(list_transform(
+                        generate_series(1, greatest(length(text) - 4, 1)),
+                        i -> substring(text, CAST(i AS INT), 5))) AS s
+             FROM s3
+           ), e AS (
+             SELECT doc_id, unnest(s) AS g FROM sh
+           ), sizes AS (
+             SELECT doc_id, len(s) AS n FROM sh
+           ), inter AS (
+             SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+             FROM e a JOIN e b ON a.g = b.g AND a.doc_id < b.doc_id
+             GROUP BY 1, 2
+           ), ndrop AS (
+             SELECT DISTINCT id_b AS doc_id
+             FROM inter
+             JOIN sizes sa ON sa.doc_id = id_a
+             JOIN sizes sb ON sb.doc_id = id_b
+             WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+           ), v AS (
+             SELECT d.doc_id,
+                    CASE WHEN f_eval THEN 'eval_holdout'
+                         WHEN f_lang THEN 'lang'
+                         WHEN f_quality THEN 'quality'
+                         WHEN coalesce(k.f_exact, FALSE) THEN 'exact_dup'
+                         WHEN nd.doc_id IS NOT NULL THEN 'near_dup'
+                         WHEN c.doc_id IS NOT NULL THEN 'contaminated'
+                         ELSE 'kept' END AS verdict
+             FROM d
+             LEFT JOIN (SELECT doc_id, f_exact FROM s2k) k USING (doc_id)
+             LEFT JOIN ndrop nd ON d.doc_id = nd.doc_id
+             LEFT JOIN cont c ON d.doc_id = c.doc_id
+           )
+           SELECT doc_id, verdict,
+                  CASE WHEN verdict = 'kept' THEN (
+                      CASE WHEN (instr('0123456789abcdef',
+                               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+                               - 1) * 16
+                             + instr('0123456789abcdef',
+                               substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))
+                               - 1 < 204 THEN 'train'
+                           WHEN (instr('0123456789abcdef',
+                               substr(md5(CAST(doc_id AS VARCHAR)), 1, 1))
+                               - 1) * 16
+                             + instr('0123456789abcdef',
+                               substr(md5(CAST(doc_id AS VARCHAR)), 2, 1))
+                               - 1 < 230 THEN 'val'
+                           ELSE 'test' END)
+                  END AS split
+           FROM v"""
+
+
 QUERIES = {
+    "q_curation_pipeline": QuerySpec(
+        q_curation_pipeline, _CURATION_ORACLE
+    ),
     "q_text_bpe_train": QuerySpec(q_text_bpe_train, _BPE_TRAIN_ORACLE),
     "q_text_bpe_apply": QuerySpec(q_text_bpe_apply, _BPE_APPLY_ORACLE),
     "q_dedup_exact": QuerySpec(

@@ -273,6 +273,51 @@ def test_bpe_apply_map_only_one_agg_no_python(spark, sf_dir):
         assert r.ratio_e6 == r.n_tokens * 1_000_000 // r.n_chars
 
 
+def test_curation_pipeline_verdict_consistency(spark, sf_dir):
+    """Cascade invariants: every doc gets exactly one verdict; split is
+    non-null iff kept; eval docs are verdict-stable (doc_id%97==0 ⇒
+    eval_holdout); each standalone stage agrees with the cascade's
+    verdict for docs that REACH that stage (composition check against
+    the independently-certified stage queries)."""
+    import pyspark.sql.functions as F
+    from python_darima_spark.queries.llm_data import (
+        load,
+        q_curation_pipeline,
+        q_text_quality_gopher,
+    )
+
+    df = q_curation_pipeline(spark, sf_dir)
+    rows = {r.doc_id: r for r in df.collect()}
+    docs = {
+        r.doc_id: r
+        for r in load(spark, sf_dir, "documents")
+        .select("doc_id", "lang")
+        .collect()
+    }
+    assert set(rows) == set(docs)
+    gopher_keep = {
+        r.doc_id: r.keep
+        for r in q_text_quality_gopher(spark, sf_dir)
+        .select("doc_id", "keep")
+        .collect()
+    }
+    for doc_id, r in rows.items():
+        assert (r.split is not None) == (r.verdict == "kept")
+        if doc_id % 97 == 0:
+            assert r.verdict == "eval_holdout"
+        elif docs[doc_id].lang not in ("en", "de", "es", "fr"):
+            assert r.verdict == "lang"
+        elif not gopher_keep.get(doc_id, False):
+            assert r.verdict == "quality"
+        else:
+            assert r.verdict in (
+                "exact_dup",
+                "near_dup",
+                "contaminated",
+                "kept",
+            )
+
+
 def test_ngram_prefix_filter_no_cross_join(spark, sf_dir, monkeypatch):
     """The round-5 rewrite's reason to exist: the candidate stage must
     never plan a cross/nested-loop join (the old length-bucket blocking
