@@ -84,6 +84,7 @@ HEADLINE = [
     "q_text_bpe_train",
     "q_text_bpe_apply",
     "q_curation_pipeline",
+    "q_join_spatial_radius",
 ]
 
 

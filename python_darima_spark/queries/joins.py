@@ -317,7 +317,107 @@ def q_join_fuzzy(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_join_spatial_radius(spark: SparkSession, sf: str) -> DataFrame:
+    """Grid-blocked SPATIAL RADIUS self-join — all point pairs within
+    euclidean distance r, the geospatial workhorse (store clustering,
+    trajectory contact tracing) Spark has no native operator for.
+    Points are synthesized deterministically from customers (md5 nibble
+    fields of c_custkey → a 1000² plane; a multiplicative mix was tried
+    first and produced a degenerate 1-D LATTICE with zero near pairs —
+    the classic LCG artifact — so the generator is hash-based and the
+    non-emptiness of the result is asserted in tests). Blocking: each
+    point belongs to
+    ONE r-sized grid cell; candidates come from joining one side's cell
+    against the other side's 3×3 neighbor-cell fan-out (the standard
+    fixed-radius-near-neighbor construction: any pair within r is in
+    the same or adjacent cells, so recall is provably 1.0, and each
+    candidate pair arises from exactly one (cell_b ∈ neighbors(cell_a))
+    match so no dedup pass is needed). Verify is dx²+dy² ≤ r² in BIGINT
+    — no float anywhere, no sqrt. At 100 TB: the fan-out is 9× one
+    side's rows; the join is an equi hash join on cell id whose bucket
+    occupancy is density-bounded (points per r×r cell), not
+    corpus-bounded — the same cap-the-bucket discipline as the LSH
+    family applies if density skews. Output (id_a, id_b, dist2),
+    id_a < id_b."""
+    r = 15
+    cust = load(spark, sf, "customer").select("c_custkey")
+    h = F.md5(F.col("c_custkey").cast("string"))
+    pts = cust.select(
+        F.col("c_custkey").alias("pid"),
+        (F.conv(F.substring(h, 1, 4), 16, 10).cast("long") % 1000).alias(
+            "x"
+        ),
+        (F.conv(F.substring(h, 5, 4), 16, 10).cast("long") % 1000).alias(
+            "y"
+        ),
+    )
+    cells = pts.select(
+        "pid",
+        "x",
+        "y",
+        (F.col("x") - F.col("x") % r).alias("cx"),
+        (F.col("y") - F.col("y") % r).alias("cy"),
+    )
+    a = cells.select(
+        F.col("pid").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(-1, 1), dx -> "
+                f"transform(sequence(-1, 1), dy -> "
+                f"struct(cx + dx * {r} AS cx, cy + dy * {r} AS cy))))"
+            )
+        ).alias("nc"),
+    ).select("id_a", "xa", "ya", "nc.cx", "nc.cy")
+    b = cells.select(
+        F.col("pid").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        "cx",
+        "cy",
+    )
+    cand = a.join(b, ["cx", "cy"]).where(F.col("id_a") < F.col("id_b"))
+    d2 = (F.col("xa") - F.col("xb")) * (F.col("xa") - F.col("xb")) + (
+        F.col("ya") - F.col("yb")
+    ) * (F.col("ya") - F.col("yb"))
+    return cand.select(
+        "id_a", "id_b", d2.alias("dist2")
+    ).where(F.col("dist2") <= r * r)
+
+
 QUERIES = {
+    "q_join_spatial_radius": QuerySpec(
+        q_join_spatial_radius,
+        """WITH pts AS (
+             SELECT c_custkey AS pid,
+                    ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+                                    1, 4))::BIGINT % 1000 AS x,
+                    ('0x' || substr(md5(CAST(c_custkey AS VARCHAR)),
+                                    5, 4))::BIGINT % 1000 AS y
+             FROM customer
+           ), cells AS (
+             SELECT pid, x, y,
+                    x - x % 15 AS cx, y - y % 15 AS cy
+             FROM pts
+           ), a AS (
+             SELECT pid AS id_a, x AS xa, y AS ya,
+                    cx + dx * 15 AS cx, cy + dy * 15 AS cy
+             FROM cells
+             CROSS JOIN (VALUES (-1), (0), (1)) AS ox(dx)
+             CROSS JOIN (VALUES (-1), (0), (1)) AS oy(dy)
+           ), cand AS (
+             SELECT id_a, xa, ya, b.pid AS id_b, b.x AS xb, b.y AS yb
+             FROM a JOIN cells b USING (cx, cy)
+             WHERE id_a < b.pid
+           )
+           SELECT id_a, id_b,
+                  CAST((xa - xb) * (xa - xb)
+                       + (ya - yb) * (ya - yb) AS BIGINT) AS dist2
+           FROM cand
+           WHERE (xa - xb) * (xa - xb) + (ya - yb) * (ya - yb)
+                 <= 225""",
+    ),
     "q_join_fuzzy": QuerySpec(
         q_join_fuzzy,
         """WITH probes AS (

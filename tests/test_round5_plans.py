@@ -318,6 +318,47 @@ def test_curation_pipeline_verdict_consistency(spark, sf_dir):
             )
 
 
+def test_spatial_radius_equi_join_and_brute_force_equal(spark, sf_dir):
+    """The grid blocking must plan as an equi hash join (no cartesian /
+    nested loop), and the 3×3-neighborhood recall-1.0 claim must hold:
+    the grid result equals the brute-force all-pairs result exactly."""
+    from itertools import combinations
+
+    from python_darima_spark.queries.joins import (
+        load,
+        q_join_spatial_radius,
+    )
+
+    df = q_join_spatial_radius(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    keys = [
+        r.c_custkey
+        for r in load(spark, sf_dir, "customer")
+        .select("c_custkey")
+        .collect()
+    ]
+    import hashlib
+
+    def pt(k):
+        h = hashlib.md5(str(k).encode()).hexdigest()
+        return int(h[0:4], 16) % 1000, int(h[4:8], 16) % 1000
+
+    pts = {k: pt(k) for k in keys}
+    expect = {
+        (a, b, (pts[a][0] - pts[b][0]) ** 2 + (pts[a][1] - pts[b][1]) ** 2)
+        for a, b in combinations(sorted(keys), 2)
+        if (pts[a][0] - pts[b][0]) ** 2 + (pts[a][1] - pts[b][1]) ** 2
+        <= 15 * 15
+    }
+    got = {(r.id_a, r.id_b, r.dist2) for r in df.collect()}
+    assert got == expect
+    # guard against the degenerate-generator failure mode: the fixture
+    # must actually CONTAIN near pairs for the oracle to certify
+    assert len(expect) > 0
+
+
 def test_ngram_prefix_filter_no_cross_join(spark, sf_dir, monkeypatch):
     """The round-5 rewrite's reason to exist: the candidate stage must
     never plan a cross/nested-loop join (the old length-bucket blocking
