@@ -85,6 +85,7 @@ HEADLINE = [
     "q_text_bpe_apply",
     "q_curation_pipeline",
     "q_join_spatial_radius",
+    "q_ts_gaps_islands",
 ]
 
 

@@ -283,6 +283,59 @@ def q_ts_many_series(spark: SparkSession, sf: str) -> DataFrame:
     return darima(hourly, cfg).coefs
 
 
+def q_ts_gaps_islands(spark: SparkSession, sf: str) -> DataFrame:
+    """GAPS-AND-ISLANDS over discrete activity hours — maximal runs of
+    consecutive active hours per event_type with the preceding gap
+    length (uptime/outage reporting, the classic row_number-difference
+    idiom, which Spark has no built-in for). Active hours are the
+    DISTINCT (event_type, hour) pairs; hour index is
+    timestampdiff(HOUR, min(hour) over series, hour) so everything
+    downstream is pure BIGINT arithmetic (no epoch/timezone
+    dependence); island key = hidx − row_number (constant exactly on
+    consecutive runs); islands aggregate to (start, end, n_hours) and a
+    second, islands-level window emits the gap to the previous island.
+    Two keyed window passes + one keyed agg, all on the same
+    partitioning — one exchange total. At 100 TB the distinct-hour
+    pre-agg is the reducer: everything after it is
+    series×active-hours-sized, not event-sized."""
+    ev = load(spark, sf, "events")
+    hours = ev.select(
+        F.col("event_type").alias("series_id"),
+        F.date_trunc("hour", F.col("ts").cast("timestamp")).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("series_id").orderBy("h")
+    keyed = hours.select(
+        "series_id",
+        "h",
+        (
+            F.expr(
+                "timestampdiff(HOUR, min(h) OVER "
+                "(PARTITION BY series_id), h)"
+            )
+            - F.row_number().over(w)
+        ).alias("ik"),
+    )
+    islands = keyed.groupBy("series_id", "ik").agg(
+        F.min("h").alias("island_start"),
+        F.max("h").alias("island_end"),
+        F.count("*").cast("long").alias("n_hours"),
+    )
+    return islands.select(
+        "series_id",
+        "island_start",
+        "island_end",
+        "n_hours",
+        (
+            F.expr(
+                "timestampdiff(HOUR, "
+                "lag(island_end) OVER (PARTITION BY series_id "
+                "ORDER BY island_start), island_start)"
+            )
+            - 1
+        ).cast("long").alias("gap_hours_before"),
+    )
+
+
 def q_ts_gapfill(spark: SparkSession, sf: str) -> DataFrame:
     """Gap-fill with LINEAR INTERPOLATION (TimescaleDB ``interpolate()``
     semantics): sparse per-user series (user_id mod 25 → ~55% empty grid
@@ -915,6 +968,35 @@ QUERIES = {
                   round(SUM(value), 4) AS sum_value
            FROM e
            GROUP BY GROUPING SETS ((day_ts, event_type), (hour_ts, event_type))""",
+    ),
+    "q_ts_gaps_islands": QuerySpec(
+        q_ts_gaps_islands,
+        """WITH hours AS (
+             SELECT DISTINCT event_type AS series_id,
+                    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS h
+             FROM events
+           ), keyed AS (
+             SELECT series_id, h,
+                    datediff('hour',
+                        min(h) OVER (PARTITION BY series_id), h)
+                    - row_number() OVER (
+                        PARTITION BY series_id ORDER BY h) AS ik
+             FROM hours
+           ), islands AS (
+             SELECT series_id, ik,
+                    min(h) AS island_start,
+                    max(h) AS island_end,
+                    CAST(count(*) AS BIGINT) AS n_hours
+             FROM keyed GROUP BY 1, 2
+           )
+           SELECT series_id, island_start, island_end, n_hours,
+                  CAST(datediff('hour',
+                           lag(island_end) OVER (
+                               PARTITION BY series_id
+                               ORDER BY island_start),
+                           island_start) - 1 AS BIGINT)
+                      AS gap_hours_before
+           FROM islands""",
     ),
     "q_ts_gapfill": QuerySpec(
         q_ts_gapfill,

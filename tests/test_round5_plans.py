@@ -359,6 +359,59 @@ def test_spatial_radius_equi_join_and_brute_force_equal(spark, sf_dir):
     assert len(expect) > 0
 
 
+def test_gaps_islands_matches_python_replay(spark, sf_dir):
+    """Islands must equal a direct Python reconstruction of maximal
+    consecutive-hour runs (and the plan must carry no join — the whole
+    query is windows + aggs on one keyed partitioning)."""
+    import pyspark.sql.functions as F
+    from python_darima_spark.queries.domain import (
+        load,
+        q_ts_gaps_islands,
+    )
+
+    df = q_ts_gaps_islands(spark, sf_dir)
+    assert "Join" not in _plan(df)
+    hours = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("sid"),
+            F.date_trunc("hour", F.col("ts").cast("timestamp")).alias(
+                "h"
+            ),
+        )
+        .distinct()
+        .collect()
+    )
+    series = {}
+    for r in hours:
+        series.setdefault(r.sid, []).append(r.h)
+    expect = set()
+    for sid, hs in series.items():
+        hs.sort()
+        start = prev = hs[0]
+        prev_end = None
+        for h in hs[1:] + [None]:
+            if h is not None and (h - prev).total_seconds() == 3600:
+                prev = h
+                continue
+            n = int((prev - start).total_seconds() // 3600) + 1
+            gap = (
+                None
+                if prev_end is None
+                else int((start - prev_end).total_seconds() // 3600) - 1
+            )
+            expect.add((sid, start, prev, n, gap))
+            prev_end = prev
+            if h is not None:
+                start = prev = h
+    got = {
+        (r.series_id, r.island_start, r.island_end, r.n_hours,
+         r.gap_hours_before)
+        for r in df.collect()
+    }
+    assert got == expect
+
+
 def test_ngram_prefix_filter_no_cross_join(spark, sf_dir, monkeypatch):
     """The round-5 rewrite's reason to exist: the candidate stage must
     never plan a cross/nested-loop join (the old length-bucket blocking
