@@ -1254,13 +1254,19 @@ def q_text_bpe_train(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("p"),
             "freq",
         )
-        top = (
+        rows = (
             pairs.groupBy("p")
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.desc("cnt"), F.asc("p"))
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not rows:
+            raise ValueError(
+                "bpe_train: corpus has no adjacent symbol pairs left "
+                f"at round {rnd} (vocabulary too small for 3 merges)"
+            )
+        top = rows[0]
         merges.append((rnd, top.p, int(top.cnt)))
         # pair strings are ^[a-z]+ [a-z]+$ by construction — safe to
         # inline as literals
