@@ -273,7 +273,11 @@ def q_join_fuzzy(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("n_rows"),
     )
     probes = (
-        parts.where(F.col("p_partkey") % 17 == 3)
+        # length >= 5 guards the deletion-position modulo (len - 3);
+        # every fixture name is >= 7 chars so the guard is a no-op there
+        parts.where(
+            (F.col("p_partkey") % 17 == 3) & (F.length("p_name") >= 5)
+        )
         .withColumn("_len", F.length("p_name"))
         .withColumn(
             "_pos",
@@ -431,7 +435,8 @@ QUERIES = {
                            length(p_name)
                            - CAST(p_partkey % (length(p_name) - 3) + 3
                                   AS INTEGER)) AS typo
-             FROM part WHERE p_partkey % 17 = 3
+             FROM part
+             WHERE p_partkey % 17 = 3 AND length(p_name) >= 5
            )
            , pv AS (
              SELECT probe_key, typo,

@@ -958,11 +958,15 @@ def q_text_bm25(spark: SparkSession, sf: str) -> DataFrame:
     """BM25 top-5 retrieval (k1=1.2, b=0.75) — full-text relevance
     ranking, the operator a RAG / eval-retrieval stage actually runs
     (q_text_tfidf is per-doc keyword extraction; this scores DOCUMENTS
-    against QUERIES). Queries are the corpus docs with doc_id%101=1
-    (bounded by construction: a query workload is small relative to the
-    corpus), their distinct terms broadcast against the posting (tf)
-    table, so candidate generation is a broadcast hash join that touches
-    only postings of query terms — never a corpus scan per query. The
+    against QUERIES). Queries are the corpus docs with doc_id%101=1;
+    candidate generation joins their distinct terms against the posting
+    (tf) table so only postings of query terms are touched — never a
+    corpus scan per query. The join strategy is left to AQE: at fixture
+    scale the query-term side is broadcast (asserted in tests), while
+    at 100 TB — where a 1%-of-corpus query workload outgrows any
+    broadcast threshold — the same plan degrades gracefully to a keyed
+    shuffle on the term, which is the standard inverted-index probe
+    shape (a FORCED broadcast here would be a scale bug). The
     per-term score idf·tf_component is quantized to integer micro-units
     BEFORE the per-(query,doc) sum, so the aggregation is an exact
     BIGINT sum and cross-engine summation order cannot move the hash
@@ -996,7 +1000,7 @@ def q_text_bm25(spark: SparkSession, sf: str) -> DataFrame:
         + 1.2 * (0.25 + 0.75 * (F.col("dl").cast("double") / F.col("_avgdl")))
     )
     scored = (
-        tf.join(F.broadcast(qterms), "w")
+        tf.join(qterms, "w")
         .where(F.col("doc_id") != F.col("query_id"))
         .join(dfreq, "w")
         .join(dl, "doc_id")
