@@ -86,6 +86,7 @@ HEADLINE = [
     "q_curation_pipeline",
     "q_join_spatial_radius",
     "q_ts_gaps_islands",
+    "q_basket_pairs",
 ]
 
 

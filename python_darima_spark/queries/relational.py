@@ -1262,7 +1262,112 @@ def q_union_by_name(spark: SparkSession, sf: str) -> DataFrame:
     return a.unionByName(b, allowMissingColumns=True)
 
 
+def q_basket_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """MARKET-BASKET pair mining (the Apriori first pass / co-purchase
+    recommender input): support counts for part pairs co-occurring in
+    the same order, with per-item supports and LIFT in exact integer
+    micro-units (support_ab · n_orders · 1e6 div (support_a ·
+    support_b) — all BIGINT, no float, so the association metric hashes
+    identically). Pairs come from a self-equi-join on l_orderkey over
+    the DISTINCT (order, part) table with partkey_a < partkey_b: baskets
+    are small (≤13 items on this fixture), so the per-order fan-out is
+    (items choose 2)-bounded — map-sized, never corpus²; the pair
+    support agg is one keyed shuffle and the top-50 is
+    TakeOrderedAndProject (driver receives exactly 50 rows). At 100 TB
+    the same shape holds as long as baskets are bounded (they are, by
+    business construction); a pathological mega-basket would be capped
+    the same way as an LSH hot bucket."""
+    li = (
+        load(spark, sf, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    n_orders = li.select("l_orderkey").distinct().agg(
+        F.count("*").alias("n_orders")
+    )
+    item = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.count("*").alias("item_support")
+    )
+    a = li.select(
+        "l_orderkey", F.col("l_partkey").alias("id_a")
+    )
+    b = li.select(
+        "l_orderkey", F.col("l_partkey").alias("id_b")
+    )
+    pairs = (
+        a.join(b, "l_orderkey")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("support"))
+        .where(F.col("support") >= 2)
+    )
+    enriched = (
+        pairs.join(
+            item.select(
+                F.col("pk").alias("id_a"),
+                F.col("item_support").alias("support_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            item.select(
+                F.col("pk").alias("id_b"),
+                F.col("item_support").alias("support_b"),
+            ),
+            "id_b",
+        )
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "id_a",
+            "id_b",
+            "support",
+            "support_a",
+            "support_b",
+            F.expr(
+                "(support * n_orders * 1000000) "
+                "div (support_a * support_b)"
+            ).alias("lift_e6"),
+        )
+    )
+    return enriched.orderBy(
+        F.desc("support"), F.asc("id_a"), F.asc("id_b")
+    ).limit(50)
+
+
 QUERIES = {
+    "q_basket_pairs": QuerySpec(
+        q_basket_pairs,
+        """WITH li AS (
+             SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+           ), n AS (
+             SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT)
+                 AS n_orders
+             FROM li
+           ), item AS (
+             SELECT l_partkey AS pk,
+                    CAST(count(*) AS BIGINT) AS item_support
+             FROM li GROUP BY 1
+           ), pairs AS (
+             SELECT a.l_partkey AS id_a, b.l_partkey AS id_b,
+                    CAST(count(*) AS BIGINT) AS support
+             FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+                               AND a.l_partkey < b.l_partkey
+             GROUP BY 1, 2
+             HAVING count(*) >= 2
+           )
+           SELECT id_a, id_b, support,
+                  sa.item_support AS support_a,
+                  sb.item_support AS support_b,
+                  CAST((support * n.n_orders * 1000000)
+                       // (sa.item_support * sb.item_support)
+                       AS BIGINT) AS lift_e6
+           FROM pairs
+           JOIN item sa ON sa.pk = id_a
+           JOIN item sb ON sb.pk = id_b
+           CROSS JOIN n
+           ORDER BY support DESC, id_a, id_b
+           LIMIT 50""",
+    ),
     "q_setop_all": QuerySpec(
         q_setop_all,
         """WITH a AS (SELECT o_orderpriority AS pri FROM orders),

@@ -412,6 +412,38 @@ def test_gaps_islands_matches_python_replay(spark, sf_dir):
     assert got == expect
 
 
+def test_basket_pairs_bounded_fanout_and_lift_exact(spark, sf_dir):
+    """The pair stage must be an equi join on l_orderkey (no cartesian),
+    support ≥ 2 everywhere, ordering deterministic, and lift_e6 must
+    equal the integer formula recomputed from the emitted supports."""
+    import pyspark.sql.functions as F
+    from python_darima_spark.queries.relational import (
+        load,
+        q_basket_pairs,
+    )
+
+    df = q_basket_pairs(spark, sf_dir)
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    n_orders = (
+        load(spark, sf_dir, "lineitem")
+        .select("l_orderkey")
+        .distinct()
+        .count()
+    )
+    rows = df.collect()
+    assert 0 < len(rows) <= 50
+    for r in rows:
+        assert r.id_a < r.id_b and r.support >= 2
+        assert (
+            r.lift_e6
+            == r.support * n_orders * 1_000_000
+            // (r.support_a * r.support_b)
+        )
+    supports = [r.support for r in rows]
+    assert supports == sorted(supports, reverse=True)
+
+
 def test_ngram_prefix_filter_no_cross_join(spark, sf_dir, monkeypatch):
     """The round-5 rewrite's reason to exist: the candidate stage must
     never plan a cross/nested-loop join (the old length-bucket blocking
