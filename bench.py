@@ -87,6 +87,7 @@ HEADLINE = [
     "q_join_spatial_radius",
     "q_ts_gaps_islands",
     "q_basket_pairs",
+    "q_agg_regression",
 ]
 
 

@@ -442,6 +442,46 @@ def q_agg_stats(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_agg_regression(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-group OLS REGRESSION aggregates (the SQL-standard REGR_*
+    family: slope, intercept, R²) of price-in-whole-dollars on quantity
+    — computed from EXACT BIGINT sufficient statistics (n, Σx, Σy, Σxy,
+    Σx², Σy² over integer-quantized inputs) rather than the engines'
+    native one-pass moment aggregates, because those accumulate doubles
+    whose summation order varies with partitioning; integer sums are
+    associative-exact, so both engines see identical components and the
+    closed-form double arithmetic downstream is bit-deterministic
+    (every component < 2^53 converts exactly). One keyed shuffle, the
+    same partial+final shape as sum/avg — this IS how a warehouse
+    computes regressions at 100 TB: sufficient statistics are the
+    map-side combine."""
+    li = load(spark, sf, "lineitem")
+    x = F.col("l_quantity").cast("long")
+    y = F.floor("l_extendedprice").cast("long")
+    g = li.groupBy("l_returnflag").agg(
+        F.count("*").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    cov_n = nd * sxy - sx * sy
+    varx_n = nd * sxx - sx * sx
+    vary_n = nd * syy - sy * sy
+    return g.select(
+        "l_returnflag",
+        "n",
+        F.round(cov_n / varx_n, 6).alias("slope"),
+        F.round((sy - (cov_n / varx_n) * sx) / nd, 4).alias("intercept"),
+        F.round(cov_n * cov_n / (varx_n * vary_n), 6).alias("r2"),
+    )
+
+
 def q_window_analytic(spark: SparkSession, sf: str) -> DataFrame:
     """Analytic window functions: percent_rank / cume_dist / first & last
     value over a per-group ordered frame."""
@@ -1517,6 +1557,48 @@ QUERIES = {
         q_scan_pruned,
         """SELECT doc_id, source, n_chars, lang
            FROM documents WHERE lang IN ('en', 'de')""",
+    ),
+    "q_agg_regression": QuerySpec(
+        q_agg_regression,
+        """WITH g AS (
+             SELECT l_returnflag,
+                    CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                        AS sx,
+                    CAST(sum(CAST(floor(l_extendedprice) AS BIGINT))
+                         AS BIGINT) AS sy,
+                    CAST(sum(CAST(l_quantity AS BIGINT)
+                             * CAST(floor(l_extendedprice) AS BIGINT))
+                         AS BIGINT) AS sxy,
+                    CAST(sum(CAST(l_quantity AS BIGINT)
+                             * CAST(l_quantity AS BIGINT)) AS BIGINT)
+                        AS sxx,
+                    CAST(sum(CAST(floor(l_extendedprice) AS BIGINT)
+                             * CAST(floor(l_extendedprice) AS BIGINT))
+                         AS BIGINT) AS syy
+             FROM lineitem GROUP BY 1
+           )
+           SELECT l_returnflag, n,
+                  round((CAST(n AS DOUBLE) * sxy
+                         - CAST(sx AS DOUBLE) * sy)
+                        / (CAST(n AS DOUBLE) * sxx
+                           - CAST(sx AS DOUBLE) * sx), 6) AS slope,
+                  round((CAST(sy AS DOUBLE)
+                         - ((CAST(n AS DOUBLE) * sxy
+                             - CAST(sx AS DOUBLE) * sy)
+                            / (CAST(n AS DOUBLE) * sxx
+                               - CAST(sx AS DOUBLE) * sx))
+                           * CAST(sx AS DOUBLE))
+                        / CAST(n AS DOUBLE), 4) AS intercept,
+                  round((CAST(n AS DOUBLE) * sxy
+                         - CAST(sx AS DOUBLE) * sy)
+                        * (CAST(n AS DOUBLE) * sxy
+                           - CAST(sx AS DOUBLE) * sy)
+                        / ((CAST(n AS DOUBLE) * sxx
+                            - CAST(sx AS DOUBLE) * sx)
+                           * (CAST(n AS DOUBLE) * syy
+                              - CAST(sy AS DOUBLE) * sy)), 6) AS r2
+           FROM g""",
     ),
     "q_agg_stats": QuerySpec(
         q_agg_stats,

@@ -444,6 +444,52 @@ def test_basket_pairs_bounded_fanout_and_lift_exact(spark, sf_dir):
     assert supports == sorted(supports, reverse=True)
 
 
+def test_agg_regression_matches_numpy_lstsq(spark, sf_dir):
+    """The sufficient-statistics OLS must agree with numpy's polyfit on
+    the same integer-quantized inputs (independent algorithm: lstsq on
+    the design matrix vs closed-form component sums)."""
+    import math
+
+    import numpy as np
+    import pyspark.sql.functions as F
+    from python_darima_spark.queries.relational import (
+        load,
+        q_agg_regression,
+    )
+
+    rows = (
+        load(spark, sf_dir, "lineitem")
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").cast("long").alias("x"),
+            F.floor("l_extendedprice").cast("long").alias("y"),
+        )
+        .collect()
+    )
+    by_g = {}
+    for r in rows:
+        by_g.setdefault(r.l_returnflag, []).append((r.x, r.y))
+    got = {r.l_returnflag: r for r in q_agg_regression(spark, sf_dir).collect()}
+    assert set(got) == set(by_g)
+    for gname, pts in by_g.items():
+        xs = np.array([p[0] for p in pts], dtype=float)
+        ys = np.array([p[1] for p in pts], dtype=float)
+        slope, intercept = np.polyfit(xs, ys, 1)
+        r = np.corrcoef(xs, ys)[0, 1]
+        # emitted columns are display-rounded (slope/r2 to 6 dp,
+        # intercept to 4 dp) — compare within half an ulp of that
+        assert math.isclose(
+            got[gname].slope, slope, rel_tol=1e-5, abs_tol=5e-7
+        )
+        assert math.isclose(
+            got[gname].intercept, intercept, rel_tol=1e-5, abs_tol=5e-5
+        )
+        assert math.isclose(
+            got[gname].r2, r * r, rel_tol=1e-5, abs_tol=5e-7
+        )
+        assert got[gname].n == len(pts)
+
+
 def test_ngram_prefix_filter_no_cross_join(spark, sf_dir, monkeypatch):
     """The round-5 rewrite's reason to exist: the candidate stage must
     never plan a cross/nested-loop join (the old length-bucket blocking
