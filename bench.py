@@ -88,6 +88,7 @@ HEADLINE = [
     "q_ts_gaps_islands",
     "q_basket_pairs",
     "q_agg_regression",
+    "q_ts_twap",
 ]
 
 

@@ -475,6 +475,78 @@ def q_ts_changepoint(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ts_twap(spark: SparkSession, sf: str) -> DataFrame:
+    """TIME-WEIGHTED average over IRREGULAR observations (TimescaleDB
+    ``time_weight('LOCF', ...)`` semantics) — the correct daily average
+    when sampling is uneven, where a plain avg() over-weights bursty
+    periods: each observation's value holds until the next observation
+    (last-observation-carried-forward), weighted by that holding
+    interval in exact SECONDS; the final day average is
+    Σ(value_e3 · dur_us) / Σ(dur_us) with the numerator an exact BIGINT
+    sum (value MILLI-units × exact microsecond durations — milli not
+    micro because the per-group numerator is bounded by
+    max(v_e3)·86400e6 ≈ 5e16, provably inside BIGINT for any value
+    distribution, where micro-units could overflow Spark's long on a
+    sparse high-valued series while DuckDB silently promotes to
+    HUGEINT), so cross-engine
+    summation order cannot move the hash and the only float is the one
+    final division. Per (series, day): observations ordered by ts, the
+    interval to the NEXT observation via lead() (the day's last
+    observation extends to midnight). One keyed window + one keyed agg
+    on the same (series, day) partitioning — a single exchange; at
+    100 TB this is the standard irregular-series downsampler (the
+    window never spans series)."""
+    ev = load(spark, sf, "events")
+    obs = ev.select(
+        F.col("event_type").alias("series_id"),
+        F.date_trunc("day", F.col("ts").cast("timestamp")).alias("day"),
+        F.col("ts").cast("timestamp").alias("ts"),
+        F.floor(F.col("value") * F.lit(1e3) + F.lit(0.5))
+        .cast("long")
+        .alias("v_e3"),
+    )
+    # multiple events can share a timestamp: pre-aggregate to one
+    # observation per instant (mean in micro-units, floor-quantized) so
+    # lead() intervals are well-defined and identical both engines
+    obs = obs.groupBy("series_id", "day", "ts").agg(
+        F.floor(F.avg("v_e3")).cast("long").alias("v_e3")
+    )
+    w = Window.partitionBy("series_id", "day").orderBy("ts")
+    timed = obs.select(
+        "series_id",
+        "day",
+        "v_e3",
+        (
+            F.unix_micros(
+                F.coalesce(
+                    F.lead("ts").over(w),
+                    F.col("day") + F.expr("INTERVAL 1 DAY"),
+                )
+            )
+            - F.unix_micros(F.col("ts"))
+        )
+        .alias("dur_us"),
+    )
+    return (
+        timed.groupBy("series_id", "day")
+        .agg(
+            F.count("*").alias("n_obs"),
+            F.sum("dur_us").alias("total_us"),
+            F.sum(F.col("v_e3") * F.col("dur_us")).alias("wsum"),
+        )
+        .select(
+            "series_id",
+            "day",
+            "n_obs",
+            (
+                F.col("wsum").cast("double")
+                / F.col("total_us").cast("double")
+                / F.lit(1e3)
+            ).alias("twap"),
+        )
+    )
+
+
 def q_ts_rollup(spark: SparkSession, sf: str) -> DataFrame:
     """Hypertable-style multi-resolution rollup: hour AND day aggregates
     of events per event_type in ONE pass via GROUPING SETS — a single
@@ -968,6 +1040,33 @@ QUERIES = {
                   round(SUM(value), 4) AS sum_value
            FROM e
            GROUP BY GROUPING SETS ((day_ts, event_type), (hour_ts, event_type))""",
+    ),
+    "q_ts_twap": QuerySpec(
+        q_ts_twap,
+        """WITH o0 AS (
+             SELECT event_type AS series_id,
+                    date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+                    CAST(ts AS TIMESTAMP) AS ts,
+                    CAST(floor(value * 1e3 + 0.5) AS BIGINT) AS v_e3
+             FROM events
+           ), o AS (
+             SELECT series_id, day, ts,
+                    CAST(floor(avg(v_e3)) AS BIGINT) AS v_e3
+             FROM o0 GROUP BY 1, 2, 3
+           ), t AS (
+             SELECT series_id, day, v_e3,
+                    epoch_us(coalesce(
+                        lead(ts) OVER (
+                            PARTITION BY series_id, day ORDER BY ts),
+                        day + INTERVAL 1 DAY))
+                    - epoch_us(ts) AS dur_us
+             FROM o
+           )
+           SELECT series_id, day,
+                  CAST(count(*) AS BIGINT) AS n_obs,
+                  CAST(sum(v_e3 * dur_us) AS DOUBLE)
+                      / CAST(sum(dur_us) AS DOUBLE) / 1e3 AS twap
+           FROM t GROUP BY 1, 2""",
     ),
     "q_ts_gaps_islands": QuerySpec(
         q_ts_gaps_islands,

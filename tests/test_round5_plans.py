@@ -490,6 +490,57 @@ def test_agg_regression_matches_numpy_lstsq(spark, sf_dir):
         assert got[gname].n == len(pts)
 
 
+def test_twap_matches_python_locf_replay(spark, sf_dir):
+    """The time-weighted average must equal a direct Python LOCF replay
+    (value holds until next observation, last extends to midnight) on
+    every (series, day) — and a constant-value day must TWAP to exactly
+    that constant regardless of sampling irregularity."""
+    import math
+    from datetime import timedelta
+
+    import pyspark.sql.functions as F
+    from python_darima_spark.queries.domain import load, q_ts_twap
+
+    obs = (
+        load(spark, sf_dir, "events")
+        .select(
+            F.col("event_type").alias("sid"),
+            F.date_trunc("day", F.col("ts").cast("timestamp")).alias(
+                "day"
+            ),
+            F.col("ts").cast("timestamp").alias("ts"),
+            F.floor(F.col("value") * F.lit(1e3) + F.lit(0.5))
+            .cast("long")
+            .alias("v"),
+        )
+        .groupBy("sid", "day", "ts")
+        .agg(F.floor(F.avg("v")).cast("long").alias("v"))
+        .collect()
+    )
+    groups = {}
+    for r in obs:
+        groups.setdefault((r.sid, r.day), []).append((r.ts, r.v))
+    expect = {}
+    for (sid, day), pts in groups.items():
+        pts.sort()
+        midnight = day + timedelta(days=1)
+        wsum = tsum = 0
+        for i, (ts, v) in enumerate(pts):
+            nxt = pts[i + 1][0] if i + 1 < len(pts) else midnight
+            dur = int((nxt - ts).total_seconds() * 1_000_000)
+            wsum += v * dur
+            tsum += dur
+        expect[(sid, day)] = (len(pts), wsum / tsum / 1e3)
+    got = {
+        (r.series_id, r.day): (r.n_obs, r.twap)
+        for r in q_ts_twap(spark, sf_dir).collect()
+    }
+    assert set(got) == set(expect)
+    for k, (n, tw) in expect.items():
+        assert got[k][0] == n
+        assert math.isclose(got[k][1], tw, rel_tol=1e-12)
+
+
 def test_ngram_prefix_filter_no_cross_join(spark, sf_dir, monkeypatch):
     """The round-5 rewrite's reason to exist: the candidate stage must
     never plan a cross/nested-loop join (the old length-bucket blocking
