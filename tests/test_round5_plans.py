@@ -527,7 +527,9 @@ def test_twap_matches_python_locf_replay(spark, sf_dir):
         wsum = tsum = 0
         for i, (ts, v) in enumerate(pts):
             nxt = pts[i + 1][0] if i + 1 < len(pts) else midnight
-            dur = int((nxt - ts).total_seconds() * 1_000_000)
+            # exact integer microseconds — float total_seconds() loses
+            # ulps on microsecond-resolution stamps
+            dur = (nxt - ts) // timedelta(microseconds=1)
             wsum += v * dur
             tsum += dur
         expect[(sid, day)] = (len(pts), wsum / tsum / 1e3)
