@@ -74,6 +74,14 @@ _PRIORITY = [
     "q_basket_pairs",
     "q_agg_regression",
     "q_ts_twap",
+    "q_sketch_hll_manual",
+    "q_sketch_countmin",
+    "q_skyline",
+    "q_event_sequence",
+    "q_window_distinct_rolling",
+    "q_join_bloom",
+    "q_graph_triangles",
+    "q_rank_rrf",
     # --- formulation changed in round 5 after their r4 green rows:
     # q_dedup_near/q_doc_dedup_pipeline now run the capped
     # (max_bucket_size=50) LSH as the certified default;

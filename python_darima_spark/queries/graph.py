@@ -128,7 +128,82 @@ _BFS_ORACLE = f"""WITH RECURSIVE e AS (
            FROM walk GROUP BY node"""
 
 
+def q_graph_triangles(spark: SparkSession, sf: str) -> DataFrame:
+    """TRIANGLE COUNTING per node — the clustering-coefficient /
+    community-density primitive. The part↔supplier PageRank graph is
+    bipartite (triangle-free by construction), so this runs on the
+    part CO-ORDER projection: an edge between two parts that appear on
+    the same order with l_quantity ≥ 45 (the quantity cut keeps the
+    projection sparse — max degree ~13 on the fixture, edge count
+    linear in orders; the UNCUT projection's hub parts would make the
+    wedge join quadratic, the same hot-bucket failure mode as uncapped
+    LSH). Edges are canonically oriented a<b, triangles enumerated by
+    the standard wedge join e1(a,b)⋈e2(b,c)⋈e3(a,c) with a<b<c — each
+    triangle found exactly once, two equi-joins, no theta join. Per-
+    node counts come from exploding each triangle to its 3 corners.
+    At 100 TB the orientation upgrade is by (degree, id) instead of id
+    — bounds wedge work by arboricity (Suri & Vassilvitskii 2011) —
+    and the co-order pair generation is basket-bounded exactly like
+    q_basket_pairs."""
+    f = (
+        load(spark, sf, "lineitem")
+        .where(F.col("l_quantity") >= 45)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    e = (
+        f.alias("x")
+        .join(f.alias("y"), "l_orderkey")
+        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .distinct()
+    )
+    e1 = e.select(F.col("a"), F.col("b"))
+    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = e.select(F.col("a").alias("ta"), F.col("b").alias("tc"))
+    tri = (
+        e1.join(e2, "b")
+        .join(
+            e3,
+            (F.col("a") == F.col("ta")) & (F.col("c") == F.col("tc")),
+        )
+        .select("a", "b", "c")
+    )
+    corners = tri.select(
+        F.explode(F.array("a", "b", "c")).alias("node")
+    )
+    return (
+        corners.groupBy("node")
+        .agg(F.count("*").alias("tri_count"))
+        .orderBy("node")
+    )
+
+
+_TRIANGLES_ORACLE = """WITH f AS (
+             SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+             WHERE l_quantity >= 45
+           ), e AS (
+             SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+             FROM f x JOIN f y ON x.l_orderkey = y.l_orderkey
+                              AND x.l_partkey < y.l_partkey
+           ), tri AS (
+             SELECT e1.a, e1.b, e2.b AS c
+             FROM e e1
+             JOIN e e2 ON e2.a = e1.b
+             JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b
+           ), corners AS (
+             SELECT a AS node FROM tri
+             UNION ALL SELECT b FROM tri
+             UNION ALL SELECT c FROM tri
+           )
+           SELECT node, CAST(count(*) AS BIGINT) AS tri_count
+           FROM corners GROUP BY node ORDER BY node"""
+
+
 QUERIES = {
     "q_graph_pagerank": QuerySpec(q_graph_pagerank, _pagerank_oracle()),
     "q_graph_bfs": QuerySpec(q_graph_bfs, _BFS_ORACLE),
+    "q_graph_triangles": QuerySpec(q_graph_triangles, _TRIANGLES_ORACLE),
 }

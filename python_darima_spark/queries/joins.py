@@ -390,7 +390,122 @@ def q_join_spatial_radius(spark: SparkSession, sf: str) -> DataFrame:
     ).where(F.col("dist2") <= r * r)
 
 
+def _bloom_pos(j_col, key_col):
+    """Position of hash row j for key: 16 md5 bits of 'j:key' mod 1024."""
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        j_col.cast("string"), F.lit(":"), key_col.cast("string")
+                    )
+                ),
+                1,
+                4,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 1024
+    )
+
+
+def q_join_bloom(spark: SparkSession, sf: str) -> DataFrame:
+    """MANUAL Bloom-filter semi-join (the structure behind Spark's own
+    runtime-filter rewrite, q_join_runtime_filter, opened up so the
+    filter's bit state and its false positives are under the value
+    hash): build side = suppliers of the nation holding suppkey 1,
+    k=3 md5-derived positions into m=1024 bits; a probe-side key
+    (distinct lineitem suppkeys) passes iff ALL 3 of its positions are
+    set — expressed as an inner join against the distinct set-bit
+    table with a HAVING count(*) = 3, no bitmap type needed. The
+    output row pins n_probe (distinct probe keys), n_pass (bloom
+    survivors), n_true (exact semi-join answer) and n_false_pos
+    (pass − true): Bloom's no-false-negative guarantee is therefore
+    hash-checked, not asserted. At 100 TB the set-bit table is ≤1024
+    rows — broadcast to every probe task, the probe stays map-side
+    (groupBy on the probe key is a partial agg over ≤3k rows/key),
+    and the exact join only sees survivors — exactly how a runtime
+    filter cuts a fact-scan's shuffle."""
+    supp = load(spark, sf, "supplier")
+    nat = supp.where(F.col("s_suppkey") == 1).select("s_nationkey")
+    build = supp.join(F.broadcast(nat), "s_nationkey").select(
+        F.col("s_suppkey").alias("k")
+    )
+    js = F.explode(F.array(*[F.lit(j) for j in range(3)])).alias("j")
+    bits = (
+        build.select("k", js)
+        .select(_bloom_pos(F.col("j"), F.col("k")).alias("pos"))
+        .distinct()
+    )
+    probe_keys = (
+        load(spark, sf, "lineitem").select(F.col("l_suppkey").alias("k")).distinct()
+    )
+    probe_pos = probe_keys.select("k", js).select(
+        "k", _bloom_pos(F.col("j"), F.col("k")).alias("pos")
+    )
+    passed = (
+        probe_pos.join(F.broadcast(bits), "pos")
+        .groupBy("k")
+        .agg(F.count("*").alias("_hits"))
+        .where(F.col("_hits") == 3)
+        .select("k")
+    )
+    true_match = probe_keys.join(build, "k", "left_semi")
+    n_probe = probe_keys.agg(F.count("*").alias("n_probe"))
+    n_pass = passed.agg(F.count("*").alias("n_pass"))
+    n_true = true_match.agg(F.count("*").alias("n_true"))
+    return (
+        n_probe.crossJoin(n_pass)
+        .crossJoin(n_true)
+        .select(
+            "n_probe",
+            "n_pass",
+            "n_true",
+            (F.col("n_pass") - F.col("n_true")).alias("n_false_pos"),
+        )
+    )
+
+
 QUERIES = {
+    "q_join_bloom": QuerySpec(
+        q_join_bloom,
+        """WITH nat AS (
+             SELECT s_nationkey FROM supplier WHERE s_suppkey = 1
+           ), build AS (
+             SELECT s_suppkey AS k FROM supplier
+             JOIN nat USING (s_nationkey)
+           ), rows_j AS (
+             SELECT unnest(generate_series(0, 2)) AS j
+           ), bits AS (
+             SELECT DISTINCT
+                    ('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                        || CAST(k AS VARCHAR)), 1, 4))::BIGINT
+                        % 1024 AS pos
+             FROM build CROSS JOIN rows_j
+           ), probe_keys AS (
+             SELECT DISTINCT l_suppkey AS k FROM lineitem
+           ), probe_pos AS (
+             SELECT k,
+                    ('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                        || CAST(k AS VARCHAR)), 1, 4))::BIGINT
+                        % 1024 AS pos
+             FROM probe_keys CROSS JOIN rows_j
+           ), passed AS (
+             SELECT k FROM probe_pos
+             JOIN bits USING (pos)
+             GROUP BY k HAVING count(*) = 3
+           )
+           SELECT (SELECT CAST(count(*) AS BIGINT) FROM probe_keys)
+                      AS n_probe,
+                  (SELECT CAST(count(*) AS BIGINT) FROM passed)
+                      AS n_pass,
+                  (SELECT CAST(count(*) AS BIGINT) FROM probe_keys
+                   WHERE k IN (SELECT k FROM build)) AS n_true,
+                  (SELECT CAST(count(*) AS BIGINT) FROM passed)
+                  - (SELECT CAST(count(*) AS BIGINT) FROM probe_keys
+                     WHERE k IN (SELECT k FROM build)) AS n_false_pos""",
+    ),
     "q_join_spatial_radius": QuerySpec(
         q_join_spatial_radius,
         """WITH pts AS (

@@ -954,28 +954,11 @@ def q_text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def q_text_bm25(spark: SparkSession, sf: str) -> DataFrame:
-    """BM25 top-5 retrieval (k1=1.2, b=0.75) — full-text relevance
-    ranking, the operator a RAG / eval-retrieval stage actually runs
-    (q_text_tfidf is per-doc keyword extraction; this scores DOCUMENTS
-    against QUERIES). Queries are the corpus docs with doc_id%101=1;
-    candidate generation joins their distinct terms against the posting
-    (tf) table so only postings of query terms are touched — never a
-    corpus scan per query. The join strategy is left to AQE: at fixture
-    scale the query-term side is broadcast (asserted in tests), while
-    at 100 TB — where a 1%-of-corpus query workload outgrows any
-    broadcast threshold — the same plan degrades gracefully to a keyed
-    shuffle on the term, which is the standard inverted-index probe
-    shape (a FORCED broadcast here would be a scale bug). The
-    per-term score idf·tf_component is quantized to integer micro-units
-    BEFORE the per-(query,doc) sum, so the aggregation is an exact
-    BIGINT sum and cross-engine summation order cannot move the hash
-    (the same convention as the text-stats family; the only float risk
-    left is ln() ulps at a floor boundary, shared with q_text_tfidf).
-    At 100 TB: tf/df/dl are the standard inverted-index aggregates
-    (keyed shuffles, vocab- and corpus-keyed); the scored join is
-    posting-list-sized; top-5 is a per-query window on the small
-    (query × candidate) table."""
+def _bm25_scored(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared BM25 scoring pipeline (k1=1.2, b=0.75): per-(query, doc)
+    integer micro-unit scores ``_si`` for the query set doc_id%101==1.
+    Factored out of q_text_bm25 so q_rank_rrf fuses the SAME lexical
+    scores the standalone query certifies."""
     docs = ensure_parallelism(load(spark, sf, "documents"))
     words = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
@@ -1013,9 +996,34 @@ def q_text_bm25(spark: SparkSession, sf: str) -> DataFrame:
             .alias("_sc"),
         )
     )
-    grouped = scored.groupBy("query_id", "doc_id").agg(
+    return scored.groupBy("query_id", "doc_id").agg(
         F.sum("_sc").alias("_si")
     )
+
+
+def q_text_bm25(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 top-5 retrieval (k1=1.2, b=0.75) — full-text relevance
+    ranking, the operator a RAG / eval-retrieval stage actually runs
+    (q_text_tfidf is per-doc keyword extraction; this scores DOCUMENTS
+    against QUERIES). Queries are the corpus docs with doc_id%101=1;
+    candidate generation joins their distinct terms against the posting
+    (tf) table so only postings of query terms are touched — never a
+    corpus scan per query. The join strategy is left to AQE: at fixture
+    scale the query-term side is broadcast (asserted in tests), while
+    at 100 TB — where a 1%-of-corpus query workload outgrows any
+    broadcast threshold — the same plan degrades gracefully to a keyed
+    shuffle on the term, which is the standard inverted-index probe
+    shape (a FORCED broadcast here would be a scale bug). The
+    per-term score idf·tf_component is quantized to integer micro-units
+    BEFORE the per-(query,doc) sum, so the aggregation is an exact
+    BIGINT sum and cross-engine summation order cannot move the hash
+    (the same convention as the text-stats family; the only float risk
+    left is ln() ulps at a floor boundary, shared with q_text_tfidf).
+    At 100 TB: tf/df/dl are the standard inverted-index aggregates
+    (keyed shuffles, vocab- and corpus-keyed); the scored join is
+    posting-list-sized; top-5 is a per-query window on the small
+    (query × candidate) table."""
+    grouped = _bm25_scored(spark, sf)
     win = Window.partitionBy("query_id").orderBy(
         F.desc("_si"), F.asc("doc_id")
     )
@@ -1027,6 +1035,64 @@ def q_text_bm25(spark: SparkSession, sf: str) -> DataFrame:
             "doc_id",
             "rank",
             (F.col("_si") / F.lit(1e6)).alias("score"),
+        )
+    )
+
+
+def q_rank_rrf(spark: SparkSession, sf: str) -> DataFrame:
+    """HYBRID RETRIEVAL via Reciprocal Rank Fusion (Cormack et al.
+    2009) — the standard way a RAG stack combines a lexical and a
+    semantic ranker without score calibration. Lexical list: the SAME
+    BM25 integer-unit scores q_text_bm25 certifies (shared
+    _bm25_scored), ranked to depth 20. Semantic list: exact cosine
+    top-20 over the embeddings table for the same query ids
+    (vec_id ≡ doc_id, the fixture's shared key space), rounded-then-
+    ranked like q_sim_topk. Fusion: rrf_e6 = Σ_lists 1e6 div (60 +
+    rank) — integer division on integer ranks, so the fused score is
+    exact BIGINT and the hash pins BOTH input rankings and the fusion
+    arithmetic; candidates outside one list contribute 0 from it
+    (full-outer union semantics). Top-5 fused per query. Scale: both
+    inputs are per-query top-k tables (tiny); fusion is one keyed
+    outer join + window — all the heavy lifting stays in the two
+    certified retrieval pipelines."""
+    lex = _bm25_scored(spark, sf)
+    lw = Window.partitionBy("query_id").orderBy(F.desc("_si"), F.asc("doc_id"))
+    lex_r = (
+        lex.withColumn("lex_rank", F.row_number().over(lw))
+        .where(F.col("lex_rank") <= 20)
+        .select("query_id", "doc_id", "lex_rank")
+    )
+    emb = load(spark, sf, "embeddings")
+    sem = cosine_topk(emb, emb.where(F.col("vec_id") % 101 == 1), k=20)
+    sw = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    sem_r = (
+        sem.withColumn("sem_rank", F.row_number().over(sw))
+        .select("query_id", F.col("neighbor_id").alias("doc_id"), "sem_rank")
+    )
+    fused = lex_r.join(sem_r, ["query_id", "doc_id"], "full_outer").select(
+        "query_id",
+        "doc_id",
+        F.col("lex_rank").cast("long").alias("lex_rank"),
+        F.col("sem_rank").cast("long").alias("sem_rank"),
+        (
+            F.coalesce(
+                F.expr("1000000 div (60 + lex_rank)"), F.lit(0).cast("long")
+            )
+            + F.coalesce(
+                F.expr("1000000 div (60 + sem_rank)"), F.lit(0).cast("long")
+            )
+        ).alias("rrf_e6"),
+    )
+    fw = Window.partitionBy("query_id").orderBy(
+        F.desc("rrf_e6"), F.asc("doc_id")
+    )
+    return (
+        fused.withColumn("fused_rank", F.row_number().over(fw))
+        .where(F.col("fused_rank") <= 5)
+        .select(
+            "query_id", "doc_id", "fused_rank", "rrf_e6", "lex_rank", "sem_rank"
         )
     )
 
@@ -2714,6 +2780,102 @@ QUERIES = {
                  AS INTEGER) AS rank
              FROM g
            ) WHERE rank <= 5""",
+    ),
+    "q_rank_rrf": QuerySpec(
+        q_rank_rrf,
+        r"""WITH w AS (
+             SELECT doc_id,
+                    unnest(string_split_regex(lower(text), '\s+')) AS w
+             FROM documents
+           ), f AS (
+             SELECT doc_id, w, count(*) AS tf
+             FROM w WHERE length(w) >= 3 GROUP BY 1, 2
+           ), dl AS (
+             SELECT doc_id, sum(tf) AS dl FROM f GROUP BY 1
+           ), d AS (
+             SELECT w, count(*) AS df FROM f GROUP BY 1
+           ), st AS (
+             SELECT count(*) AS n,
+                    CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+             FROM dl
+           ), q AS (
+             SELECT doc_id AS query_id, w FROM f WHERE doc_id % 101 = 1
+           ), s AS (
+             SELECT q.query_id, f.doc_id,
+                    CAST(floor(
+                        ln((CAST(st.n AS DOUBLE) - d.df + 0.5)
+                           / (CAST(d.df AS DOUBLE) + 0.5) + 1.0)
+                        * ((CAST(f.tf AS DOUBLE) * 2.2)
+                           / (CAST(f.tf AS DOUBLE)
+                              + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE)
+                                                      / st.avgdl))))
+                        * 1e6 + 0.5) AS BIGINT) AS sc
+             FROM f
+             JOIN q USING (w)
+             JOIN d USING (w)
+             JOIN dl ON f.doc_id = dl.doc_id
+             CROSS JOIN st
+             WHERE f.doc_id <> q.query_id
+           ), g AS (
+             SELECT query_id, doc_id,
+                    CAST(sum(sc) AS BIGINT) AS si
+             FROM s GROUP BY 1, 2
+           ), lex AS (
+             SELECT query_id, doc_id, lex_rank FROM (
+               SELECT query_id, doc_id,
+                      CAST(row_number() OVER (
+                          PARTITION BY query_id ORDER BY si DESC, doc_id)
+                          AS BIGINT) AS lex_rank
+               FROM g
+             ) WHERE lex_rank <= 20
+           ), v AS (
+             SELECT vec_id,
+                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+             FROM embeddings
+           ), qv AS (SELECT * FROM v WHERE vec_id % 101 = 1),
+           pairs AS (
+             SELECT qv.vec_id AS query_id, c.vec_id AS doc_id,
+                    round(
+                      list_reduce(list_prepend(0.0,
+                          list_transform(list_zip(c.e, qv.e),
+                                         p -> p[1] * p[2])),
+                          (a, b) -> a + b)
+                      / (sqrt(list_reduce(list_prepend(0.0,
+                             list_transform(c.e, x -> x * x)),
+                             (a, b) -> a + b))
+                       * sqrt(list_reduce(list_prepend(0.0,
+                             list_transform(qv.e, x -> x * x)),
+                             (a, b) -> a + b))),
+                      6) AS cosine
+             FROM v c, qv WHERE c.vec_id <> qv.vec_id
+           ), sem AS (
+             SELECT query_id, doc_id, sem_rank FROM (
+               SELECT query_id, doc_id,
+                      CAST(row_number() OVER (
+                          PARTITION BY query_id
+                          ORDER BY cosine DESC, doc_id) AS BIGINT)
+                          AS sem_rank
+               FROM pairs
+             ) WHERE sem_rank <= 20
+           ), fused AS (
+             SELECT coalesce(lex.query_id, sem.query_id) AS query_id,
+                    coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+                    lex.lex_rank, sem.sem_rank,
+                    coalesce(1000000 // (60 + lex.lex_rank), 0)
+                    + coalesce(1000000 // (60 + sem.sem_rank), 0)
+                        AS rrf_e6
+             FROM lex FULL OUTER JOIN sem
+               ON lex.query_id = sem.query_id
+              AND lex.doc_id = sem.doc_id
+           )
+           SELECT query_id, doc_id, fused_rank,
+                  CAST(rrf_e6 AS BIGINT) AS rrf_e6, lex_rank, sem_rank
+           FROM (
+             SELECT *, CAST(row_number() OVER (
+                 PARTITION BY query_id ORDER BY rrf_e6 DESC, doc_id)
+                 AS INTEGER) AS fused_rank
+             FROM fused
+           ) WHERE fused_rank <= 5""",
     ),
     "q_embed_normalize": QuerySpec(
         q_embed_normalize,

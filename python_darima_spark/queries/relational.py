@@ -1374,7 +1374,415 @@ def q_basket_pairs(spark: SparkSession, sf: str) -> DataFrame:
     ).limit(50)
 
 
+def q_sketch_hll_manual(spark: SparkSession, sf: str) -> DataFrame:
+    """MANUAL HyperLogLog (Flajolet et al. 2007) built from first
+    principles as a keyed aggregate — the sketch q_agg_approx consumes
+    via Spark's built-in approx_count_distinct, here OPENED UP so the
+    register state itself is under the driver's value hash. m=64
+    registers: register index = first md5 byte mod 64, rho = 1 +
+    leading-zero count of the next 32 md5 bits (computed EXACTLY as
+    ``33 - length(bin(x))`` — both engines' ``bin()`` emit minimal-width
+    binary). The harmonic mean is kept in exact integer arithmetic:
+    each register contributes ``1 << (34 - max_rho)`` (a BIGINT, since
+    max_rho ≤ 33), and the estimate α·m²/Σ2^-ρ is emitted as
+    ``hll_est_e3 = (709·4096·2^34) div Σ`` — α_64 = 0.709 as the exact
+    rational 709/1000, so NO float touches the pipeline and the hash
+    cannot drift. No small-range correction (est ≫ 2.5m here; noted,
+    not needed). At 100 TB this is the textbook mergeable-sketch shape:
+    the register table is a partial ``max`` aggregate (map-side
+    combine), 64 rows of state per key-group regardless of input size,
+    and union-merge across shards is the same ``max``."""
+    h = (
+        load(spark, sf, "orders")
+        .select(
+            F.md5(
+                F.concat(F.lit("hll:"), F.col("o_custkey").cast("string"))
+            ).alias("h")
+        )
+    )
+    x = F.conv(F.substring("h", 3, 8), 16, 10).cast("long")
+    obs = h.select(
+        (F.conv(F.substring("h", 1, 2), 16, 10).cast("long") % 64).alias(
+            "reg_idx"
+        ),
+        F.when(x == 0, F.lit(33)).otherwise(33 - F.length(F.bin(x))).alias(
+            "rho"
+        ),
+    )
+    regs = obs.groupBy("reg_idx").agg(F.max("rho").alias("max_rho"))
+    spine = spark.range(64).select(F.col("id").alias("reg_idx"))
+    full = spine.join(regs, "reg_idx", "left").select(
+        "reg_idx", F.coalesce("max_rho", F.lit(0)).alias("max_rho")
+    )
+    agg = full.agg(
+        F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 34 - max_rho)")).alias(
+            "sum_pow"
+        ),
+        F.sum(F.when(F.col("max_rho") == 0, 1).otherwise(0)).alias(
+            "empty_regs"
+        ),
+    )
+    exact = (
+        load(spark, sf, "orders")
+        .agg(F.countDistinct("o_custkey").alias("n_exact"))
+    )
+    return agg.crossJoin(F.broadcast(exact)).select(
+        F.lit(64).cast("long").alias("m"),
+        F.col("empty_regs").cast("long"),
+        "sum_pow",
+        F.expr("(709 * 4096 * 17179869184) div sum_pow")
+        .cast("long")
+        .alias("hll_est_e3"),
+        "n_exact",
+    )
+
+
+def q_sketch_countmin(spark: SparkSession, sf: str) -> DataFrame:
+    """MANUAL Count-Min sketch (Cormode & Muthukrishnan 2005): d=4
+    hash rows × w=256 counters over lineitem part-frequencies, then
+    point queries for the probe set p_partkey % 97 == 0 answered as
+    the min over the 4 addressed counters. Counter position = 16 md5
+    bits of ``row:key`` mod 256 — exact integers end to end, so the
+    whole sketch state AND the estimates are under the value hash, and
+    the defining guarantee est ≥ true is directly visible in the
+    output. Build cost: a 4× map-side fan-out (explode over literal
+    row ids) into a (4·256)-cell keyed aggregate — partial-agg
+    combine means the shuffle carries at most d·w rows per map task,
+    NOT the corpus; merging shards is elementwise ``sum`` (the sketch
+    is linear), which is why this is the structure heavy-hitter
+    pipelines ship at 100 TB. Probe side is a broadcast join against
+    the 1024-cell counter table."""
+    cells = (
+        load(spark, sf, "lineitem")
+        .select("l_partkey")
+        .select(
+            "l_partkey", F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("j")
+        )
+        .select(
+            "j",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("j").cast("string"),
+                                F.lit(":"),
+                                F.col("l_partkey").cast("string"),
+                            )
+                        ),
+                        1,
+                        4,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 256
+            ).alias("pos"),
+        )
+        .groupBy("j", "pos")
+        .agg(F.count("*").alias("cnt"))
+    )
+    probes = (
+        load(spark, sf, "part")
+        .where(F.col("p_partkey") % 97 == 0)
+        .select(F.col("p_partkey").alias("k"))
+        .select(
+            "k", F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("j")
+        )
+        .select(
+            "k",
+            "j",
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat(
+                                F.col("j").cast("string"),
+                                F.lit(":"),
+                                F.col("k").cast("string"),
+                            )
+                        ),
+                        1,
+                        4,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % 256
+            ).alias("pos"),
+        )
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["j", "pos"], "left")
+        .groupBy("k")
+        .agg(F.min(F.coalesce("cnt", F.lit(0))).alias("cm_est"))
+    )
+    truth = (
+        load(spark, sf, "lineitem")
+        .groupBy(F.col("l_partkey").alias("k"))
+        .agg(F.count("*").alias("true_cnt"))
+    )
+    return (
+        est.join(truth, "k", "left")
+        .select(
+            F.col("k").alias("partkey"),
+            F.coalesce("true_cnt", F.lit(0)).cast("long").alias("true_cnt"),
+            F.col("cm_est").cast("long"),
+        )
+        .orderBy("partkey")
+    )
+
+
+def q_skyline(spark: SparkSession, sf: str) -> DataFrame:
+    """2-D SKYLINE / Pareto frontier per brand: the parts not dominated
+    on (cheaper price, larger size). NOT the naive O(n²) dominance
+    anti-join — the classic sort-scan formulation as a window: collapse
+    to max-size-per-price, then a point is on the frontier iff its size
+    strictly exceeds the running max over all STRICTLY cheaper prices
+    (RANGE frame ending at 1 PRECEDING on integer cents, so equal-price
+    rows never suppress each other; the per-price max handles that
+    axis). Price is exact integer cents (fixture prices are 2-dp), so
+    there is no float anywhere. One keyed shuffle on brand + one
+    ordered window per brand — O(n log n) per group, linear scans at
+    100 TB where the anti-join would be quadratic."""
+    p = load(spark, sf, "part").select(
+        "p_brand",
+        F.round(F.col("p_retailprice") * 100).cast("long").alias("price_c"),
+        "p_size",
+    )
+    byprice = p.groupBy("p_brand", "price_c").agg(
+        F.max("p_size").alias("size")
+    )
+    w = (
+        Window.partitionBy("p_brand")
+        .orderBy("price_c")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    prev = F.max("size").over(w)
+    return (
+        byprice.withColumn("_prev", prev)
+        .where(F.col("_prev").isNull() | (F.col("size") > F.col("_prev")))
+        .select("p_brand", "price_c", F.col("size").cast("int").alias("size"))
+        .orderBy("p_brand", "price_c")
+    )
+
+
+def q_event_sequence(spark: SparkSession, sf: str) -> DataFrame:
+    """SEQUENCE-PATTERN matching over per-user event streams (the
+    MATCH_RECOGNIZE workload, funnel generalized to regex): each user's
+    events collapse to an ordered string of type initials (c/e/p/s/v,
+    ordered by ts then event_id so both engines agree on ties), then
+    the conversion pattern ``v[^p]*p`` — a view leading to a purchase
+    with no purchase in between — is counted with regexp_extract_all
+    (leftmost non-overlapping in both engines for this
+    alternation-free pattern). One groupBy per user; the sequence
+    string is basket-sized (events per user), so collect+sort is
+    bounded exactly like q_basket_pairs' per-order fan-out; the regex
+    runs once per user, map-side after the agg. At 100 TB: sessions
+    first (q_sessionize) if per-user histories grow unbounded."""
+    e = load(spark, sf, "events").select(
+        "user_id",
+        F.col("ts").alias("t"),
+        "event_id",
+        F.substring("event_type", 1, 1).alias("c"),
+    )
+    arr = F.array_sort(
+        F.collect_list(F.struct(F.col("t"), F.col("event_id").alias("i"), F.col("c")))
+    )
+    per_user = e.groupBy("user_id").agg(
+        F.array_join(F.transform(arr, lambda s: s["c"]), "").alias("seq"),
+        F.count("*").alias("n_events"),
+    )
+    return per_user.select(
+        "user_id",
+        "n_events",
+        F.size(F.regexp_extract_all("seq", F.lit("v[^p]*p"), F.lit(0)))
+        .cast("long")
+        .alias("n_view_to_purchase"),
+        F.col("seq").contains("p").alias("has_purchase"),
+    ).orderBy("user_id")
+
+
+def q_window_distinct_rolling(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLING COUNT DISTINCT — 7-day distinct active users per day, an
+    operator Spark's window frames genuinely LACK (``count(DISTINCT)
+    OVER`` is unsupported; ``size(collect_set() OVER)`` materializes
+    the whole set per row). Implemented with the scale-correct
+    LAST-OCCURRENCE EXPLODE: per (user, day) pair, the pair is the
+    user's representative for exactly the window-end days d in
+    [day, min(day+6, next_day−1)] (lead per user), so each user is
+    counted ONCE per window-end day; explode that ≤7-day span with
+    ``sequence`` and the rolling distinct count becomes a plain keyed
+    ``count(*)`` — map-side fan-out bounded by the lookback, one
+    shuffle, no per-row set state. The DuckDB oracle is the NAIVE
+    per-day ``count(DISTINCT)`` over the raw window, so the driver
+    hash proves the explode trick equals the definition. At 100 TB
+    this is the only formulation that works: the naive one rescans 7
+    days of facts per day, the collect_set one holds every window's
+    user set in memory."""
+    # day stays a TIMESTAMP (date_trunc), the registry's date convention:
+    # Spark DATE reaches pandas as object, DuckDB DATE as datetime64, and
+    # the compare would flag the representation, not the values.
+    pairs = (
+        load(spark, sf, "events")
+        .select(F.date_trunc("day", "ts").alias("day"), "user_id")
+        .distinct()
+    )
+    nxt = F.lead("day").over(
+        Window.partitionBy("user_id").orderBy("day")
+    )
+    horizon = F.col("day") + F.expr("interval 6 days")
+    spans = pairs.withColumn(
+        "_to",
+        F.least(
+            horizon,
+            F.coalesce(nxt - F.expr("interval 1 day"), horizon),
+        ),
+    )
+    covered = spans.select(
+        F.explode(
+            F.sequence("day", "_to", F.expr("interval 1 day"))
+        ).alias("day")
+    )
+    u7 = covered.groupBy("day").agg(F.count("*").alias("u7"))
+    u1 = pairs.groupBy("day").agg(F.count("*").alias("u1"))
+    observed = pairs.select("day").distinct()
+    return (
+        observed.join(u7, "day")
+        .join(u1, "day")
+        .select("day", "u7", "u1")
+        .orderBy("day")
+    )
+
+
 QUERIES = {
+    "q_sketch_hll_manual": QuerySpec(
+        q_sketch_hll_manual,
+        """WITH k AS (
+             SELECT md5('hll:' || CAST(o_custkey AS VARCHAR)) AS h
+             FROM orders
+           ), r AS (
+             SELECT ('0x' || substr(h, 1, 2))::BIGINT % 64 AS reg_idx,
+                    CASE WHEN ('0x' || substr(h, 3, 8))::BIGINT = 0 THEN 33
+                         ELSE 33 - length(bin(
+                             ('0x' || substr(h, 3, 8))::BIGINT))
+                    END AS rho
+             FROM k
+           ), mx AS (
+             SELECT reg_idx, max(rho) AS max_rho FROM r GROUP BY 1
+           ), spine AS (
+             SELECT unnest(generate_series(0, 63)) AS reg_idx
+           ), regs AS (
+             SELECT s.reg_idx, coalesce(mx.max_rho, 0) AS max_rho
+             FROM spine s LEFT JOIN mx ON mx.reg_idx = s.reg_idx
+           ), agg AS (
+             SELECT CAST(sum(CAST(1 AS BIGINT) << (34 - max_rho))
+                         AS BIGINT) AS sum_pow,
+                    CAST(sum(CASE WHEN max_rho = 0 THEN 1 ELSE 0 END)
+                         AS BIGINT) AS empty_regs
+             FROM regs
+           )
+           SELECT CAST(64 AS BIGINT) AS m, empty_regs, sum_pow,
+                  CAST((CAST(709 AS BIGINT) * 4096 * 17179869184)
+                       // sum_pow AS BIGINT) AS hll_est_e3,
+                  (SELECT CAST(count(DISTINCT o_custkey) AS BIGINT)
+                   FROM orders) AS n_exact
+           FROM agg""",
+    ),
+    "q_sketch_countmin": QuerySpec(
+        q_sketch_countmin,
+        """WITH rows_j AS (
+             SELECT unnest(generate_series(0, 3)) AS j
+           ), cells AS (
+             SELECT j,
+                    ('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                        || CAST(l_partkey AS VARCHAR)), 1, 4))::BIGINT
+                        % 256 AS pos,
+                    CAST(count(*) AS BIGINT) AS cnt
+             FROM lineitem CROSS JOIN rows_j
+             GROUP BY 1, 2
+           ), probes AS (
+             SELECT p_partkey AS k, j,
+                    ('0x' || substr(md5(CAST(j AS VARCHAR) || ':'
+                        || CAST(p_partkey AS VARCHAR)), 1, 4))::BIGINT
+                        % 256 AS pos
+             FROM part CROSS JOIN rows_j
+             WHERE p_partkey % 97 = 0
+           ), est AS (
+             SELECT k, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cm_est
+             FROM probes p
+             LEFT JOIN cells c ON c.j = p.j AND c.pos = p.pos
+             GROUP BY 1
+           ), truth AS (
+             SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS true_cnt
+             FROM lineitem GROUP BY 1
+           )
+           SELECT est.k AS partkey,
+                  coalesce(truth.true_cnt, 0) AS true_cnt,
+                  est.cm_est
+           FROM est LEFT JOIN truth ON truth.k = est.k
+           ORDER BY partkey""",
+    ),
+    "q_skyline": QuerySpec(
+        q_skyline,
+        """WITH p AS (
+             SELECT p_brand,
+                    CAST(round(p_retailprice * 100) AS BIGINT) AS price_c,
+                    p_size
+             FROM part
+           ), byprice AS (
+             SELECT p_brand, price_c, max(p_size) AS size
+             FROM p GROUP BY 1, 2
+           ), flagged AS (
+             SELECT p_brand, price_c, size,
+                    max(size) OVER (
+                      PARTITION BY p_brand ORDER BY price_c
+                      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ) AS prev
+             FROM byprice
+           )
+           SELECT p_brand, price_c, CAST(size AS INTEGER) AS size
+           FROM flagged
+           WHERE prev IS NULL OR size > prev
+           ORDER BY p_brand, price_c""",
+    ),
+    "q_event_sequence": QuerySpec(
+        q_event_sequence,
+        """WITH e AS (
+             SELECT user_id, ts, event_id,
+                    substr(event_type, 1, 1) AS c
+             FROM events
+           ), per_user AS (
+             SELECT user_id,
+                    string_agg(c, '' ORDER BY ts, event_id) AS seq,
+                    CAST(count(*) AS BIGINT) AS n_events
+             FROM e GROUP BY user_id
+           )
+           SELECT user_id, n_events,
+                  CAST(len(regexp_extract_all(seq, 'v[^p]*p'))
+                       AS BIGINT) AS n_view_to_purchase,
+                  contains(seq, 'p') AS has_purchase
+           FROM per_user
+           ORDER BY user_id""",
+    ),
+    "q_window_distinct_rolling": QuerySpec(
+        q_window_distinct_rolling,
+        """WITH pairs AS (
+             SELECT DISTINCT date_trunc('day', ts) AS day, user_id
+             FROM events
+           ), days AS (
+             SELECT DISTINCT day FROM pairs
+           )
+           SELECT d.day,
+                  (SELECT CAST(count(DISTINCT p.user_id) AS BIGINT)
+                   FROM pairs p
+                   WHERE p.day BETWEEN d.day - INTERVAL 6 DAY
+                                   AND d.day) AS u7,
+                  (SELECT CAST(count(DISTINCT p.user_id) AS BIGINT)
+                   FROM pairs p WHERE p.day = d.day) AS u1
+           FROM days d
+           ORDER BY day""",
+    ),
     "q_basket_pairs": QuerySpec(
         q_basket_pairs,
         """WITH li AS (
