@@ -954,11 +954,18 @@ def q_text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
-def _bm25_scored(spark: SparkSession, sf: str) -> DataFrame:
+def _bm25_scored(
+    spark: SparkSession, sf: str, max_query_id: int | None = None
+) -> DataFrame:
     """Shared BM25 scoring pipeline (k1=1.2, b=0.75): per-(query, doc)
     integer micro-unit scores ``_si`` for the query set doc_id%101==1.
     Factored out of q_text_bm25 so q_rank_rrf fuses the SAME lexical
-    scores the standalone query certifies."""
+    scores the standalone query certifies. ``max_query_id`` bounds the
+    query panel to a FIXED absolute set (q_rank_rrf passes 1000 — a
+    no-op at the certified fixture where all doc_ids < 1000, but the
+    thing that keeps the workload linear in corpus size: a %-derived
+    panel grows with the corpus and makes query×corpus quadratic,
+    measured 6.6× at 10× data before the bound)."""
     docs = ensure_parallelism(load(spark, sf, "documents"))
     words = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
@@ -970,7 +977,10 @@ def _bm25_scored(spark: SparkSession, sf: str) -> DataFrame:
         F.count("*").alias("_n"),
         (F.sum("dl").cast("double") / F.count("*")).alias("_avgdl"),
     )
-    qterms = tf.where(F.col("doc_id") % 101 == 1).select(
+    qpred = F.col("doc_id") % 101 == 1
+    if max_query_id is not None:
+        qpred = qpred & (F.col("doc_id") <= max_query_id)
+    qterms = tf.where(qpred).select(
         F.col("doc_id").alias("query_id"), "w"
     )
     idf = F.log(
@@ -1051,11 +1061,14 @@ def q_rank_rrf(spark: SparkSession, sf: str) -> DataFrame:
     rank) — integer division on integer ranks, so the fused score is
     exact BIGINT and the hash pins BOTH input rankings and the fusion
     arithmetic; candidates outside one list contribute 0 from it
-    (full-outer union semantics). Top-5 fused per query. Scale: both
-    inputs are per-query top-k tables (tiny); fusion is one keyed
-    outer join + window — all the heavy lifting stays in the two
-    certified retrieval pipelines."""
-    lex = _bm25_scored(spark, sf)
+    (full-outer union semantics). Top-5 fused per query. Scale: the
+    query panel is a FIXED absolute set (doc_id ≤ 1000 ∧ %101==1 —
+    identical to the unbounded panel at the certified fixture), so
+    both retrieval legs stay linear in corpus size (an unbounded
+    %-panel measured 6.6× at 10× data — query count and corpus grow
+    together, which is quadratic); fusion itself is one keyed outer
+    join + window over per-query top-k tables."""
+    lex = _bm25_scored(spark, sf, max_query_id=1000)
     lw = Window.partitionBy("query_id").orderBy(F.desc("_si"), F.asc("doc_id"))
     lex_r = (
         lex.withColumn("lex_rank", F.row_number().over(lw))
@@ -1063,7 +1076,11 @@ def q_rank_rrf(spark: SparkSession, sf: str) -> DataFrame:
         .select("query_id", "doc_id", "lex_rank")
     )
     emb = load(spark, sf, "embeddings")
-    sem = cosine_topk(emb, emb.where(F.col("vec_id") % 101 == 1), k=20)
+    sem = cosine_topk(
+        emb,
+        emb.where((F.col("vec_id") % 101 == 1) & (F.col("vec_id") <= 1000)),
+        k=20,
+    )
     sw = Window.partitionBy("query_id").orderBy(
         F.desc("cosine"), F.asc("neighbor_id")
     )
@@ -2799,7 +2816,8 @@ QUERIES = {
                     CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
              FROM dl
            ), q AS (
-             SELECT doc_id AS query_id, w FROM f WHERE doc_id % 101 = 1
+             SELECT doc_id AS query_id, w FROM f
+             WHERE doc_id % 101 = 1 AND doc_id <= 1000
            ), s AS (
              SELECT q.query_id, f.doc_id,
                     CAST(floor(
@@ -2832,7 +2850,8 @@ QUERIES = {
              SELECT vec_id,
                     list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
              FROM embeddings
-           ), qv AS (SELECT * FROM v WHERE vec_id % 101 = 1),
+           ), qv AS (SELECT * FROM v
+                     WHERE vec_id % 101 = 1 AND vec_id <= 1000),
            pairs AS (
              SELECT qv.vec_id AS query_id, c.vec_id AS doc_id,
                     round(
