@@ -89,6 +89,14 @@ HEADLINE = [
     "q_basket_pairs",
     "q_agg_regression",
     "q_ts_twap",
+    "q_sketch_hll_manual",
+    "q_sketch_countmin",
+    "q_skyline",
+    "q_event_sequence",
+    "q_window_distinct_rolling",
+    "q_join_bloom",
+    "q_graph_triangles",
+    "q_rank_rrf",
 ]
 
 

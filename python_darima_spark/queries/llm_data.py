@@ -2095,7 +2095,176 @@ _CURATION_ORACLE = r"""WITH w AS (
            FROM v"""
 
 
+def q_multimodal_phash(spark: SparkSession, sf: str) -> DataFrame:
+    """PERCEPTUAL HASH (dHash) through the REAL image decode path — the
+    fingerprint an image-dedup pipeline actually computes, with the
+    whole encode→decode→hash chain under the driver's value hash. Each
+    doc's PNG payload (genuine codec, multimodal/codecs.py) is decoded
+    back to pixels in one Arrow stage; the 64-bit dHash samples 65
+    evenly-spaced pixels (pos_i = i·(n−1) div 64) and sets bit i iff
+    pixel[pos_{i+1}] > pixel[pos_i]; emitted as two BIGINT halves
+    (hi/lo 32 bits) so no engine touches the int64 sign bit. Because
+    the PNG round-trip is lossless, the DuckDB oracle computes the
+    SAME dHash from the text's code points (the fixture is ASCII, so
+    code point = pixel byte) — a hash match proves decoder fidelity
+    AND the fingerprint arithmetic. Banding for Hamming-radius lookups
+    is q_dedup_simhash's machinery; this query certifies the
+    image-side fingerprint feeding it. Scale: one map-only Arrow
+    stage, 16 bytes of fingerprint per image out."""
+    from python_darima_spark.multimodal.binary_ops import attach_png_from_text
+    from python_darima_spark.multimodal.codecs import png_decode
+
+    docs = ensure_parallelism(load(spark, sf, "documents"))
+    media = attach_png_from_text(docs)
+
+    def dhash(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, npx, his, los = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = png_decode(bytes(payload)).ravel()
+                n = int(px.size)
+                hi = lo = 0
+                if n >= 2:
+                    pos = [(i * (n - 1)) // 64 for i in range(65)]
+                    for i in range(64):
+                        if int(px[pos[i + 1]]) > int(px[pos[i]]):
+                            if i < 32:
+                                lo |= 1 << i
+                            else:
+                                hi |= 1 << (i - 32)
+                ids.append(mid)
+                npx.append(n)
+                his.append(hi)
+                los.append(lo)
+            yield pd.DataFrame(
+                {"media_id": ids, "n_px": npx, "phash_hi": his, "phash_lo": los}
+            )
+
+    return media.mapInPandas(
+        dhash, "media_id long, n_px long, phash_hi long, phash_lo long"
+    ).orderBy("media_id")
+
+
+_PHASH_ORACLE = """WITH px AS (
+             SELECT doc_id,
+                    list_transform(split(text, ''), c -> unicode(c)) AS p,
+                    length(text) AS n
+             FROM documents
+           ), bits AS (
+             SELECT doc_id, n, i,
+                    CASE WHEN p[(((i + 1) * (n - 1)) // 64) + 1]
+                            > p[((i * (n - 1)) // 64) + 1]
+                         THEN 1 ELSE 0 END AS b
+             FROM px, (SELECT unnest(generate_series(0, 63)) AS i)
+             WHERE n >= 2
+           ), packed AS (
+             SELECT doc_id, max(n) AS n_px,
+                    CAST(sum(CASE WHEN i >= 32
+                             THEN b * (CAST(1 AS BIGINT) << (i - 32))
+                             ELSE 0 END) AS BIGINT) AS phash_hi,
+                    CAST(sum(CASE WHEN i < 32
+                             THEN b * (CAST(1 AS BIGINT) << i)
+                             ELSE 0 END) AS BIGINT) AS phash_lo
+             FROM bits GROUP BY doc_id
+           )
+           SELECT d.doc_id AS media_id,
+                  CAST(coalesce(p.n_px,
+                        CASE WHEN length(d.text) = 0 THEN 1
+                             ELSE length(d.text) END) AS BIGINT) AS n_px,
+                  CAST(coalesce(p.phash_hi, 0) AS BIGINT) AS phash_hi,
+                  CAST(coalesce(p.phash_lo, 0) AS BIGINT) AS phash_lo
+           FROM documents d LEFT JOIN packed p ON p.doc_id = d.doc_id
+           ORDER BY media_id"""
+
+
+def q_sample_weighted_pps(spark: SparkSession, sf: str) -> DataFrame:
+    """WEIGHTED sampling — probability-proportional-to-size SYSTEMATIC
+    sampling (the textbook PPS design), k=10 draws per source stratum
+    with weight = n_chars, entirely in exact integer arithmetic so the
+    draw itself is under the value hash (the usual A-ES exponential-
+    race keys need ln() on both engines — a float ordering a last-ulp
+    can flip; systematic PPS needs only integer compares). Per source:
+    docs ordered by (md5 of doc_id, doc_id) — a deterministic pseudo-
+    random permutation — then a doc whose cumulative-weight interval
+    [cw_prev·k, cw·k) contains a multiple of the stratum total W is
+    selected; n_picks = ⌈cw·k/W⌉ − ⌈cw_prev·k/W⌉ via the
+    floor((X−1)/W)+1 identity, so Σ n_picks = k exactly and a doc's
+    selection probability is proportional to its weight (big docs can
+    be picked twice — n_picks carries the multiplicity, the standard
+    PPS-with-replacement accounting). One keyed window (cumsum per
+    source) + map-side arithmetic: no RNG state, no collect, identical
+    output at any partitioning. At 100 TB this is how you draw a
+    weighted training mix without materializing per-row random keys:
+    the only state per stratum is W."""
+    k = 10
+    docs = load(spark, sf, "documents").select(
+        "source",
+        "doc_id",
+        F.col("n_chars").alias("weight"),
+        F.md5(F.col("doc_id").cast("string")).alias("_h"),
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("_h", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = docs.withColumn("cw", F.sum("weight").over(w_cum))
+    tot = docs.groupBy("source").agg(F.sum("weight").alias("W"))
+    # f(X) = #{i ≥ 0 : i·W < X} = (X−1) div W + 1 for X ≥ 1, else 0.
+    # The CASE keeps every div operand non-negative: Spark's `div`
+    # truncates while DuckDB's `//` floors, and they disagree exactly
+    # at the first row's (0·k−1) = −1 dividend.
+    picks = (
+        cum.join(tot, "source")
+        .withColumn("cwp", F.col("cw") - F.col("weight"))
+        .withColumn(
+            "n_picks",
+            F.expr(
+                f"(CASE WHEN cw * {k} <= 0 THEN CAST(0 AS BIGINT) "
+                f" ELSE (cw * {k} - 1) div W + 1 END) "
+                f"- (CASE WHEN cwp * {k} <= 0 THEN CAST(0 AS BIGINT) "
+                f" ELSE (cwp * {k} - 1) div W + 1 END)"
+            ).cast("long"),
+        )
+        .where(F.col("n_picks") > 0)
+    )
+    return picks.select("source", "doc_id", "weight", "n_picks").orderBy(
+        "source", "doc_id"
+    )
+
+
+_PPS_ORACLE = """WITH d AS (
+             SELECT source, doc_id, n_chars AS weight,
+                    md5(CAST(doc_id AS VARCHAR)) AS h
+             FROM documents
+           ), c AS (
+             SELECT source, doc_id, weight,
+                    sum(weight) OVER (
+                      PARTITION BY source ORDER BY h, doc_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                    ) AS cw,
+                    sum(weight) OVER (PARTITION BY source) AS W
+             FROM d
+           ), p AS (
+             SELECT source, doc_id, weight,
+                    (CASE WHEN cw * 10 <= 0 THEN 0
+                          ELSE (cw * 10 - 1) // W + 1 END)
+                    - (CASE WHEN (cw - weight) * 10 <= 0 THEN 0
+                            ELSE ((cw - weight) * 10 - 1) // W + 1 END)
+                        AS n_picks
+             FROM c
+           )
+           SELECT source, doc_id, CAST(weight AS BIGINT) AS weight,
+                  CAST(n_picks AS BIGINT) AS n_picks
+           FROM p WHERE n_picks > 0
+           ORDER BY source, doc_id"""
+
+
 QUERIES = {
+    "q_multimodal_phash": QuerySpec(q_multimodal_phash, _PHASH_ORACLE),
+    "q_sample_weighted_pps": QuerySpec(q_sample_weighted_pps, _PPS_ORACLE),
     "q_curation_pipeline": QuerySpec(
         q_curation_pipeline, _CURATION_ORACLE
     ),

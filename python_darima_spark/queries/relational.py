@@ -73,6 +73,47 @@ def q_scan_json(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_scan_text(spark: SparkSession, sf: str) -> DataFrame:
+    """RAW TEXT source + regex line parsing — the log-ingestion shape
+    (``spark.read.text`` → ``regexp_extract`` into typed columns), the
+    one scan family member (parquet/csv/json/binary/pysource) that has
+    no schema at all. Documents are staged once per sf as pipe-
+    delimited log lines (newlines/pipes scrubbed so one doc = one
+    line), then the measured path is the schemaless text scan + parse:
+    regexp_extract pulls id/lang/chars/prefix back out and casts them.
+    The parse is a map-only projection fused into the scan stage — at
+    100 TB the only cost above a raw read is the regex, and malformed
+    lines surface as NULLs (counted here as parse_ok) rather than job
+    failures. Oracle recomputes the same parse directly from the
+    documents table, so the staging write + text scan + regex
+    round-trip is what the hash certifies."""
+    tag = os.path.basename(os.path.normpath(sf))
+    path = os.path.join(tempfile.gettempdir(), f"pds_scan_text_{tag}")
+    clean = F.regexp_replace("text", r"[\n\r|]", " ")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        load(spark, sf, "documents").select(
+            F.concat_ws(
+                "|",
+                F.col("doc_id").cast("string"),
+                "lang",
+                F.col("n_chars").cast("string"),
+                F.substring(clean, 1, 40),
+            ).alias("value")
+        ).write.mode("overwrite").text(path)
+    lines = spark.read.text(path)
+    pat = r"^(\d+)\|(\w+)\|(\d+)\|(.*)$"
+    return (
+        lines.select(
+            F.regexp_extract("value", pat, 1).cast("long").alias("doc_id"),
+            F.regexp_extract("value", pat, 2).alias("lang"),
+            F.regexp_extract("value", pat, 3).cast("long").alias("n_chars"),
+            F.regexp_extract("value", pat, 4).alias("prefix"),
+            (F.regexp_extract("value", pat, 1) != "").alias("parse_ok"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def _staged_docs_bylang(spark: SparkSession, sf: str) -> str:
     """Stage documents partitioned by lang, once per sf dir.
 
@@ -1374,6 +1415,35 @@ def q_basket_pairs(spark: SparkSession, sf: str) -> DataFrame:
     ).limit(50)
 
 
+def q_sql_frontend(spark: SparkSession, sf: str) -> DataFrame:
+    """The SQL FRONT DOOR: the same engine through ``spark.sql`` over a
+    registered temp view instead of DataFrame composition — Catalyst
+    parses, analyzes, and optimizes both into the same logical algebra,
+    so a SQL-first user gets byte-identical results and plans (every
+    other registry entry declares the plan in Python; this one proves
+    the textual surface). Monthly revenue ranking per order priority:
+    CTE + hash agg + ranked window, revenue in exact integer cents
+    (floor(sum·100+0.5) — 2-dp inputs keep the sum ≫ any ulp from the
+    rounding boundary). The oracle is the SAME ANSI text run by DuckDB,
+    which is the point: one dialect, two engines, one hash."""
+    load(spark, sf, "orders").createOrReplaceTempView("orders_sql_v")
+    return spark.sql(
+        """WITH r AS (
+             SELECT o_orderpriority AS pri,
+                    date_trunc('month', o_orderdate) AS mon,
+                    CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT)
+                        AS rev_c,
+                    CAST(count(*) AS BIGINT) AS n
+             FROM orders_sql_v GROUP BY 1, 2
+           )
+           SELECT pri, mon, rev_c, n,
+                  CAST(row_number() OVER (
+                      PARTITION BY mon ORDER BY rev_c DESC, pri)
+                      AS INTEGER) AS rnk
+           FROM r"""
+    )
+
+
 def q_sketch_hll_manual(spark: SparkSession, sf: str) -> DataFrame:
     """MANUAL HyperLogLog (Flajolet et al. 2007) built from first
     principles as a keyed aggregate — the sketch q_agg_approx consumes
@@ -1656,6 +1726,30 @@ def q_window_distinct_rolling(spark: SparkSession, sf: str) -> DataFrame:
 
 
 QUERIES = {
+    "q_scan_text": QuerySpec(
+        q_scan_text,
+        r"""SELECT doc_id, lang, n_chars,
+                  substr(regexp_replace(text, '[\n\r|]', ' ', 'g'),
+                         1, 40) AS prefix,
+                  TRUE AS parse_ok
+           FROM documents ORDER BY doc_id""",
+    ),
+    "q_sql_frontend": QuerySpec(
+        q_sql_frontend,
+        """WITH r AS (
+             SELECT o_orderpriority AS pri,
+                    date_trunc('month', o_orderdate) AS mon,
+                    CAST(floor(sum(o_totalprice) * 100 + 0.5) AS BIGINT)
+                        AS rev_c,
+                    CAST(count(*) AS BIGINT) AS n
+             FROM orders GROUP BY 1, 2
+           )
+           SELECT pri, mon, rev_c, n,
+                  CAST(row_number() OVER (
+                      PARTITION BY mon ORDER BY rev_c DESC, pri)
+                      AS INTEGER) AS rnk
+           FROM r""",
+    ),
     "q_sketch_hll_manual": QuerySpec(
         q_sketch_hll_manual,
         """WITH k AS (

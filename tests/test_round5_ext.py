@@ -15,9 +15,14 @@ from pyspark.sql import functions as F
 from python_darima_spark.queries import load
 from python_darima_spark.queries.graph import q_graph_triangles
 from python_darima_spark.queries.joins import q_join_bloom
-from python_darima_spark.queries.llm_data import q_rank_rrf
+from python_darima_spark.queries.llm_data import (
+    q_multimodal_phash,
+    q_rank_rrf,
+    q_sample_weighted_pps,
+)
 from python_darima_spark.queries.relational import (
     q_event_sequence,
+    q_scan_text,
     q_sketch_countmin,
     q_sketch_hll_manual,
     q_skyline,
@@ -248,6 +253,63 @@ def test_rolling_distinct_no_collect_set_in_plan(spark, sf_dir):
 
 
 # --- RRF ------------------------------------------------------------------
+
+def test_scan_text_roundtrip_and_parse(spark, sf_dir):
+    """Every staged log line must parse back (parse_ok), and the parsed
+    fields must equal a direct recompute from the documents table."""
+    import re
+
+    rows = q_scan_text(spark, sf_dir).collect()
+    docs = load(spark, sf_dir, "documents").toPandas().set_index("doc_id")
+    assert len(rows) == len(docs)
+    for r in rows[:50]:
+        assert r.parse_ok, r
+        d = docs.loc[r.doc_id]
+        assert r.lang == d.lang
+        assert r.n_chars == d.n_chars
+        assert r.prefix == re.sub(r"[\n\r|]", " ", d.text)[:40]
+
+
+def test_pps_totals_and_guarantees(spark, sf_dir):
+    """Systematic PPS invariants: exactly k=10 picks per stratum, and
+    any doc with weight ≥ W/k is guaranteed at least one pick."""
+    rows = q_sample_weighted_pps(spark, sf_dir).collect()
+    docs = load(spark, sf_dir, "documents").toPandas()
+    w_tot = docs.groupby("source").n_chars.sum().to_dict()
+    by_src: dict[str, int] = {}
+    picked = {(r.source, r.doc_id) for r in rows}
+    for r in rows:
+        by_src[r.source] = by_src.get(r.source, 0) + r.n_picks
+        # multiplicity bound: a doc spans at most ceil(w·k/W)+1 thresholds
+        assert r.n_picks <= (r.weight * 10) // w_tot[r.source] + 1
+    for src, tot in w_tot.items():
+        assert by_src[src] == 10, (src, by_src)
+        must = docs[(docs.source == src) & (docs.n_chars * 10 >= tot)]
+        for d in must.itertuples():
+            assert (src, d.doc_id) in picked, (src, d.doc_id)
+
+
+def test_phash_matches_direct_text_dhash(spark, sf_dir):
+    """The decode-path dHash must equal a direct dHash of the utf-8
+    bytes (PNG is lossless) — recomputed here without either engine."""
+    rows = {r.media_id: r for r in q_multimodal_phash(spark, sf_dir).collect()}
+    docs = load(spark, sf_dir, "documents").toPandas()
+    assert len(rows) == len(docs)
+    for d in docs.itertuples():
+        b = d.text.encode("utf-8") or b"\x00"
+        n = len(b)
+        hi = lo = 0
+        if n >= 2:
+            pos = [(i * (n - 1)) // 64 for i in range(65)]
+            for i in range(64):
+                if b[pos[i + 1]] > b[pos[i]]:
+                    if i < 32:
+                        lo |= 1 << i
+                    else:
+                        hi |= 1 << (i - 32)
+        r = rows[d.doc_id]
+        assert (r.n_px, r.phash_hi, r.phash_lo) == (n, hi, lo), d.doc_id
+
 
 def test_rrf_fusion_arithmetic_and_membership(spark, sf_dir):
     """Each fused row's rrf_e6 must equal the integer formula on its own
