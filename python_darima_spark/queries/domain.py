@@ -858,6 +858,48 @@ def q_ts_xcorr(spark: SparkSession, sf: str) -> DataFrame:
 # Shared oracle restatement of resample_regular's hourly grid (sum per
 # hour, per-series gap-free spine, gaps filled with 0.0) — the input CTE
 # for every oracle that consumes _hourly_series.
+def q_ts_motif(spark: SparkSession, sf: str) -> DataFrame:
+    """TIME-SERIES MOTIF DISCOVERY, SAX-style (Lin et al. 2003): the
+    hourly grid is discretized per series into quartile letters a–d
+    (ntile(4) over the micro-unit-quantized value with a unique ts
+    tiebreak — both engines implement ANSI ntile's equal-buckets-
+    remainder-first rule, and quantizing BEFORE the ordering keeps
+    cross-engine sum ulps out of the bucket boundaries), then sliding
+    4-hour words are formed with three leads and counted per series;
+    top-5 recurring words (count desc, word asc) are the motifs. This
+    is the symbolic screen a monitoring system runs to find repeated
+    daily shapes before any expensive distance computation. One keyed
+    window for ntile + one for the leads (same partitioning, one
+    exchange), one keyed agg, top-k window on the tiny word table —
+    at 100 TB every stage is per-series."""
+    grid = _hourly_series(spark, sf)
+    q = grid.select(
+        "series_id",
+        "ts",
+        F.floor(F.col("y") * 1e6 + F.lit(0.5)).cast("long").alias("yq"),
+    )
+    lettered = q.withColumn(
+        "c", F.expr("substring('abcd', ntile(4) OVER (PARTITION BY series_id ORDER BY yq, ts), 1)")
+    )
+    lw = Window.partitionBy("series_id").orderBy("ts")
+    words = lettered.select(
+        "series_id",
+        F.concat(
+            "c",
+            F.lead("c", 1).over(lw),
+            F.lead("c", 2).over(lw),
+            F.lead("c", 3).over(lw),
+        ).alias("word"),
+    ).where(F.col("word").isNotNull())
+    counts = words.groupBy("series_id", "word").agg(F.count("*").alias("n"))
+    tw = Window.partitionBy("series_id").orderBy(F.desc("n"), F.asc("word"))
+    return (
+        counts.withColumn("rank", F.row_number().over(tw))
+        .where(F.col("rank") <= 5)
+        .select("series_id", "word", "n", "rank")
+    )
+
+
 _GRID_CTE = """t AS (
              SELECT event_type AS series_id, date_trunc('hour', ts) AS ts,
                     sum(value) AS y
@@ -874,6 +916,34 @@ _GRID_CTE = """t AS (
            )"""
 
 QUERIES = {
+    "q_ts_motif": QuerySpec(
+        q_ts_motif,
+        f"""WITH {_GRID_CTE.strip()}, yq AS (
+             SELECT series_id, ts,
+                    CAST(floor(y * 1e6 + 0.5) AS BIGINT) AS yq
+             FROM grid
+           ), lettered AS (
+             SELECT series_id, ts,
+                    substring('abcd', ntile(4) OVER (
+                        PARTITION BY series_id ORDER BY yq, ts), 1) AS c
+             FROM yq
+           ), words AS (
+             SELECT series_id,
+                    c || lead(c, 1) OVER w || lead(c, 2) OVER w
+                      || lead(c, 3) OVER w AS word
+             FROM lettered
+             WINDOW w AS (PARTITION BY series_id ORDER BY ts)
+           ), counts AS (
+             SELECT series_id, word, CAST(count(*) AS BIGINT) AS n
+             FROM words WHERE word IS NOT NULL GROUP BY 1, 2
+           )
+           SELECT series_id, word, n, rank FROM (
+             SELECT *, CAST(row_number() OVER (
+                 PARTITION BY series_id ORDER BY n DESC, word)
+                 AS INTEGER) AS rank
+             FROM counts
+           ) WHERE rank <= 5""",
+    ),
     "q_ts_holtwinters": QuerySpec(q_ts_holtwinters),  # rows-only: numpy oracle in tests
     "q_ts_holt_recursive": QuerySpec(
         q_ts_holt_recursive,

@@ -2111,10 +2111,18 @@ def q_multimodal_phash(spark: SparkSession, sf: str) -> DataFrame:
     is q_dedup_simhash's machinery; this query certifies the
     image-side fingerprint feeding it. Scale: one map-only Arrow
     stage, 16 bytes of fingerprint per image out."""
+    docs = ensure_parallelism(load(spark, sf, "documents"))
+    return _phash_frame(docs).orderBy("media_id")
+
+
+def _phash_frame(docs: DataFrame) -> DataFrame:
+    """(media_id, n_px, phash_hi, phash_lo) via the REAL PNG
+    encode→decode path + 64-bit dHash, one Arrow stage. Shared by
+    q_multimodal_phash (fingerprint certification) and q_dedup_phash
+    (banded near-dup join over the fingerprints)."""
     from python_darima_spark.multimodal.binary_ops import attach_png_from_text
     from python_darima_spark.multimodal.codecs import png_decode
 
-    docs = ensure_parallelism(load(spark, sf, "documents"))
     media = attach_png_from_text(docs)
 
     def dhash(batches):
@@ -2144,7 +2152,94 @@ def q_multimodal_phash(spark: SparkSession, sf: str) -> DataFrame:
 
     return media.mapInPandas(
         dhash, "media_id long, n_px long, phash_hi long, phash_lo long"
-    ).orderBy("media_id")
+    )
+
+
+def q_dedup_phash(spark: SparkSession, sf: str) -> DataFrame:
+    """IMAGE NEAR-DUP pairs over the perceptual hash — the multimodal
+    counterpart of q_dedup_simhash, through the REAL decode path. The
+    fixture's text near-dups do NOT yield near dHashes (the 65 sample
+    positions shift with length), so twins are PLANTED the
+    q_sim_topk_pq way: every doc_id%25==0 with ≥64 chars gets a copy
+    (id+1e6) with ONE mid-string byte substituted — same length, same
+    sample positions, so the twin's fingerprint differs only where a
+    sampled comparison touches that byte (measured ≤4 bits). Candidate
+    generation is PIGEONHOLE BANDING, never all-pairs: each 64-bit
+    fingerprint splits into 8 single-byte bands (shiftright + mask);
+    Hamming ≤ 7 forces ≥1 identical band, so the banded equi-join has
+    recall 1.0 for the radius; survivors are verified with exact
+    bit_count(xor) ≤ 7. The DuckDB oracle is the BRUTE-FORCE all-pairs
+    scan over recomputed fingerprints — the hash match proves the
+    banding loses nothing. At 100 TB: 8 keyed band joins on byte keys,
+    hot bands cap exactly like LSH buckets."""
+    docs = ensure_parallelism(load(spark, sf, "documents")).select(
+        "doc_id", "text"
+    )
+    eligible = F.length("text") >= 64
+    twins = docs.where((F.col("doc_id") % 25 == 0) & eligible).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat(
+            F.substring("text", 1, 9),
+            F.lit("Z"),
+            F.expr("substring(text, 11)"),
+        ).alias("text"),
+    )
+    # n_px < 2 → all-zero fingerprint: at scale every degenerate image
+    # would band-collide with every other (a hot-bucket by construction),
+    # and the brute oracle excludes them — drop them symmetrically.
+    ph = _phash_frame(docs.union(twins)).where(F.col("n_px") >= 2)
+    bands = ph.select(
+        "media_id",
+        "phash_hi",
+        "phash_lo",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("b"),
+                        F.expr(
+                            f"shiftright(phash_lo, {8 * j}) & 255"
+                            if j < 4
+                            else f"shiftright(phash_hi, {8 * (j - 4)}) & 255"
+                        ).alias("k"),
+                    )
+                    for j in range(8)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "media_id", "phash_hi", "phash_lo", F.col("bk.b").alias("b"), F.col("bk.k").alias("k")
+    )
+    a = bands.select(
+        F.col("media_id").alias("id_a"),
+        F.col("phash_hi").alias("hi_a"),
+        F.col("phash_lo").alias("lo_a"),
+        "b",
+        "k",
+    )
+    bb = bands.select(
+        F.col("media_id").alias("id_b"),
+        F.col("phash_hi").alias("hi_b"),
+        F.col("phash_lo").alias("lo_b"),
+        "b",
+        "k",
+    )
+    cand = (
+        a.join(bb, ["b", "k"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "hi_a", "lo_a", "hi_b", "lo_b")
+        .distinct()
+    )
+    ham = (
+        F.bit_count(F.col("hi_a").bitwiseXOR(F.col("hi_b")))
+        + F.bit_count(F.col("lo_a").bitwiseXOR(F.col("lo_b")))
+    )
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .where(F.col("hamming") <= 7)
+        .select("id_a", "id_b", "hamming")
+        .orderBy("id_a", "id_b")
+    )
 
 
 _PHASH_ORACLE = """WITH px AS (
@@ -2262,8 +2357,47 @@ _PPS_ORACLE = """WITH d AS (
            ORDER BY source, doc_id"""
 
 
+_DEDUP_PHASH_ORACLE = """WITH corpus AS (
+             SELECT doc_id, text FROM documents
+             UNION ALL
+             SELECT doc_id + 1000000,
+                    substr(text, 1, 9) || 'Z' || substr(text, 11)
+             FROM documents
+             WHERE doc_id % 25 = 0 AND length(text) >= 64
+           ), px AS (
+             SELECT doc_id,
+                    list_transform(split(text, ''), c -> unicode(c)) AS p,
+                    length(text) AS n
+             FROM corpus
+           ), bits AS (
+             SELECT doc_id, i,
+                    CASE WHEN p[(((i + 1) * (n - 1)) // 64) + 1]
+                            > p[((i * (n - 1)) // 64) + 1]
+                         THEN 1 ELSE 0 END AS b
+             FROM px, (SELECT unnest(generate_series(0, 63)) AS i)
+             WHERE n >= 2
+           ), packed AS (
+             SELECT doc_id,
+                    CAST(sum(CASE WHEN i >= 32
+                             THEN b * (CAST(1 AS BIGINT) << (i - 32))
+                             ELSE 0 END) AS BIGINT) AS hi,
+                    CAST(sum(CASE WHEN i < 32
+                             THEN b * (CAST(1 AS BIGINT) << i)
+                             ELSE 0 END) AS BIGINT) AS lo
+             FROM bits GROUP BY doc_id
+           )
+           SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                  CAST(bit_count(xor(a.hi, b.hi))
+                       + bit_count(xor(a.lo, b.lo)) AS BIGINT) AS hamming
+           FROM packed a JOIN packed b ON a.doc_id < b.doc_id
+           WHERE bit_count(xor(a.hi, b.hi))
+                 + bit_count(xor(a.lo, b.lo)) <= 7
+           ORDER BY id_a, id_b"""
+
+
 QUERIES = {
     "q_multimodal_phash": QuerySpec(q_multimodal_phash, _PHASH_ORACLE),
+    "q_dedup_phash": QuerySpec(q_dedup_phash, _DEDUP_PHASH_ORACLE),
     "q_sample_weighted_pps": QuerySpec(q_sample_weighted_pps, _PPS_ORACLE),
     "q_curation_pipeline": QuerySpec(
         q_curation_pipeline, _CURATION_ORACLE

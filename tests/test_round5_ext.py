@@ -16,6 +16,7 @@ from python_darima_spark.queries import load
 from python_darima_spark.queries.graph import q_graph_triangles
 from python_darima_spark.queries.joins import q_join_bloom
 from python_darima_spark.queries.llm_data import (
+    q_dedup_phash,
     q_multimodal_phash,
     q_rank_rrf,
     q_sample_weighted_pps,
@@ -309,6 +310,32 @@ def test_phash_matches_direct_text_dhash(spark, sf_dir):
                         hi |= 1 << (i - 32)
         r = rows[d.doc_id]
         assert (r.n_px, r.phash_hi, r.phash_lo) == (n, hi, lo), d.doc_id
+
+
+def test_dedup_phash_finds_every_planted_twin(spark, sf_dir):
+    """Each planted twin (doc_id%25==0, ≥64 chars, one mid-string byte
+    substituted) must be found by the banded join — pigeonhole recall
+    1.0 for Hamming ≤ 7 — and every returned pair must involve a twin
+    (the fixture has no natural pairs within the radius)."""
+    docs = load(spark, sf_dir, "documents").toPandas()
+    planted = {
+        int(d.doc_id)
+        for d in docs.itertuples()
+        if d.doc_id % 25 == 0 and len(d.text) >= 64
+    }
+    rows = q_dedup_phash(spark, sf_dir).collect()
+    got_pairs = {(r.id_a, r.id_b) for r in rows}
+    for doc in planted:
+        assert (doc, doc + 1000000) in got_pairs, doc
+    for r in rows:
+        assert r.hamming <= 7
+        assert r.id_b >= 1000000, (r.id_a, r.id_b)
+
+
+def test_dedup_phash_banded_join_is_equi(spark, sf_dir):
+    plan = _plan(q_dedup_phash(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
 
 
 def test_rrf_fusion_arithmetic_and_membership(spark, sf_dir):
