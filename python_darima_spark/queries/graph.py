@@ -17,7 +17,7 @@ decimals so both engines' summation-order ulps cannot flip the hash.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from python_darima_spark.operators.graph import bfs_distances, pagerank
@@ -202,8 +202,128 @@ _TRIANGLES_ORACLE = """WITH f AS (
            FROM corners GROUP BY node ORDER BY node"""
 
 
+_LPA_ROUNDS = 3
+
+
+def _coorder_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Symmetric part co-order edges (the q_graph_triangles projection,
+    both directions) — l_quantity ≥ 45 keeps it sparse."""
+    f = (
+        load(spark, sf, "lineitem")
+        .where(F.col("l_quantity") >= 45)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    half = (
+        f.alias("x")
+        .join(f.alias("y"), "l_orderkey")
+        .where(F.col("x.l_partkey") < F.col("y.l_partkey"))
+        .select(
+            F.col("x.l_partkey").alias("src"), F.col("y.l_partkey").alias("dst")
+        )
+        .distinct()
+    )
+    return half.union(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+
+
+def q_graph_labelprop(spark: SparkSession, sf: str) -> DataFrame:
+    """COMMUNITY DETECTION by synchronous label propagation (Raghavan
+    et al. 2007) on the part co-order graph — the cheap community
+    screen run before anything Louvain-shaped. Deterministic variant
+    so the driver hash pins it: labels start as node ids; each of the
+    3 synchronous rounds every node adopts the most frequent label
+    among its neighbors, ties to the SMALLEST label, isolated nodes
+    keep their own (coalesce). Per round: one join (labels ⋈ edges) +
+    one (node, label) count + one argmax window — the same
+    unrolled-iteration shape as q_graph_pagerank, and the oracle
+    restates the identical 3 rounds as chained CTEs. Emits each node's
+    final community and the community size joined back. At 100 TB:
+    rounds are O(edges) keyed shuffles; synchronous LPA is exactly the
+    Pregel superstep Spark expresses as join+agg, checkpoint per round
+    for lineage (operators/graph.py note)."""
+    edges = _coorder_edges(spark, sf)
+    labels = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            edges.join(
+                labels.select(
+                    F.col("node").alias("src"), F.col("label")
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count("*").alias("votes"))
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.desc("votes"), F.asc("label")
+        )
+        best = (
+            votes.withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("node", F.col("label").alias("new_label"))
+        )
+        labels = labels.join(best, "node", "left").select(
+            "node", F.coalesce("new_label", "label").alias("label")
+        )
+    sizes = labels.groupBy("label").agg(F.count("*").alias("community_size"))
+    return (
+        labels.join(sizes, "label")
+        .select("node", "label", "community_size")
+        .orderBy("node")
+    )
+
+
+def _labelprop_oracle() -> str:
+    head = """WITH f AS (
+             SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+             WHERE l_quantity >= 45
+           ), half AS (
+             SELECT DISTINCT x.l_partkey AS src, y.l_partkey AS dst
+             FROM f x JOIN f y ON x.l_orderkey = y.l_orderkey
+                              AND x.l_partkey < y.l_partkey
+           ), e AS (
+             SELECT src, dst FROM half
+             UNION SELECT dst, src FROM half
+           ), l0 AS (
+             SELECT DISTINCT src AS node, src AS label FROM e
+           )"""
+    step = """, l{next} AS (
+             SELECT l.node,
+                    coalesce(b.new_label, l.label) AS label
+             FROM l{cur} l
+             LEFT JOIN (
+               SELECT node, label AS new_label FROM (
+                 SELECT e.dst AS node, p.label,
+                        row_number() OVER (
+                          PARTITION BY e.dst
+                          ORDER BY count(*) DESC, p.label) AS rn
+                 FROM e JOIN l{cur} p ON p.node = e.src
+                 GROUP BY e.dst, p.label
+               ) WHERE rn = 1
+             ) b ON b.node = l.node
+           )"""
+    body = "".join(
+        step.format(cur=i, next=i + 1) for i in range(_LPA_ROUNDS)
+    )
+    tail = f"""
+           SELECT l.node, l.label,
+                  CAST(s.community_size AS BIGINT) AS community_size
+           FROM l{_LPA_ROUNDS} l
+           JOIN (
+             SELECT label, count(*) AS community_size
+             FROM l{_LPA_ROUNDS} GROUP BY label
+           ) s ON s.label = l.label
+           ORDER BY l.node"""
+    return head + body + tail
+
+
 QUERIES = {
     "q_graph_pagerank": QuerySpec(q_graph_pagerank, _pagerank_oracle()),
     "q_graph_bfs": QuerySpec(q_graph_bfs, _BFS_ORACLE),
     "q_graph_triangles": QuerySpec(q_graph_triangles, _TRIANGLES_ORACLE),
+    "q_graph_labelprop": QuerySpec(q_graph_labelprop, _labelprop_oracle()),
 }

@@ -13,7 +13,10 @@ import pandas as pd
 from pyspark.sql import functions as F
 
 from python_darima_spark.queries import load
-from python_darima_spark.queries.graph import q_graph_triangles
+from python_darima_spark.queries.graph import (
+    q_graph_labelprop,
+    q_graph_triangles,
+)
 from python_darima_spark.queries.joins import q_join_bloom
 from python_darima_spark.queries.llm_data import (
     q_dedup_phash,
@@ -171,6 +174,40 @@ def test_triangles_equi_joins_only(spark, sf_dir):
     plan = _plan(q_graph_triangles(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_labelprop_python_replay(spark, sf_dir):
+    """Replay the 3 synchronous LPA rounds in plain Python (mode over
+    neighbor labels, ties to smallest) and require identical labels."""
+    f = (
+        load(spark, sf_dir, "lineitem")
+        .where(F.col("l_quantity") >= 45)
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .toPandas()
+    )
+    adj: dict[int, set[int]] = {}
+    for _, grp in f.groupby("l_orderkey"):
+        parts = sorted(grp.l_partkey.astype(int))
+        for i, a in enumerate(parts):
+            for b in parts[i + 1:]:
+                adj.setdefault(a, set()).add(b)
+                adj.setdefault(b, set()).add(a)
+    labels = {n: n for n in adj}
+    for _ in range(3):
+        nxt = {}
+        for n in adj:
+            counts: dict[int, int] = {}
+            for nb in adj[n]:
+                counts[labels[nb]] = counts.get(labels[nb], 0) + 1
+            if counts:
+                best = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))
+                nxt[n] = best[0]
+            else:
+                nxt[n] = labels[n]
+        labels = nxt
+    got = {r.node: r.label for r in q_graph_labelprop(spark, sf_dir).collect()}
+    assert got == labels
 
 
 # --- Skyline --------------------------------------------------------------
