@@ -89,6 +89,8 @@ _PRIORITY = [
     "q_ts_motif",
     "q_dedup_phash",
     "q_graph_labelprop",
+    "q_scan_corrupt",
+    "q_sink_dynamic_overwrite",
     # --- formulation changed in round 5 after their r4 green rows:
     # q_dedup_near/q_doc_dedup_pipeline now run the capped
     # (max_bucket_size=50) LSH as the certified default;

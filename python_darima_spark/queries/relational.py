@@ -114,6 +114,100 @@ def q_scan_text(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_scan_corrupt(spark: SparkSession, sf: str) -> DataFrame:
+    """PERMISSIVE ingestion of a partially-CORRUPT JSON feed — the
+    real-world contract a 100 TB pipeline needs from its sources: bad
+    records must not kill the job OR silently vanish; they land in the
+    declared ``_corrupt_record`` column and get counted. Every 50th
+    event line is staged deliberately truncated (mid-key, invalid
+    JSON); the schema'd PERMISSIVE read parses the rest. Output is the
+    per-type good-row census plus a ``_corrupt`` row carrying the
+    quarantine count — the oracle recomputes both from the events
+    table and the planting rule, so the driver hash certifies that
+    Spark's corrupt-record routing loses and invents nothing. The
+    parse is map-only in the scan stage; the census is one keyed agg."""
+    tag = os.path.basename(os.path.normpath(sf))
+    path = os.path.join(tempfile.gettempdir(), f"pds_scan_corrupt_{tag}")
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        line = F.when(
+            F.col("event_id") % 50 == 0,
+            F.concat(
+                F.lit('{"event_id":'),
+                F.col("event_id").cast("string"),
+                F.lit(',"event_'),  # truncated mid-key: invalid JSON
+            ),
+        ).otherwise(
+            F.concat(
+                F.lit('{"event_id":'),
+                F.col("event_id").cast("string"),
+                F.lit(',"event_type":"'),
+                "event_type",
+                F.lit('"}'),
+            )
+        )
+        load(spark, sf, "events").select(line.alias("value")).write.mode(
+            "overwrite"
+        ).text(path)
+    parsed = (
+        spark.read.schema(
+            "event_id long, event_type string, _corrupt_record string"
+        )
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(path)
+    )
+    census = (
+        parsed.select(
+            F.when(F.col("_corrupt_record").isNotNull(), F.lit("_corrupt"))
+            .otherwise(F.col("event_type"))
+            .alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    return census.orderBy("bucket")
+
+
+def q_sink_dynamic_overwrite(spark: SparkSession, sf: str) -> DataFrame:
+    """DYNAMIC PARTITION OVERWRITE — the lakehouse write contract: an
+    overwrite touching one partition must replace ONLY that partition,
+    never truncate the table (static mode's footgun). Documents are
+    written partitioned by lang (v1), then lang='en' alone is
+    rewritten with n_chars shifted by +1000 under
+    ``partitionOverwriteMode=dynamic``; the read-back census (per-lang
+    count + sum) is hash-checked against the oracle's expectation —
+    'en' rows shifted, every other partition byte-identical to v1. A
+    stale-state bug (append instead of replace, or a truncated
+    sibling partition) flips the census. The temp table is rebuilt
+    from scratch each run (rmtree, the q_dedup_index_append
+    convention) so no _SUCCESS cache can mask state. At 100 TB this is
+    the idempotent daily-partition backfill pattern."""
+    import shutil
+
+    tag = os.path.basename(os.path.normpath(sf))
+    path = os.path.join(tempfile.gettempdir(), f"pds_dyn_overwrite_{tag}")
+    shutil.rmtree(path, ignore_errors=True)
+    docs = load(spark, sf, "documents").select("doc_id", "n_chars", "lang")
+    docs.write.mode("overwrite").partitionBy("lang").parquet(path)
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        docs.where(F.col("lang") == "en").withColumn(
+            "n_chars", F.col("n_chars") + 1000
+        ).write.mode("overwrite").partitionBy("lang").parquet(path)
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    back = spark.read.parquet(path)
+    return (
+        back.groupBy("lang")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("n_chars").alias("sum_chars"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _staged_docs_bylang(spark: SparkSession, sf: str) -> str:
     """Stage documents partitioned by lang, once per sf dir.
 
@@ -1733,6 +1827,21 @@ QUERIES = {
                          1, 40) AS prefix,
                   TRUE AS parse_ok
            FROM documents ORDER BY doc_id""",
+    ),
+    "q_scan_corrupt": QuerySpec(
+        q_scan_corrupt,
+        """SELECT bucket, CAST(count(*) AS BIGINT) AS n FROM (
+             SELECT CASE WHEN event_id % 50 = 0 THEN '_corrupt'
+                         ELSE event_type END AS bucket
+             FROM events
+           ) GROUP BY bucket ORDER BY bucket""",
+    ),
+    "q_sink_dynamic_overwrite": QuerySpec(
+        q_sink_dynamic_overwrite,
+        """SELECT lang, CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(CASE WHEN lang = 'en' THEN n_chars + 1000
+                           ELSE n_chars END) AS BIGINT) AS sum_chars
+           FROM documents GROUP BY lang ORDER BY lang""",
     ),
     "q_sql_frontend": QuerySpec(
         q_sql_frontend,

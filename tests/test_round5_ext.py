@@ -26,7 +26,9 @@ from python_darima_spark.queries.llm_data import (
 )
 from python_darima_spark.queries.relational import (
     q_event_sequence,
+    q_scan_corrupt,
     q_scan_text,
+    q_sink_dynamic_overwrite,
     q_sketch_countmin,
     q_sketch_hll_manual,
     q_skyline,
@@ -288,6 +290,34 @@ def test_rolling_distinct_no_collect_set_in_plan(spark, sf_dir):
     assert "collect_set" not in plan
     assert "CartesianProduct" not in plan
     assert "Generate" in plan  # the sequence() explode
+
+
+# --- Corrupt-record ingestion ----------------------------------------------
+
+def test_scan_corrupt_quarantines_exactly_the_planted_rows(spark, sf_dir):
+    """Nothing lost, nothing invented: the _corrupt bucket equals the
+    planting rule's count and the good buckets sum to the rest."""
+    ev = load(spark, sf_dir, "events").toPandas()
+    rows = {r.bucket: r.n for r in q_scan_corrupt(spark, sf_dir).collect()}
+    n_corrupt = int((ev.event_id % 50 == 0).sum())
+    assert rows.pop("_corrupt") == n_corrupt
+    assert sum(rows.values()) == len(ev) - n_corrupt
+
+
+# --- Dynamic partition overwrite --------------------------------------------
+
+def test_dynamic_overwrite_touches_only_en(spark, sf_dir):
+    """'en' rows shifted by +1000, every other partition identical to
+    the source table — the overwrite replaced one partition, not all."""
+    docs = load(spark, sf_dir, "documents").toPandas()
+    got = {
+        r.lang: (r.n, r.sum_chars)
+        for r in q_sink_dynamic_overwrite(spark, sf_dir).collect()
+    }
+    for lang, grp in docs.groupby("lang"):
+        shift = 1000 * len(grp) if lang == "en" else 0
+        assert got[lang] == (len(grp), int(grp.n_chars.sum()) + shift), lang
+    assert set(got) == set(docs.lang.unique())
 
 
 # --- RRF ------------------------------------------------------------------
