@@ -1538,6 +1538,83 @@ def q_sql_frontend(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+# One formula text, two engines: both parsers build the same expression
+# tree over identical BIGINT sufficient statistics, so every double op
+# runs in the same order and the rounded coefficients cannot diverge.
+# Explicit CAST(... AS DOUBLE), never a `*1.0` literal: Spark parses
+# `1.0` as DECIMAL and would silently run the solve in decimal
+# arithmetic while DuckDB uses doubles.
+# Normal equations A·b = c for X = [1, x1, x2], solved by Cramer:
+#   A = [[n,s1,s2],[s1,s11,s12],[s2,s12,s22]], c = [sy,s1y,s2y].
+_D = "CAST({} AS DOUBLE)"
+_OLS3_DET = (
+    f"{_D.format('n')}*({_D.format('s11')}*{_D.format('s22')} - {_D.format('s12')}*{_D.format('s12')}) "
+    f"- {_D.format('s1')}*({_D.format('s1')}*{_D.format('s22')} - {_D.format('s12')}*{_D.format('s2')}) "
+    f"+ {_D.format('s2')}*({_D.format('s1')}*{_D.format('s12')} - {_D.format('s11')}*{_D.format('s2')})"
+)
+_OLS3_B0 = (
+    f"({_D.format('sy')}*({_D.format('s11')}*{_D.format('s22')} - {_D.format('s12')}*{_D.format('s12')}) "
+    f"- {_D.format('s1')}*({_D.format('s1y')}*{_D.format('s22')} - {_D.format('s12')}*{_D.format('s2y')}) "
+    f"+ {_D.format('s2')}*({_D.format('s1y')}*{_D.format('s12')} - {_D.format('s11')}*{_D.format('s2y')}))"
+)
+_OLS3_B1 = (
+    f"({_D.format('n')}*({_D.format('s1y')}*{_D.format('s22')} - {_D.format('s12')}*{_D.format('s2y')}) "
+    f"- {_D.format('sy')}*({_D.format('s1')}*{_D.format('s22')} - {_D.format('s12')}*{_D.format('s2')}) "
+    f"+ {_D.format('s2')}*({_D.format('s1')}*{_D.format('s2y')} - {_D.format('s1y')}*{_D.format('s2')}))"
+)
+_OLS3_B2 = (
+    f"({_D.format('n')}*({_D.format('s11')}*{_D.format('s2y')} - {_D.format('s1y')}*{_D.format('s12')}) "
+    f"- {_D.format('s1')}*({_D.format('s1')}*{_D.format('s2y')} - {_D.format('s1y')}*{_D.format('s2')}) "
+    f"+ {_D.format('sy')}*({_D.format('s1')}*{_D.format('s12')} - {_D.format('s11')}*{_D.format('s2')}))"
+)
+_OLS3_SELECT = f"""
+    n,
+    round({_OLS3_B0} / ({_OLS3_DET}), 6) AS b0,
+    round({_OLS3_B1} / ({_OLS3_DET}), 6) AS b1,
+    round({_OLS3_B2} / ({_OLS3_DET}), 6) AS b2,
+    round(CAST(1 AS DOUBLE)
+          - (CAST(syy AS DOUBLE) - ({_OLS3_B0} / ({_OLS3_DET})) * CAST(sy AS DOUBLE)
+                        - ({_OLS3_B1} / ({_OLS3_DET})) * CAST(s1y AS DOUBLE)
+                        - ({_OLS3_B2} / ({_OLS3_DET})) * CAST(s2y AS DOUBLE))
+              / (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)*CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)), 6) AS r2
+"""
+
+
+def q_ml_ols_multifeature(spark: SparkSession, sf: str) -> DataFrame:
+    """CLOSED-FORM DISTRIBUTED LINEAR REGRESSION — multivariate OLS
+    (intercept + 2 features) trained in ONE distributed pass: the nine
+    sufficient statistics (n, Σx_i, Σx_ix_j, Σx_iy, Σy, Σy²) are exact
+    BIGINT sums (associative — partial-agg/map-side-combine IS the
+    training), and the 3×3 normal equations are solved by Cramer in a
+    formula text SHARED with the oracle, so both engines run the same
+    IEEE ops on the same integers and the rounded coefficients
+    hash-match. Model: order total (whole dollars) on order month
+    (0–11) and priority rank (1–5). This is the pattern that trains
+    linear models at 100 TB without an ML library: stats are one keyed
+    shuffle; the solve is O(p³) on p=3, constant. Int64 headroom: Σy²
+    ≤ rows·(5e5)² ≈ 4e17 at 10× this fixture — quantize y coarser
+    before the statistics if rows × y² approaches 2^63 (the
+    q_ts_twap bound-the-units convention)."""
+    o = load(spark, sf, "orders")
+    y = F.floor("o_totalprice").cast("long")
+    x1 = (F.month("o_orderdate") - 1).cast("long")
+    x2 = F.substring("o_orderpriority", 1, 1).cast("long")
+    stats = o.agg(
+        F.count("*").alias("n"),
+        F.sum(x1).alias("s1"),
+        F.sum(x2).alias("s2"),
+        F.sum(y).alias("sy"),
+        F.sum(x1 * x1).alias("s11"),
+        F.sum(x1 * x2).alias("s12"),
+        F.sum(x2 * x2).alias("s22"),
+        F.sum(x1 * y).alias("s1y"),
+        F.sum(x2 * y).alias("s2y"),
+        F.sum(y * y).alias("syy"),
+    )
+    stats.createOrReplaceTempView("ols3_stats_v")
+    return spark.sql(f"SELECT {_OLS3_SELECT} FROM ols3_stats_v")
+
+
 def q_sketch_hll_manual(spark: SparkSession, sf: str) -> DataFrame:
     """MANUAL HyperLogLog (Flajolet et al. 2007) built from first
     principles as a keyed aggregate — the sketch q_agg_approx consumes
@@ -1827,6 +1904,28 @@ QUERIES = {
                          1, 40) AS prefix,
                   TRUE AS parse_ok
            FROM documents ORDER BY doc_id""",
+    ),
+    "q_ml_ols_multifeature": QuerySpec(
+        q_ml_ols_multifeature,
+        f"""WITH s AS (
+             SELECT CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(x1) AS BIGINT) AS s1,
+                    CAST(sum(x2) AS BIGINT) AS s2,
+                    CAST(sum(y) AS BIGINT) AS sy,
+                    CAST(sum(x1 * x1) AS BIGINT) AS s11,
+                    CAST(sum(x1 * x2) AS BIGINT) AS s12,
+                    CAST(sum(x2 * x2) AS BIGINT) AS s22,
+                    CAST(sum(x1 * y) AS BIGINT) AS s1y,
+                    CAST(sum(x2 * y) AS BIGINT) AS s2y,
+                    CAST(sum(y * y) AS BIGINT) AS syy
+             FROM (
+               SELECT CAST(floor(o_totalprice) AS BIGINT) AS y,
+                      CAST(month(o_orderdate) - 1 AS BIGINT) AS x1,
+                      CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS x2
+               FROM orders
+             )
+           )
+           SELECT {_OLS3_SELECT} FROM s""",
     ),
     "q_scan_corrupt": QuerySpec(
         q_scan_corrupt,

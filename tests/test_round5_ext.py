@@ -26,6 +26,7 @@ from python_darima_spark.queries.llm_data import (
 )
 from python_darima_spark.queries.relational import (
     q_event_sequence,
+    q_ml_ols_multifeature,
     q_scan_corrupt,
     q_scan_text,
     q_sink_dynamic_overwrite,
@@ -290,6 +291,29 @@ def test_rolling_distinct_no_collect_set_in_plan(spark, sf_dir):
     assert "collect_set" not in plan
     assert "CartesianProduct" not in plan
     assert "Generate" in plan  # the sequence() explode
+
+
+# --- Closed-form multivariate OLS -------------------------------------------
+
+def test_ols_multifeature_matches_numpy_lstsq(spark, sf_dir):
+    """The Cramer solve over integer sufficient statistics must agree
+    with numpy's least squares on the same design matrix."""
+    import numpy as np
+
+    o = load(spark, sf_dir, "orders").toPandas()
+    y = np.floor(o.o_totalprice.values)
+    x1 = o.o_orderdate.dt.month.values - 1
+    x2 = o.o_orderpriority.str[0].astype(int).values
+    X = np.column_stack([np.ones_like(y), x1, x2])
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    resid = y - X @ beta
+    r2 = 1 - (resid @ resid) / ((y - y.mean()) @ (y - y.mean()))
+    row = q_ml_ols_multifeature(spark, sf_dir).collect()[0]
+    assert abs(row.b0 - beta[0]) < 1e-4, (row.b0, beta[0])
+    assert abs(row.b1 - beta[1]) < 1e-4
+    assert abs(row.b2 - beta[2]) < 1e-4
+    assert abs(row.r2 - r2) < 1e-4
+    assert row.n == len(y)
 
 
 # --- Corrupt-record ingestion ----------------------------------------------
