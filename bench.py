@@ -97,6 +97,16 @@ HEADLINE = [
     "q_join_bloom",
     "q_graph_triangles",
     "q_rank_rrf",
+    "q_scan_text",
+    "q_sql_frontend",
+    "q_sample_weighted_pps",
+    "q_multimodal_phash",
+    "q_ts_motif",
+    "q_dedup_phash",
+    "q_graph_labelprop",
+    "q_scan_corrupt",
+    "q_sink_dynamic_overwrite",
+    "q_ml_ols_multifeature",
 ]
 
 
