@@ -92,6 +92,9 @@ _PRIORITY = [
     "q_scan_corrupt",
     "q_sink_dynamic_overwrite",
     "q_ml_ols_multifeature",
+    "q_rank_trending",
+    "q_agg_argmax",
+    "q_ts_downsample_ltob",
     # --- formulation changed in round 5 after their r4 green rows:
     # q_dedup_near/q_doc_dedup_pipeline now run the capped
     # (max_bucket_size=50) LSH as the certified default;

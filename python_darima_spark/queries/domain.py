@@ -900,6 +900,65 @@ def q_ts_motif(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ts_downsample_ltob(spark: SparkSession, sf: str) -> DataFrame:
+    """VISUAL DOWNSAMPLING, largest-triangle-one-bucket (the LTOB
+    variant of Steinarsson's LTTB, 2013 — LTTB's previous-SELECTED-
+    point dependency is sequential; LTOB's fixed prev/next neighbors
+    keep it one window pass and relational): per series, each daily
+    bucket of the hourly grid keeps the point with the largest
+    triangle area against its immediate neighbors — the perceptually
+    important extremes — cutting 24× while preserving shape. Area is
+    EXACT integer arithmetic (cross product on hour index × micro-unit
+    y, |(x_p−x_n)(y_c−y_p) − (x_p−x_c)(y_n−y_p)|), argmax ties to the
+    earlier hour, so the selection hash-matches. One lag/lead window +
+    one argmax window per series — the same single-exchange shape as
+    every grid operator here."""
+    grid = _hourly_series(spark, sf)
+    w0 = Window.partitionBy("series_id").orderBy("ts")
+    q = grid.select(
+        "series_id",
+        "ts",
+        F.floor(F.col("y") * 1e6 + F.lit(0.5)).cast("long").alias("yq"),
+        F.row_number().over(w0).cast("long").alias("xi"),
+    )
+    nb = q.select(
+        "series_id",
+        "ts",
+        "yq",
+        "xi",
+        F.lag("yq").over(w0).alias("yp"),
+        F.lead("yq").over(w0).alias("yn"),
+        F.lag("xi").over(w0).alias("xp"),
+        F.lead("xi").over(w0).alias("xn"),
+    ).where(F.col("yp").isNotNull() & F.col("yn").isNotNull())
+    area = F.abs(
+        (F.col("xp") - F.col("xn")) * (F.col("yq") - F.col("yp"))
+        - (F.col("xp") - F.col("xi")) * (F.col("yn") - F.col("yp"))
+    )
+    scored = nb.select(
+        "series_id",
+        "ts",
+        "yq",
+        F.expr("(xi - 1) div 24").cast("long").alias("bucket"),
+        area.alias("area"),
+    )
+    aw = Window.partitionBy("series_id", "bucket").orderBy(
+        F.desc("area"), F.asc("ts")
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(aw))
+        .where(F.col("_rn") == 1)
+        .select(
+            "series_id",
+            "bucket",
+            "ts",
+            (F.col("yq") / F.lit(1e6)).alias("y"),
+            "area",
+        )
+        .orderBy("series_id", "bucket")
+    )
+
+
 _GRID_CTE = """t AS (
              SELECT event_type AS series_id, date_trunc('hour', ts) AS ts,
                     sum(value) AS y
@@ -916,6 +975,37 @@ _GRID_CTE = """t AS (
            )"""
 
 QUERIES = {
+    "q_ts_downsample_ltob": QuerySpec(
+        q_ts_downsample_ltob,
+        f"""WITH {_GRID_CTE.strip()}, q AS (
+             SELECT series_id, ts,
+                    CAST(floor(y * 1e6 + 0.5) AS BIGINT) AS yq,
+                    CAST(row_number() OVER w AS BIGINT) AS xi
+             FROM grid
+             WINDOW w AS (PARTITION BY series_id ORDER BY ts)
+           ), nb AS (
+             SELECT series_id, ts, yq, xi,
+                    lag(yq) OVER w AS yp, lead(yq) OVER w AS yn,
+                    lag(xi) OVER w AS xp, lead(xi) OVER w AS xn
+             FROM q
+             WINDOW w AS (PARTITION BY series_id ORDER BY ts)
+           ), scored AS (
+             SELECT series_id, ts, yq,
+                    (xi - 1) // 24 AS bucket,
+                    abs((xp - xn) * (yq - yp)
+                        - (xp - xi) * (yn - yp)) AS area
+             FROM nb WHERE yp IS NOT NULL AND yn IS NOT NULL
+           )
+           SELECT series_id, CAST(bucket AS BIGINT) AS bucket, ts,
+                  yq / 1e6 AS y, CAST(area AS BIGINT) AS area
+           FROM (
+             SELECT *, row_number() OVER (
+                 PARTITION BY series_id, bucket
+                 ORDER BY area DESC, ts) AS rn
+             FROM scored
+           ) WHERE rn = 1
+           ORDER BY series_id, bucket""",
+    ),
     "q_ts_motif": QuerySpec(
         q_ts_motif,
         f"""WITH {_GRID_CTE.strip()}, yq AS (

@@ -1509,6 +1509,102 @@ def q_basket_pairs(spark: SparkSession, sf: str) -> DataFrame:
     ).limit(50)
 
 
+def q_rank_trending(spark: SparkSession, sf: str) -> DataFrame:
+    """TRENDING ITEMS — month-over-month rank movement: each part's
+    revenue rank within its ship month (dense integer cents, rank ties
+    to smaller part), self-joined to the previous month to emit the
+    rank delta; top-20 climbers. The leaderboard-movement query every
+    analytics product ships. Two keyed windows on one (month) exchange
+    + one equi self-join on (part, month−1) — the month-level rank
+    table is tiny, so the join-back never touches facts twice. Exact
+    integer revenue keeps rank order hash-stable."""
+    li = load(spark, sf, "lineitem")
+    monthly = li.groupBy(
+        F.date_trunc("month", "l_shipdate").alias("mon"),
+        F.col("l_partkey").alias("part"),
+    ).agg(
+        F.sum(
+            F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+        ).alias("rev_c")
+    )
+    w = Window.partitionBy("mon").orderBy(F.desc("rev_c"), F.asc("part"))
+    ranked = monthly.withColumn("rnk", F.row_number().over(w).cast("long"))
+    prev = ranked.select(
+        F.col("part"),
+        (F.col("mon") + F.expr("interval 1 month")).alias("mon"),
+        F.col("rnk").alias("prev_rnk"),
+    )
+    return (
+        ranked.join(prev, ["part", "mon"])
+        .select(
+            "part",
+            "mon",
+            "rnk",
+            "prev_rnk",
+            (F.col("prev_rnk") - F.col("rnk")).alias("delta"),
+        )
+        .orderBy(F.desc("delta"), F.asc("rnk"), F.asc("part"), F.asc("mon"))
+        .limit(20)
+    )
+
+
+def q_agg_argmax(spark: SparkSession, sf: str) -> DataFrame:
+    """ARGMAX/ARGMIN aggregates (Spark max_by/min_by ≡ DuckDB
+    arg_max/arg_min): per nation, WHICH supplier carries the highest
+    lineitem revenue and which part the lowest — the 'representative
+    row per group' idiom that otherwise costs a rank window + filter.
+    Value argument in exact integer cents; BOTH engines break value
+    ties by their own scan order, so the argmax target is made unique
+    first (a (value, id) pack: cents·1e6 + id — ties impossible, the
+    q_topk_group determinism convention). One keyed agg, no window,
+    no join-back — at 100 TB this halves the cost of per-group
+    representative extraction."""
+    li = load(spark, sf, "lineitem")
+    sup = load(spark, sf, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    cents = F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+    joined = li.join(F.broadcast(sup), "l_suppkey").select(
+        "s_nationkey",
+        "l_suppkey",
+        "l_partkey",
+        cents.alias("rev_c"),
+    )
+    per_supp = joined.groupBy("s_nationkey", "l_suppkey").agg(
+        F.sum("rev_c").alias("supp_rev")
+    )
+    per_part = joined.groupBy("s_nationkey", "l_partkey").agg(
+        F.sum("rev_c").alias("part_rev")
+    )
+    # pack (value, id) into one BIGINT so argmax has no value ties:
+    # revenue cents ≤ ~2^40 here; id ≤ 2^20 — pack = rev·2^21 + id.
+    top_supp = per_supp.groupBy("s_nationkey").agg(
+        F.max_by(
+            "l_suppkey",
+            F.expr("supp_rev * 2097152 + l_suppkey"),
+        ).alias("top_suppkey"),
+        F.max("supp_rev").alias("top_supp_rev"),
+    )
+    low_part = per_part.groupBy("s_nationkey").agg(
+        F.min_by(
+            "l_partkey",
+            F.expr("part_rev * 2097152 + l_partkey"),
+        ).alias("low_partkey"),
+        F.min("part_rev").alias("low_part_rev"),
+    )
+    return (
+        top_supp.join(low_part, "s_nationkey")
+        .select(
+            "s_nationkey",
+            "top_suppkey",
+            "top_supp_rev",
+            "low_partkey",
+            "low_part_rev",
+        )
+        .orderBy("s_nationkey")
+    )
+
+
 def q_sql_frontend(spark: SparkSession, sf: str) -> DataFrame:
     """The SQL FRONT DOOR: the same engine through ``spark.sql`` over a
     registered temp view instead of DataFrame composition — Catalyst
@@ -1904,6 +2000,65 @@ QUERIES = {
                          1, 40) AS prefix,
                   TRUE AS parse_ok
            FROM documents ORDER BY doc_id""",
+    ),
+    "q_rank_trending": QuerySpec(
+        q_rank_trending,
+        """WITH monthly AS (
+             SELECT date_trunc('month', l_shipdate) AS mon,
+                    l_partkey AS part,
+                    CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5)
+                                  AS BIGINT)) AS BIGINT) AS rev_c
+             FROM lineitem GROUP BY 1, 2
+           ), ranked AS (
+             SELECT mon, part, rev_c,
+                    CAST(row_number() OVER (
+                        PARTITION BY mon ORDER BY rev_c DESC, part)
+                        AS BIGINT) AS rnk
+             FROM monthly
+           )
+           SELECT r.part, r.mon, r.rnk, p.rnk AS prev_rnk,
+                  p.rnk - r.rnk AS delta
+           FROM ranked r
+           JOIN ranked p ON p.part = r.part
+                        AND p.mon + INTERVAL 1 MONTH = r.mon
+           ORDER BY delta DESC, r.rnk, r.part, r.mon
+           LIMIT 20""",
+    ),
+    "q_agg_argmax": QuerySpec(
+        q_agg_argmax,
+        """WITH j AS (
+             SELECT s.s_nationkey, l.l_suppkey, l.l_partkey,
+                    CAST(floor(l.l_extendedprice * 100 + 0.5) AS BIGINT)
+                        AS rev_c
+             FROM lineitem l
+             JOIN supplier s ON s.s_suppkey = l.l_suppkey
+           ), per_supp AS (
+             SELECT s_nationkey, l_suppkey,
+                    CAST(sum(rev_c) AS BIGINT) AS supp_rev
+             FROM j GROUP BY 1, 2
+           ), per_part AS (
+             SELECT s_nationkey, l_partkey,
+                    CAST(sum(rev_c) AS BIGINT) AS part_rev
+             FROM j GROUP BY 1, 2
+           ), ts AS (
+             SELECT s_nationkey,
+                    arg_max(l_suppkey,
+                            supp_rev * 2097152 + l_suppkey)
+                        AS top_suppkey,
+                    CAST(max(supp_rev) AS BIGINT) AS top_supp_rev
+             FROM per_supp GROUP BY 1
+           ), lp AS (
+             SELECT s_nationkey,
+                    arg_min(l_partkey,
+                            part_rev * 2097152 + l_partkey)
+                        AS low_partkey,
+                    CAST(min(part_rev) AS BIGINT) AS low_part_rev
+             FROM per_part GROUP BY 1
+           )
+           SELECT ts.s_nationkey, ts.top_suppkey, ts.top_supp_rev,
+                  lp.low_partkey, lp.low_part_rev
+           FROM ts JOIN lp USING (s_nationkey)
+           ORDER BY s_nationkey""",
     ),
     "q_ml_ols_multifeature": QuerySpec(
         q_ml_ols_multifeature,

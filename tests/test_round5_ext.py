@@ -293,6 +293,66 @@ def test_rolling_distinct_no_collect_set_in_plan(spark, sf_dir):
     assert "Generate" in plan  # the sequence() explode
 
 
+# --- Trending / argmax / LTOB -----------------------------------------------
+
+def test_agg_argmax_matches_pandas(spark, sf_dir):
+    """max_by/min_by with the tie-free packed key must equal a pandas
+    groupby argmax over the same exact-integer revenues."""
+    from python_darima_spark.queries.relational import q_agg_argmax
+
+    li = load(spark, sf_dir, "lineitem").toPandas()
+    sup = load(spark, sf_dir, "supplier").toPandas()
+    li = li.merge(
+        sup[["s_suppkey", "s_nationkey"]],
+        left_on="l_suppkey",
+        right_on="s_suppkey",
+    )
+    li["rev_c"] = (li.l_extendedprice * 100 + 0.5).apply(int)
+    got = {
+        r.s_nationkey: (r.top_suppkey, r.top_supp_rev, r.low_partkey, r.low_part_rev)
+        for r in q_agg_argmax(spark, sf_dir).collect()
+    }
+    for nk, grp in li.groupby("s_nationkey"):
+        ps = grp.groupby("l_suppkey").rev_c.sum()
+        pp = grp.groupby("l_partkey").rev_c.sum()
+        top = max(ps.items(), key=lambda kv: (kv[1], kv[0]))
+        low = min(pp.items(), key=lambda kv: (kv[1], kv[0]))
+        assert got[nk] == (top[0], top[1], low[0], low[1]), nk
+
+
+def test_ltob_keeps_per_bucket_max_area(spark, sf_dir):
+    """Every kept point must have the maximum neighbor-triangle area in
+    its (series, bucket), ties to the earlier hour."""
+    from python_darima_spark.queries.domain import (
+        _hourly_series,
+        q_ts_downsample_ltob,
+    )
+
+    grid = _hourly_series(spark, sf_dir).toPandas()
+    rows = q_ts_downsample_ltob(spark, sf_dir).collect()
+    assert rows
+    for sid, grp in grid.groupby("series_id"):
+        grp = grp.sort_values("ts").reset_index(drop=True)
+        yq = (grp.y * 1e6 + 0.5).apply(int)
+        best: dict[int, tuple] = {}
+        for i in range(1, len(grp) - 1):
+            area = abs(
+                ((i - 1) - (i + 1)) * (yq[i] - yq[i - 1])
+                - ((i - 1) - i) * (yq[i + 1] - yq[i - 1])
+            )
+            b = i // 24  # xi = i+1, bucket = (xi-1) div 24
+            key = (-area, grp.ts[i])
+            if b not in best or key < best[b][0]:
+                best[b] = (key, grp.ts[i], area)
+        got = {
+            (r.series_id, r.bucket): (r.ts, r.area)
+            for r in rows
+            if r.series_id == sid
+        }
+        for b, (_, ts, area) in best.items():
+            assert got[(sid, b)] == (ts, area), (sid, b)
+
+
 # --- Closed-form multivariate OLS -------------------------------------------
 
 def test_ols_multifeature_matches_numpy_lstsq(spark, sf_dir):
