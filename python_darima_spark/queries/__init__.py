@@ -95,6 +95,8 @@ _PRIORITY = [
     "q_rank_trending",
     "q_agg_argmax",
     "q_ts_downsample_ltob",
+    "q_ts_strength",
+    "q_scan_csv_quoted",
     # --- formulation changed in round 5 after their r4 green rows:
     # q_dedup_near/q_doc_dedup_pipeline now run the capped
     # (max_bucket_size=50) LSH as the certified default;

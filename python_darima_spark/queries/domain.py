@@ -959,6 +959,81 @@ def q_ts_downsample_ltob(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_STL_ORACLE = """WITH hourly AS (
+             SELECT event_type AS series_id,
+                    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ts,
+                    CAST(floor(sum(value) * 1e6 + 0.5) AS BIGINT) AS y_i6
+             FROM events GROUP BY 1, 2
+           ), tr AS (
+             SELECT series_id, ts, y_i6,
+                    CAST(floor(
+                        CAST(sum(y_i6) OVER w AS DOUBLE)
+                        / count(y_i6) OVER w + 0.5) AS BIGINT) AS trend_i6
+             FROM hourly
+             WINDOW w AS (PARTITION BY series_id ORDER BY ts
+                          ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+           ), dt AS (
+             SELECT *, y_i6 - trend_i6 AS detr_i6, hour(ts) AS hod
+             FROM tr
+           ), seas AS (
+             SELECT series_id, hod,
+                    CAST(floor(CAST(sum(detr_i6) AS DOUBLE) / count(*)
+                               + 0.5) AS BIGINT) AS seasonal_i6
+             FROM dt GROUP BY 1, 2
+           )
+           SELECT dt.series_id, dt.ts,
+                  dt.y_i6 / 1e6 AS y,
+                  dt.trend_i6 / 1e6 AS trend,
+                  seas.seasonal_i6 / 1e6 AS seasonal,
+                  (dt.detr_i6 - seas.seasonal_i6) / 1e6 AS resid
+           FROM dt JOIN seas USING (series_id, hod)"""
+
+
+def q_ts_strength(spark: SparkSession, sf: str) -> DataFrame:
+    """TREND / SEASONAL STRENGTH (Hyndman's tsfeatures F_T = max(0,
+    1 − Var(R)/Var(T+R)), F_S = max(0, 1 − Var(R)/Var(S+R))) — the
+    per-series features a forecasting catalog computes to ROUTE models
+    (strong seasonality → seasonal model) before any fit. COMPOSES the
+    certified q_ts_stl decomposition: components are re-quantized to
+    exact milli-unit BIGINTs (round of identical doubles — both
+    engines divided the same i6 integers, so the integers agree), the
+    variances come from exact (n, Σv, Σv²) sums, and only the final
+    ratio is a double. Milli not micro: Σv² stays ≪ 2^63 through
+    ~1000× this fixture. One keyed agg over the STL output — strength
+    is free once the decomposition exists."""
+    stl = q_ts_stl(spark, sf)
+    v = stl.select(
+        "series_id",
+        F.round(F.col("resid") * 1e3).cast("long").alias("r"),
+        F.round((F.col("trend") + F.col("resid")) * 1e3).cast("long").alias("ds"),
+        F.round((F.col("seasonal") + F.col("resid")) * 1e3)
+        .cast("long")
+        .alias("dt"),
+    )
+    s = v.groupBy("series_id").agg(
+        F.count("*").alias("n"),
+        F.sum("r").alias("sr"),
+        F.sum(F.col("r") * F.col("r")).alias("srr"),
+        F.sum("ds").alias("sds"),
+        F.sum(F.col("ds") * F.col("ds")).alias("sdsds"),
+        F.sum("dt").alias("sdt"),
+        F.sum(F.col("dt") * F.col("dt")).alias("sdtdt"),
+    )
+    varr = "(CAST(n AS DOUBLE)*CAST(srr AS DOUBLE) - CAST(sr AS DOUBLE)*CAST(sr AS DOUBLE))"
+    vards = "(CAST(n AS DOUBLE)*CAST(sdsds AS DOUBLE) - CAST(sds AS DOUBLE)*CAST(sds AS DOUBLE))"
+    vardt = "(CAST(n AS DOUBLE)*CAST(sdtdt AS DOUBLE) - CAST(sdt AS DOUBLE)*CAST(sdt AS DOUBLE))"
+    return s.select(
+        "series_id",
+        "n",
+        F.expr(
+            f"round(greatest(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE) - {varr} / {vards}), 6)"
+        ).alias("trend_strength"),
+        F.expr(
+            f"round(greatest(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE) - {varr} / {vardt}), 6)"
+        ).alias("seasonal_strength"),
+    ).orderBy("series_id")
+
+
 _GRID_CTE = """t AS (
              SELECT event_type AS series_id, date_trunc('hour', ts) AS ts,
                     sum(value) AS y
@@ -1299,36 +1374,42 @@ QUERIES = {
                       / 1e6 AS y
            FROM w""",
     ),
-    "q_ts_stl": QuerySpec(
-        q_ts_stl,
-        """WITH hourly AS (
-             SELECT event_type AS series_id,
-                    date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ts,
-                    CAST(floor(sum(value) * 1e6 + 0.5) AS BIGINT) AS y_i6
-             FROM events GROUP BY 1, 2
-           ), tr AS (
-             SELECT series_id, ts, y_i6,
-                    CAST(floor(
-                        CAST(sum(y_i6) OVER w AS DOUBLE)
-                        / count(y_i6) OVER w + 0.5) AS BIGINT) AS trend_i6
-             FROM hourly
-             WINDOW w AS (PARTITION BY series_id ORDER BY ts
-                          ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
-           ), dt AS (
-             SELECT *, y_i6 - trend_i6 AS detr_i6, hour(ts) AS hod
-             FROM tr
-           ), seas AS (
-             SELECT series_id, hod,
-                    CAST(floor(CAST(sum(detr_i6) AS DOUBLE) / count(*)
-                               + 0.5) AS BIGINT) AS seasonal_i6
-             FROM dt GROUP BY 1, 2
+    "q_ts_stl": QuerySpec(q_ts_stl, _STL_ORACLE),
+    "q_ts_strength": QuerySpec(
+        q_ts_strength,
+        f"""WITH stl AS ({_STL_ORACLE}),
+           v AS (
+             SELECT series_id,
+                    CAST(round(resid * 1e3) AS BIGINT) AS r,
+                    CAST(round((trend + resid) * 1e3) AS BIGINT) AS ds,
+                    CAST(round((seasonal + resid) * 1e3) AS BIGINT) AS dt
+             FROM stl
+           ), s AS (
+             SELECT series_id, CAST(count(*) AS BIGINT) AS n,
+                    CAST(sum(r) AS BIGINT) AS sr,
+                    CAST(sum(r * r) AS BIGINT) AS srr,
+                    CAST(sum(ds) AS BIGINT) AS sds,
+                    CAST(sum(ds * ds) AS BIGINT) AS sdsds,
+                    CAST(sum(dt) AS BIGINT) AS sdt,
+                    CAST(sum(dt * dt) AS BIGINT) AS sdtdt
+             FROM v GROUP BY 1
            )
-           SELECT dt.series_id, dt.ts,
-                  dt.y_i6 / 1e6 AS y,
-                  dt.trend_i6 / 1e6 AS trend,
-                  seas.seasonal_i6 / 1e6 AS seasonal,
-                  (dt.detr_i6 - seas.seasonal_i6) / 1e6 AS resid
-           FROM dt JOIN seas USING (series_id, hod)""",
+           SELECT series_id, n,
+                  round(greatest(CAST(0 AS DOUBLE),
+                      CAST(1 AS DOUBLE)
+                      - (CAST(n AS DOUBLE)*CAST(srr AS DOUBLE)
+                         - CAST(sr AS DOUBLE)*CAST(sr AS DOUBLE))
+                        / (CAST(n AS DOUBLE)*CAST(sdsds AS DOUBLE)
+                           - CAST(sds AS DOUBLE)*CAST(sds AS DOUBLE))),
+                      6) AS trend_strength,
+                  round(greatest(CAST(0 AS DOUBLE),
+                      CAST(1 AS DOUBLE)
+                      - (CAST(n AS DOUBLE)*CAST(srr AS DOUBLE)
+                         - CAST(sr AS DOUBLE)*CAST(sr AS DOUBLE))
+                        / (CAST(n AS DOUBLE)*CAST(sdtdt AS DOUBLE)
+                           - CAST(sdt AS DOUBLE)*CAST(sdt AS DOUBLE))),
+                      6) AS seasonal_strength
+           FROM s ORDER BY series_id""",
     ),
     "q_ts_anomaly_mad": QuerySpec(
         q_ts_anomaly_mad,

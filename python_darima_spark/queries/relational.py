@@ -114,6 +114,40 @@ def q_scan_text(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_scan_csv_quoted(spark: SparkSession, sf: str) -> DataFrame:
+    """CSV DIALECT round-trip — fields containing the delimiter, the
+    quote character AND embedded newlines (the cases that break naive
+    line-splitting ingest): a per-doc field is constructed with all
+    three planted, written through Spark's CSV writer (automatic
+    quoting + escaping) and read back with ``multiLine=true`` — the
+    option without which an embedded newline silently splits a record
+    in two. The oracle recomputes the planted field from the documents
+    table, so the driver hash certifies the writer→reader round-trip
+    is LOSSLESS for the full dialect, not just happy-path rows.
+    multiLine's scale cost is real and documented: quoted-newline CSV
+    is not splittable, so each file parses as one task — keep files
+    small upstream or land parquet instead; this query certifies
+    correctness of the escape hatch, not its throughput."""
+    tag = os.path.basename(os.path.normpath(sf))
+    path = os.path.join(tempfile.gettempdir(), f"pds_scan_csvq_{tag}")
+    tricky = F.concat(
+        F.substring(F.regexp_replace("text", "\r", ""), 1, 20),
+        F.lit(',"\n'),
+        F.col("lang"),
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        load(spark, sf, "documents").select(
+            "doc_id", tricky.alias("tricky"), "n_chars"
+        ).write.mode("overwrite").option("header", True).csv(path)
+    return (
+        spark.read.schema("doc_id long, tricky string, n_chars long")
+        .option("header", True)
+        .option("multiLine", True)
+        .csv(path)
+        .orderBy("doc_id")
+    )
+
+
 def q_scan_corrupt(spark: SparkSession, sf: str) -> DataFrame:
     """PERMISSIVE ingestion of a partially-CORRUPT JSON feed — the
     real-world contract a 100 TB pipeline needs from its sources: bad
@@ -2081,6 +2115,14 @@ QUERIES = {
              )
            )
            SELECT {_OLS3_SELECT} FROM s""",
+    ),
+    "q_scan_csv_quoted": QuerySpec(
+        q_scan_csv_quoted,
+        """SELECT doc_id,
+                  substr(replace(text, chr(13), ''), 1, 20)
+                    || ',"' || chr(10) || lang AS tricky,
+                  n_chars
+           FROM documents ORDER BY doc_id""",
     ),
     "q_scan_corrupt": QuerySpec(
         q_scan_corrupt,
