@@ -107,13 +107,18 @@ _PRIORITY = [
     "q_dedup_near",
     "q_doc_dedup_pipeline",
     "q_ts_anomaly_mad",
+    # q_dedup_simhash's radius-9 reformulation postdates its r4 green
+    # row, so it outranks the cache-keying-only q_scan_binaryfile
+    # change for the last in-cap slot (the 226-entry registry puts
+    # positions >50 past the driver cap; everything below is still
+    # covered by the three full local PROBE replicas).
+    "q_dedup_simhash",
     "q_scan_binaryfile",
     "q_dedup_index_append",
     # --- also changed late in round 5 (sf0.1-probe boundary fixes and
     # the prefix-filter/prefilter rewrites): their last green driver
-    # rows predate the new formulations, so they re-verify inside the
-    # window
-    "q_dedup_simhash",
+    # rows predate the new formulations, so they re-verify as far
+    # inside the window as the cap allows (simhash moved up above)
     "q_text_classifier",
     "q_sessionize",
     "q_dedup_ngram",
