@@ -207,41 +207,84 @@ def cusum_changepoint(
     ``(series, cp_ts, abs_s, mean_before, mean_after)``. For k > 1
     changepoints, re-apply to each side of the cut (binary segmentation);
     each level is one more window pass."""
+    # EXACT INTEGER statistic (round-5 sf1 probe): the float running
+    # sum of (y − ȳ) accumulates in engine-specific order and flipped
+    # the rounded statistic at sf1 magnitudes (6/50 rows). Multiply
+    # through by n instead: n·S_t = n·cumsum(y_i6) − t·total(y_i6) —
+    # all BIGINT, so |n·S_t| is exact and the argmax is deterministic;
+    # the emitted abs_s is one double division of exact integers.
+    yq = F.floor(F.col(y_col) * F.lit(1e6) + F.lit(0.5)).cast("long")
+    q = df.withColumn("_yq", yq)
     wall = Window.partitionBy(series_col)
     wrun = (
         Window.partitionBy(series_col)
         .orderBy(ts_col)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    cum = df.withColumn("_mu", F.avg(y_col).over(wall)).withColumn(
-        "abs_s",
-        F.round(F.abs(F.sum(F.col(y_col) - F.col("_mu")).over(wrun)), 4),
+    cum = (
+        q.withColumn("_n", F.count("*").over(wall))
+        .withColumn("_tot", F.sum("_yq").over(wall))
+        .withColumn("_cum", F.sum("_yq").over(wrun))
+        .withColumn("_t", F.row_number().over(Window.partitionBy(series_col).orderBy(ts_col)))
+        .withColumn(
+            "_ns",
+            F.abs(
+                F.col("_n") * F.col("_cum") - F.col("_t") * F.col("_tot")
+            ),
+        )
     )
     cp = (
         cum.withColumn(
             "_rn",
             F.row_number().over(
                 Window.partitionBy(series_col).orderBy(
-                    F.desc("abs_s"), F.asc(ts_col)
+                    F.desc("_ns"), F.asc(ts_col)
                 )
             ),
         )
         .where(F.col("_rn") == 1)
-        .select(series_col, F.col(ts_col).alias("cp_ts"), "abs_s")
+        .select(
+            series_col,
+            F.col(ts_col).alias("cp_ts"),
+            F.round(
+                F.col("_ns").cast("double")
+                / (F.col("_n").cast("double") * F.lit(1e6)),
+                4,
+            ).alias("abs_s"),
+        )
     )
-    return (
-        df.join(cp, series_col)
+    sides = (
+        q.join(cp, series_col)
         .groupBy(series_col, "cp_ts", "abs_s")
         .agg(
-            F.round(
-                F.avg(F.when(F.col(ts_col) <= F.col("cp_ts"), F.col(y_col))),
-                4,
-            ).alias("mean_before"),
-            F.round(
-                F.avg(F.when(F.col(ts_col) > F.col("cp_ts"), F.col(y_col))),
-                4,
-            ).alias("mean_after"),
+            F.sum(
+                F.when(F.col(ts_col) <= F.col("cp_ts"), F.col("_yq"))
+            ).alias("_sb"),
+            F.count(
+                F.when(F.col(ts_col) <= F.col("cp_ts"), F.lit(1))
+            ).alias("_nb"),
+            F.sum(
+                F.when(F.col(ts_col) > F.col("cp_ts"), F.col("_yq"))
+            ).alias("_sa"),
+            F.count(
+                F.when(F.col(ts_col) > F.col("cp_ts"), F.lit(1))
+            ).alias("_na"),
         )
+    )
+    return sides.select(
+        series_col,
+        "cp_ts",
+        "abs_s",
+        F.round(
+            F.col("_sb").cast("double")
+            / (F.col("_nb").cast("double") * F.lit(1e6)),
+            4,
+        ).alias("mean_before"),
+        F.round(
+            F.col("_sa").cast("double")
+            / (F.col("_na").cast("double") * F.lit(1e6)),
+            4,
+        ).alias("mean_after"),
     )
 
 

@@ -1435,28 +1435,44 @@ QUERIES = {
         """WITH hourly AS (
              SELECT event_type AS series_id,
                     date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ts,
-                    round(sum(value), 6) AS y
+                    CAST(floor(round(sum(value), 6) * 1e6 + 0.5)
+                         AS BIGINT) AS yq
              FROM events GROUP BY 1, 2
            ), cum AS (
-             SELECT series_id, ts, y,
-                    round(abs(sum(y - mu) OVER (
-                        PARTITION BY series_id ORDER BY ts
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-                        4) AS abs_s
-             FROM (SELECT *, avg(y) OVER (PARTITION BY series_id) AS mu
-                   FROM hourly)
+             SELECT series_id, ts, yq,
+                    count(*) OVER (PARTITION BY series_id) AS n,
+                    sum(yq) OVER (PARTITION BY series_id) AS tot,
+                    sum(yq) OVER w AS cum,
+                    row_number() OVER (
+                        PARTITION BY series_id ORDER BY ts) AS t
+             FROM hourly
+             WINDOW w AS (PARTITION BY series_id ORDER BY ts
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW)
+           ), ns AS (
+             SELECT series_id, ts, n,
+                    abs(n * cum - t * tot) AS nsv
+             FROM cum
            ), cp AS (
-             SELECT series_id, ts AS cp_ts, abs_s
+             SELECT series_id, ts AS cp_ts,
+                    round(CAST(nsv AS DOUBLE)
+                          / (CAST(n AS DOUBLE) * 1e6), 4) AS abs_s
              FROM (SELECT *, row_number() OVER (
                        PARTITION BY series_id
-                       ORDER BY abs_s DESC, ts) AS rn
-                   FROM cum)
+                       ORDER BY nsv DESC, ts) AS rn
+                   FROM ns)
              WHERE rn = 1
            )
            SELECT h.series_id, cp.cp_ts, cp.abs_s,
-                  round(avg(CASE WHEN h.ts <= cp.cp_ts THEN h.y END), 4)
+                  round(CAST(sum(CASE WHEN h.ts <= cp.cp_ts
+                                 THEN h.yq END) AS DOUBLE)
+                        / (CAST(count(CASE WHEN h.ts <= cp.cp_ts
+                                      THEN 1 END) AS DOUBLE) * 1e6), 4)
                       AS mean_before,
-                  round(avg(CASE WHEN h.ts > cp.cp_ts THEN h.y END), 4)
+                  round(CAST(sum(CASE WHEN h.ts > cp.cp_ts
+                                 THEN h.yq END) AS DOUBLE)
+                        / (CAST(count(CASE WHEN h.ts > cp.cp_ts
+                                      THEN 1 END) AS DOUBLE) * 1e6), 4)
                       AS mean_after
            FROM hourly h JOIN cp ON h.series_id = cp.series_id
            GROUP BY 1, 2, 3""",
