@@ -410,6 +410,47 @@ def _bloom_pos(j_col, key_col):
     )
 
 
+def q_join_asof_tolerance(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join WITH TOLERANCE (pandas merge_asof's ``tolerance=``,
+    kdb's windowed aj): the latest prior click per purchase counts only
+    within 1 hour — staler matches are NULLED, because attribution
+    windows are the semantic a marketing/market-data pipeline actually
+    wants (an unbounded as-of silently attributes a purchase to a
+    week-old click). Exercises operators/relational.py:asof_join's
+    tolerance path; same union+window shape as q_join_asof (one keyed
+    exchange, no range join), the tolerance is a map-side flag on the
+    matched timestamp. Emitted gap in exact integer seconds."""
+    e = load(spark, sf, "events")
+    purchases = e.where(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("purchase_id"), "ts"
+    )
+    clicks = e.where(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), "ts"
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        right_cols=["click_id"],
+        tolerance="1 hour",
+        tie_break=["click_id"],
+    )
+    return joined.select(
+        "purchase_id",
+        "click_id",
+        F.when(
+            F.col("click_id").isNotNull(),
+            (
+                F.unix_micros(F.col("ts").cast("timestamp"))
+                - F.unix_micros(F.col("ts_right").cast("timestamp"))
+            )
+            / F.lit(1000000),
+        )
+        .cast("long")
+        .alias("gap_s"),
+    ).orderBy("purchase_id")
+
+
 def q_join_bloom(spark: SparkSession, sf: str) -> DataFrame:
     """MANUAL Bloom-filter semi-join (the structure behind Spark's own
     runtime-filter rewrite, q_join_runtime_filter, opened up so the
@@ -676,5 +717,30 @@ QUERIES = {
              WHERE p.event_type = 'purchase'
            )
            SELECT purchase_id, click_id FROM cand WHERE rn = 1""",
+    ),
+    "q_join_asof_tolerance": QuerySpec(
+        q_join_asof_tolerance,
+        """WITH cand AS (
+             SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+                    p.ts AS pts, c.ts AS cts,
+                    ROW_NUMBER() OVER (
+                      PARTITION BY p.event_id
+                      ORDER BY c.ts DESC, c.event_id DESC
+                    ) AS rn
+             FROM events p
+             LEFT JOIN events c
+               ON p.user_id = c.user_id
+              AND c.event_type = 'click'
+              AND c.ts <= p.ts
+             WHERE p.event_type = 'purchase'
+           )
+           SELECT purchase_id,
+                  CASE WHEN cts >= pts - INTERVAL 1 HOUR
+                       THEN click_id END AS click_id,
+                  CASE WHEN cts >= pts - INTERVAL 1 HOUR
+                       THEN CAST(epoch_us(pts) - epoch_us(cts)
+                                 AS BIGINT) // 1000000 END AS gap_s
+           FROM cand WHERE rn = 1
+           ORDER BY purchase_id""",
     ),
 }
