@@ -540,7 +540,17 @@ def ngram_jaccard_pairs(
     szs = base.select(F.col(id_col), F.col("_ng"))
     probe = (
         ranked.join(szs, id_col)
-        .where(F.col("_rn") <= F.floor((1.0 - threshold) * F.col("_ng")) + 1)
+        # exact prefix bound n − ⌈t·n⌉ + 1 with an epsilon guard: the
+        # float form floor((1−t)·n)+1 loses a probe at exact-threshold
+        # boundaries ((1.0−0.9)·20 = 1.999…96 floors to 1), which is a
+        # RECALL hole — a pair at similarity exactly t can miss
+        # (hypothesis-found, round 5)
+        .where(
+            F.col("_rn")
+            <= F.col("_ng")
+            - F.ceil(F.lit(threshold) * F.col("_ng") - F.lit(1e-9))
+            + 1
+        )
         .select(F.col(id_col).alias("_pid"), "g")
     )
     index = e.select(F.col(id_col).alias("_iid"), "g")
@@ -835,7 +845,17 @@ def containment_pairs(
     szs = sh.select(F.col(id_col), F.size("_sh").alias("_n"))
     probe = (
         ranked.join(szs, id_col)
-        .where(F.col("_rn") <= F.floor((1.0 - threshold) * F.col("_n")) + 1)
+        # exact prefix bound n − ⌈t·n⌉ + 1, epsilon-guarded (see the
+        # ngram filter above): containment ≥ t ⟺ inter ≥ ⌈t·n⌉, so at
+        # most n − ⌈t·n⌉ probe shingles can miss; the float
+        # floor((1−t)·n)+1 form dropped a probe at the exact-threshold
+        # boundary and with it a true pair (hypothesis-found, round 5)
+        .where(
+            F.col("_rn")
+            <= F.col("_n")
+            - F.ceil(F.lit(threshold) * F.col("_n") - F.lit(1e-9))
+            + 1
+        )
         .select(F.col(id_col).alias("_pid"), "g")
     )
     index = e.select(F.col(id_col).alias("_iid"), "g")
