@@ -1749,6 +1749,36 @@ def q_ml_ols_multifeature(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(f"SELECT {_OLS3_SELECT} FROM ols3_stats_v")
 
 
+_RECURSIVE_SQL = """WITH RECURSIVE walk(custkey, node, depth) AS (
+             SELECT c_custkey, c_custkey, 0 FROM {table}
+             UNION ALL
+             SELECT custkey, CAST(floor(node / 10.0) AS BIGINT),
+                    depth + 1
+             FROM walk WHERE node >= 10
+           )
+           SELECT custkey, node AS root, CAST(depth AS INTEGER) AS depth
+           FROM walk WHERE node < 10
+           ORDER BY custkey"""
+
+
+def q_sql_recursive(spark: SparkSession, sf: str) -> DataFrame:
+    """RECURSIVE CTE through the engine's OWN SQL surface (Spark 4's
+    ``WITH RECURSIVE``) — transitive closure to the root of a derived
+    10-ary hierarchy (node → node div 10), emitting each customer's
+    root and depth. Until now recursion appeared only on the ORACLE
+    side (BFS, label-prop) or as DataFrame loops; this certifies the
+    engine's native recursive-query surface with ONE SQL text both
+    engines execute verbatim (``floor(node/10.0)`` instead of the
+    dialect-split ``div``/``//`` integer division; exact for ints <
+    2^53). Iteration count is O(log₁₀ max key) — each recursive step
+    is one join-free projection over the frontier, the same bounded-
+    round shape as the graph loops. At 100 TB: recursion depth is the
+    hierarchy's depth, not the row count; every step is a full-
+    parallelism scan of the prior frontier."""
+    load(spark, sf, "customer").createOrReplaceTempView("customer_rcte_v")
+    return spark.sql(_RECURSIVE_SQL.format(table="customer_rcte_v"))
+
+
 def q_sketch_hll_manual(spark: SparkSession, sf: str) -> DataFrame:
     """MANUAL HyperLogLog (Flajolet et al. 2007) built from first
     principles as a keyed aggregate — the sketch q_agg_approx consumes
@@ -2142,6 +2172,9 @@ QUERIES = {
                   CAST(sum(CASE WHEN lang = 'en' THEN n_chars + 1000
                            ELSE n_chars END) AS BIGINT) AS sum_chars
            FROM documents GROUP BY lang ORDER BY lang""",
+    ),
+    "q_sql_recursive": QuerySpec(
+        q_sql_recursive, _RECURSIVE_SQL.format(table="customer")
     ),
     "q_sql_frontend": QuerySpec(
         q_sql_frontend,
