@@ -107,6 +107,13 @@ HEADLINE = [
     "q_scan_corrupt",
     "q_sink_dynamic_overwrite",
     "q_ml_ols_multifeature",
+    "q_rank_trending",
+    "q_agg_argmax",
+    "q_ts_downsample_ltob",
+    "q_ts_strength",
+    "q_scan_csv_quoted",
+    "q_join_asof_tolerance",
+    "q_sql_recursive",
 ]
 
 
