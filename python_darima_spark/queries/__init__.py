@@ -99,6 +99,7 @@ _PRIORITY = [
     "q_scan_csv_quoted",
     "q_join_asof_tolerance",
     "q_sql_recursive",
+    "q_dq_drift_psi",
     # --- formulation changed in round 5 after their r4 green rows:
     # q_dedup_near/q_doc_dedup_pipeline now run the capped
     # (max_bucket_size=50) LSH as the certified default;

@@ -1779,6 +1779,80 @@ def q_sql_recursive(spark: SparkSession, sf: str) -> DataFrame:
     return spark.sql(_RECURSIVE_SQL.format(table="customer_rcte_v"))
 
 
+def q_dq_drift_psi(spark: SparkSession, sf: str) -> DataFrame:
+    """DISTRIBUTION-DRIFT monitoring via the Population Stability Index
+    — the statistic a model-monitoring / data-quality pipeline computes
+    between a reference window and a live window before retraining
+    alarms fire. Per event_type: values of the FIRST time half
+    (reference) vs the SECOND (live), split at the exact integer
+    midpoint of the epoch-micros range; 10 fixed-width value bins
+    (width 10, top bin open) with add-one smoothing; PSI =
+    Σ (p−q)·ln(p/q). Each bin's term is quantized to e9 integers
+    BEFORE the final sum (the terms are nonneg, identical doubles from
+    exact integer ratios on both engines), so the 10-term sum is exact
+    BIGINT and bin-iteration order cannot move the hash. Two keyed
+    aggs + a 10-row-per-series join — map-side everything at 100 TB;
+    the reference histogram would be the persisted artifact."""
+    ev = load(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    bounds = ev.agg(
+        F.min(us).alias("_lo"), F.max(us).alias("_hi")
+    )
+    mid = F.expr("(_lo + _hi) div 2")
+    binc = F.least(F.floor(F.col("value") / 10).cast("long"), F.lit(9))
+    halved = ev.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        F.greatest(binc, F.lit(0)).alias("bin"),
+        F.when(us <= mid, F.lit("ref")).otherwise(F.lit("live")).alias("_w"),
+    )
+    counts = halved.groupBy("event_type", "bin", "_w").agg(
+        F.count("*").alias("c")
+    )
+    pivoted = counts.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("_w") == "ref", F.col("c")).otherwise(0)).alias("cr"),
+        F.sum(F.when(F.col("_w") == "live", F.col("c")).otherwise(0)).alias("cl"),
+    )
+    tot = pivoted.groupBy("event_type").agg(
+        F.sum("cr").alias("nr"), F.sum("cl").alias("nl")
+    )
+    # spine 0..9 per series so empty bins still contribute their
+    # smoothed term (both engines see the same 10 bins)
+    spine = (
+        tot.select("event_type")
+        .crossJoin(spark.range(10).select(F.col("id").alias("bin")))
+    )
+    full = (
+        spine.join(pivoted, ["event_type", "bin"], "left")
+        .join(tot, "event_type")
+        .select(
+            "event_type",
+            "bin",
+            F.coalesce("cr", F.lit(0)).alias("cr"),
+            F.coalesce("cl", F.lit(0)).alias("cl"),
+            "nr",
+            "nl",
+        )
+    )
+    p = (F.col("cr") + 1).cast("double") / (F.col("nr") + 10).cast("double")
+    q = (F.col("cl") + 1).cast("double") / (F.col("nl") + 10).cast("double")
+    term_e9 = F.floor((p - q) * F.log(p / q) * F.lit(1e9) + F.lit(0.5)).cast(
+        "long"
+    )
+    return (
+        full.select("event_type", "nr", "nl", term_e9.alias("_t"))
+        .groupBy("event_type", "nr", "nl")
+        .agg(F.sum("_t").alias("psi_e9"))
+        .select(
+            "event_type",
+            F.col("nr").alias("n_ref"),
+            F.col("nl").alias("n_live"),
+            "psi_e9",
+            (F.col("psi_e9") >= 200_000_000).alias("drift_alert"),
+        )
+        .orderBy("event_type")
+    )
+
+
 def q_sketch_hll_manual(spark: SparkSession, sf: str) -> DataFrame:
     """MANUAL HyperLogLog (Flajolet et al. 2007) built from first
     principles as a keyed aggregate — the sketch q_agg_approx consumes
@@ -2175,6 +2249,60 @@ QUERIES = {
     ),
     "q_sql_recursive": QuerySpec(
         q_sql_recursive, _RECURSIVE_SQL.format(table="customer")
+    ),
+    "q_dq_drift_psi": QuerySpec(
+        q_dq_drift_psi,
+        """WITH b AS (
+             SELECT min(epoch_us(CAST(ts AS TIMESTAMP))) AS lo,
+                    max(epoch_us(CAST(ts AS TIMESTAMP))) AS hi
+             FROM events
+           ), halved AS (
+             SELECT event_type,
+                    greatest(least(CAST(floor(value / 10) AS BIGINT), 9),
+                             0) AS bin,
+                    CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                              <= (b.lo + b.hi) // 2
+                         THEN 'ref' ELSE 'live' END AS w
+             FROM events, b
+           ), pivoted AS (
+             SELECT event_type, bin,
+                    CAST(sum(CASE WHEN w = 'ref' THEN 1 ELSE 0 END)
+                         AS BIGINT) AS cr,
+                    CAST(sum(CASE WHEN w = 'live' THEN 1 ELSE 0 END)
+                         AS BIGINT) AS cl
+             FROM halved GROUP BY 1, 2
+           ), tot AS (
+             SELECT event_type, CAST(sum(cr) AS BIGINT) AS nr,
+                    CAST(sum(cl) AS BIGINT) AS nl
+             FROM pivoted GROUP BY 1
+           ), spine AS (
+             SELECT t.event_type, s.bin, t.nr, t.nl
+             FROM tot t,
+                  (SELECT unnest(generate_series(0, 9)) AS bin) s
+           ), full_bins AS (
+             SELECT s.event_type, s.bin,
+                    coalesce(p.cr, 0) AS cr, coalesce(p.cl, 0) AS cl,
+                    s.nr, s.nl
+             FROM spine s
+             LEFT JOIN pivoted p
+               ON p.event_type = s.event_type AND p.bin = s.bin
+           ), terms AS (
+             SELECT event_type, nr, nl,
+                    CAST(floor(
+                        (CAST(cr + 1 AS DOUBLE) / CAST(nr + 10 AS DOUBLE)
+                         - CAST(cl + 1 AS DOUBLE) / CAST(nl + 10 AS DOUBLE))
+                        * ln((CAST(cr + 1 AS DOUBLE)
+                              / CAST(nr + 10 AS DOUBLE))
+                             / (CAST(cl + 1 AS DOUBLE)
+                                / CAST(nl + 10 AS DOUBLE)))
+                        * 1e9 + 0.5) AS BIGINT) AS t
+             FROM full_bins
+           )
+           SELECT event_type, nr AS n_ref, nl AS n_live,
+                  CAST(sum(t) AS BIGINT) AS psi_e9,
+                  CAST(sum(t) AS BIGINT) >= 200000000 AS drift_alert
+           FROM terms GROUP BY event_type, nr, nl
+           ORDER BY event_type""",
     ),
     "q_sql_frontend": QuerySpec(
         q_sql_frontend,
