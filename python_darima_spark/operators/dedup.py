@@ -404,32 +404,45 @@ def minhash_index_append(
     shingle_k: int = 5,
     num_bands: int = 16,
     seed: int = 42,
+    ingest_tag: str | None = None,
 ) -> None:
     """WRITE path of the incremental dedup index: shingle + MinHash the
     batch ONCE and append its ``(id, sig)`` rows to ``{index}/sigs`` and
     its ``(id, band_id, band_hash)`` rows to ``{index}/bands`` (parquet,
-    directory-partitioned by band_id so a probe prunes to its band).
-    Each ingest pays only its own signatures — the corpus is never
-    re-shingled. At cluster scale the bands table would instead be a
-    metastore table ``bucketBy(N, "band_hash")`` so probe joins are
+    directory-partitioned by ingest then band_id so a probe prunes to
+    its band). Each ingest pays only its own signatures — the corpus is
+    never re-shingled. At cluster scale the bands table would instead be
+    a metastore table ``bucketBy(N, "band_hash")`` so probe joins are
     co-located shuffle-free; the path layout here is the
     filesystem-only equivalent. Texts are NOT stored — exact
     verification joins back to the corpus by id, so the index stays
     skinny (~(8+8·num_hashes) bytes/doc + bands) no matter how large
-    documents are."""
+    documents are.
+
+    ``ingest_tag`` makes the append IDEMPOTENT: each ingest lands in its
+    own ``ingest=<tag>`` partition dir with mode=overwrite, so a caller
+    that retries the same logical batch (e.g. a replayed foreachBatch
+    micro-batch under at-least-once semantics — the round-5 ADVICE
+    hazard in q_stream_dedup_near) rewrites the same dir instead of
+    duplicating signatures. Untagged calls get a unique tag (plain
+    append semantics, but still a per-ingest dir — the overwrite can
+    never clobber a sibling ingest)."""
+    import uuid
+
+    tag = ingest_tag if ingest_tag is not None else f"u{uuid.uuid4().hex[:12]}"
     rows_per_band = num_hashes // num_bands
     sig = minhash_signatures(
         batch_df, text_col, id_col, num_hashes, shingle_k, seed
     ).persist()
-    sig.write.mode("append").parquet(f"{index_path}/sigs")
+    sig.write.mode("overwrite").parquet(f"{index_path}/sigs/ingest={tag}")
     # repartition on the directory key first: ONE file per band dir per
     # ingest instead of shuffle-partition-count tiny files per dir (the
     # small-files problem compounds across ingests; measured ~2× faster
     # append+probe round trip at fixture scale)
     band_hashes(sig, id_col, num_bands, rows_per_band).repartition(
         num_bands, "band_id"
-    ).write.mode("append").partitionBy("band_id").parquet(
-        f"{index_path}/bands"
+    ).write.mode("overwrite").partitionBy("band_id").parquet(
+        f"{index_path}/bands/ingest={tag}"
     )
     sig.unpersist()
 

@@ -79,13 +79,23 @@ def cosine_topk(
     Output: (query_id, neighbor_id, cosine) with rank ≤ k per query.
     Cosine is rounded BEFORE ranking so rank order is reproducible across
     engines; ties break by neighbor id.
+
+    The query side is under the same ENFORCED bounded-broadcast contract
+    as the ivf/pq paths (round-5 verdict): ``take_bounded_queries``
+    raises past MAX_BOUNDED_QUERIES, so a caller can't silently hand the
+    brute-force oracle a corpus-sized query side and get a corpus²
+    crossJoin — corpus-scale query sets belong on ivf_topk/pq_topk.
     """
+    spark = corpus.sparkSession
     # fan_out: the corpus side carries the O(n·k·dim) dot-product work and
     # must not inherit a compact scan's single partition.
     c = fan_out(corpus, id_col).select(
         F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("_cv")
     )
-    q = queries.select(
+    qrows = take_bounded_queries(queries.select(id_col, vec_col), "cosine_topk")
+    q = spark.createDataFrame(
+        qrows, queries.select(id_col, vec_col).schema
+    ).select(
         F.col(id_col).alias("query_id"), as_double_vec(F.col(vec_col)).alias("_qv")
     )
     pairs = c.crossJoin(F.broadcast(q)).where(

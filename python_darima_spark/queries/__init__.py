@@ -312,6 +312,21 @@ _PRIORITY = [
 ]
 
 
+def rhu(col, p: int):
+    """Deterministic round-half-up via floor: ``floor(x·10^p + 0.5)/10^p``.
+
+    ``round(x, p)`` is NOT portable on decimal-midpoint ties: the round-5
+    sf0.001 probe showed Spark and DuckDB resolve an exact midpoint
+    differently even on bit-identical doubles. ``floor`` has no tie rule,
+    so identical doubles always quantize identically; SQL twin:
+    ``floor(x * 10^p + 0.5) / 10^p``. Shared by every query module that
+    hashes derived doubles (domain.py, relational.py, ...)."""
+    from pyspark.sql import functions as F
+
+    s = float(10**p)
+    return F.floor(col * F.lit(s) + F.lit(0.5)) / F.lit(s)
+
+
 def registry() -> dict[str, QuerySpec]:
     out: dict[str, QuerySpec] = {}
     for modname in _MODULES:

@@ -33,20 +33,9 @@ _CFG = DarimaConfig(
 )
 
 
-def _rhu(col: F.Column, p: int) -> F.Column:
-    """Deterministic round-half-up via floor: ``floor(x·10^p + 0.5)/10^p``.
-
-    ``round(x, p)`` is NOT portable on tie values: the round-5 sf0.001
-    probe showed Spark and DuckDB resolve an exact decimal midpoint
-    differently even on bit-identical doubles (three queries hit it,
-    because fixture values live on a decimal grid so midpoints are
-    common). ``floor`` has no tie rule — identical doubles always
-    quantize identically; the only residual divergence window is an
-    upstream ulp difference landing exactly on a floor boundary
-    (~1e-10/row instead of certainty-per-midpoint). SQL restatement:
-    ``floor(x * 10^p + 0.5) / 10^p``."""
-    s = float(10**p)
-    return F.floor(col * F.lit(s) + F.lit(0.5)) / F.lit(s)
+from python_darima_spark.queries import rhu as _rhu  # noqa: E402 — shared
+# round-half-up quantizer (see queries/__init__.py:rhu for the tie-rule
+# rationale; it used to live here and is now shared with relational.py).
 
 
 def _hourly_series(spark: SparkSession, sf: str) -> DataFrame:
@@ -145,10 +134,11 @@ def q_ts_forecast_unrolled(spark: SparkSession, sf: str) -> DataFrame:
     base = ranked.groupBy("series_id").agg(
         F.max("ts").alias("ts_last"),
         F.count("*").alias("t_n"),
-        # y_T / y_{T-1} rounded to 6 BEFORE the recursion on both
-        # engines, so hourly-sum ulps can't feed the chained arithmetic
-        F.round(F.max(F.when(F.col("_rn") == 1, F.col("y"))), 6).alias("y1"),
-        F.round(F.max(F.when(F.col("_rn") == 2, F.col("y"))), 6).alias("y2"),
+        # y_T / y_{T-1} quantized to 6dp BEFORE the recursion on both
+        # engines (floor-based _rhu, not round(): tie rules diverge —
+        # ADVICE r5), so hourly-sum ulps can't feed the chained arithmetic
+        _rhu(F.max(F.when(F.col("_rn") == 1, F.col("y"))), 6).alias("y1"),
+        _rhu(F.max(F.when(F.col("_rn") == 2, F.col("y"))), 6).alias("y2"),
     )
     b0, b1, a1, a2 = (F.lit(c) for c in (_UF_B0, _UF_B1, _UF_A1, _UF_A2))
     tN = F.col("t_n")
@@ -165,12 +155,12 @@ def q_ts_forecast_unrolled(spark: SparkSession, sf: str) -> DataFrame:
         return F.struct(
             F.lit(k).alias("step"),
             F.expr(f"ts_last + INTERVAL {k} HOURS").alias("ts"),
-            F.round(mean, 6).alias("mean"),
-            F.round(se, 6).alias("se"),
-            F.round(mean - F.lit(_UF_Z[80]) * se, 6).alias("lo_80"),
-            F.round(mean + F.lit(_UF_Z[80]) * se, 6).alias("hi_80"),
-            F.round(mean - F.lit(_UF_Z[95]) * se, 6).alias("lo_95"),
-            F.round(mean + F.lit(_UF_Z[95]) * se, 6).alias("hi_95"),
+            _rhu(mean, 6).alias("mean"),
+            _rhu(se, 6).alias("se"),
+            _rhu(mean - F.lit(_UF_Z[80]) * se, 6).alias("lo_80"),
+            _rhu(mean + F.lit(_UF_Z[80]) * se, 6).alias("hi_80"),
+            _rhu(mean - F.lit(_UF_Z[95]) * se, 6).alias("lo_95"),
+            _rhu(mean + F.lit(_UF_Z[95]) * se, 6).alias("hi_95"),
         )
 
     return stepped.select(
@@ -213,16 +203,16 @@ def q_ts_fitted_unrolled(spark: SparkSession, sf: str) -> DataFrame:
     w = Window.partitionBy("series_id").orderBy("ts")
     b0, b1, a1, a2 = (F.lit(c) for c in (_UF_B0, _UF_B1, _UF_A1, _UF_A2))
     t_idx = F.row_number().over(w)
-    l1 = F.round(F.lag("y", 1).over(w), 6)
-    l2 = F.round(F.lag("y", 2).over(w), 6)
-    fitted = F.round(
+    l1 = _rhu(F.lag("y", 1).over(w), 6)
+    l2 = _rhu(F.lag("y", 2).over(w), 6)
+    fitted = _rhu(
         b0 + b1 * t_idx.cast("double") + a1 * l1 + a2 * l2, 6
     )
     return series.select(
         "series_id",
         "ts",
         fitted.alias("fitted"),
-        F.round(F.round("y", 6) - fitted, 6).alias("residual"),
+        _rhu(_rhu(F.col("y"), 6) - fitted, 6).alias("residual"),
     )
 
 
@@ -1004,9 +994,13 @@ def q_ts_strength(spark: SparkSession, sf: str) -> DataFrame:
     stl = q_ts_stl(spark, sf)
     v = stl.select(
         "series_id",
-        F.round(F.col("resid") * 1e3).cast("long").alias("r"),
-        F.round((F.col("trend") + F.col("resid")) * 1e3).cast("long").alias("ds"),
-        F.round((F.col("seasonal") + F.col("resid")) * 1e3)
+        # floor-quantize, not round(): half-up vs half-even tie rules
+        # diverge across engines on exact milli-unit midpoints (ADVICE r5)
+        F.floor(F.col("resid") * 1e3 + 0.5).cast("long").alias("r"),
+        F.floor((F.col("trend") + F.col("resid")) * 1e3 + 0.5)
+        .cast("long")
+        .alias("ds"),
+        F.floor((F.col("seasonal") + F.col("resid")) * 1e3 + 0.5)
         .cast("long")
         .alias("dt"),
     )
@@ -1026,10 +1020,10 @@ def q_ts_strength(spark: SparkSession, sf: str) -> DataFrame:
         "series_id",
         "n",
         F.expr(
-            f"round(greatest(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE) - {varr} / {vards}), 6)"
+            f"floor(greatest(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE) - {varr} / {vards}) * 1e6 + 0.5) / 1e6"
         ).alias("trend_strength"),
         F.expr(
-            f"round(greatest(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE) - {varr} / {vardt}), 6)"
+            f"floor(greatest(CAST(0 AS DOUBLE), CAST(1 AS DOUBLE) - {varr} / {vardt}) * 1e6 + 0.5) / 1e6"
         ).alias("seasonal_strength"),
     ).orderBy("series_id")
 
@@ -1380,9 +1374,10 @@ QUERIES = {
         f"""WITH stl AS ({_STL_ORACLE}),
            v AS (
              SELECT series_id,
-                    CAST(round(resid * 1e3) AS BIGINT) AS r,
-                    CAST(round((trend + resid) * 1e3) AS BIGINT) AS ds,
-                    CAST(round((seasonal + resid) * 1e3) AS BIGINT) AS dt
+                    CAST(floor(resid * 1e3 + 0.5) AS BIGINT) AS r,
+                    CAST(floor((trend + resid) * 1e3 + 0.5) AS BIGINT) AS ds,
+                    CAST(floor((seasonal + resid) * 1e3 + 0.5) AS BIGINT)
+                        AS dt
              FROM stl
            ), s AS (
              SELECT series_id, CAST(count(*) AS BIGINT) AS n,
@@ -1395,20 +1390,20 @@ QUERIES = {
              FROM v GROUP BY 1
            )
            SELECT series_id, n,
-                  round(greatest(CAST(0 AS DOUBLE),
+                  floor(greatest(CAST(0 AS DOUBLE),
                       CAST(1 AS DOUBLE)
                       - (CAST(n AS DOUBLE)*CAST(srr AS DOUBLE)
                          - CAST(sr AS DOUBLE)*CAST(sr AS DOUBLE))
                         / (CAST(n AS DOUBLE)*CAST(sdsds AS DOUBLE)
-                           - CAST(sds AS DOUBLE)*CAST(sds AS DOUBLE))),
-                      6) AS trend_strength,
-                  round(greatest(CAST(0 AS DOUBLE),
+                           - CAST(sds AS DOUBLE)*CAST(sds AS DOUBLE)))
+                      * 1e6 + 0.5) / 1e6 AS trend_strength,
+                  floor(greatest(CAST(0 AS DOUBLE),
                       CAST(1 AS DOUBLE)
                       - (CAST(n AS DOUBLE)*CAST(srr AS DOUBLE)
                          - CAST(sr AS DOUBLE)*CAST(sr AS DOUBLE))
                         / (CAST(n AS DOUBLE)*CAST(sdtdt AS DOUBLE)
-                           - CAST(sdt AS DOUBLE)*CAST(sdt AS DOUBLE))),
-                      6) AS seasonal_strength
+                           - CAST(sdt AS DOUBLE)*CAST(sdt AS DOUBLE)))
+                      * 1e6 + 0.5) / 1e6 AS seasonal_strength
            FROM s ORDER BY series_id""",
     ),
     "q_ts_anomaly_mad": QuerySpec(
@@ -1489,8 +1484,10 @@ QUERIES = {
              FROM grid
            ), base AS (
              SELECT series_id, max(ts) AS ts_last, count(*) AS t_n,
-                    round(max(CASE WHEN rn = 1 THEN y END), 6) AS y1,
-                    round(max(CASE WHEN rn = 2 THEN y END), 6) AS y2
+                    floor(max(CASE WHEN rn = 1 THEN y END) * 1e6 + 0.5)
+                        / 1e6 AS y1,
+                    floor(max(CASE WHEN rn = 2 THEN y END) * 1e6 + 0.5)
+                        / 1e6 AS y2
              FROM ranked GROUP BY series_id
            ), s1 AS (
              SELECT *, {_UF_B0!r} + {_UF_B1!r} * CAST(t_n + 1 AS DOUBLE)
@@ -1506,11 +1503,16 @@ QUERIES = {
              FROM s2
            )
            SELECT series_id, step, ts,
-                  round(mean, 6) AS mean, round(se, 6) AS se,
-                  round(mean - {_UF_Z[80]!r} * se, 6) AS lo_80,
-                  round(mean + {_UF_Z[80]!r} * se, 6) AS hi_80,
-                  round(mean - {_UF_Z[95]!r} * se, 6) AS lo_95,
-                  round(mean + {_UF_Z[95]!r} * se, 6) AS hi_95
+                  floor(mean * 1e6 + 0.5) / 1e6 AS mean,
+                  floor(se * 1e6 + 0.5) / 1e6 AS se,
+                  floor((mean - {_UF_Z[80]!r} * se) * 1e6 + 0.5) / 1e6
+                      AS lo_80,
+                  floor((mean + {_UF_Z[80]!r} * se) * 1e6 + 0.5) / 1e6
+                      AS hi_80,
+                  floor((mean - {_UF_Z[95]!r} * se) * 1e6 + 0.5) / 1e6
+                      AS lo_95,
+                  floor((mean + {_UF_Z[95]!r} * se) * 1e6 + 0.5) / 1e6
+                      AS hi_95
            FROM (
              SELECT series_id, 1 AS step, ts_last + INTERVAL 1 HOUR AS ts,
                     f1 AS mean, {_UF_SE[0]!r} AS se FROM s3
@@ -1527,20 +1529,22 @@ QUERIES = {
         q_ts_fitted_unrolled,
         f"""WITH {_GRID_CTE}, r AS (
              SELECT series_id, ts,
-                    round(y, 6) AS y6,
+                    floor(y * 1e6 + 0.5) / 1e6 AS y6,
                     row_number() OVER w AS t,
-                    round(lag(y, 1) OVER w, 6) AS l1,
-                    round(lag(y, 2) OVER w, 6) AS l2
+                    floor(lag(y, 1) OVER w * 1e6 + 0.5) / 1e6 AS l1,
+                    floor(lag(y, 2) OVER w * 1e6 + 0.5) / 1e6 AS l2
              FROM grid
              WINDOW w AS (PARTITION BY series_id ORDER BY ts)
+           ), f AS (
+             SELECT series_id, ts, y6,
+                    floor(({_UF_B0!r} + {_UF_B1!r} * CAST(t AS DOUBLE)
+                           + {_UF_A1!r} * l1 + {_UF_A2!r} * l2)
+                          * 1e6 + 0.5) / 1e6 AS fitted
+             FROM r
            )
-           SELECT series_id, ts,
-                  round({_UF_B0!r} + {_UF_B1!r} * CAST(t AS DOUBLE)
-                        + {_UF_A1!r} * l1 + {_UF_A2!r} * l2, 6) AS fitted,
-                  round(y6 - round({_UF_B0!r} + {_UF_B1!r} * CAST(t AS DOUBLE)
-                        + {_UF_A1!r} * l1 + {_UF_A2!r} * l2, 6), 6)
-                      AS residual
-           FROM r""",
+           SELECT series_id, ts, fitted,
+                  floor((y6 - fitted) * 1e6 + 0.5) / 1e6 AS residual
+           FROM f""",
     ),
     # rows-only: the fold/metric plumbing is hash-verified via
     # q_ts_backtest (seasonal-naive twin); this swaps in the real model

@@ -1837,6 +1837,9 @@ def q_url_canonicalize(spark: SparkSession, sf: str) -> DataFrame:
     c = F.regexp_replace(raw, r"#.*$", "")
     c = F.regexp_replace(c, r":443/", "/")
     c = F.regexp_replace(c, r"utm_[a-z]+=[^&]*&", "")
+    # trailing utm param (last in the query string) has no '&' for the
+    # pass above to anchor on — strip it with its leading ?/& (ADVICE r5)
+    c = F.regexp_replace(c, r"[?&]utm_[a-z]+=[^&]*$", "")
     c = F.regexp_replace(c, r"/\?", "?")
     canon = F.lower(c)
     w = Window.partitionBy("canon_url")
@@ -3527,9 +3530,11 @@ QUERIES = {
                       regexp_replace(
                         regexp_replace(
                           regexp_replace(
-                            regexp_replace(raw_url, '#.*$', ''),
-                            ':443/', '/'),
-                          'utm_[a-z]+=[^&]*&', ''),
+                            regexp_replace(
+                              regexp_replace(raw_url, '#.*$', ''),
+                              ':443/', '/'),
+                            'utm_[a-z]+=[^&]*&', ''),
+                          '[?&]utm_[a-z]+=[^&]*$', ''),
                         '/\\?', '?')
                     ) AS canon_url
              FROM u

@@ -17,7 +17,21 @@ from pyspark.sql.types import (
 )
 
 from python_darima_spark.operators import epoch_seconds
-from python_darima_spark.queries import QuerySpec, load
+from python_darima_spark.queries import QuerySpec, load, rhu as _rhu
+
+
+def _staged_path(sf: str, table: str, name: str) -> str:
+    """Staging-cache dir keyed by (query name, sf tag, fixture
+    FINGERPRINT). The fingerprint (file sizes + mtimes of the source
+    table) is the round-5 ADVICE fix generalized to every scan stager:
+    a regenerated fixture — or two roots sharing a basename — can never
+    serve stale staged rows, because the stale dir's key no longer
+    matches (cf. streaming/windows.py:_fixture_fingerprint)."""
+    from python_darima_spark.streaming.windows import _fixture_fingerprint
+
+    tag = os.path.basename(os.path.normpath(sf))
+    fp = _fixture_fingerprint(sf, table)
+    return os.path.join(tempfile.gettempdir(), f"pds_{name}_{tag}_{fp}")
 
 
 # --- scans -----------------------------------------------------------------
@@ -43,7 +57,7 @@ def q_scan_csv(spark: SparkSession, sf: str) -> DataFrame:
     second full pass over the data; the engine always declares schemas,
     /root/reference/darima.py:135-139). Materializes region as CSV once in
     a temp dir, then scans it."""
-    path = os.path.join(tempfile.gettempdir(), f"pds_region_csv_{os.path.basename(sf)}")
+    path = _staged_path(sf, "region", "region_csv")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         load(spark, sf, "region").coalesce(1).write.mode("overwrite").option(
             "header", True
@@ -58,9 +72,7 @@ def q_scan_json(spark: SparkSession, sf: str) -> DataFrame:
     path is the schema'd read."""
     from python_darima_spark.sources import read_json
 
-    path = os.path.join(
-        tempfile.gettempdir(), f"pds_scan_json_{os.path.basename(sf)}"
-    )
+    path = _staged_path(sf, "events", "scan_json")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         load(spark, sf, "events").select(
             "event_id", "user_id", "event_type", "value"
@@ -87,8 +99,7 @@ def q_scan_text(spark: SparkSession, sf: str) -> DataFrame:
     failures. Oracle recomputes the same parse directly from the
     documents table, so the staging write + text scan + regex
     round-trip is what the hash certifies."""
-    tag = os.path.basename(os.path.normpath(sf))
-    path = os.path.join(tempfile.gettempdir(), f"pds_scan_text_{tag}")
+    path = _staged_path(sf, "documents", "scan_text")
     clean = F.regexp_replace("text", r"[\n\r|]", " ")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         load(spark, sf, "documents").select(
@@ -128,8 +139,7 @@ def q_scan_csv_quoted(spark: SparkSession, sf: str) -> DataFrame:
     is not splittable, so each file parses as one task — keep files
     small upstream or land parquet instead; this query certifies
     correctness of the escape hatch, not its throughput."""
-    tag = os.path.basename(os.path.normpath(sf))
-    path = os.path.join(tempfile.gettempdir(), f"pds_scan_csvq_{tag}")
+    path = _staged_path(sf, "documents", "scan_csvq")
     tricky = F.concat(
         F.substring(F.regexp_replace("text", "\r", ""), 1, 20),
         F.lit(',"\n'),
@@ -160,8 +170,7 @@ def q_scan_corrupt(spark: SparkSession, sf: str) -> DataFrame:
     table and the planting rule, so the driver hash certifies that
     Spark's corrupt-record routing loses and invents nothing. The
     parse is map-only in the scan stage; the census is one keyed agg."""
-    tag = os.path.basename(os.path.normpath(sf))
-    path = os.path.join(tempfile.gettempdir(), f"pds_scan_corrupt_{tag}")
+    path = _staged_path(sf, "events", "scan_corrupt")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         line = F.when(
             F.col("event_id") % 50 == 0,
@@ -245,11 +254,9 @@ def q_sink_dynamic_overwrite(spark: SparkSession, sf: str) -> DataFrame:
 def _staged_docs_bylang(spark: SparkSession, sf: str) -> str:
     """Stage documents partitioned by lang, once per sf dir.
 
-    ``normpath`` before ``basename`` so a trailing slash can't collapse the
-    sf tag (and collide across scale factors); ``v2`` version suffix so a
-    fixture regeneration can invalidate stale stages by bumping it."""
-    tag = os.path.basename(os.path.normpath(sf))
-    path = os.path.join(tempfile.gettempdir(), f"pds_docs_bylang_v2_{tag}")
+    Keyed by the fixture fingerprint (not a manual version suffix), so a
+    fixture regeneration invalidates stale stages automatically."""
+    path = _staged_path(sf, "documents", "docs_bylang")
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         load(spark, sf, "documents").select(
             "doc_id", "source", "n_chars", "lang"
@@ -645,9 +652,11 @@ def q_agg_regression(spark: SparkSession, sf: str) -> DataFrame:
     return g.select(
         "l_returnflag",
         "n",
-        F.round(cov_n / varx_n, 6).alias("slope"),
-        F.round((sy - (cov_n / varx_n) * sx) / nd, 4).alias("intercept"),
-        F.round(cov_n * cov_n / (varx_n * vary_n), 6).alias("r2"),
+        # _rhu, not round(): slope/intercept/r2 are derived doubles that
+        # can land on decimal midpoints (round-5 ADVICE tie-rule class)
+        _rhu(cov_n / varx_n, 6).alias("slope"),
+        _rhu((sy - (cov_n / varx_n) * sx) / nd, 4).alias("intercept"),
+        _rhu(cov_n * cov_n / (varx_n * vary_n), 6).alias("r2"),
     )
 
 
@@ -2651,25 +2660,28 @@ QUERIES = {
              FROM lineitem GROUP BY 1
            )
            SELECT l_returnflag, n,
-                  round((CAST(n AS DOUBLE) * sxy
+                  floor((CAST(n AS DOUBLE) * sxy
                          - CAST(sx AS DOUBLE) * sy)
                         / (CAST(n AS DOUBLE) * sxx
-                           - CAST(sx AS DOUBLE) * sx), 6) AS slope,
-                  round((CAST(sy AS DOUBLE)
+                           - CAST(sx AS DOUBLE) * sx) * 1e6 + 0.5) / 1e6
+                      AS slope,
+                  floor((CAST(sy AS DOUBLE)
                          - ((CAST(n AS DOUBLE) * sxy
                              - CAST(sx AS DOUBLE) * sy)
                             / (CAST(n AS DOUBLE) * sxx
                                - CAST(sx AS DOUBLE) * sx))
                            * CAST(sx AS DOUBLE))
-                        / CAST(n AS DOUBLE), 4) AS intercept,
-                  round((CAST(n AS DOUBLE) * sxy
+                        / CAST(n AS DOUBLE) * 1e4 + 0.5) / 1e4
+                      AS intercept,
+                  floor((CAST(n AS DOUBLE) * sxy
                          - CAST(sx AS DOUBLE) * sy)
                         * (CAST(n AS DOUBLE) * sxy
                            - CAST(sx AS DOUBLE) * sy)
                         / ((CAST(n AS DOUBLE) * sxx
                             - CAST(sx AS DOUBLE) * sx)
                            * (CAST(n AS DOUBLE) * syy
-                              - CAST(sy AS DOUBLE) * sy)), 6) AS r2
+                              - CAST(sy AS DOUBLE) * sy)) * 1e6 + 0.5) / 1e6
+                      AS r2
            FROM g""",
     ),
     "q_agg_stats": QuerySpec(

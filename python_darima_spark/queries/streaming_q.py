@@ -187,15 +187,23 @@ def q_stream_dedup_near(spark: SparkSession, sf: str) -> DataFrame:
     out = f"{base}/pairs"
     ckpt = f"{base}/ckpt"
     shutil.rmtree(ix, ignore_errors=True)
-    minhash_index_append(corpus, ix)
+    minhash_index_append(corpus, ix, ingest_tag="corpus")
     # pre-create the sink so an (impossible-on-fixture) zero-pair run
     # still reads back as an empty 3-column table
     spark.createDataFrame(
         [], "id_a long, id_b long, jaccard double"
-    ).write.mode("overwrite").parquet(out)
+    ).write.mode("overwrite").parquet(f"{out}/ingest=init")
 
-    def process(batch_df, _batch_id) -> None:
-        minhash_index_append(batch_df, ix)
+    # IDEMPOTENT batch handler (round-5 ADVICE): foreachBatch is
+    # at-least-once, so a replayed micro-batch must not duplicate index
+    # signatures or output pairs. Both side effects are keyed by the
+    # stable batch_id and written with overwrite — the index append
+    # lands in ingest=batch-N (minhash_index_append's ingest_tag), the
+    # pairs land in ingest=batch-N under the sink — so a retry rewrites
+    # its own partition dirs instead of appending duplicates, and the
+    # exactly-once-per-pair contract survives replays.
+    def process(batch_df, batch_id) -> None:
+        minhash_index_append(batch_df, ix, ingest_tag=f"batch-{batch_id}")
         pairs = minhash_probe_index(
             batch_df, ix, docs_all, threshold=0.5
         )
@@ -207,8 +215,8 @@ def q_stream_dedup_near(spark: SparkSession, sf: str) -> DataFrame:
                 "jaccard",
             )
             .distinct()
-            .write.mode("append")
-            .parquet(out)
+            .write.mode("overwrite")
+            .parquet(f"{out}/ingest=batch-{batch_id}")
         )
 
     staged = stage_document_chunks(spark, sf, num_chunks=2)
@@ -224,7 +232,16 @@ def q_stream_dedup_near(spark: SparkSession, sf: str) -> DataFrame:
     if q.isActive:
         q.stop()
         raise TimeoutError("near-dup ingest stream did not finish in 180s")
-    return spark.read.parquet(out)
+    # distinct on read: a batch replayed AFTER a later batch landed would
+    # re-probe against the later signatures and re-emit that batch's
+    # cross pairs — the per-batch overwrite makes each dir idempotent,
+    # the read-side distinct makes the UNION exactly-once-per-pair even
+    # under out-of-order replays
+    return (
+        spark.read.parquet(out)
+        .select("id_a", "id_b", "jaccard")
+        .distinct()
+    )
 
 
 def q_scan_pysource_stream(spark: SparkSession, sf: str) -> DataFrame:

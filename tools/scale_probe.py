@@ -181,6 +181,7 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
             row[label] = round(best, 2)
         row["ratio"] = round(row["sf1"] / max(row["sf0.1"], 1e-9), 1)
+        row["factor"] = FACTOR
         results[name] = row
         print(
             f"{name:24s} sf0.1={row['sf0.1']:7.2f}s sf1={row['sf1']:7.2f}s "
@@ -188,11 +189,24 @@ def main() -> None:
             flush=True,
         )
     # merge into the existing artifact so partial runs (single-query
-    # re-measures after a fix) don't clobber the full table
+    # re-measures after a fix) don't clobber the full table. Each row
+    # records the FACTOR it was measured at, and prior rows measured at
+    # a different factor are discarded on merge so one artifact never
+    # mixes ratios from different scale factors (ADVICE r5); rows for
+    # queries no longer in the registry are dropped for the same reason.
+    from python_darima_spark.queries import registry as _reg
+
+    live = set(_reg())
     merged: dict[str, dict] = {}
     if os.path.exists("SCALE_PROBE.json"):
         with open("SCALE_PROBE.json") as f:
-            merged = json.load(f).get("results", {})
+            prior = json.load(f)
+        merged = {
+            n: r
+            for n, r in prior.get("results", {}).items()
+            if n in live
+            and r.get("factor", prior.get("factor")) == FACTOR
+        }
     merged.update(results)
     with open("SCALE_PROBE.json", "w") as f:
         json.dump({"factor": FACTOR, "results": merged}, f, indent=1)
