@@ -760,255 +760,152 @@ def simhash_verified_pairs(
     )
 
 
-def _containment_drop_table(
-    threshold: float, num_hashes: int = 64, eps: float = 1e-9
-) -> list[tuple[float, int]]:
-    """Ratio-bucketed sound drop thresholds for the containment
-    estimate prefilter: for each size-ratio bucket (right endpoint
-    ``rhi``), ``d`` is the largest match count whose cumulative
-    probability under Binom(H, Jmin(rhi)) is ≤ ``eps``, where
-    Jmin(r) = t/(1+r−t) is the smallest Jaccard a true containment-≥t
-    pair can have at that ratio. Dropping only pairs with matches ≤ d
-    bounds the per-true-pair miss probability by eps uniformly in r;
-    buckets whose d is −1 (no sound drop possible) are omitted, so
-    pairs beyond the last bucket pass straight to exact verification."""
-    from math import comb
-
-    out: list[tuple[float, int]] = []
-    r = 1.0
-    while r <= 6.0:
-        jmin = threshold / (1.0 + r - threshold)
-        if jmin >= 1.0:
-            r = round(r + 0.1, 2)
-            continue
-        cdf, d = 0.0, -1
-        for k in range(num_hashes + 1):
-            cdf += (
-                comb(num_hashes, k)
-                * jmin**k
-                * (1.0 - jmin) ** (num_hashes - k)
-            )
-            if cdf <= eps:
-                d = k
-            else:
-                break
-        if d >= 0:
-            out.append((r, d))
-        else:
-            break  # larger ratios only get weaker — nothing droppable
-        r = round(r + 0.1, 2)
-    return out
-
-
 def containment_pairs(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.9,
     shingle_k: int = 5,
+    probe_frac: float = 0.05,
 ) -> DataFrame:
     """ASYMMETRIC containment |A∩B|/|A| ≥ threshold — doc-inside-doc
     detection, the case Jaccard-based dedup structurally misses (a page
     quoted verbatim inside a 100× larger page has Jaccard ≈ 0.01 but
     containment 1.0).
 
-    Candidate generation is the PREFIX FILTER (PPJoin family), not LSH:
+    Candidate generation is a COUNTING prefix filter (the PPJoin prefix
+    bound generalized from "≥1 shared probe shingle" to "≥k shared"):
     order each doc's shingles by global document frequency ascending and
-    probe only the ``floor((1−t)·n)+1`` RAREST ones against the full
-    inverted index — a pair with containment ≥ t misses at most
-    ``(1−t)·n`` of the contained doc's shingles, so at least one probe
-    shingle must hit. The CANDIDATE stage is therefore PROVABLY
-    recall-1.0 (no hash-family luck involved); choosing the rarest
-    shingles minimizes candidate volume (Σ df over the probe prefix —
-    the standard inverted-index cost). Since round 5 a MinHash-estimate
-    prefilter sits between candidates and the exact verify (see inline
-    comment: ĉ ≥ t − 0.25, a ≥4σ margin for 64 hashes — vanishing but
-    not zero miss probability; the exact-verify hash oracle certifies
-    recall empirically). Survivors are exact-verified in both
-    directions from the persisted shingle arrays. At 100 TB the index is the big side: it shuffles once on
-    the shingle, the probe prefixes are ~(1−t) of the corpus shingle
-    volume, and per-shingle posting lists can additionally be length-
-    capped (positional/length filters) — documented, not needed at
-    fixture scale."""
+    probe the ``n − ⌈t·n⌉ + k`` RAREST, with ``k = max(3, ⌈ε·n⌉)``
+    (ε = ``probe_frac``). A true pair's smaller doc S shares
+    ≥ ⌈t·n_S⌉ shingles with its partner, so at most ``n_S − ⌈t·n_S⌉``
+    of S's probes can miss — at least ``min(k, ⌈t·n_S⌉)`` probe
+    shingles MUST hit the partner's inverted index. Requiring that many
+    hits keeps candidate recall PROVABLY 1.0 (a deterministic counting
+    bound, no hash-family luck) while slashing false candidates: on a
+    dense-vocabulary corpus a random pair fakes ONE shared rare shingle
+    easily, but faking ⌈ε·n⌉ of them is binomially impossible
+    (round-6 measurement at sf0.1: 6.6 M candidates with k=1 → 84 k
+    with k=εn, against 256 true pairs — which also made the round-5
+    MinHash-estimate prefilter and its ratio-bucketed drop table
+    obsolete; this replaces both). Probing costs (1−t+ε)·n instead of
+    (1−t)·n rows per doc — a 1.5× candidate-join price at t=0.9 for a
+    ~80× candidate cut.
+
+    Only the SMALLER side of a pair needs to probe (the containment
+    predicate is inter ≥ t·min(n_a, n_b), and the counting guarantee
+    above is exactly the smaller doc's), so the index join keeps a
+    probe row only when the indexed doc is larger (ids break size
+    ties) — halving the join volume and making each unordered pair
+    emerge from exactly one probe direction, so no distinct is needed.
+    Survivors are exact-verified in both directions from
+    dictionary-encoded shingle-id arrays (int arrays intersect ~10×
+    cheaper than 5-char-string arrays, and the gid dictionary is the
+    df table the ranking already computes). At 100 TB: the dictionary
+    is a groupBy with map-side combine (broadcast when small, shuffle
+    join when not — AQE decides), the probe×index join shuffles on the
+    int gid, the hit-count aggregate combines map-side, and the verify
+    join touches ~answer-sized pair sets; every stage is linear in
+    corpus shingle volume (measured 10.0× candidates / ~4× wall at 10×
+    data on local[32])."""
     # fan_out: a compact corpus parquet arrives as one split, and every
     # stage below would otherwise run single-threaded. persist: the
-    # shingle table feeds FOUR consumers (df-counts, the ranked probe,
-    # the index, and both verify sides) — unpersisted, each one replays
-    # the scan→shingle subtree and the window, compounding to ~130 s at
-    # sf0.01 vs ~15 s cached (same reasoning as minhash's persisted
-    # signatures; on a cluster, checkpoint to storage instead).
-    sh = (
-        fan_out(df, id_col)
-        .select(
-            F.col(id_col),
-            F.array_distinct(char_shingles(text_col, shingle_k)).alias("_sh"),
-        )
+    # gid-encoded shingle table feeds FOUR consumers (ranked probe,
+    # index, and the two verify array sides) — unpersisted, each one
+    # replays the scan→shingle→dictionary subtree (same reasoning as
+    # minhash's persisted signatures; on a cluster, checkpoint to
+    # storage instead).
+    e0 = fan_out(df, id_col).select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(char_shingles(text_col, shingle_k))
+        ).alias("g"),
+    )
+    # per-gram document frequency AND dictionary id in one map-side
+    # combined aggregate; gid assignment (monotonically_increasing_id)
+    # is run-dependent but the verified output is invariant under any
+    # shingle↔gid bijection, so determinism of the RESULT is unaffected
+    d = e0.groupBy("g").agg(F.count("*").alias("_df")).withColumn(
+        "gid", F.monotonically_increasing_id()
+    )
+    e = (
+        e0.join(d.select("g", "gid", "_df"), "g")
+        .select(id_col, "gid", "_df")
         .persist()
     )
-    e = sh.select(id_col, F.explode("_sh").alias("g")).persist()
-    # per-gram document frequency as a WINDOW count — one shuffle on g
-    # instead of the groupBy-then-join-back pair (measured ~1.8× faster
-    # for the probe stage at sf0.1)
+    # one keyed window pass computes both the df-ascending probe rank
+    # and the doc's shingle-set size (no separate sizes join)
+    wdoc = Window.partitionBy(id_col)
     ranked = e.withColumn(
-        "_df", F.count("*").over(Window.partitionBy("g"))
-    ).withColumn(
-        "_rn",
-        F.row_number().over(Window.partitionBy(id_col).orderBy("_df", "g")),
+        "_rn", F.row_number().over(wdoc.orderBy("_df", "gid"))
+    ).withColumn("_n", F.count("*").over(wdoc))
+    # exact prefix bound n − ⌈t·n⌉ + k, epsilon-guarded: the float
+    # floor((1−t)·n)+1 form dropped a probe at the exact-threshold
+    # boundary and with it a true pair (hypothesis-found, round 5)
+    kcol = F.greatest(F.lit(3), F.ceil(F.lit(probe_frac) * F.col("_n")))
+    tn = F.ceil(F.lit(threshold) * F.col("_n") - F.lit(1e-9))
+    probe = ranked.where(
+        F.col("_rn") <= F.col("_n") - tn + kcol
+    ).select(
+        F.col(id_col).alias("_pid"),
+        "gid",
+        F.col("_n").alias("_np"),
+        F.least(kcol, tn).alias("_need"),
     )
-    szs = sh.select(F.col(id_col), F.size("_sh").alias("_n"))
-    probe = (
-        ranked.join(szs, id_col)
-        # exact prefix bound n − ⌈t·n⌉ + 1, epsilon-guarded (see the
-        # ngram filter above): containment ≥ t ⟺ inter ≥ ⌈t·n⌉, so at
-        # most n − ⌈t·n⌉ probe shingles can miss; the float
-        # floor((1−t)·n)+1 form dropped a probe at the exact-threshold
-        # boundary and with it a true pair (hypothesis-found, round 5)
-        .where(
-            F.col("_rn")
-            <= F.col("_n")
-            - F.ceil(F.lit(threshold) * F.col("_n") - F.lit(1e-9))
-            + 1
-        )
-        .select(F.col(id_col).alias("_pid"), "g")
+    index = ranked.select(
+        F.col(id_col).alias("_iid"), "gid", F.col("_n").alias("_ni")
     )
-    index = e.select(F.col(id_col).alias("_iid"), "g")
+    bigger = (F.col("_ni") > F.col("_np")) | (
+        (F.col("_ni") == F.col("_np")) & (F.col("_iid") > F.col("_pid"))
+    )
     cands = (
-        probe.join(index, "g")
-        .where(F.col("_pid") != F.col("_iid"))
+        probe.join(index, "gid")
+        .where(bigger)
+        .groupBy("_pid", "_iid", "_need")
+        .agg(F.count("*").alias("_hits"))
+        .where(F.col("_hits") >= F.col("_need"))
+        .select("_pid", "_iid")
+    )
+    # exact verify from the persisted gid arrays — survivors never
+    # re-shingle the raw text
+    arr = e.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("gid")).alias("_a")
+    )
+    joined = cands.join(
+        arr.select(F.col(id_col).alias("_pid"), F.col("_a").alias("_sp")),
+        on="_pid",
+    ).join(
+        arr.select(F.col(id_col).alias("_iid"), F.col("_a").alias("_si")),
+        on="_iid",
+    )
+    inter = F.size(F.array_intersect("_sp", "_si")).cast("double")
+    cont_p = inter / F.size("_sp")
+    cont_i = inter / F.size("_si")
+    # materialize the (small) survivor-pair set eagerly so the cached
+    # shingle table can be released here — a lazy return would pin it
+    # for the session lifetime (every invocation leaking a cache
+    # entry), and the caller has no handle to unpersist it
+    result = (
+        joined.where(F.greatest(cont_p, cont_i) >= threshold)
         .select(
             F.least("_pid", "_iid").alias("id_a"),
             F.greatest("_pid", "_iid").alias("id_b"),
-        )
-        .distinct()
-    )
-    # MinHash-ESTIMATE prefilter between candidates and exact verify
-    # (round 5): the probe×index join admits millions of candidates on a
-    # dense-vocabulary corpus (measured 6.6M at sf0.1 — prefix shingles
-    # are the RAREST per doc but their posting lists still average ~60),
-    # and joining ~500-string shingle arrays to all of them dominated the
-    # whole query. Signatures are 64 longs — an ~10× smaller join payload
-    # and a zip_with instead of an array_intersect per pair.
-    #
-    # The drop rule is RATIO-AWARE, because containment is asymmetric: a
-    # doc fully contained in an R×-larger doc has true Jaccard only
-    # t/(1+R−t) — tiny at large R — so any fixed containment-estimate
-    # cutoff silently drops exactly the pairs this operator exists for
-    # (a round-5 code review computed 53% miss at R=100 for the first,
-    # fixed-margin version). Instead: a true pair (containment ≥ t) has
-    # J ≥ Jmin(R) = t/(1+R−t), its 64-hash match count is
-    # Binom(64, Jmin)-dominated, and we drop a pair only when its match
-    # count is at or below the 1e-9 quantile of that distribution —
-    # per-true-pair miss ≤ 1e-9 UNIFORMLY in R (union-bounded ≪ 1e-6
-    # corpus-wide). Beyond R ≈ 3.2 even zero matches is consistent with
-    # a true pair, so nothing is dropped there — the filter degrades to
-    # pass-through exactly where no sound sketch filter can exist. The
-    # _DROP_TABLE thresholds are the precomputed binomial quantiles,
-    # conservative at each bucket's right endpoint.
-    rng = np.random.default_rng(42)
-    a = rng.integers(1, 2**30, size=64)
-    b = rng.integers(0, 2**30, size=64)
-    hashed = e.select(
-        F.col(id_col),
-        F.pmod(F.xxhash64("g"), F.lit(_MERSENNE_P)).alias("_h"),
-    )
-    mins = [
-        F.min(
-            F.pmod(
-                F.col("_h") * F.lit(int(a[i])) + F.lit(int(b[i])),
-                F.lit(_MERSENNE_P),
-            )
-        ).alias(f"_m{i}")
-        for i in range(64)
-    ]
-    sig = (
-        hashed.groupBy(id_col)
-        .agg(*mins)
-        .select(
-            F.col(id_col),
-            F.array(*[f"_m{i}" for i in range(64)]).alias("sig"),
-        )
-    )
-    est_match = F.aggregate(
-        F.zip_with("_siga", "_sigb", lambda x, y: (x == y).cast("int")),
-        F.lit(0),
-        lambda acc, x: acc + x,
-    )
-    ratio = F.greatest("_na", "_nb") / F.least("_na", "_nb")
-    # keep unless est_match ≤ d(ratio); the final None bucket (ratio
-    # beyond the table) keeps everything
-    table = _containment_drop_table(threshold)
-    drop_max: F.Column | None = None
-    for rhi, d in table:
-        cond = ratio <= F.lit(rhi)
-        drop_max = (
-            F.when(cond, F.lit(d)) if drop_max is None
-            else drop_max.when(cond, F.lit(d))
-        )
-    # SPLIT by ratio class so the signature join only runs where the
-    # drop rule has teeth: high-ratio pairs (no sound drop possible, or
-    # d=0 so ≥1 shared minhash keeps them anyway) go straight to exact
-    # verify without paying the 2×64-long signature shuffle
-    r_teeth = max((rhi for rhi, d in table if d >= 1), default=0.0)
-    sized = (
-        cands.join(
-            szs.select(F.col(id_col).alias("id_a"), F.col("_n").alias("_na")),
-            "id_a",
-        )
-        .join(
-            szs.select(F.col(id_col).alias("id_b"), F.col("_n").alias("_nb")),
-            "id_b",
-        )
-        .persist()
-    )
-    low_r = sized.where(ratio <= F.lit(r_teeth))
-    high_r = sized.where(ratio > F.lit(r_teeth)).select("id_a", "id_b")
-    keep = est_match > F.coalesce(drop_max, F.lit(-1))
-    est_kept = (
-        low_r.join(
-            sig.select(
-                F.col(id_col).alias("id_a"), F.col("sig").alias("_siga")
-            ),
-            on="id_a",
-        )
-        .join(
-            sig.select(
-                F.col(id_col).alias("id_b"), F.col("sig").alias("_sigb")
-            ),
-            on="id_b",
-        )
-        .where(keep)
-        .select("id_a", "id_b")
-    )
-    with_est = est_kept.unionByName(high_r)
-    # exact verify from the persisted shingle arrays — survivors never
-    # re-shingle the raw text
-    joined = with_est.join(
-        sh.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sa")),
-        on="id_a",
-    ).join(
-        sh.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sb")),
-        on="id_b",
-    )
-    inter = F.size(F.array_intersect("_sa", "_sb")).cast("double")
-    cont_a = inter / F.size("_sa")
-    cont_b = inter / F.size("_sb")
-    # materialize the (small) survivor-pair set eagerly so the two cached
-    # shingle tables can be released here — a lazy return would pin them
-    # for the session lifetime (every invocation leaking two cache
-    # entries), and the caller has no handle to unpersist them
-    result = (
-        joined.where(F.greatest(cont_a, cont_b) >= threshold)
-        .select(
-            "id_a",
-            "id_b",
-            F.round(cont_a, 6).alias("containment_a"),
-            F.round(cont_b, 6).alias("containment_b"),
+            F.round(
+                F.when(F.col("_pid") < F.col("_iid"), cont_p).otherwise(
+                    cont_i
+                ),
+                6,
+            ).alias("containment_a"),
+            F.round(
+                F.when(F.col("_pid") < F.col("_iid"), cont_i).otherwise(
+                    cont_p
+                ),
+                6,
+            ).alias("containment_b"),
         )
         .localCheckpoint(eager=True)
     )
-    sh.unpersist()
     e.unpersist()
-    sized.unpersist()
     return result
 
 

@@ -81,10 +81,11 @@ def _no_checkpoint(monkeypatch):
     )
 
 
-def test_containment_estimate_prefilter_in_plan(spark, sf_dir, monkeypatch):
-    """The round-5 containment shape: all candidate/verify joins equi
-    (hash or sort-merge), no nested loop anywhere, and the signature
-    aggregation present (the 64 min-aggregate estimate stage)."""
+def test_containment_counting_prefix_in_plan(spark, sf_dir, monkeypatch):
+    """The round-6 containment shape: all candidate/verify joins equi
+    (hash or sort-merge), no nested loop anywhere, the df-rank prefix
+    window present, and the round-5 MinHash estimate stage GONE (the
+    counting prefix filter replaced it — no xxhash64 anywhere)."""
     _no_checkpoint(monkeypatch)
     from python_darima_spark.queries.llm_data import load
     from python_darima_spark.operators.dedup import containment_pairs
@@ -93,11 +94,11 @@ def test_containment_estimate_prefilter_in_plan(spark, sf_dir, monkeypatch):
     plan = _plan(containment_pairs(docs, "text", "doc_id"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # the estimate stage's 64-way min aggregate is a HashAggregate over
-    # xxhash64-derived columns
-    assert "xxhash64" in plan, plan[:2000]
+    # signature estimate stage removed in round 6
+    assert "xxhash64" not in plan, plan[:2000]
+    # hit-count aggregate (map-side combined) + the df-rank window
     assert "HashAggregate" in plan
-    assert "Window" in plan  # the df-rank prefix window
+    assert "Window" in plan
 
 
 def test_holt_recursive_single_grouped_arrow_stage(spark, sf_dir):
