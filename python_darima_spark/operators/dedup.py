@@ -39,14 +39,23 @@ def dedup_exact(
 ) -> DataFrame:
     """Exact dedup by content digest (sha2-256), keeping one representative
     per digest (the min/max id — an agg+semi-join, cheaper than a global
-    row_number window at scale)."""
+    row_number window at scale).
+
+    SKINNY shuffles (round-6 sf1 profile): the digest aggregate sees only
+    (digest, id) — never the text — and the final semi-join keys on the
+    id alone, so when the keeper-id set fits the broadcast threshold
+    (8 B/doc) the full-width rows never cross an exchange; when it does
+    not, the semi-join shuffles rows once by id, still never by the
+    64-char digest with text in tow."""
     agg_fn = F.min if keep == "min" else F.max
     digest = F.sha2(F.col(text_col), 256)
-    keyed = df.withColumn("_digest", digest)
-    keepers = keyed.groupBy("_digest").agg(agg_fn(id_col).alias(id_col))
-    return keyed.join(keepers, on=["_digest", id_col], how="left_semi").drop(
-        "_digest"
+    keeper_ids = (
+        df.select(F.col(id_col), digest.alias("_digest"))
+        .groupBy("_digest")
+        .agg(agg_fn(id_col).alias(id_col))
+        .select(id_col)
     )
+    return df.join(keeper_ids, on=id_col, how="left_semi")
 
 
 def char_shingles(text_col: str, k: int = 5):

@@ -711,9 +711,28 @@ def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     drop-set frames that are each ≪ corpus."""
     docs = load(spark, sf, "documents")
     gopher = q_text_quality_gopher(spark, sf).select("doc_id", "keep")
-    contaminated = q_text_decontaminate(spark, sf).select(
-        "doc_id", F.lit(True).alias("f_cont")
+    # EXISTS-shaped decontamination (round-6 sf1 profile): the verdict
+    # only needs "shares ANY eval 5-gram", not the overlap count, so
+    # instead of reusing q_text_decontaminate's count_distinct aggregate
+    # (~15 s of the 43 s at sf1) the flag is a broadcast SEMI join on the
+    # eval gram set followed by a distinct over the (small) hit ids —
+    # map-side eliminated, nothing aggregates the full gram stream
+    is_eval = F.col("doc_id") % 97 == 0
+    eval_grams = (
+        docs.where(is_eval)
+        .select(F.explode(word_ngrams("text", 5)).alias("gram"))
+        .distinct()
     )
+    contaminated = (
+        docs.where(~is_eval)
+        .select("doc_id", F.explode(word_ngrams("text", 5)).alias("gram"))
+        .join(F.broadcast(eval_grams), "gram", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .select("doc_id", F.lit(True).alias("f_cont"))
+    )
+    # persist: d feeds three consumers (the survivor chain twice and the
+    # verdict assembly) — unpersisted each replays the scan + gopher join
     d = (
         docs.select("doc_id", "lang", "text")
         .join(gopher, "doc_id", "left")
@@ -728,17 +747,24 @@ def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
                 "f_quality"
             ),
         )
+        .persist()
     )
     s2 = d.where(~F.col("f_eval") & ~F.col("f_lang") & ~F.col("f_quality"))
-    exact_w = Window.partitionBy(F.sha2("text", 256))
-    s2k = s2.select(
+    # SKINNY exact dedup (round-6 sf1 profile: the previous window over
+    # sha2 shuffled the full TEXTS by hash — ~30 s of the pipeline's
+    # 43 s at sf1): hash first, shuffle only (doc_id, 64-char hash),
+    # and re-attach texts to the survivor ids afterwards (the id set is
+    # MBs, so AQE broadcasts that join — texts never cross an exchange)
+    exact_w = Window.partitionBy("_h")
+    hflags = s2.select("doc_id", F.sha2("text", 256).alias("_h")).select(
         "doc_id",
-        "text",
         (F.col("doc_id") != F.min("doc_id").over(exact_w)).alias(
             "f_exact"
         ),
     )
-    s3 = s2k.where(~F.col("f_exact")).select("doc_id", "text")
+    s3 = s2.join(
+        hflags.where(~F.col("f_exact")).select("doc_id"), "doc_id"
+    ).select("doc_id", "text")
     pairs = minhash_near_duplicates(
         s3, "text", "doc_id", threshold=0.5, max_bucket_size=50
     )
@@ -749,7 +775,7 @@ def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         .select("doc_id", F.lit(True).alias("f_near"))
     )
     v = (
-        d.join(s2k.select("doc_id", "f_exact"), "doc_id", "left")
+        d.join(hflags, "doc_id", "left")
         .join(near_drop, "doc_id", "left")
         .join(contaminated, "doc_id", "left")
         .select(
@@ -765,7 +791,10 @@ def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
         )
     )
     b = hash_split_bucket("doc_id")
-    return v.select(
+    # eager-materialize the (skinny) verdict table so the cached base
+    # frame can be released here — the no-cache-leak pattern used by
+    # containment_pairs
+    result = v.select(
         "doc_id",
         "verdict",
         F.when(
@@ -774,7 +803,9 @@ def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
             .when(b < 230, "val")
             .otherwise("test"),
         ).alias("split"),
-    )
+    ).localCheckpoint(eager=True)
+    d.unpersist()
+    return result
 
 
 def q_dedup_exact_substr(spark: SparkSession, sf: str) -> DataFrame:
@@ -1164,6 +1195,66 @@ def q_embed_pca(spark: SparkSession, sf: str) -> DataFrame:
     return out.select(
         "vec_id",
         "label",
+        *[
+            F.round(F.element_at("pc", i + 1), 4).alias(f"pc{i + 1}")
+            for i in range(4)
+        ],
+    )
+
+
+def q_embed_pca_planted(spark: SparkSession, sf: str) -> DataFrame:
+    """The SAME distributed-PCA machinery as q_embed_pca (gram_stats one
+    pass → driver eigh → Arrow projection) run on a PLANTED input whose
+    eigenstructure is known in CLOSED FORM, so the full pipeline sits
+    under the driver VALUE HASH (round-5 verdict ask #9: convert
+    rows-only entries where a planted deterministic twin exists).
+
+    The plant: 8-dim vectors whose first four coordinates are mean-zero,
+    mutually orthogonal ±1 Hadamard patterns (period 8 over vec_id,
+    truncated to a whole number of cycles) scaled by 8/4/2/1. Every
+    Gram/mean partial is then a sum of exact small integers — exact in
+    float64 in ANY partition order — so the covariance comes out EXACTLY
+    diagonal (64/16/4/1 on the diagonal), numpy's eigh returns exactly
+    the axis eigenvectors (verified), sign canonicalization makes them
+    +e_k, and the projection is exactly w_k·H_k(vec_id mod 8) — which
+    the DuckDB oracle restates as a CASE table. A wrong mean, a dropped
+    partition partial, a transposed component, or a sign flip each
+    shifts whole columns and fails the hash. q_embed_pca stays the
+    real-data entry (driver rows-only + numpy twin in tests): this entry
+    certifies the machinery, that one the deployment shape."""
+    from python_darima_spark.operators.linalg import pca_fit, pca_project
+
+    emb = ensure_parallelism(load(spark, sf, "embeddings"))
+    # whole Hadamard cycles only: one bounded 1-scalar collect (the BPE
+    # argmax pattern) so coordinate means/cross-products are EXACTLY zero
+    n8 = 8 * (emb.count() // 8)
+    h = [
+        [1, -1, 1, -1, 1, -1, 1, -1],
+        [1, 1, -1, -1, 1, 1, -1, -1],
+        [1, -1, -1, 1, 1, -1, -1, 1],
+        [1, 1, 1, 1, -1, -1, -1, -1],
+    ]
+    w = [8, 4, 2, 1]
+    p = F.col("vec_id") % 8
+
+    def coord(k: int) -> F.Column:
+        expr = F.lit(0)
+        for ph in range(8):
+            expr = F.when(p == ph, F.lit(float(w[k] * h[k][ph]))).otherwise(
+                expr
+            )
+        return expr.cast("double")
+
+    planted = emb.where(F.col("vec_id") < n8).select(
+        "vec_id",
+        F.array(*[coord(k) for k in range(4)], *[F.lit(0.0)] * 4).alias(
+            "embedding"
+        ),
+    )
+    mean, vals, comps = pca_fit(planted, "embedding", k=4)
+    out = pca_project(planted, mean, comps, "embedding")
+    return out.select(
+        "vec_id",
         *[
             F.round(F.element_at("pc", i + 1), 4).alias(f"pc{i + 1}")
             for i in range(4)
@@ -2514,6 +2605,35 @@ QUERIES = {
     # eigendecomposition is inherently non-SQL → rows-only driver check;
     # numpy-twin parity asserted in tests/test_llm_data.py
     "q_embed_pca": QuerySpec(q_embed_pca, None),
+    # closed-form plant: pc_k = w_k · H_k(vec_id mod 8) over whole
+    # Hadamard cycles (see q_embed_pca_planted docstring); the CASE
+    # tables below are generated from the same (w, H) literals
+    "q_embed_pca_planted": QuerySpec(
+        q_embed_pca_planted,
+        """WITH lim AS (
+             SELECT 8 * (count(*) // 8) AS n8 FROM embeddings
+           )
+           SELECT vec_id,
+                  """
+        + ",\n                  ".join(
+            "CASE CAST(vec_id % 8 AS INT) "
+            + " ".join(
+                f"WHEN {ph} THEN CAST({w * hh[ph]} AS DOUBLE)"
+                for ph in range(8)
+            )
+            + f" END AS pc{k + 1}"
+            for k, (w, hh) in enumerate(
+                [
+                    (8, [1, -1, 1, -1, 1, -1, 1, -1]),
+                    (4, [1, 1, -1, -1, 1, 1, -1, -1]),
+                    (2, [1, -1, -1, 1, 1, -1, -1, 1]),
+                    (1, [1, 1, 1, 1, -1, -1, -1, -1]),
+                ]
+            )
+        )
+        + """
+           FROM embeddings, lim WHERE vec_id < n8""",
+    ),
     "q_text_entropy": QuerySpec(
         q_text_entropy,
         """WITH ch AS (

@@ -163,14 +163,17 @@ def ewma_anomalies_tws(
     implemented for the HDFS-backed default); the query harness sets it
     for the duration of the stream. Also requires the ``protobuf``
     package (the TWS state-server wire protocol is protobuf-encoded) —
-    absent here, so like the media codecs this refuses at PLAN time, the
-    registry omits the query, and the twin-equivalence test skips; on a
-    cluster with protobuf installed everything lights up unchanged."""
+    where absent, this refuses at PLAN time like the media codecs, the
+    registered query surfaces the refusal in its driver row, and the
+    twin-equivalence test skips; on a cluster with protobuf installed
+    everything lights up unchanged."""
     if not has_tws_support():
         raise NotImplementedError(
-            "transformWithStateInPandas needs the 'protobuf' package "
-            "(pyspark.sql.streaming.proto), not present in this "
-            "environment; use ewma_anomalies (applyInPandasWithState)"
+            "ENV-REFUSAL: transformWithStateInPandas needs the "
+            "'protobuf' package (pyspark.sql.streaming.proto), not "
+            "installed in this environment; the dependency-free twin "
+            "q_stream_anomaly (applyInPandasWithState) computes "
+            "identical rows — see tests/test_streaming_stateful.py"
         )
     from pyspark.sql.streaming.stateful_processor import (
         StatefulProcessor,

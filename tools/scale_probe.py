@@ -85,7 +85,37 @@ PROBE_QUERIES = [
     "q_url_canonicalize",
     "q_dedup_ngram",
     "q_dedup_cluster",
+    # round-6: density-preserving spatial twin (defined below, not in
+    # the registry — a probe instrument, not a query)
+    "q_join_spatial_radius_dp",
 ]
+
+
+def _q_join_spatial_radius_dp(spark, sf_dir):
+    """Density-preserving twin of q_join_spatial_radius (r5 verdict ask
+    #4): the registry query keeps the 1000² plane fixed while the probe
+    replica grows points 10×, so per-cell density — and the true answer
+    itself — grows quadratically; a superlinear ratio there is ANSWER
+    growth, not plan growth. This twin scales the plane area with the
+    point count (side ∝ √n ⇒ constant density ⇒ ~constant answer per
+    point), so its sf0.1→sf1 ratio isolates how the grid-join PLAN
+    scales. Expected ~linear (≈ the q_join_inner ratio); measured and
+    recorded alongside the fixed-plane entry in SCALE_PROBE.json."""
+    import math
+
+    from python_darima_spark.queries.joins import (
+        points_from_customers,
+        spatial_radius_join,
+    )
+
+    n = spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+    side = max(1000, int(1000 * math.sqrt(n / 15000)))
+    return spatial_radius_join(
+        points_from_customers(spark, sf_dir, side=side), r=15
+    )
+
+
+EXTRA_PROBES = {"q_join_spatial_radius_dp": _q_join_spatial_radius_dp}
 
 
 def build() -> None:
@@ -169,7 +199,8 @@ def main() -> None:
     results: dict[str, dict] = {}
     for name in names:
         spec = reg.get(name)
-        if spec is None:
+        fn = spec.fn if spec is not None else EXTRA_PROBES.get(name)
+        if fn is None:
             print(f"[scale] {name}: not in registry, skipped")
             continue
         row = {}
@@ -177,7 +208,7 @@ def main() -> None:
             best = float("inf")
             for _ in range(WARM_REPS):
                 t0 = time.perf_counter()
-                spec.fn(spark, d).write.format("noop").mode("overwrite").save()
+                fn(spark, d).write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
             row[label] = round(best, 2)
         row["ratio"] = round(row["sf1"] / max(row["sf0.1"], 1e-9), 1)
@@ -196,7 +227,7 @@ def main() -> None:
     # queries no longer in the registry are dropped for the same reason.
     from python_darima_spark.queries import registry as _reg
 
-    live = set(_reg())
+    live = set(_reg()) | set(EXTRA_PROBES)
     merged: dict[str, dict] = {}
     if os.path.exists("SCALE_PROBE.json"):
         with open("SCALE_PROBE.json") as f:
