@@ -41,95 +41,49 @@ _MODULES = [
 # Execution order: the driver's correctness pass records at most ~50
 # registry entries per round (confirmed: CORRECTNESS_r03 is exactly the
 # first 50 names of round 3's _PRIORITY), so the registry emits in an
-# explicit order robust to the cap: the round-5 head covers (1) the
-# union's one red row whose oracle was fixed, (2) the nineteen round-5
-# additions, (3) every entry whose formulation changed after its last
-# green row, (4) the rows-only refreshes — then everything already
-# green, least costly to lose to the cap. Anything not listed follows
-# in module order. PROBE_r05.json (sf0.01) and PROBE_SF01_r05.json
-# (sf0.1) are the full local replicas of the driver gate over ALL
-# entries regardless of the cap.
+# explicit order robust to the cap: the round-6 head covers (1) the two
+# new entries (the planted-PCA hash twin and the TWS env-refusal row),
+# (2) every entry whose plan or formulation changed this round, (3) the
+# rows-only refreshes — then everything already green, least costly to
+# lose to the cap. Anything not listed follows in module order. The
+# PROBE_r0*/PROBE_SF01_r0* artifacts are the full local replicas of the
+# driver gate over ALL entries regardless of the cap.
 _PRIORITY = [
-    # --- ROUND-5 head (r4 verdict ask #8). Position 1: the union's one
-    # red row — its ORACLE was fixed this round (HUGEINT→BIGINT casts,
-    # the registry convention above); the driver must re-verify it.
-    "q_tpch_q12",
-    # --- NEW in round 5 (no driver row yet)
-    "q_ts_forecast_unrolled",
-    "q_multimodal_frame_sample",
-    "q_multimodal_audio_energy",
-    "q_stream_dedup_near",
-    "q_url_canonicalize",
-    "q_ts_fitted",
-    "q_ts_fitted_unrolled",
-    "q_embed_project_quantized",
-    "q_ts_holt_recursive",
-    "q_join_fuzzy",
-    "q_text_bm25",
-    "q_text_bpe_train",
-    "q_text_bpe_apply",
-    "q_curation_pipeline",
-    "q_join_spatial_radius",
-    "q_ts_gaps_islands",
-    "q_basket_pairs",
-    "q_agg_regression",
-    "q_ts_twap",
-    "q_sketch_hll_manual",
-    "q_sketch_countmin",
-    "q_skyline",
-    "q_event_sequence",
-    "q_window_distinct_rolling",
-    "q_join_bloom",
-    "q_graph_triangles",
-    "q_rank_rrf",
-    "q_scan_text",
-    "q_sql_frontend",
-    "q_sample_weighted_pps",
-    "q_multimodal_phash",
-    "q_ts_motif",
-    "q_dedup_phash",
-    "q_graph_labelprop",
-    "q_scan_corrupt",
-    "q_sink_dynamic_overwrite",
-    "q_ml_ols_multifeature",
-    "q_rank_trending",
-    "q_agg_argmax",
-    "q_ts_downsample_ltob",
-    "q_ts_strength",
-    "q_scan_csv_quoted",
-    "q_join_asof_tolerance",
-    "q_sql_recursive",
-    "q_dq_drift_psi",
-    # --- formulation changed in round 5 after their r4 green rows:
-    # q_dedup_near/q_doc_dedup_pipeline now run the capped
-    # (max_bucket_size=50) LSH as the certified default;
-    # q_ts_anomaly_mad compares rounded med/iqr in the flag;
-    # q_scan_binaryfile's file cache is fingerprint-keyed;
-    # q_dedup_index_append only changed a docstring but sits with its
-    # family.
-    "q_dedup_near",
-    "q_doc_dedup_pipeline",
-    "q_ts_anomaly_mad",
-    # q_dedup_simhash's radius-9 reformulation postdates its r4 green
-    # row, so it outranks the cache-keying-only q_scan_binaryfile
-    # change for the last in-cap slot (the 226-entry registry puts
-    # positions >50 past the driver cap; everything below is still
-    # covered by the three full local PROBE replicas).
-    "q_dedup_simhash",
-    "q_scan_binaryfile",
-    "q_dedup_index_append",
-    # --- also changed late in round 5 (sf0.1-probe boundary fixes and
-    # the prefix-filter/prefilter rewrites): their last green driver
-    # rows predate the new formulations, so they re-verify as far
-    # inside the window as the cap allows (simhash moved up above)
-    "q_text_classifier",
-    "q_sessionize",
-    "q_dedup_ngram",
-    "q_dedup_cluster",
-    "q_dedup_cluster_star",
+    # --- ROUND-6 head: the driver cap is ~50 rows, so entries whose
+    # FORMULATION changed this round (or that have never had a row)
+    # come first, then rows-only refreshes, then the long green tail.
+    # (1) new this round
+    "q_embed_pca_planted",
+    "q_stream_anomaly_tws",
+    # (2) rewritten plans: counting prefix filter (containment), skinny
+    # exact dedup + EXISTS decontamination (curation/doc pipelines),
+    # half-neighborhood spatial join, idempotent per-ingest index
+    # layout (stream ingest + index append), bounded brute-force topk
     "q_dedup_containment",
-    # --- rows-only entries (no SQL oracle possible): refresh their
-    # rows-only driver rows.
+    "q_curation_pipeline",
+    "q_doc_dedup_pipeline",
+    "q_dedup_exact",
+    "q_join_spatial_radius",
+    "q_stream_dedup_near",
+    "q_dedup_index_append",
+    "q_sim_topk",
+    # (3) tie-rule quantizer (_rhu/floor) landed in both engines
+    "q_agg_regression",
+    "q_ts_strength",
+    "q_ts_forecast_unrolled",
+    "q_ts_fitted_unrolled",
+    # (4) regex contract fix (trailing utm strip, both engines)
+    "q_url_canonicalize",
+    # (5) staging caches now fixture-fingerprint-keyed
+    "q_scan_csv",
+    "q_scan_json",
+    "q_scan_text",
+    "q_scan_csv_quoted",
+    "q_scan_corrupt",
+    "q_scan_pruned",
+    "q_scan_dpp",
+    # --- rows-only entries (no SQL oracle possible): refresh rows
+    "q_ts_fitted",
     "q_ts_fit_combine",
     "q_ts_forecast",
     "q_ts_fit_reference_bounds",
@@ -139,6 +93,51 @@ _PRIORITY = [
     "q_ts_backtest_arima",
     "q_ts_holtwinters",
     "q_ts_fit_combine_dlsa",
+    # --- green in the r1-r5 union and unchanged this round, most
+    # recently verified last (round-5 batch first)
+    "q_tpch_q12",
+    "q_multimodal_frame_sample",
+    "q_multimodal_audio_energy",
+    "q_ts_holt_recursive",
+    "q_join_fuzzy",
+    "q_text_bm25",
+    "q_text_bpe_train",
+    "q_text_bpe_apply",
+    "q_ts_gaps_islands",
+    "q_basket_pairs",
+    "q_ts_twap",
+    "q_sketch_hll_manual",
+    "q_sketch_countmin",
+    "q_skyline",
+    "q_event_sequence",
+    "q_window_distinct_rolling",
+    "q_join_bloom",
+    "q_graph_triangles",
+    "q_rank_rrf",
+    "q_sql_frontend",
+    "q_sample_weighted_pps",
+    "q_multimodal_phash",
+    "q_ts_motif",
+    "q_dedup_phash",
+    "q_graph_labelprop",
+    "q_sink_dynamic_overwrite",
+    "q_ml_ols_multifeature",
+    "q_rank_trending",
+    "q_agg_argmax",
+    "q_ts_downsample_ltob",
+    "q_join_asof_tolerance",
+    "q_sql_recursive",
+    "q_dq_drift_psi",
+    "q_embed_project_quantized",
+    "q_dedup_near",
+    "q_ts_anomaly_mad",
+    "q_dedup_simhash",
+    "q_scan_binaryfile",
+    "q_text_classifier",
+    "q_sessionize",
+    "q_dedup_ngram",
+    "q_dedup_cluster",
+    "q_dedup_cluster_star",
     # --- everything below is driver-hash-green in the r1–r4 union,
     # ordered most-recently-verified-last so the window re-covers the
     # r4 batch first if room remains.
