@@ -54,6 +54,7 @@ _PRIORITY = [
     # come first, then rows-only refreshes, then the long green tail.
     # (1) new this round
     "q_embed_pca_planted",
+    "q_ts_many_series_census",
     "q_stream_anomaly_tws",
     # (2) rewritten plans: counting prefix filter (containment), skinny
     # exact dedup + EXISTS decontamination (curation/doc pipelines),

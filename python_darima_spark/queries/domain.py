@@ -273,6 +273,26 @@ def q_ts_many_series(spark: SparkSession, sf: str) -> DataFrame:
     return darima(hourly, cfg).coefs
 
 
+def q_ts_many_series_census(spark: SparkSession, sf: str) -> DataFrame:
+    """HASH-CERTIFIED census over the many-series fit (round-5 verdict
+    ask #9): the coefficient VALUES are data-fit floats no SQL oracle
+    can restate (q_ts_many_series stays rows-only), but the fit's
+    STRUCTURAL contract is exactly checkable — every derived series
+    must come back (no silent series loss anywhere in
+    resample→split→fit→combine), each with exactly the 27 coefficients
+    the config implies (ar1..ar24 = tol, beta0, beta1, sigma2), all
+    FINITE (a diverged/NaN fit flips n_finite and fails the hash). The
+    oracle recomputes the series universe from events and asserts the
+    27/27 invariant per series."""
+    coefs = q_ts_many_series(spark, sf)
+    v = F.col("value")
+    finite = v.isNotNull() & ~F.isnan(v) & (F.abs(v) < F.lit(float("inf")))
+    return coefs.groupBy("series_id").agg(
+        F.count("*").alias("n_coefs"),
+        F.sum(finite.cast("int")).alias("n_finite"),
+    )
+
+
 def q_ts_gaps_islands(spark: SparkSession, sf: str) -> DataFrame:
     """GAPS-AND-ISLANDS over discrete activity hours — maximal runs of
     consecutive active hours per event_type with the preceding gap
@@ -1550,6 +1570,18 @@ QUERIES = {
     # q_ts_backtest (seasonal-naive twin); this swaps in the real model
     "q_ts_backtest_arima": QuerySpec(q_ts_backtest_arima, None),
     "q_ts_many_series": QuerySpec(q_ts_many_series, None),  # iterative fit
+    "q_ts_many_series_census": QuerySpec(
+        q_ts_many_series_census,
+        """WITH s AS (
+             SELECT DISTINCT event_type || '_'
+                    || CAST(user_id % 2000 AS VARCHAR) AS series_id
+             FROM events
+           )
+           SELECT series_id,
+                  CAST(27 AS BIGINT) AS n_coefs,
+                  CAST(27 AS BIGINT) AS n_finite
+           FROM s""",
+    ),
     "q_ts_seasonal": QuerySpec(
         q_ts_seasonal,
         """WITH prof AS (

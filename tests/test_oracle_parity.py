@@ -81,5 +81,16 @@ def test_sql_oracle(spark, duck, name):
 
 @pytest.mark.parametrize("name", _ROWS_ONLY)
 def test_rows_only_runs(spark, name):
+    if name == "q_stream_anomaly_tws":
+        # registered unconditionally so the driver records an explicit
+        # env-refusal row (round 6); where protobuf is absent the
+        # plan-time guard must raise, where present it must run — both
+        # honest outcomes, asserted respectively
+        from python_darima_spark.streaming.stateful import has_tws_support
+
+        if not has_tws_support():
+            with pytest.raises(NotImplementedError, match="ENV-REFUSAL"):
+                registry()[name].fn(spark, SF_DIR)
+            return
     df = registry()[name].fn(spark, SF_DIR)
     assert df.count() >= 0 and len(df.schema.fields) > 0
