@@ -114,6 +114,12 @@ HEADLINE = [
     "q_scan_csv_quoted",
     "q_join_asof_tolerance",
     "q_sql_recursive",
+    # round-6 additions
+    "q_embed_pca_planted",
+    "q_ts_many_series_census",
+    # the round-6 counting-prefix rewrite's flagship (was the r5
+    # verdict's one scale-killer; now 2.4x at 10x data)
+    "q_dedup_containment",
 ]
 
 
