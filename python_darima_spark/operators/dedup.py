@@ -20,11 +20,13 @@ and never overflow, whatever spark.sql.ansi.enabled is set to.
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from python_darima_spark.operators import fan_out
+from python_darima_spark.operators import ensure_parallelism, fan_out
 
 # Prime just above 2^32: keeps the base hash domain small enough that the
 # affine family (a*h + b) % P never overflows a signed 64-bit value.
@@ -418,42 +420,53 @@ def minhash_index_append(
     """WRITE path of the incremental dedup index: shingle + MinHash the
     batch ONCE and append its ``(id, sig)`` rows to ``{index}/sigs`` and
     its ``(id, band_id, band_hash)`` rows to ``{index}/bands`` (parquet,
-    directory-partitioned by ingest then band_id so a probe prunes to
-    its band). Each ingest pays only its own signatures — the corpus is
-    never re-shingled. At cluster scale the bands table would instead be
-    a metastore table ``bucketBy(N, "band_hash")`` so probe joins are
+    directory-partitioned by band_id so a probe prunes to its band).
+    Each ingest pays only its own signatures — the corpus is never
+    re-shingled. At cluster scale the bands table would instead be a
+    metastore table ``bucketBy(N, "band_hash")`` so probe joins are
     co-located shuffle-free; the path layout here is the
     filesystem-only equivalent. Texts are NOT stored — exact
     verification joins back to the corpus by id, so the index stays
     skinny (~(8+8·num_hashes) bytes/doc + bands) no matter how large
     documents are.
 
-    ``ingest_tag`` makes the append IDEMPOTENT: each ingest lands in its
-    own ``ingest=<tag>`` partition dir with mode=overwrite, so a caller
-    that retries the same logical batch (e.g. a replayed foreachBatch
-    micro-batch under at-least-once semantics — the round-5 ADVICE
-    hazard in q_stream_dedup_near) rewrites the same dir instead of
-    duplicating signatures. Untagged calls get a unique tag (plain
-    append semantics, but still a per-ingest dir — the overwrite can
-    never clobber a sibling ingest)."""
-    import uuid
-
-    tag = ingest_tag if ingest_tag is not None else f"u{uuid.uuid4().hex[:12]}"
+    ``ingest_tag`` makes the append IDEMPOTENT: a completion marker
+    ``_ingest_<tag>.done`` is written after both appends commit, and a
+    re-invocation with the same tag returns without appending — so a
+    caller that retries the same logical batch (e.g. a replayed
+    foreachBatch micro-batch under at-least-once semantics — the
+    round-5 ADVICE hazard in q_stream_dedup_near) can never duplicate
+    signatures. Markers, not per-ingest partition dirs: a first
+    implementation used ``ingest=<tag>`` subdirectories with overwrite,
+    but the extra partition-discovery level degraded the probe's scan
+    parallelism ~2.5× at sf1 — the flat layout keeps the read path
+    identical to untagged appends. Spark's file-commit protocol makes
+    a died-mid-append retry safe (no visible files until job commit).
+    The marker lives on the index's filesystem; on a real cluster an
+    ACID table format (or the metastore bucketed table above) is the
+    equivalent ingest ledger."""
+    if ingest_tag is not None:
+        marker = os.path.join(index_path, f"_ingest_{ingest_tag}.done")
+        if os.path.exists(marker):
+            return
     rows_per_band = num_hashes // num_bands
     sig = minhash_signatures(
         batch_df, text_col, id_col, num_hashes, shingle_k, seed
     ).persist()
-    sig.write.mode("overwrite").parquet(f"{index_path}/sigs/ingest={tag}")
+    sig.write.mode("append").parquet(f"{index_path}/sigs")
     # repartition on the directory key first: ONE file per band dir per
     # ingest instead of shuffle-partition-count tiny files per dir (the
     # small-files problem compounds across ingests; measured ~2× faster
     # append+probe round trip at fixture scale)
     band_hashes(sig, id_col, num_bands, rows_per_band).repartition(
         num_bands, "band_id"
-    ).write.mode("overwrite").partitionBy("band_id").parquet(
-        f"{index_path}/bands/ingest={tag}"
+    ).write.mode("append").partitionBy("band_id").parquet(
+        f"{index_path}/bands"
     )
     sig.unpersist()
+    if ingest_tag is not None:
+        with open(marker, "w"):
+            pass
 
 
 def minhash_probe_index(
@@ -485,7 +498,15 @@ def minhash_probe_index(
     sig_new = minhash_signatures(
         new_df, text_col, id_col, num_hashes, shingle_k, seed
     ).persist()
-    bands_idx = spark.read.parquet(f"{index_path}/bands")
+    # ensure_parallelism on BOTH index scans (round 6): the index files
+    # are few and small, so their scans plan at a handful of splits; when
+    # AQE then broadcasts the (small) candidate side of the verify joins,
+    # the expensive per-pair stages INHERIT that scan parallelism — a
+    # measured 2.5× swing at sf1 depending on the file-split lottery.
+    # Forcing the skinny index tables up to the shuffle width pins it.
+    bands_idx = ensure_parallelism(
+        spark.read.parquet(f"{index_path}/bands")
+    )
     cands = (
         band_hashes(sig_new, id_col, num_bands, rows_per_band)
         .withColumnRenamed(id_col, "id_new")
@@ -496,7 +517,7 @@ def minhash_probe_index(
         .select("id_new", "id_old")
         .distinct()
     )
-    sig_idx = spark.read.parquet(f"{index_path}/sigs")
+    sig_idx = ensure_parallelism(spark.read.parquet(f"{index_path}/sigs"))
     result = _probe_verified_pairs(
         cands, sig_new, sig_idx, new_df, corpus_df,
         text_col, id_col, threshold, num_hashes, shingle_k,

@@ -152,6 +152,27 @@ def test_minhash_index_roundtrip_accumulates(spark, docs_with_dups, tmp_path):
     assert (9103, 0) in got2 and (9104, 1) in got2
 
 
+def test_index_append_tagged_replay_is_idempotent(spark, tmp_path, docs_with_dups):
+    """At-least-once replay safety (round-5 ADVICE): re-appending the
+    SAME logical batch under the same ingest_tag must be a no-op — no
+    duplicated signatures in the index, identical probe results —
+    while a genuinely new tag still appends."""
+    from python_darima_spark.operators.dedup import minhash_index_append
+
+    idx = str(tmp_path / "mh_index")
+    batch = docs_with_dups.where("doc_id < 20")
+    minhash_index_append(batch, idx, ingest_tag="b0")
+    n1 = spark.read.parquet(f"{idx}/sigs").count()
+    # replay: same tag → skipped entirely
+    minhash_index_append(batch, idx, ingest_tag="b0")
+    assert spark.read.parquet(f"{idx}/sigs").count() == n1
+    # new tag → appends
+    minhash_index_append(
+        docs_with_dups.where("doc_id >= 20"), idx, ingest_tag="b1"
+    )
+    assert spark.read.parquet(f"{idx}/sigs").count() > n1
+
+
 def test_shuffle_shard_deterministic_and_dense(spark, sf_dir):
     """Shard/pos addresses: reproducible across runs, shard ids dense in
     [0, 8), positions contiguous 1..k within every shard."""

@@ -27,8 +27,13 @@ TABLES = [
 
 
 def main() -> None:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = [a for a in sys.argv[1:] if not a.startswith("--exclude=")]
+    excl: set[str] = set()
+    for a in sys.argv[1:]:
+        if a.startswith("--exclude="):
+            excl |= set(a.split("=", 1)[1].split(","))
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     from python_darima_spark.session import get_spark
 
@@ -47,7 +52,7 @@ def main() -> None:
     results: dict[str, dict] = {}
     total0 = time.perf_counter()
     for name, spec in registry().items():
-        if only and name not in only:
+        if (only and name not in only) or name in excl:
             continue
         q0 = time.perf_counter()
         status = "pass"
