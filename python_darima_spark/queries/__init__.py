@@ -68,11 +68,17 @@ _PRIORITY = [
     "q_stream_dedup_near",
     "q_dedup_index_append",
     "q_sim_topk",
-    # (3) tie-rule quantizer (_rhu/floor) landed in both engines
+    # (3) tie-rule quantizer (_rhu/floor) landed in both engines, plus
+    # the sf1-probe-caught float-tie fixes (integer-cents revenue,
+    # micro-unit seasonal means)
     "q_agg_regression",
     "q_ts_strength",
     "q_ts_forecast_unrolled",
     "q_ts_fitted_unrolled",
+    "q_tpch_q5",
+    "q_ts_seasonal",
+    "q_tpch_q3",
+    "q_tpch_q19",
     # (4) regex contract fix (trailing utm strip, both engines)
     "q_url_canonicalize",
     # (5) staging caches now fixture-fingerprint-keyed

@@ -225,21 +225,31 @@ def q_ts_seasonal(spark: SparkSession, sf: str) -> DataFrame:
     series_id key + one join of 24-row profiles — the join side is tiny
     per series, so AQE broadcasts it; no windows, no Python."""
     ev = load(spark, sf, "events")
+    # means from EXACT micro-unit integer sums (round-6 sf1 probe: raw
+    # double avg() diverged by one 1e-4 quantum on 10/1200 rows at sf1
+    # volume — summation-order ulps landing on a floor boundary); the
+    # per-row quantization is deterministic on bit-identical doubles,
+    # integer sums are order-exact, and the division is then one
+    # deterministic double op on both engines
     base = ev.select(
         F.col("event_type").alias("series_id"),
         F.hour("ts").alias("hod"),
-        F.col("value").alias("y"),
+        F.floor(F.col("value") * 1e6 + 0.5).alias("y6"),
     )
     prof = base.groupBy("series_id", "hod").agg(
-        F.avg("y").alias("_hm"), F.count("*").alias("n")
+        F.sum("y6").alias("_s"), F.count("*").alias("n")
     )
-    mu = base.groupBy("series_id").agg(F.avg("y").alias("_m"))
+    mu = base.groupBy("series_id").agg(
+        F.sum("y6").alias("_st"), F.count("*").alias("_nt")
+    )
+    hm = F.col("_s").cast("double") / (F.col("n").cast("double") * 1e6)
+    m = F.col("_st").cast("double") / (F.col("_nt").cast("double") * 1e6)
     return prof.join(mu, "series_id").select(
         "series_id",
         "hod",
-        _rhu(F.col("_hm"), 4).alias("hod_mean"),
+        _rhu(hm, 4).alias("hod_mean"),
         "n",
-        _rhu(F.col("_hm") - F.col("_m"), 4).alias("seasonal"),
+        _rhu(hm - m, 4).alias("seasonal"),
     )
 
 
@@ -1584,18 +1594,30 @@ QUERIES = {
     ),
     "q_ts_seasonal": QuerySpec(
         q_ts_seasonal,
-        """WITH prof AS (
+        """WITH q AS (
              SELECT event_type AS series_id,
                     CAST(EXTRACT(hour FROM ts) AS INTEGER) AS hod,
-                    avg(value) AS hm, count(*) AS n
-             FROM events GROUP BY 1, 2
+                    CAST(floor(value * 1e6 + 0.5) AS BIGINT) AS y6
+             FROM events
+           ), prof AS (
+             SELECT series_id, hod,
+                    CAST(sum(y6) AS BIGINT) AS s, count(*) AS n
+             FROM q GROUP BY 1, 2
            ), mu AS (
-             SELECT event_type AS series_id, avg(value) AS m
-             FROM events GROUP BY 1
+             SELECT series_id, CAST(sum(y6) AS BIGINT) AS st,
+                    count(*) AS nt
+             FROM q GROUP BY 1
            )
            SELECT p.series_id, p.hod,
-                  floor(p.hm * 1e4 + 0.5) / 1e4 AS hod_mean, p.n,
-                  floor((p.hm - mu.m) * 1e4 + 0.5) / 1e4 AS seasonal
+                  floor(CAST(p.s AS DOUBLE)
+                        / (CAST(p.n AS DOUBLE) * 1e6) * 1e4 + 0.5) / 1e4
+                      AS hod_mean,
+                  p.n,
+                  floor((CAST(p.s AS DOUBLE)
+                         / (CAST(p.n AS DOUBLE) * 1e6)
+                         - CAST(mu.st AS DOUBLE)
+                           / (CAST(mu.nt AS DOUBLE) * 1e6))
+                        * 1e4 + 0.5) / 1e4 AS seasonal
            FROM prof p JOIN mu USING (series_id)""",
     ),
 }

@@ -74,9 +74,19 @@ def q_tpch_q3(spark: SparkSession, sf: str) -> DataFrame:
         orders.join(cust, orders.o_custkey == cust.c_custkey)
         .join(li, li.l_orderkey == orders.o_orderkey)
         .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        # exact integer cents (the Q10 lesson, applied fleet-wide after
+        # Q5 tripped a rounding tie at the sf1 probe volume)
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 100
+                    ).cast("bigint")
+                )
+                / 100.0,
+                2,
             ).alias("revenue")
         )
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
@@ -114,9 +124,19 @@ def q_tpch_q5(spark: SparkSession, sf: str) -> DataFrame:
             & (cust.c_nationkey == dims.s_nationkey),
         )
         .groupBy("n_name")
+        # revenue as EXACT integer cents (the Q10 lesson — a raw double
+        # sum tripped a 2nd-decimal rounding tie at the sf1 probe volume)
         .agg(
             F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice")
+                        * (1 - F.col("l_discount"))
+                        * 100
+                    ).cast("bigint")
+                )
+                / 100.0,
+                2,
             ).alias("revenue")
         )
     )
@@ -303,7 +323,9 @@ def q_tpch_q19(spark: SparkSession, sf: str) -> DataFrame:
     load(spark, sf, "lineitem").createOrReplaceTempView("lineitem")
     load(spark, sf, "part").createOrReplaceTempView("part")
     return spark.sql(
-        """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        """SELECT round(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                       * 100) AS BIGINT)) / 100.0, 2)
+                      AS revenue,
                   count(*) AS n_lines
            FROM lineitem, part
            WHERE (p_partkey = l_partkey AND p_brand = 'Brand#12'
@@ -842,7 +864,9 @@ QUERIES = {
     "q_tpch_q3": QuerySpec(
         q_tpch_q3,
         f"""SELECT o_orderkey, o_orderdate, o_orderpriority,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   round(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                        * 100) AS BIGINT)) / 100.0, 2)
+                       AS revenue
             FROM customer
             JOIN orders ON o_custkey = c_custkey
             JOIN lineitem ON l_orderkey = o_orderkey
@@ -856,7 +880,9 @@ QUERIES = {
     "q_tpch_q5": QuerySpec(
         q_tpch_q5,
         f"""SELECT n_name,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+                   round(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                        * 100) AS BIGINT)) / 100.0, 2)
+                       AS revenue
             FROM customer
             JOIN orders ON o_custkey = c_custkey
             JOIN lineitem ON l_orderkey = o_orderkey
@@ -1000,7 +1026,9 @@ QUERIES = {
     ),
     "q_tpch_q19": QuerySpec(
         q_tpch_q19,
-        """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        """SELECT round(sum(CAST(round(l_extendedprice * (1 - l_discount)
+                                       * 100) AS BIGINT)) / 100.0, 2)
+                      AS revenue,
                   count(*) AS n_lines
            FROM lineitem, part
            WHERE (p_partkey = l_partkey AND p_brand = 'Brand#12'
