@@ -252,6 +252,14 @@ def minhash_near_duplicates(
         )
         .select("id_a", "id_b")
     )
+    # repartition-by-number before the CPU-heavy verify tail: the
+    # survivor pairs are byte-tiny, AQE's byte-based coalescing would
+    # shrink this exchange to a few partitions and run the per-pair
+    # shingling on a fraction of the cores (the _probe_verified_pairs
+    # round-6 finding; REPARTITION_BY_NUM is exempt from coalescing)
+    pre = pre.repartition(
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    )
     text = df.select(F.col(id_col), F.col(text_col))
     joined = (
         pre.join(
@@ -380,16 +388,38 @@ def _probe_verified_pairs(
         .where(est_match / F.lit(float(num_hashes)) >= F.lit(threshold - 0.2))
         .select("id_new", "id_old")
     )
+    # materialize + explicitly widen the survivor set before the verify
+    # joins: the pairs are byte-TINY but the per-pair shingling below is
+    # CPU-heavy, and inside one fused plan AQE's byte-based coalescing
+    # shrank this boundary to ~6 partitions — the verify tail then ran
+    # on 6 of 32 cores (measured 34 s vs 14 s at sf1). persist breaks
+    # the fused re-plan; repartition-by-number is exempt from AQE
+    # coalescing, so the tail keeps full width.
+    spark = pre.sparkSession
+    tgt = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    pre = pre.repartition(tgt).persist()
+    # ensure_parallelism on the TEXT sides: the survivor pair set is
+    # small so AQE broadcasts it, and then the per-pair shingling +
+    # intersect work runs at the text table's SCAN partitioning — a
+    # compact parquet corpus scans as ~6 splits and the verify stage
+    # crawled on 6 cores (round-6 sf1 profile; same scan-parallelism
+    # rule as the index reads above)
     joined = (
         pre.join(
-            new_df.select(
-                F.col(id_col).alias("id_new"), F.col(text_col).alias("_txt_a")
+            ensure_parallelism(
+                new_df.select(
+                    F.col(id_col).alias("id_new"),
+                    F.col(text_col).alias("_txt_a"),
+                )
             ),
             on="id_new",
         )
         .join(
-            old_texts.select(
-                F.col(id_col).alias("id_old"), F.col(text_col).alias("_txt_b")
+            ensure_parallelism(
+                old_texts.select(
+                    F.col(id_col).alias("id_old"),
+                    F.col(text_col).alias("_txt_b"),
+                )
             ),
             on="id_old",
         )
@@ -398,12 +428,14 @@ def _probe_verified_pairs(
     )
     inter = F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
     union = F.size(F.array_union("_sh_a", "_sh_b")).cast("double")
-    return (
+    result = (
         joined.withColumn("jaccard", inter / union)
         .where(F.col("jaccard") >= threshold)
         .select("id_new", "id_old", F.round("jaccard", 6).alias("jaccard"))
         .localCheckpoint(eager=True)
     )
+    pre.unpersist()
+    return result
 
 
 def minhash_index_append(
@@ -895,6 +927,13 @@ def containment_pairs(
         .agg(F.count("*").alias("_hits"))
         .where(F.col("_hits") >= F.col("_need"))
         .select("_pid", "_iid")
+        # repartition-by-number before the verify tail (the
+        # _probe_verified_pairs round-6 finding): survivors are
+        # byte-tiny, and AQE's byte-based coalescing would otherwise
+        # run the per-pair array intersects on a few partitions
+        .repartition(
+            int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+        )
     )
     # exact verify from the persisted gid arrays — survivors never
     # re-shingle the raw text
