@@ -20,6 +20,19 @@ def epoch_seconds(col: Column | str, fractional: bool = False) -> Column:
     return c.cast("timestamp").cast("double" if fractional else "long")
 
 
+def shuffle_width(sess) -> int:
+    """The session's shuffle width as an int, robust to non-numeric conf.
+
+    ``spark.sql.shuffle.partitions`` may be set to ``"auto"`` on
+    AQE-managed deployments; a bare ``int()`` on that value raises at
+    plan-build time (round-6 ADVICE). Fall back to the cluster's default
+    parallelism, which is what AQE's coalescing floor tracks anyway."""
+    try:
+        return int(sess.conf.get("spark.sql.shuffle.partitions"))
+    except (TypeError, ValueError):
+        return sess.sparkContext.defaultParallelism
+
+
 def fan_out(df: DataFrame, *key_cols: str) -> DataFrame:
     """Hash-repartition ``df`` on ``key_cols`` before a CPU-dense kernel.
 
@@ -56,7 +69,7 @@ def ensure_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:
     thousands of splits and this is a no-op). ``target`` defaults to
     ``spark.sql.shuffle.partitions``."""
     sess = df.sparkSession
-    tgt = target or int(sess.conf.get("spark.sql.shuffle.partitions"))
+    tgt = target or shuffle_width(sess)
     if df.rdd.getNumPartitions() < tgt:
         return df.repartition(tgt)
     return df

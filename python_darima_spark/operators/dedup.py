@@ -26,7 +26,11 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from python_darima_spark.operators import ensure_parallelism, fan_out
+from python_darima_spark.operators import (
+    ensure_parallelism,
+    fan_out,
+    shuffle_width,
+)
 
 # Prime just above 2^32: keeps the base hash domain small enough that the
 # affine family (a*h + b) % P never overflows a signed 64-bit value.
@@ -257,9 +261,7 @@ def minhash_near_duplicates(
     # shrink this exchange to a few partitions and run the per-pair
     # shingling on a fraction of the cores (the _probe_verified_pairs
     # round-6 finding; REPARTITION_BY_NUM is exempt from coalescing)
-    pre = pre.repartition(
-        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-    )
+    pre = pre.repartition(shuffle_width(df.sparkSession))
     text = df.select(F.col(id_col), F.col(text_col))
     joined = (
         pre.join(
@@ -396,7 +398,7 @@ def _probe_verified_pairs(
     # the fused re-plan; repartition-by-number is exempt from AQE
     # coalescing, so the tail keeps full width.
     spark = pre.sparkSession
-    tgt = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    tgt = shuffle_width(spark)
     pre = pre.repartition(tgt).persist()
     # ensure_parallelism on the TEXT sides: the survivor pair set is
     # small so AQE broadcasts it, and then the per-pair shingling +
@@ -477,15 +479,45 @@ def minhash_index_append(
     The marker lives on the index's filesystem; on a real cluster an
     ACID table format (or the metastore bucketed table above) is the
     equivalent ingest ledger."""
+    sigs_done = False
     if ingest_tag is not None:
+        # the marker ledger is os-level file I/O — it can only promise
+        # idempotency on a filesystem the driver can reach with open();
+        # a remote index (hdfs://, s3://) needs an ACID table format as
+        # the ingest ledger instead, so refuse rather than silently
+        # evaporate the contract (round-6 ADVICE)
+        if "://" in index_path and not index_path.startswith("file://"):
+            raise ValueError(
+                "ingest_tag idempotency markers require a local "
+                f"index_path; got {index_path!r} — use an ACID table "
+                "(Delta/Iceberg) as the ingest ledger on object stores"
+            )
         marker = os.path.join(index_path, f"_ingest_{ingest_tag}.done")
+        sigs_marker = os.path.join(
+            index_path, f"_ingest_{ingest_tag}.sigs.done"
+        )
         if os.path.exists(marker):
             return
+        # per-STAGE markers: without them, a crash after the sigs append
+        # commits but before the bands append leaves a replay that
+        # re-runs BOTH appends and permanently duplicates signature rows
+        # (round-6 ADVICE). With the stage marker the replay skips the
+        # committed sigs job and redoes only bands (a died-mid-job bands
+        # attempt is invisible — Spark's commit protocol). Residual
+        # window: a crash between a job's commit and its marker write
+        # still duplicates that one table's batch rows; downstream
+        # distincts keep emitted pairs correct, and closing it entirely
+        # needs the ACID ledger above.
+        sigs_done = os.path.exists(sigs_marker)
     rows_per_band = num_hashes // num_bands
     sig = minhash_signatures(
         batch_df, text_col, id_col, num_hashes, shingle_k, seed
     ).persist()
-    sig.write.mode("append").parquet(f"{index_path}/sigs")
+    if not sigs_done:
+        sig.write.mode("append").parquet(f"{index_path}/sigs")
+        if ingest_tag is not None:
+            with open(sigs_marker, "w"):
+                pass
     # repartition on the directory key first: ONE file per band dir per
     # ingest instead of shuffle-partition-count tiny files per dir (the
     # small-files problem compounds across ingests; measured ~2× faster
@@ -883,12 +915,15 @@ def containment_pairs(
             F.array_distinct(char_shingles(text_col, shingle_k))
         ).alias("g"),
     )
-    # per-gram document frequency AND dictionary id in one map-side
-    # combined aggregate; gid assignment (monotonically_increasing_id)
-    # is run-dependent but the verified output is invariant under any
-    # shingle↔gid bijection, so determinism of the RESULT is unaffected
+    # per-gram document frequency; the dictionary id is a DETERMINISTIC
+    # content hash, not monotonically_increasing_id — a run-dependent
+    # gid is only bijective if every partition is computed exactly once,
+    # and a lineage replay of a lost cached partition would re-draw ids
+    # and silently mix two vocabularies in the verify arrays (round-6
+    # ADVICE, medium). xxhash64 is replay-stable; a 64-bit collision
+    # merges one shingle pair deterministically (P≈n²/2⁶⁴, negligible).
     d = e0.groupBy("g").agg(F.count("*").alias("_df")).withColumn(
-        "gid", F.monotonically_increasing_id()
+        "gid", F.xxhash64("g")
     )
     e = (
         e0.join(d.select("g", "gid", "_df"), "g")
@@ -931,9 +966,7 @@ def containment_pairs(
         # _probe_verified_pairs round-6 finding): survivors are
         # byte-tiny, and AQE's byte-based coalescing would otherwise
         # run the per-pair array intersects on a few partitions
-        .repartition(
-            int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
-        )
+        .repartition(shuffle_width(df.sparkSession))
     )
     # exact verify from the persisted gid arrays — survivors never
     # re-shingle the raw text

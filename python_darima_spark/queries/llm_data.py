@@ -726,7 +726,12 @@ def q_curation_pipeline(spark: SparkSession, sf: str) -> DataFrame:
     contaminated = (
         docs.where(~is_eval)
         .select("doc_id", F.explode(word_ngrams("text", 5)).alias("gram"))
-        .join(F.broadcast(eval_grams), "gram", "left_semi")
+        # no explicit broadcast hint: eval docs are a fixed FRACTION of
+        # the corpus (doc_id % 97), so the gram set is corpus-
+        # proportional and a forced broadcast would blow the driver at
+        # scale where AQE's size-based choice degrades to a shuffled
+        # semi join gracefully (round-6 ADVICE)
+        .join(eval_grams, "gram", "left_semi")
         .select("doc_id")
         .distinct()
         .select("doc_id", F.lit(True).alias("f_cont"))
@@ -1363,7 +1368,10 @@ def q_text_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
         "doc_id", F.explode(word_ngrams("text", 5)).alias("gram")
     )
     return (
-        corpus_grams.join(F.broadcast(eval_grams), "gram")
+        # AQE picks broadcast when the gram set is actually small; the
+        # %97 eval slice is corpus-proportional, so a pinned hint would
+        # not survive scale (same round-6 ADVICE as q_curation_pipeline)
+        corpus_grams.join(eval_grams, "gram")
         .groupBy("doc_id")
         .agg(F.count_distinct("gram").alias("n_shared_grams"))
     )

@@ -173,6 +173,78 @@ def test_index_append_tagged_replay_is_idempotent(spark, tmp_path, docs_with_dup
     assert spark.read.parquet(f"{idx}/sigs").count() > n1
 
 
+def test_index_append_partial_sigs_replay_skips_sigs(
+    spark, tmp_path, docs_with_dups
+):
+    """Crash-window replay (round-6 ADVICE): if the sigs append committed
+    (stage marker present) but the bands append never ran, a replay must
+    redo ONLY bands — sigs rows are not duplicated."""
+    import os
+
+    from python_darima_spark.operators.dedup import minhash_index_append
+
+    idx = str(tmp_path / "mh_index")
+    batch = docs_with_dups.where("doc_id < 20")
+    minhash_index_append(batch, idx, ingest_tag="b0")
+    n_sigs = spark.read.parquet(f"{idx}/sigs").count()
+    n_bands = spark.read.parquet(f"{idx}/bands").count()
+    # simulate the crash window: final marker gone, sigs marker kept
+    os.remove(os.path.join(idx, "_ingest_b0.done"))
+    minhash_index_append(batch, idx, ingest_tag="b0")
+    assert spark.read.parquet(f"{idx}/sigs").count() == n_sigs
+    # bands were re-appended (the replayed stage) — duplicates there are
+    # benign (downstream candidate pairs are distinct-ed)
+    assert spark.read.parquet(f"{idx}/bands").count() == 2 * n_bands
+    assert os.path.exists(os.path.join(idx, "_ingest_b0.done"))
+
+
+def test_index_append_tagged_remote_path_refused(spark, docs_with_dups):
+    """The marker ledger is os-level file I/O, so a tagged append to an
+    object-store path must refuse loudly instead of silently dropping
+    the idempotency contract (round-6 ADVICE)."""
+    import pytest
+
+    from python_darima_spark.operators.dedup import minhash_index_append
+
+    with pytest.raises(ValueError, match="local"):
+        minhash_index_append(
+            docs_with_dups, "s3://bucket/index", ingest_tag="b0"
+        )
+
+
+def test_shuffle_width_non_numeric_conf_falls_back(spark):
+    """`spark.sql.shuffle.partitions` set to AQE's 'auto' must not blow
+    up plan building (round-6 ADVICE) — the helper falls back to
+    defaultParallelism."""
+    from python_darima_spark.operators import shuffle_width
+
+    # Spark 4's runtime conf validates the value, so the non-numeric
+    # state can only arrive via submit-time/platform configs — emulate
+    # the session surface with a stub.
+    class _Conf:
+        def __init__(self, v):
+            self._v = v
+
+        def get(self, _k):
+            return self._v
+
+    class _Ctx:
+        defaultParallelism = 17
+
+    class _Sess:
+        sparkContext = _Ctx()
+
+        def __init__(self, v):
+            self.conf = _Conf(v)
+
+    assert shuffle_width(_Sess("auto")) == 17
+    assert shuffle_width(_Sess(None)) == 17
+    assert shuffle_width(_Sess("32")) == 32
+    assert shuffle_width(spark) == int(
+        spark.conf.get("spark.sql.shuffle.partitions")
+    )
+
+
 def test_shuffle_shard_deterministic_and_dense(spark, sf_dir):
     """Shard/pos addresses: reproducible across runs, shard ids dense in
     [0, 8), positions contiguous 1..k within every shard."""

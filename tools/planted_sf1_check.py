@@ -92,13 +92,44 @@ def _copy0_mask(pdf, ids, period, periods):
     return mask
 
 
-def _canon(pdf, tol):
-    cols = sorted(pdf.columns)
-    pdf = pdf[cols].copy()
-    for c in cols:
-        if c in tol:
-            pdf[c] = pdf[c].round(5)
-    return set(map(tuple, pdf.itertuples(index=False, name=None)))
+def _diff(base, big0, tol):
+    """(missing, extra) example tuples after key-matched comparison.
+
+    Float columns named in ``tol`` are compared ``|a−b| <= tol[c]`` after
+    matching rows on the exact (non-float) columns — NOT by rounding to a
+    fixed decimal grid and set-comparing, which the round-6 ADVICE
+    correctly called out as neither the stated tolerance nor a reliable
+    equality (two in-tolerance values straddling a grid boundary round
+    apart; values up to a full quantum apart round together)."""
+    cols = sorted(base.columns)
+    keys = [c for c in cols if c not in tol]
+    fl = [c for c in cols if c in tol]
+    if not fl:
+        want = set(map(tuple, base[cols].itertuples(index=False, name=None)))
+        got = set(map(tuple, big0[cols].itertuples(index=False, name=None)))
+        return sorted(want - got), sorted(got - want)
+    m = base[cols].merge(
+        big0[cols], on=keys, how="outer", indicator=True,
+        suffixes=("_a", "_b"),
+    )
+    missing = [
+        tuple(r) for r in
+        m.loc[m["_merge"] == "left_only", keys].itertuples(index=False)
+    ]
+    extra = [
+        tuple(r) for r in
+        m.loc[m["_merge"] == "right_only", keys].itertuples(index=False)
+    ]
+    both = m[m["_merge"] == "both"]
+    bad = None
+    for c in fl:
+        b = (both[f"{c}_a"] - both[f"{c}_b"]).abs() > tol[c]
+        bad = b if bad is None else (bad | b)
+    if bad is not None and bad.any():
+        for r in both.loc[bad, keys].itertuples(index=False):
+            missing.append(tuple(r))
+            extra.append(tuple(r))
+    return sorted(missing), sorted(extra)
 
 
 def main() -> None:
@@ -123,9 +154,7 @@ def main() -> None:
         tol = cfg.get("tol", {})
         mask = _copy0_mask(big, cfg["ids"], cfg["period"], periods)
         big0 = big[mask]
-        want = _canon(base, tol)
-        got = _canon(big0, tol)
-        missing, extra = want - got, got - want
+        missing, extra = _diff(base, big0, tol)
         row = {
             "sf01_rows": len(base),
             "sf1_rows": len(big),
