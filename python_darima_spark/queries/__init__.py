@@ -36,6 +36,7 @@ _MODULES = [
     "python_darima_spark.queries.tpch",
     "python_darima_spark.queries.subqueries",
     "python_darima_spark.queries.graph",
+    "python_darima_spark.queries.pipeline_ext",
 ]
 
 # Execution order: the driver's correctness pass records at most ~50
