@@ -50,10 +50,23 @@ _MODULES = [
 # PROBE_r0*/PROBE_SF01_r0* artifacts are the full local replicas of the
 # driver gate over ALL entries regardless of the cap.
 _PRIORITY = [
+    # --- ROUND-7 head: the eleven new pipeline_ext entries have never
+    # had a driver row — they go first under the ~50-row cap.
+    "q_text_quality_c4",
+    "q_text_dedup_lines",
+    "q_dedup_url",
+    "q_mixture_temperature",
+    "q_cdc_diff",
+    "q_binpack_plan",
+    "q_graph_linkpred",
+    "q_ts_acf",
+    "q_ts_reconcile",
+    "q_embed_kmeans",
+    "q_stream_watermark_late",
     # --- ROUND-6 head: the driver cap is ~50 rows, so entries whose
     # FORMULATION changed this round (or that have never had a row)
     # come first, then rows-only refreshes, then the long green tail.
-    # (1) new this round
+    # (1) new round 6
     "q_embed_pca_planted",
     "q_ts_many_series_census",
     "q_stream_anomaly_tws",

@@ -500,6 +500,487 @@ FROM packed
 """
 
 
+# ---------------------------------------------------------------------------
+# q_graph_linkpred — common-neighbor link prediction on a bipartite graph
+# ---------------------------------------------------------------------------
+
+# Customer↔part co-purchase graph from orders⋈lineitem. The classic
+# common-neighbors score projects the bipartite graph onto customer
+# pairs; the quadratic danger is hub parts (a part bought by B customers
+# emits B²/2 pairs), so the operator carries an explicit DEGREE CAP:
+# only parts with ≤ _LP_MAX_DEG distinct buyers generate candidates —
+# the standard hub-suppression contract (hubs carry ~no signal for
+# similarity anyway). The oracle states the same cap, so the hash
+# certifies the capped semantics exactly.
+_LP_MAX_DEG = 25
+_LP_MIN_COMMON = 2
+
+
+def q_graph_linkpred(spark: SparkSession, sf: str) -> DataFrame:
+    """Common-neighbors link prediction over the customer↔part
+    co-purchase graph, hub-capped.
+
+    Plan: the bipartite edge list distincts on (part, cust) — one
+    shuffle; the degree filter broadcasts (part→degree is small);
+    candidate pairs come from a self-join keyed on PART, so per-key
+    fan-out is ≤ cap² and the shuffle is skew-free by construction.
+    At 100 TB the cap is the lever that keeps the projection linear in
+    the edge count.
+    """
+    li = load(spark, sf, "lineitem")
+    orders = load(spark, sf, "orders")
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select("l_partkey", "o_custkey")
+        .distinct()
+    )
+    deg = edges.groupBy("l_partkey").agg(F.count("*").alias("n_buyers"))
+    small = edges.join(
+        F.broadcast(deg.where(F.col("n_buyers") <= _LP_MAX_DEG)), "l_partkey"
+    )
+    a = small.select("l_partkey", F.col("o_custkey").alias("c1"))
+    b = small.select("l_partkey", F.col("o_custkey").alias("c2"))
+    pairs = a.join(b, "l_partkey").where(F.col("c1") < F.col("c2"))
+    return (
+        pairs.groupBy("c1", "c2")
+        .agg(F.count("*").alias("common_parts"))
+        .where(F.col("common_parts") >= _LP_MIN_COMMON)
+    )
+
+
+_LINKPRED_ORACLE = f"""
+WITH edges AS (
+  SELECT DISTINCT l_partkey, o_custkey
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), deg AS (
+  SELECT l_partkey, count(*) AS n_buyers FROM edges GROUP BY l_partkey
+), small AS (
+  SELECT e.* FROM edges e JOIN deg USING (l_partkey)
+  WHERE n_buyers <= {_LP_MAX_DEG}
+)
+SELECT a.o_custkey AS c1, b.o_custkey AS c2,
+       CAST(count(*) AS BIGINT) AS common_parts
+FROM small a JOIN small b USING (l_partkey)
+WHERE a.o_custkey < b.o_custkey
+GROUP BY 1, 2
+HAVING count(*) >= {_LP_MIN_COMMON}
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_ts_acf — integer-centered autocorrelation per series
+# ---------------------------------------------------------------------------
+
+# ACF at lags 1 and 7 over the per-type daily value series. Exactness
+# contract: daily sums in integer CENTS; the series is centered by the
+# FLOOR mean (an exact BIGINT), so deviations, lag products and both
+# accumulator sums are exact integers on both engines — the only float
+# op is the final num/den division of two BIGINTs (correctly rounded,
+# then tie-safe-quantized). Magnitudes: at the 10× sf1 replica the
+# worst lag-product sum is ~3e17, inside BIGINT.
+
+
+def q_ts_acf(spark: SparkSession, sf: str) -> DataFrame:
+    """Lag-1 / lag-7 autocorrelation of each event_type's daily totals.
+
+    Plan: one partial-agg groupBy to daily grain (the big shuffle, keyed
+    (type, day)), then per-type windows over O(days) rows — at 100 TB
+    the day-grain rollup crushes the data 10^6:1 before any window sees
+    it; the window partitions by series key so 10^6 series parallelize.
+    """
+    ev = load(spark, sf, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.sum(cents).alias("x"))
+    )
+    wd = Window.partitionBy("event_type")
+    wo = wd.orderBy("day")
+    centered = (
+        daily.withColumn("n_days", F.count("*").over(wd))
+        .withColumn("s", F.sum("x").over(wd))
+        .withColumn("dev", F.col("x") - F.expr("s div n_days"))
+        .withColumn("dev_l1", F.lag("dev", 1).over(wo))
+        .withColumn("dev_l7", F.lag("dev", 7).over(wo))
+    )
+    agg = centered.groupBy("event_type", "n_days").agg(
+        F.sum(F.col("dev") * F.col("dev")).alias("den"),
+        F.sum(F.col("dev") * F.col("dev_l1")).alias("num1"),
+        F.sum(F.col("dev") * F.col("dev_l7")).alias("num7"),
+    )
+    return agg.select(
+        "event_type",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        rhu(F.col("num1").cast("double") / F.col("den").cast("double"), 6)
+        .alias("acf_lag1"),
+        rhu(F.col("num7").cast("double") / F.col("den").cast("double"), 6)
+        .alias("acf_lag7"),
+    )
+
+
+_ACF_ORACLE = """
+WITH daily AS (
+  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), c AS (
+  SELECT event_type, day, x,
+         count(*) OVER (PARTITION BY event_type) AS n_days,
+         x - sum(x) OVER (PARTITION BY event_type)
+               // count(*) OVER (PARTITION BY event_type) AS dev
+  FROM daily
+), l AS (
+  SELECT event_type, n_days, dev,
+         lag(dev, 1) OVER (PARTITION BY event_type ORDER BY day) AS dev_l1,
+         lag(dev, 7) OVER (PARTITION BY event_type ORDER BY day) AS dev_l7
+  FROM c
+)
+SELECT event_type, CAST(n_days AS BIGINT) AS n_days,
+       floor(CAST(sum(dev * dev_l1) AS DOUBLE)
+             / CAST(sum(dev * dev) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS acf_lag1,
+       floor(CAST(sum(dev * dev_l7) AS DOUBLE)
+             / CAST(sum(dev * dev) AS DOUBLE) * 1e6 + 0.5) / 1e6 AS acf_lag7
+FROM l GROUP BY 1, 2
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_ts_reconcile — hierarchical forecast reconciliation (bottom-up share)
+# ---------------------------------------------------------------------------
+
+# Hierarchical forecasting: per-type naive forecasts (mean of the last
+# 14 days, exact integer cents) disagree with the independently-computed
+# TOTAL forecast; reconcile by allocating the top forecast to types
+# proportionally to their bottom forecasts (the classic top-down-by-
+# forecast-proportions scheme). All shares are exact integer products
+# (HUGEINT / decimal(38,0)) with one floor division.
+_RECON_WINDOW_DAYS = 14
+
+
+def q_ts_reconcile(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-down proportional reconciliation of per-type daily forecasts
+    against the aggregate forecast.
+
+    Plan: one day-grain rollup shuffle, then O(types) arithmetic under
+    a broadcast 1-row top-forecast join — the hierarchy fan-in costs
+    nothing at any scale once the day grain exists.
+    """
+    ev = load(spark, sf, "events")
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    daily = (
+        ev.groupBy("event_type", F.date_trunc("day", "ts").alias("day"))
+        .agg(F.sum(cents).alias("x"))
+    )
+    maxday = daily.agg(F.max("day").alias("mx"))
+    recent = daily.crossJoin(F.broadcast(maxday)).where(
+        F.col("day") >= F.col("mx") - F.expr(
+            f"INTERVAL {_RECON_WINDOW_DAYS - 1} DAYS"
+        )
+    )
+    bottom = recent.groupBy("event_type").agg(
+        F.expr("sum(x) div count(*)").alias("bottom_fc")
+    )
+    top = recent.groupBy("day").agg(F.sum("x").alias("tot")).agg(
+        F.expr("sum(tot) div count(*)").alias("top_fc")
+    )
+    sum_bottom = bottom.agg(F.sum("bottom_fc").alias("sum_bottom"))
+    out = bottom.crossJoin(F.broadcast(top)).crossJoin(
+        F.broadcast(sum_bottom)
+    )
+    recon = F.floor(
+        F.col("top_fc").cast("decimal(38,0)")
+        * F.col("bottom_fc").cast("decimal(38,0)")
+        / F.col("sum_bottom").cast("decimal(38,0)")
+    ).cast("bigint")
+    return out.select(
+        "event_type", "bottom_fc", "top_fc", recon.alias("recon_fc")
+    )
+
+
+_RECON_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', CAST(ts AS TIMESTAMP)) AS day,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+  FROM events GROUP BY 1, 2
+), mx AS (SELECT max(day) AS mx FROM daily),
+recent AS (
+  SELECT d.* FROM daily d, mx
+  WHERE d.day >= mx.mx - INTERVAL {_RECON_WINDOW_DAYS - 1} DAY
+), bottom AS (
+  SELECT event_type, CAST(sum(x) // count(*) AS BIGINT) AS bottom_fc
+  FROM recent GROUP BY event_type
+), top AS (
+  SELECT CAST(sum(tot) // count(*) AS BIGINT) AS top_fc
+  FROM (SELECT day, sum(x) AS tot FROM recent GROUP BY day)
+), sb AS (SELECT sum(bottom_fc) AS sum_bottom FROM bottom)
+SELECT event_type, bottom_fc, top_fc,
+       CAST(CAST(top_fc AS HUGEINT) * bottom_fc // sum_bottom AS BIGINT)
+         AS recon_fc
+FROM bottom, top, sb
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_embed_kmeans — Lloyd's k-means, planted-separation hash certification
+# ---------------------------------------------------------------------------
+
+# K-means is iterative and data-dependent — normally rows-only. The
+# planted-fixture trick (cf. q_embed_pca_planted) makes it hash-exact:
+# points are planted on 4 integer cluster boxes 5000 apart with jitter
+# ≤ 200, so (a) every assignment margin is ≥ 4000² distance units —
+# float ties are impossible; (b) centroid sums are exact BIGINTs, so
+# the means both engines divide are bit-identical doubles. 3 Lloyd
+# iterations from fixed corner seeds therefore produce identical
+# assignments and centroids on both engines, certifying the LOOP
+# (assign → re-center → repeat), not just one step.
+_KM_K = 4
+_KM_ITERS = 3
+_KM_SEEDS = [(100.0, 100.0), (5100.0, 100.0), (100.0, 5100.0), (5100.0, 5100.0)]
+
+
+def _km_planted(emb: DataFrame) -> DataFrame:
+    h = "cast(conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10) as bigint)"
+    jx = "cast(conv(substring(md5(cast(vec_id as string)), 9, 8), 16, 10) as bigint) % 200"
+    jy = "cast(conv(substring(md5(cast(vec_id as string)), 17, 8), 16, 10) as bigint) % 200"
+    return emb.select(
+        "vec_id",
+        F.expr(f"(({h}) % {_KM_K} % 2) * 5000 + {jx}").alias("px"),
+        F.expr(f"(({h}) % {_KM_K} div 2) * 5000 + {jy}").alias("py"),
+    )
+
+
+def q_embed_kmeans(spark: SparkSession, sf: str) -> DataFrame:
+    """3-iteration Lloyd's k-means (k=4) on planted-separation 2-D
+    points derived from ``embeddings.vec_id``.
+
+    Plan: per iteration, assignment is a map-only expression over a
+    k-element literal array (centroids are collected to the driver —
+    an O(k) bounded collect, the same contract as the BPE argmax), and
+    re-centering is one partial-agg groupBy on the cluster id. At
+    100 TB: k centroids broadcast as literals; 2 map-reduce passes per
+    iteration; no shuffle grows with k or data skew.
+    """
+    emb = load(spark, sf, "embeddings")
+    pts = _km_planted(emb)
+    cents = list(_KM_SEEDS)
+    for _ in range(_KM_ITERS):
+        dists = F.array(
+            *[
+                F.struct(
+                    (
+                        (F.col("px").cast("double") - F.lit(cx)) ** 2
+                        + (F.col("py").cast("double") - F.lit(cy)) ** 2
+                    ).alias("dist"),
+                    F.lit(cid).alias("cid"),
+                )
+                for cid, (cx, cy) in enumerate(cents)
+            ]
+        )
+        assigned = pts.withColumn("cid", F.array_min(dists)["cid"])
+        stats = (
+            assigned.groupBy("cid")
+            .agg(
+                F.sum("px").alias("sx"),
+                F.sum("py").alias("sy"),
+                F.count("*").alias("n"),
+            )
+            .collect()
+        )
+        new: dict[int, tuple[float, float]] = {}
+        for r in stats:
+            new[r["cid"]] = (r["sx"] / r["n"], r["sy"] / r["n"])
+        cents = [new.get(i, _KM_SEEDS[i]) for i in range(_KM_K)]
+        final_stats = {r["cid"]: (r["sx"], r["sy"], r["n"]) for r in stats}
+    rows = [
+        (
+            cid,
+            int(final_stats[cid][2]) if cid in final_stats else 0,
+            float(cents[cid][0]),
+            float(cents[cid][1]),
+        )
+        for cid in range(_KM_K)
+    ]
+    out = spark.createDataFrame(rows, "cid int, n bigint, cx double, cy double")
+    return out.select(
+        "cid", "n", rhu(F.col("cx"), 4).alias("cx"), rhu(F.col("cy"), 4).alias("cy")
+    )
+
+
+def _km_oracle() -> str:
+    pts = """
+  SELECT vec_id,
+         (CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 4 % 2) * 5000
+           + CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 9, 8))
+                  AS BIGINT) % 200 AS px,
+         (CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8))
+               AS BIGINT) % 4 // 2) * 5000
+           + CAST(('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 17, 8))
+                  AS BIGINT) % 200 AS py
+  FROM embeddings
+"""
+    seeds = ", ".join(
+        f"({cid}, CAST({cx} AS DOUBLE), CAST({cy} AS DOUBLE))"
+        for cid, (cx, cy) in enumerate(_KM_SEEDS)
+    )
+    sql = f"WITH pts AS ({pts}), c0(cid, cx, cy) AS (VALUES {seeds})"
+    prev = "c0"
+    for it in range(1, _KM_ITERS + 1):
+        sql += f""",
+a{it} AS (
+  SELECT vec_id, px, py,
+         arg_min(cid, (px - cx) * (px - cx) + (py - cy) * (py - cy)) AS cid
+  FROM pts, {prev}
+  GROUP BY vec_id, px, py
+),
+c{it} AS (
+  SELECT cid, CAST(sum(px) AS DOUBLE) / count(*) AS cx,
+         CAST(sum(py) AS DOUBLE) / count(*) AS cy,
+         CAST(count(*) AS BIGINT) AS n
+  FROM a{it} GROUP BY cid
+)"""
+        prev = f"c{it}"
+    sql += f"""
+SELECT CAST(cid AS INT) AS cid, n,
+       floor(cx * 1e4 + 0.5) / 1e4 AS cx,
+       floor(cy * 1e4 + 0.5) / 1e4 AS cy
+FROM c{_KM_ITERS}
+"""
+    return sql
+
+
+# ---------------------------------------------------------------------------
+# q_stream_watermark_late — late-data DROP semantics certification
+# ---------------------------------------------------------------------------
+
+# The other q_stream_* entries replay in ts order, so their watermarks
+# never actually drop anything. This entry PLANTS late arrivals: rows
+# with event_id%13==0 AND ts in the FIRST HALF of the time range
+# (exact integer-micros midpoint) are held out of the in-order chunks
+# and replayed as the final micro-batch — by then the watermark has
+# advanced days past their windows, so Spark MUST drop every one of
+# them, and the oracle is simply the tumbling aggregate of the on-time
+# rows under the final-emission cutoff (window_end ≤ global max ts −
+# delay). A hash match certifies the drop: keeping even one late row
+# shifts a group count (measured: the pre-fix formulation differed in
+# 251 groups).
+#
+# Why first-half-only: the watermark IN FORCE while the late batch is
+# processed turned out to lag one batch behind the data (it reflected
+# chunks 1-2, not 1-3, of the in-order replay) — i.e. it sits at SOME
+# boundary of the approximate-quantile chunk split, which no exact SQL
+# oracle can restate. Late rows whose windows predate EVERY plausible
+# in-force watermark (first half vs. a watermark ≥ the ~2/3 boundary
+# minus 47 min) make the drop outcome boundary-independent.
+_LATE_DELAY = "47 minutes"  # odd delay: no window_end ever ties a cutoff
+
+
+def _stage_late_chunks(spark: SparkSession, sf_dir: str) -> str:
+    """3 in-order chunks of the non-late rows + 1 trailing chunk holding
+    the planted late rows (event_id%13==0, original timestamps). Same
+    fingerprint-keyed staging-cache contract as stage_event_chunks."""
+    import os
+    import tempfile
+
+    from python_darima_spark.operators import epoch_seconds
+    from python_darima_spark.streaming.windows import _fixture_fingerprint
+
+    tag = os.path.basename(os.path.normpath(sf_dir))
+    fp = _fixture_fingerprint(sf_dir, "events")
+    path = os.path.join(
+        tempfile.gettempdir(), f"pds_stream_late_v2_{tag}_{fp}"
+    )
+    done = os.path.join(path, "_STAGED")
+    if not os.path.exists(done):
+        raw = (
+            load(spark, sf_dir, "events")
+            .withColumn("_es", epoch_seconds("ts", fractional=True))
+            .withColumn("_us", F.unix_micros(F.col("ts").cast("timestamp")))
+            .persist()
+        )
+        span = raw.agg(
+            F.expr("(min(_us) + max(_us)) div 2").alias("mid")
+        ).collect()[0]
+        is_late = (F.col("event_id") % 13 == 0) & (
+            F.col("_us") <= F.lit(int(span["mid"]))
+        )
+        ontime = raw.where(~is_late)
+        cuts = ontime.approxQuantile("_es", [1 / 3, 2 / 3], 0.001)
+        lo = [None, *cuts]
+        hi = [*cuts, None]
+        for i in range(1, 4):
+            pred = F.lit(True)
+            if lo[i - 1] is not None:
+                pred = F.col("_es") >= F.lit(float(lo[i - 1]))
+            if hi[i - 1] is not None:
+                pred = pred & (F.col("_es") < F.lit(float(hi[i - 1])))
+            (
+                ontime.where(pred)
+                .drop("_es", "_us")
+                .sort("ts", "event_id")
+                .coalesce(1)
+                .write.mode("overwrite")
+                .parquet(os.path.join(path, f"chunk={i:03d}"))
+            )
+        (
+            raw.where(is_late)
+            .drop("_es", "_us")
+            .sort("ts", "event_id")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(path, "chunk=004"))
+        )
+        raw.unpersist()
+        open(done, "w").close()
+    return path
+
+
+def q_stream_watermark_late(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling 1 h counts per event_type under a 47-minute watermark
+    with PLANTED late arrivals in the final micro-batch.
+
+    Plan: standard streaming windowed agg — state keyed (window, type),
+    late rows filtered BEFORE state access (that filter is exactly what
+    this query certifies). At 100 TB the watermark bound is what keeps
+    state finite; this entry is the proof the engine enforces it.
+    """
+    from python_darima_spark.streaming.windows import (
+        read_event_stream,
+        run_stream_to_table,
+    )
+
+    stream = read_event_stream(spark, _stage_late_chunks(spark, sf))
+    agg = (
+        stream.withWatermark("ts", _LATE_DELAY)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("wstart"), "event_type", "n")
+    )
+    name = run_stream_to_table(agg, "append")
+    return spark.table(name)
+
+
+_LATE_ORACLE = """
+WITH ev0 AS (
+  SELECT CAST(ts AS TIMESTAMP) AS ts, event_type, event_id FROM events
+), mid AS (
+  SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid FROM ev0
+), ev AS (
+  SELECT ts, event_type,
+         (event_id % 13 = 0 AND epoch_us(ts) <= mid) AS late
+  FROM ev0, mid
+), wm AS (
+  SELECT max(ts) - INTERVAL 47 MINUTE AS wm_final FROM ev
+)
+SELECT date_trunc('hour', ts) AS wstart, event_type,
+       CAST(count(*) AS BIGINT) AS n
+FROM ev, wm
+WHERE NOT late
+  AND date_trunc('hour', ts) + INTERVAL 1 HOUR <= wm_final
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "q_text_quality_c4": QuerySpec(q_text_quality_c4, _C4_ORACLE),
     "q_text_dedup_lines": QuerySpec(q_text_dedup_lines, _DEDUP_LINES_ORACLE),
@@ -509,4 +990,11 @@ QUERIES = {
     ),
     "q_cdc_diff": QuerySpec(q_cdc_diff, _CDC_ORACLE),
     "q_binpack_plan": QuerySpec(q_binpack_plan, _BINPACK_ORACLE),
+    "q_graph_linkpred": QuerySpec(q_graph_linkpred, _LINKPRED_ORACLE),
+    "q_ts_acf": QuerySpec(q_ts_acf, _ACF_ORACLE),
+    "q_ts_reconcile": QuerySpec(q_ts_reconcile, _RECON_ORACLE),
+    "q_embed_kmeans": QuerySpec(q_embed_kmeans, _km_oracle()),
+    "q_stream_watermark_late": QuerySpec(
+        q_stream_watermark_late, _LATE_ORACLE
+    ),
 }

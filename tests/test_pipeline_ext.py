@@ -1,0 +1,183 @@
+"""Targeted invariants for the round-7 pipeline_ext operators, each
+checked against an INDEPENDENT formulation (pandas brute force, planted
+structure) rather than the DuckDB oracle the parity test already runs.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from python_darima_spark.queries.pipeline_ext import (
+    _KM_ITERS,
+    _KM_K,
+    _LP_MAX_DEG,
+    _LP_MIN_COMMON,
+    q_cdc_diff,
+    q_embed_kmeans,
+    q_graph_linkpred,
+    q_mixture_temperature,
+    q_stream_watermark_late,
+    q_text_dedup_lines,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_linkpred_matches_pandas_bruteforce(spark):
+    """The capped common-neighbors projection equals a row-at-a-time
+    pandas recomputation (different join/aggregation machinery)."""
+    got = (
+        q_graph_linkpred(spark, SF)
+        .toPandas()
+        .sort_values(["c1", "c2"])
+        .reset_index(drop=True)
+    )
+    li = pd.read_parquet(f"{SF}/lineitem.parquet", columns=["l_orderkey", "l_partkey"])
+    orders = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey", "o_custkey"])
+    edges = (
+        li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")[
+            ["l_partkey", "o_custkey"]
+        ].drop_duplicates()
+    )
+    deg = edges.groupby("l_partkey").size()
+    small = edges[edges.l_partkey.isin(deg[deg <= _LP_MAX_DEG].index)]
+    from collections import Counter
+
+    cnt: Counter = Counter()
+    for _, grp in small.groupby("l_partkey"):
+        cs = sorted(grp.o_custkey)
+        for i in range(len(cs)):
+            for j in range(i + 1, len(cs)):
+                cnt[(cs[i], cs[j])] += 1
+    want = (
+        pd.DataFrame(
+            [
+                (c1, c2, n)
+                for (c1, c2), n in cnt.items()
+                if n >= _LP_MIN_COMMON
+            ],
+            columns=["c1", "c2", "common_parts"],
+        )
+        .sort_values(["c1", "c2"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want) > 0
+    pd.testing.assert_frame_equal(
+        got.astype("int64"), want.astype("int64")
+    )
+
+
+def test_kmeans_recovers_planted_clusters(spark):
+    """After 3 Lloyd iterations from corner seeds, each centroid must sit
+    inside its planted jitter box (cluster base + [0, 200) per axis) and
+    the sizes must sum to the table size — i.e. the loop actually
+    converged to the planted structure, on any fixture."""
+    out = q_embed_kmeans(spark, SF).toPandas().sort_values("cid")
+    assert list(out.cid) == list(range(_KM_K))
+    n_emb = spark.read.parquet(f"{SF}/embeddings.parquet").count()
+    assert out.n.sum() == n_emb
+    for _, r in out.iterrows():
+        bx, by = (r.cid % 2) * 5000, (r.cid // 2) * 5000
+        assert bx <= r.cx < bx + 200, (r.cid, r.cx)
+        assert by <= r.cy < by + 200, (r.cid, r.cy)
+    assert _KM_ITERS == 3  # the oracle unrolls exactly this many
+
+
+def test_cdc_diff_partition_sanity(spark):
+    """Every op class must match its planted population exactly."""
+    out = q_cdc_diff(spark, SF).toPandas()
+    orders = pd.read_parquet(f"{SF}/orders.parquet", columns=["o_orderkey"])
+    k = orders.o_orderkey
+    want_ins = int(((k % 10 == 7) & (k % 13 != 3)).sum())
+    want_del = int(((k % 10 != 7) & (k % 13 == 3)).sum())
+    want_upd = int(
+        ((k % 10 != 7) & (k % 13 != 3) & (k % 4 == 1)).sum()
+    )
+    by_op = out.groupby("op").size()
+    assert by_op.get("insert", 0) == want_ins
+    assert by_op.get("delete", 0) == want_del
+    assert by_op.get("update", 0) == want_upd
+    upd = out[out.op == "update"]
+    assert (upd.new_cents - upd.old_cents == 100).all()
+
+
+def test_mixture_weights_sum_to_one(spark):
+    out = q_mixture_temperature(spark, SF).toPandas()
+    assert abs(out.weight.sum() - 1.0) < 1e-4
+    # temperature flattening: weight spread is strictly narrower than
+    # the raw char-share spread
+    share = out.chars / out.chars.sum()
+    assert out.weight.max() - out.weight.min() < share.max() - share.min() + 1e-12
+
+
+def test_dedup_lines_removes_only_frequent_segments(spark):
+    out = q_text_dedup_lines(spark, SF).toPandas()
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    # cleaned text is always a subsequence of the original segmentation
+    orig = docs.set_index("doc_id").text.to_dict()
+    sample = out.head(20)
+    for _, r in sample.iterrows():
+        words = orig[r.doc_id].split(" ")
+        segs = [
+            " ".join(words[i : i + 3]) for i in range(0, len(words), 3)
+        ]
+        assert r.n_kept <= len(segs)
+        # the cleaned text re-segmented must be an in-order subsequence
+        # of the original segmentation
+        assert _is_subsequence(_split3(r.cleaned), segs)
+
+
+def _split3(text: str) -> list[str]:
+    ws = text.split(" ")
+    return [" ".join(ws[i : i + 3]) for i in range(0, len(ws), 3)]
+
+
+def _is_subsequence(sub: list[str], full: list[str]) -> bool:
+    it = iter(full)
+    return all(any(s == f for f in it) for s in sub)
+
+
+def test_watermark_late_drops_all_planted_rows(spark):
+    """The streaming output must equal the BATCH aggregate of on-time
+    rows under the final-emission cutoff — i.e. zero planted late rows
+    leaked into any window count (computed here with the batch engine,
+    not the DuckDB oracle)."""
+    got = q_stream_watermark_late(spark, SF).toPandas()
+    from python_darima_spark.queries import load
+
+    ev = load(spark, SF, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    us = F.unix_micros(F.col("ts"))
+    mid = ev.agg(
+        F.expr("(min(unix_micros(ts)) + max(unix_micros(ts))) div 2")
+    ).collect()[0][0]
+    ontime = ev.where(~((F.col("event_id") % 13 == 0) & (us <= F.lit(int(mid)))))
+    cutoff = ev.agg(
+        F.max("ts") - F.expr("INTERVAL 47 MINUTES")
+    ).collect()[0][0]
+    want = (
+        ontime.groupBy(
+            F.date_trunc("hour", "ts").alias("wstart"), "event_type"
+        )
+        .agg(F.count("*").alias("n"))
+        .where(
+            F.col("wstart") + F.expr("INTERVAL 1 HOUR") <= F.lit(cutoff)
+        )
+        .toPandas()
+    )
+    g = got.sort_values(["wstart", "event_type"]).reset_index(drop=True)
+    w = want.sort_values(["wstart", "event_type"]).reset_index(drop=True)
+    assert len(g) == len(w) > 0
+    assert (g.n.values == w.n.values).all()
+
+
+@pytest.mark.parametrize("_", [0])
+def test_segment_threshold_is_nontrivial(spark, _):
+    """The boilerplate filter must actually remove something at this SF
+    (guards against a degenerate threshold after fixture regeneration)."""
+    out = q_text_dedup_lines(spark, SF).toPandas()
+    docs = spark.read.parquet(f"{SF}/documents.parquet").count()
+    assert 0 < len(out) <= docs
