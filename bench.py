@@ -120,6 +120,18 @@ HEADLINE = [
     # the round-6 counting-prefix rewrite's flagship (was the r5
     # verdict's one scale-killer; now 2.4x at 10x data)
     "q_dedup_containment",
+    # round-7 additions
+    "q_text_quality_c4",
+    "q_text_dedup_lines",
+    "q_dedup_url",
+    "q_mixture_temperature",
+    "q_cdc_diff",
+    "q_binpack_plan",
+    "q_graph_linkpred",
+    "q_ts_acf",
+    "q_ts_reconcile",
+    "q_embed_kmeans",
+    "q_stream_watermark_late",
 ]
 
 

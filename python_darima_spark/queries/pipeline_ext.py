@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from python_darima_spark.operators import ensure_parallelism
 from python_darima_spark.queries import QuerySpec, load, rhu
 
 
@@ -44,9 +45,11 @@ def q_text_quality_c4(spark: SparkSession, sf: str) -> DataFrame:
     word array — map-only, no shuffle, whole-stage-codegen: at 100 TB
     this is a pure scan-side filter that composes with any downstream
     shuffle for free. The repetition gate is O(distinct·len) per doc on
-    a ≤100-word array — bounded per-row work, not a join.
+    a ≤100-word array — bounded per-row work, not a join; locally the
+    compact single-file scan under-partitions that per-row kernel, so
+    ensure_parallelism spreads it (a no-op once the scan has splits).
     """
-    docs = load(spark, sf, "documents")
+    docs = ensure_parallelism(load(spark, sf, "documents"))
     ws = F.split(F.col("text"), " ")
     n_words = F.size(ws)
     stop_cnt = F.size(F.filter(ws, lambda w: w.isin("the", "a")))
@@ -124,7 +127,7 @@ def q_text_dedup_lines(spark: SparkSession, sf: str) -> DataFrame:
     anti-join against it rather than this equi-join; the fixture-scale
     formulation joins directly which AQE already broadcasts.
     """
-    docs = load(spark, sf, "documents")
+    docs = ensure_parallelism(load(spark, sf, "documents"))
     ws = F.split(F.col("text"), " ")
     n_seg = F.ceil(F.size(ws) / F.lit(float(_SEG_WORDS))).cast("int")
     segs = F.transform(
