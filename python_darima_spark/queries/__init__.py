@@ -63,6 +63,7 @@ _PRIORITY = [
     "q_ts_reconcile",
     "q_embed_kmeans",
     "q_stream_watermark_late",
+    "q_ts_backtest_census",
     # --- ROUND-6 head: the driver cap is ~50 rows, so entries whose
     # FORMULATION changed this round (or that have never had a row)
     # come first, then rows-only refreshes, then the long green tail.

@@ -853,6 +853,44 @@ FROM c{_KM_ITERS}
 
 
 # ---------------------------------------------------------------------------
+# q_ts_backtest_census — structural hash certification of the ARIMA backtest
+# ---------------------------------------------------------------------------
+
+
+def q_ts_backtest_census(spark: SparkSession, sf: str) -> DataFrame:
+    """HASH-CERTIFIED census over the real-model rolling-origin backtest
+    (the q_ts_many_series_census pattern applied to
+    q_ts_backtest_arima, which stays rows-only — ARIMA MAE values are
+    not SQL-restatable). The STRUCTURE is: every (series × fold) cell
+    present (no silent series/fold loss through fit→combine→forecast→
+    score), each scoring exactly the 24-point horizon the config
+    implies, each with a finite strictly-positive MAE (a diverged fit
+    yields NaN/inf and flips the flag)."""
+    from python_darima_spark.queries.domain import q_ts_backtest_arima
+
+    bt = q_ts_backtest_arima(spark, sf)
+    m = F.col("mae")
+    mae_pos = (
+        m.isNotNull() & ~F.isnan(m) & (m > 0) & (m < F.lit(float("inf")))
+    )
+    return bt.select(
+        "series_id",
+        "fold",
+        F.col("n_points").cast("bigint").alias("n_points"),
+        mae_pos.cast("int").alias("mae_pos"),
+    )
+
+
+_BACKTEST_CENSUS_ORACLE = """
+WITH s AS (SELECT DISTINCT event_type AS series_id FROM events),
+f AS (SELECT unnest([1, 2, 3]) AS fold)
+SELECT series_id, CAST(fold AS INT) AS fold,
+       CAST(24 AS BIGINT) AS n_points, CAST(1 AS INT) AS mae_pos
+FROM s, f
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_stream_watermark_late — late-data DROP semantics certification
 # ---------------------------------------------------------------------------
 
@@ -999,5 +1037,8 @@ QUERIES = {
     "q_embed_kmeans": QuerySpec(q_embed_kmeans, _km_oracle()),
     "q_stream_watermark_late": QuerySpec(
         q_stream_watermark_late, _LATE_ORACLE
+    ),
+    "q_ts_backtest_census": QuerySpec(
+        q_ts_backtest_census, _BACKTEST_CENSUS_ORACLE
     ),
 }
