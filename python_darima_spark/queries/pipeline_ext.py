@@ -524,11 +524,15 @@ def q_graph_linkpred(spark: SparkSession, sf: str) -> DataFrame:
     co-purchase graph, hub-capped.
 
     Plan: the bipartite edge list distincts on (part, cust) — one
-    shuffle; the degree filter broadcasts (part→degree is small);
-    candidate pairs come from a self-join keyed on PART, so per-key
-    fan-out is ≤ cap² and the shuffle is skew-free by construction.
-    At 100 TB the cap is the lever that keeps the projection linear in
-    the edge count.
+    shuffle; the degree filter joins WITHOUT a broadcast hint — the
+    (part, degree) table is PART-cardinality, so a forced broadcast
+    would stop scaling exactly when parts do (the round-6 curation
+    lesson); AQE broadcasts it at fixture scale anyway, and at 100 TB
+    the join is already keyed on part like everything downstream.
+    Candidate pairs come from a self-join keyed on PART, so per-key
+    fan-out is ≤ cap² and the shuffle is skew-free by construction —
+    the cap is the lever that keeps the projection linear in the edge
+    count.
     """
     li = load(spark, sf, "lineitem")
     orders = load(spark, sf, "orders")
@@ -539,7 +543,7 @@ def q_graph_linkpred(spark: SparkSession, sf: str) -> DataFrame:
     )
     deg = edges.groupBy("l_partkey").agg(F.count("*").alias("n_buyers"))
     small = edges.join(
-        F.broadcast(deg.where(F.col("n_buyers") <= _LP_MAX_DEG)), "l_partkey"
+        deg.where(F.col("n_buyers") <= _LP_MAX_DEG), "l_partkey"
     )
     a = small.select("l_partkey", F.col("o_custkey").alias("c1"))
     b = small.select("l_partkey", F.col("o_custkey").alias("c2"))
