@@ -132,6 +132,10 @@ HEADLINE = [
     "q_ts_reconcile",
     "q_embed_kmeans",
     "q_stream_watermark_late",
+    "q_yoy_growth",
+    "q_attribution_last_touch",
+    "q_rfm_segment",
+    "q_dq_freshness",
 ]
 
 

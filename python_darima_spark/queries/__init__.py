@@ -64,6 +64,10 @@ _PRIORITY = [
     "q_embed_kmeans",
     "q_stream_watermark_late",
     "q_ts_backtest_census",
+    "q_yoy_growth",
+    "q_attribution_last_touch",
+    "q_rfm_segment",
+    "q_dq_freshness",
     # --- ROUND-6 head: the driver cap is ~50 rows, so entries whose
     # FORMULATION changed this round (or that have never had a row)
     # come first, then rows-only refreshes, then the long green tail.

@@ -857,6 +857,225 @@ FROM c{_KM_ITERS}
 
 
 # ---------------------------------------------------------------------------
+# q_yoy_growth — year-over-year growth report
+# ---------------------------------------------------------------------------
+
+
+def q_yoy_growth(spark: SparkSession, sf: str) -> DataFrame:
+    """Monthly order revenue with year-over-year growth — the canonical
+    BI report shape: one day→month rollup (partial-agg crushed), then a
+    lag-12 window over O(months) rows. Revenue accumulates in exact
+    integer cents; the growth ratio is the single float op, tie-safe
+    quantized. At 100 TB the month rollup is the only row-scale pass.
+    """
+    orders = load(spark, sf, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    monthly = orders.groupBy(
+        F.date_format("o_orderdate", "yyyy-MM").alias("month")
+    ).agg(F.sum(cents).alias("rev_cents"))
+    w = Window.orderBy("month")
+    prev = F.lag("rev_cents", 12).over(w)
+    return monthly.select(
+        "month",
+        "rev_cents",
+        prev.alias("prev_year_cents"),
+        rhu(
+            (F.col("rev_cents") - prev).cast("double") / prev.cast("double"),
+            6,
+        ).alias("yoy_growth"),
+    )
+
+
+_YOY_ORACLE = """
+WITH m AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS rev_cents
+  FROM orders GROUP BY 1
+)
+SELECT month, rev_cents,
+       lag(rev_cents, 12) OVER (ORDER BY month) AS prev_year_cents,
+       floor(CAST(rev_cents - lag(rev_cents, 12) OVER (ORDER BY month)
+                  AS DOUBLE)
+             / CAST(lag(rev_cents, 12) OVER (ORDER BY month) AS DOUBLE)
+             * 1e6 + 0.5) / 1e6 AS yoy_growth
+FROM m
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_attribution_last_touch — marketing attribution over the event stream
+# ---------------------------------------------------------------------------
+
+
+def q_attribution_last_touch(spark: SparkSession, sf: str) -> DataFrame:
+    """LAST-TOUCH attribution: each purchase event is credited to the
+    user's most recent preceding click (the ignore-nulls last_value
+    carry-forward idiom, which Spark has no dedicated operator for).
+
+    Plan: ONE window keyed on user_id ordered by (ts, event_id) — the
+    deterministic total order — carrying the last click's event_id
+    forward; purchases project the carried value. One exchange on
+    user_id; at 100 TB users parallelize and no state outlives a key.
+    """
+    ev = load(spark, sf, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    click_id = F.when(F.col("event_type") == "click", F.col("event_id"))
+    attributed = ev.withColumn(
+        "last_click_id", F.last(click_id, ignorenulls=True).over(w)
+    )
+    return (
+        attributed.where(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("event_id").alias("purchase_id"),
+            "last_click_id",
+        )
+    )
+
+
+_ATTRIBUTION_ORACLE = """
+WITH ev AS (
+  SELECT user_id, event_id, event_type,
+         CAST(ts AS TIMESTAMP) AS ts
+  FROM events
+), carried AS (
+  SELECT user_id, event_id, event_type,
+         last_value(CASE WHEN event_type = 'click' THEN event_id END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS last_click_id
+  FROM ev
+)
+SELECT user_id, event_id AS purchase_id, last_click_id
+FROM carried WHERE event_type = 'purchase'
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_rfm_segment — RFM customer segmentation
+# ---------------------------------------------------------------------------
+
+
+def q_rfm_segment(spark: SparkSession, sf: str) -> DataFrame:
+    """RFM segmentation: per-customer Recency (days since last order),
+    Frequency (order count) and Monetary (exact cents), each cut into
+    quintiles by ``ntile(5)`` with a fully deterministic total order
+    (metric, then custkey — ntile is ordinal, so the tie-break IS the
+    contract). Segment = 100·R + 10·F + M, the classic 111-555 code.
+
+    Plan: one groupBy(custkey) rollup, then three O(customers) window
+    passes sharing one exchange. At 100 TB the rollup output (one row
+    per customer) is what the windows see, not the order rows.
+    """
+    orders = load(spark, sf, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
+    maxd = orders.agg(F.max("o_orderdate").alias("asof"))
+    per_cust = (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            F.sum(cents).alias("monetary_cents"),
+        )
+        .crossJoin(F.broadcast(maxd))
+        .withColumn("recency_days", F.datediff("asof", "last_order"))
+    )
+    r = F.ntile(5).over(
+        Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    )
+    fq = F.ntile(5).over(
+        Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    )
+    m = F.ntile(5).over(
+        Window.orderBy(F.desc("monetary_cents"), F.asc("o_custkey"))
+    )
+    return per_cust.select(
+        "o_custkey",
+        F.col("recency_days").cast("int").alias("recency_days"),
+        "frequency",
+        "monetary_cents",
+        (r * 100 + fq * 10 + m).alias("rfm_code"),
+    )
+
+
+_RFM_ORACLE = """
+WITH hw AS (SELECT max(o_orderdate) AS as_of FROM orders),
+per_cust AS (
+  SELECT o_custkey,
+         CAST(date_diff('day', max(o_orderdate), as_of) AS INT)
+           AS recency_days,
+         CAST(count(*) AS BIGINT) AS frequency,
+         CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+           AS monetary_cents
+  FROM orders, hw GROUP BY o_custkey, as_of
+)
+SELECT o_custkey, recency_days, frequency, monetary_cents,
+       ntile(5) OVER (ORDER BY recency_days ASC, o_custkey ASC) * 100
+       + ntile(5) OVER (ORDER BY frequency DESC, o_custkey ASC) * 10
+       + ntile(5) OVER (ORDER BY monetary_cents DESC, o_custkey ASC)
+         AS rfm_code
+FROM per_cust
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_dq_freshness — per-source data freshness / staleness audit
+# ---------------------------------------------------------------------------
+
+_FRESH_STALE_DAYS = 2
+
+
+def q_dq_freshness(spark: SparkSession, sf: str) -> DataFrame:
+    """Freshness audit: per source, last arrival vs the table's global
+    high-water mark in whole days; sources lagging more than
+    ``_FRESH_STALE_DAYS`` flag stale — the standard ingestion-health
+    check next to q_dq_checks/q_dq_drift_psi. One partial-agg census +
+    a broadcast 1-row high-water join; lag is exact integer days.
+    """
+    docs = load(spark, sf, "documents")
+    # documents carry no timestamp — derive a deterministic ingest day
+    # from doc_id (planted-injection pattern): day index doc_id % 29
+    day = F.date_add(F.lit("2024-01-01").cast("date"), (F.col("doc_id") % 29).cast("int"))
+    per_src = docs.select("source", day.alias("ingest_day")).groupBy(
+        "source"
+    ).agg(F.max("ingest_day").alias("last_day"), F.count("*").alias("n_docs"))
+    hwm = per_src.agg(F.max("last_day").alias("hwm"))
+    out = per_src.crossJoin(F.broadcast(hwm))
+    lag_days = F.datediff("hwm", "last_day")
+    return out.select(
+        "source",
+        "n_docs",
+        F.col("last_day").cast("string").alias("last_day"),
+        lag_days.cast("int").alias("lag_days"),
+        (lag_days > _FRESH_STALE_DAYS).alias("stale"),
+    )
+
+
+_FRESHNESS_ORACLE = f"""
+WITH d AS (
+  SELECT source,
+         DATE '2024-01-01' + CAST(doc_id % 29 AS INT) AS ingest_day
+  FROM documents
+), per_src AS (
+  SELECT source, max(ingest_day) AS last_day,
+         CAST(count(*) AS BIGINT) AS n_docs
+  FROM d GROUP BY source
+), h AS (SELECT max(last_day) AS hwm FROM per_src)
+SELECT source, n_docs,
+       CAST(last_day AS VARCHAR) AS last_day,
+       CAST(date_diff('day', last_day, hwm) AS INT) AS lag_days,
+       date_diff('day', last_day, hwm) > {_FRESH_STALE_DAYS} AS stale
+FROM per_src, h
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_ts_backtest_census — structural hash certification of the ARIMA backtest
 # ---------------------------------------------------------------------------
 
@@ -1045,4 +1264,10 @@ QUERIES = {
     "q_ts_backtest_census": QuerySpec(
         q_ts_backtest_census, _BACKTEST_CENSUS_ORACLE
     ),
+    "q_yoy_growth": QuerySpec(q_yoy_growth, _YOY_ORACLE),
+    "q_attribution_last_touch": QuerySpec(
+        q_attribution_last_touch, _ATTRIBUTION_ORACLE
+    ),
+    "q_rfm_segment": QuerySpec(q_rfm_segment, _RFM_ORACLE),
+    "q_dq_freshness": QuerySpec(q_dq_freshness, _FRESHNESS_ORACLE),
 }
