@@ -283,3 +283,86 @@ def funnel(
         hit = F.when(F.col(f"first_{step}").isNotNull(), 1).otherwise(0)
         stage = hit if stage is None else stage + hit
     return cur.withColumn("funnel_stage", stage)
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list,
+    out_col: str = "rn",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Distributed GLOBAL row_number over a total order — the operator
+    Spark lacks: ``row_number() OVER (ORDER BY ...)`` with no PARTITION
+    BY moves every row through ONE window partition (WindowExec warns
+    and the plan stops scaling at exactly the row count a single task
+    can sort).
+
+    Plan: (1) ``repartitionByRange`` on the order columns — partitions
+    are range-DISJOINT and partition ids ascend with the order, so a
+    global rank decomposes into per-partition rank + a prefix offset;
+    the ranged frame is ``localCheckpoint``-ed, which is the
+    CORRECTNESS linchpin: the range partitioner SAMPLES its boundaries,
+    and every materialization of the exchange may sample differently
+    (a first formulation measured offsets in one job and ranked in
+    another; a second put both in one plan, but AQE materializes the
+    two subtree instances as independent stages — both mis-shifted
+    whole blocks of ranks, caught by the sf0.1 probe while sf0.01
+    happened to sample identically). Checkpointing freezes ONE
+    placement that the offset and ranking subtrees then share; ranks
+    are invariant to where the boundaries landed, so the output is
+    deterministic for any split layout. (2) prefix offsets from a
+    per-partition-count aggregate cumulated over O(partitions) rows
+    and broadcast-joined back — never a row-scale collect. (3)
+    per-partition ``row_number`` windows — each range block ranks
+    independently, in parallel.
+
+    ``order_cols`` must be a TOTAL order (include a key column): range
+    placement of ties is arbitrary, and per-partition enumeration would
+    make tied ranks placement-dependent. On a multi-tenant cluster use
+    a reliable checkpoint dir instead of localCheckpoint if executor
+    loss during the (short) rank stage must be survivable.
+    """
+    from python_darima_spark.operators import shuffle_width
+
+    sess = df.sparkSession
+    parts = num_partitions or shuffle_width(sess)
+    ranged = (
+        df.repartitionByRange(parts, *order_cols)
+        .localCheckpoint(eager=True)
+        .withColumn("_gpid", F.spark_partition_id())
+    )
+    woff = Window.orderBy("_gpid").rowsBetween(
+        Window.unboundedPreceding, -1
+    )  # O(partitions) rows — metadata-sized by construction
+    offsets = (
+        ranged.groupBy("_gpid")
+        .count()
+        .withColumn(
+            "_goff", F.coalesce(F.sum("count").over(woff), F.lit(0))
+        )
+        .select("_gpid", "_goff")
+    )
+    w = Window.partitionBy("_gpid").orderBy(*order_cols)
+    return (
+        ranged.join(F.broadcast(offsets), "_gpid")
+        .withColumn(out_col, F.row_number().over(w) + F.col("_goff"))
+        .drop("_gpid", "_goff")
+    )
+
+
+def ntile_from_rank(rank_col, n_rows, k: int):
+    """SQL ``ntile(k)`` restated from a global 1-based rank and the total
+    row count: the first ``n % k`` buckets hold ``n div k + 1`` rows,
+    the rest ``n div k`` (exactly the ISO semantics both engines
+    implement). Pure integer arithmetic — composes with
+    :func:`global_row_number` into a distributed ntile."""
+    r0 = rank_col - 1
+    big = (n_rows % k) * ((n_rows / k).cast("bigint") + 1)
+    in_big = r0 < big
+    bucket_big = (r0 / ((n_rows / k).cast("bigint") + 1)).cast("bigint")
+    bucket_small = (n_rows % k) + (
+        (r0 - big) / (n_rows / k).cast("bigint")
+    ).cast("bigint")
+    return (F.when(in_big, bucket_big).otherwise(bucket_small) + 1).cast(
+        "int"
+    )

@@ -965,17 +965,27 @@ FROM carried WHERE event_type = 'purchase'
 def q_rfm_segment(spark: SparkSession, sf: str) -> DataFrame:
     """RFM segmentation: per-customer Recency (days since last order),
     Frequency (order count) and Monetary (exact cents), each cut into
-    quintiles by ``ntile(5)`` with a fully deterministic total order
-    (metric, then custkey — ntile is ordinal, so the tie-break IS the
-    contract). Segment = 100·R + 10·F + M, the classic 111-555 code.
+    quintiles under a fully deterministic total order (metric, then
+    custkey — quintiles are ordinal, so the tie-break IS the contract).
+    Segment = 100·R + 10·F + M, the classic 111-555 code.
 
-    Plan: one groupBy(custkey) rollup, then three O(customers) window
-    passes sharing one exchange. At 100 TB the rollup output (one row
-    per customer) is what the windows see, not the order rows.
+    Plan: a naive ``ntile(5) OVER (ORDER BY ...)`` moves every customer
+    through ONE window partition — the global-sort cliff. Instead each
+    quintile is ``ntile_from_rank`` over :func:`global_row_number`
+    (operators/relational.py): range-repartition on the total order,
+    rank per range block in parallel, add O(partitions) broadcast
+    prefix offsets — identical ntile semantics (the DuckDB oracle IS
+    plain ``ntile(5)``), fully distributed. At 100 TB the customer
+    census flows through 3 range exchanges, never one task.
     """
+    from python_darima_spark.operators.relational import (
+        global_row_number,
+        ntile_from_rank,
+    )
+
     orders = load(spark, sf, "orders")
     cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint")
-    maxd = orders.agg(F.max("o_orderdate").alias("asof"))
+    maxd = orders.agg(F.max("o_orderdate").alias("as_of"))
     per_cust = (
         orders.groupBy("o_custkey")
         .agg(
@@ -984,23 +994,34 @@ def q_rfm_segment(spark: SparkSession, sf: str) -> DataFrame:
             F.sum(cents).alias("monetary_cents"),
         )
         .crossJoin(F.broadcast(maxd))
-        .withColumn("recency_days", F.datediff("asof", "last_order"))
+        .withColumn("recency_days", F.datediff("as_of", "last_order"))
+        # customer-census-sized; persisted because each ranking pass
+        # runs an O(partitions) count job over it — without the cache
+        # every count re-executes the order rollup AND the prior ranks
+        .persist()
     )
-    r = F.ntile(5).over(
-        Window.orderBy(F.asc("recency_days"), F.asc("o_custkey"))
+    n = per_cust.agg(F.count("*").alias("n_cust"))
+    ranked = global_row_number(
+        per_cust, [F.asc("recency_days"), F.asc("o_custkey")], "rn_r"
     )
-    fq = F.ntile(5).over(
-        Window.orderBy(F.desc("frequency"), F.asc("o_custkey"))
+    ranked = global_row_number(
+        ranked, [F.desc("frequency"), F.asc("o_custkey")], "rn_f"
     )
-    m = F.ntile(5).over(
-        Window.orderBy(F.desc("monetary_cents"), F.asc("o_custkey"))
+    ranked = global_row_number(
+        ranked, [F.desc("monetary_cents"), F.asc("o_custkey")], "rn_m"
+    ).crossJoin(F.broadcast(n))
+    nc = F.col("n_cust")
+    code = (
+        ntile_from_rank(F.col("rn_r"), nc, 5) * 100
+        + ntile_from_rank(F.col("rn_f"), nc, 5) * 10
+        + ntile_from_rank(F.col("rn_m"), nc, 5)
     )
-    return per_cust.select(
+    return ranked.select(
         "o_custkey",
         F.col("recency_days").cast("int").alias("recency_days"),
         "frequency",
         "monetary_cents",
-        (r * 100 + fq * 10 + m).alias("rfm_code"),
+        code.alias("rfm_code"),
     )
 
 

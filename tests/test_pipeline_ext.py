@@ -181,3 +181,46 @@ def test_segment_threshold_is_nontrivial(spark, _):
     out = q_text_dedup_lines(spark, SF).toPandas()
     docs = spark.read.parquet(f"{SF}/documents.parquet").count()
     assert 0 < len(out) <= docs
+
+
+def test_global_row_number_matches_single_partition_window(spark):
+    """The distributed rank (range repartition + per-block enumeration +
+    prefix offsets) must equal the naive single-partition
+    row_number() OVER (ORDER BY ...) on any fixture and split layout."""
+    from pyspark.sql import Window
+
+    from python_darima_spark.operators.relational import (
+        global_row_number,
+        ntile_from_rank,
+    )
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    got = global_row_number(
+        orders, [F.desc("o_totalprice"), F.asc("o_orderkey")], "rn",
+        num_partitions=7,
+    ).toPandas().sort_values("o_orderkey").reset_index(drop=True)
+    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    want = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .toPandas()
+        .sort_values("o_orderkey")
+        .reset_index(drop=True)
+    )
+    assert (got.rn.values == want.rn.values).all()
+    # ntile restatement equals SQL ntile on the same rank
+    n = len(want)
+    nt_got = (
+        global_row_number(
+            orders, [F.desc("o_totalprice"), F.asc("o_orderkey")], "rn",
+            num_partitions=7,
+        )
+        .withColumn("nt", ntile_from_rank(F.col("rn"), F.lit(n), 5))
+        .toPandas().sort_values("o_orderkey").reset_index(drop=True)
+    )
+    nt_want = (
+        orders.withColumn("nt", F.ntile(5).over(w))
+        .toPandas().sort_values("o_orderkey").reset_index(drop=True)
+    )
+    assert (nt_got.nt.values == nt_want.nt.values).all()
