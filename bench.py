@@ -136,6 +136,8 @@ HEADLINE = [
     "q_attribution_last_touch",
     "q_rfm_segment",
     "q_dq_freshness",
+    "q_ts_combine_planted",
+    "q_ts_backtest_census",
 ]
 
 

@@ -857,8 +857,110 @@ FROM c{_KM_ITERS}
 
 
 # ---------------------------------------------------------------------------
-# q_yoy_growth — year-over-year growth report
+# q_ts_combine_planted — hash certification of the coefficient COMBINE step
 # ---------------------------------------------------------------------------
+
+# The DARIMA combine (reference darima.py:260-280 mean; auto_arima.R:
+# 103-110 DLSA) is the reduce half of the reference's map-reduce — but
+# it sits behind the non-SQL ARIMA fit, so q_ts_fit_combine* stay
+# rows-only. Planted coefficients make the combine itself hash-exact:
+# per-(series, window, coef) values are md5-derived small integers
+# (exact in float64 at any summation order), the ENGINE's
+# combine_coefs runs on them for BOTH methods, and the oracle restates
+# the mean / Σwθ÷Σw algebra in SQL. This certifies the actual
+# production code path (pipeline.py:172), not a twin.
+_CMB_SERIES = 5
+_CMB_WINDOWS = 4
+_CMB_COEFS = ["ar1", "ar2", "ar3", "beta0", "beta1", "sigma2", "n_obs"]
+
+
+def _planted_coefs(spark: SparkSession) -> DataFrame:
+    s = spark.range(_CMB_SERIES).select(
+        F.concat(F.lit("srs"), F.col("id")).alias("series_id")
+    )
+    w = spark.range(_CMB_WINDOWS).select(F.col("id").alias("wid"))
+    c = spark.createDataFrame(
+        [(x,) for x in _CMB_COEFS], "coef string"
+    )
+    key = F.concat_ws("_", "series_id", "wid", "coef")
+    val = (
+        F.conv(F.substring(F.md5(key), 1, 8), 16, 10).cast("bigint") % 1000
+        + 1
+    ).cast("double")
+    return s.crossJoin(w).crossJoin(c).select(
+        "series_id", "coef", val.alias("value")
+    )
+
+
+def q_ts_combine_planted(spark: SparkSession, sf: str) -> DataFrame:
+    """The engine's cross-window coefficient combine (darima/pipeline.py
+    combine_coefs) on planted integer coefficients, BOTH methods under
+    one hash: ``mean`` (per-coef average, the reference's
+    aggregateByKey restated as one hash aggregate) and ``dlsa``
+    (Σ(w·θ)/Σw with the sigma2 row as the weight and global σ² =
+    T/Σw). Plan: one partial-agg groupBy per method over long-form
+    coef rows — O(series × coefs) output, the driver never holds a
+    series."""
+    from python_darima_spark.darima.pipeline import (
+        DarimaConfig,
+        combine_coefs,
+    )
+
+    planted = _planted_coefs(spark)
+    out = []
+    for method in ("mean", "dlsa"):
+        cfg = DarimaConfig(num_windows=_CMB_WINDOWS, method=method)
+        out.append(
+            combine_coefs(planted, cfg).select(
+                F.lit(method).alias("method"),
+                "series_id",
+                "coef",
+                rhu(F.col("value"), 6).alias("value"),
+            )
+        )
+    return out[0].unionByName(out[1])
+
+
+def _combine_oracle() -> str:
+    coefs = ", ".join(f"('{c}')" for c in _CMB_COEFS)
+    return f"""
+WITH s AS (
+  SELECT 'srs' || CAST(i AS VARCHAR) AS series_id
+  FROM unnest(generate_series(0, {_CMB_SERIES - 1})) t(i)
+), w AS (
+  SELECT i AS wid FROM unnest(generate_series(0, {_CMB_WINDOWS - 1})) t(i)
+), c(coef) AS (VALUES {coefs}),
+planted AS (
+  SELECT series_id, coef,
+         CAST(CAST(('0x' || substring(
+                 md5(series_id || '_' || CAST(wid AS VARCHAR) || '_' || coef),
+                 1, 8)) AS BIGINT) % 1000 + 1 AS DOUBLE) AS value
+  FROM s, w, c
+),
+mean_m AS (
+  SELECT 'mean' AS method, series_id, coef,
+         floor(avg(value) * 1e6 + 0.5) / 1e6 AS value
+  FROM planted WHERE coef != 'n_obs' GROUP BY series_id, coef
+),
+sums AS (
+  SELECT series_id, coef, sum(value) AS value
+  FROM planted GROUP BY series_id, coef
+),
+per_series AS (
+  SELECT series_id,
+         sum(CASE WHEN coef = 'sigma2' THEN value END) AS wsum,
+         sum(CASE WHEN coef = 'n_obs' THEN value END) AS ttotal
+  FROM planted GROUP BY series_id
+),
+dlsa_m AS (
+  SELECT 'dlsa' AS method, sums.series_id, coef,
+         floor(CASE WHEN coef = 'sigma2' THEN ttotal / wsum
+                    ELSE sums.value / wsum END * 1e6 + 0.5) / 1e6 AS value
+  FROM sums JOIN per_series ON sums.series_id = per_series.series_id
+  WHERE coef != 'n_obs'
+)
+SELECT * FROM mean_m UNION ALL SELECT * FROM dlsa_m
+"""
 
 
 def q_yoy_growth(spark: SparkSession, sf: str) -> DataFrame:
@@ -1284,6 +1386,9 @@ QUERIES = {
     ),
     "q_ts_backtest_census": QuerySpec(
         q_ts_backtest_census, _BACKTEST_CENSUS_ORACLE
+    ),
+    "q_ts_combine_planted": QuerySpec(
+        q_ts_combine_planted, _combine_oracle()
     ),
     "q_yoy_growth": QuerySpec(q_yoy_growth, _YOY_ORACLE),
     "q_attribution_last_touch": QuerySpec(
