@@ -493,7 +493,49 @@ QUERIES = {
              FROM events
            ) WHERE rn = 1""",
     ),
-    "q_stream_anomaly": QuerySpec(q_stream_anomaly, None),  # stateful UDF
+    # q_stream_anomaly graduated from rows-only in round 7: the EWMA
+    # fold is a LINEAR recursion over per-key (ts, event_id) order, so a
+    # recursive CTE can restate it — and every float op is restated at
+    # the exact expression shape the Python fold uses (delta reused,
+    # (0.1·δ)·δ association, math.sqrt = SQL sqrt, both IEEE correctly
+    # rounded; 1.0−0.1 == 0.9 exactly in float64), so both engines walk
+    # bit-identical doubles and the |z| ≥ 3 emission decisions cannot
+    # diverge. State rows accumulate one per (key, i) — the oracle is
+    # O(rows) but iteration-bound in DuckDB (depth = rows/key), which is
+    # fine at the sf0.01 driver gate.
+    "q_stream_anomaly": QuerySpec(
+        q_stream_anomaly,
+        """WITH RECURSIVE ev AS (
+             SELECT event_type AS k, CAST(ts AS TIMESTAMP) AS ts, value,
+                    row_number() OVER (
+                      PARTITION BY event_type
+                      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS i
+             FROM events
+           ), st AS (
+             SELECT event_type AS k, 0 AS i, 0 AS cnt,
+                    CAST(0 AS DOUBLE) AS mean, CAST(0 AS DOUBLE) AS var
+             FROM (SELECT DISTINCT event_type FROM events) t
+             UNION ALL
+             SELECT s.k, e.i, s.cnt + 1,
+                    CASE WHEN s.cnt = 0 THEN e.value
+                         ELSE s.mean + CAST(0.1 AS DOUBLE)
+                              * (e.value - s.mean) END,
+                    CASE WHEN s.cnt = 0 THEN CAST(0 AS DOUBLE)
+                         ELSE CAST(0.9 AS DOUBLE) * (s.var
+                              + (CAST(0.1 AS DOUBLE) * (e.value - s.mean))
+                                * (e.value - s.mean)) END
+             FROM st s JOIN ev e ON e.k = s.k AND e.i = s.i + 1
+           )
+           SELECT s.k AS series_key, e.ts, e.value,
+                  floor((e.value - s.mean) / sqrt(s.var) * 1e6 + 0.5) / 1e6
+                      AS zscore,
+                  floor(s.mean * 1e6 + 0.5) / 1e6 AS ewm_mean,
+                  CAST(s.cnt AS BIGINT) AS seen
+           FROM st s JOIN ev e ON e.k = s.k AND e.i = s.i + 1
+           WHERE s.cnt >= 24 AND s.var > 0
+             AND abs((e.value - s.mean) / sqrt(s.var))
+                 >= CAST(3.0 AS DOUBLE)""",
+    ),
     "q_stream_dedup": QuerySpec(
         q_stream_dedup,
         """SELECT user_id, event_type, event_id FROM (

@@ -21,6 +21,7 @@ this shape survives 100 TB/day keyed by series.
 
 from __future__ import annotations
 
+import math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -46,6 +47,14 @@ def has_tws_support() -> bool:
         return False
 
 
+def _q6(x: float) -> float:
+    """Tie-safe 6-dp quantizer (floor(x·1e6+0.5)/1e6) — the engine-wide
+    rhu rule, applied Python-side so the emitted doubles match the SQL
+    twin exactly (Python's round() is banker's rounding, which a SQL
+    oracle cannot restate)."""
+    return math.floor(x * 1e6 + 0.5) / 1e6
+
+
 def _fold(
     count: int,
     mean: float,
@@ -63,7 +72,10 @@ def _fold(
     for pos, y in enumerate(ys):
         y = float(y)
         if count >= warmup and var > 0:
-            z = (y - mean) / var**0.5
+            # math.sqrt, not var**0.5: sqrt is IEEE correctly rounded,
+            # pow(x, 0.5) need not be — and the DuckDB oracle's sqrt()
+            # must reproduce this bit-for-bit
+            z = (y - mean) / math.sqrt(var)
             if abs(z) >= z_threshold:
                 out.append((pos, z, mean, count))
         if count == 0:
@@ -122,8 +134,8 @@ def ewma_anomalies(
                     "series_key": str(key[0]),
                     "ts": pdf[ts_col].iloc[idx].to_numpy(),
                     "value": pdf[value_col].iloc[idx].to_numpy(dtype=float),
-                    "zscore": [round(h[1], 6) for h in hits],
-                    "ewm_mean": [round(h[2], 6) for h in hits],
+                    "zscore": [_q6(h[1]) for h in hits],
+                    "ewm_mean": [_q6(h[2]) for h in hits],
                     "seen": [h[3] for h in hits],
                 }
             )
@@ -211,8 +223,8 @@ def ewma_anomalies_tws(
                             "value": pdf[value_col]
                             .iloc[idx]
                             .to_numpy(dtype=float),
-                            "zscore": [round(h[1], 6) for h in hits],
-                            "ewm_mean": [round(h[2], 6) for h in hits],
+                            "zscore": [_q6(h[1]) for h in hits],
+                            "ewm_mean": [_q6(h[2]) for h in hits],
                             "seen": [h[3] for h in hits],
                         }
                     )

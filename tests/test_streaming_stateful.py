@@ -8,7 +8,7 @@ from __future__ import annotations
 import pandas as pd
 import pytest
 
-from python_darima_spark.streaming.stateful import _fold
+from python_darima_spark.streaming.stateful import _fold, _q6
 
 
 def _single_node_oracle(events: pd.DataFrame, alpha, z, warmup) -> pd.DataFrame:
@@ -25,8 +25,8 @@ def _single_node_oracle(events: pd.DataFrame, alpha, z, warmup) -> pd.DataFrame:
                     "series_key": key,
                     "ts": grp["ts"].iloc[pos],
                     "value": float(grp["value"].iloc[pos]),
-                    "zscore": round(zs, 6),
-                    "ewm_mean": round(mean_before, 6),
+                    "zscore": _q6(zs),
+                    "ewm_mean": _q6(mean_before),
                     "seen": seen,
                 }
             )
