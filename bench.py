@@ -138,6 +138,7 @@ HEADLINE = [
     "q_dq_freshness",
     "q_ts_combine_planted",
     "q_ts_backtest_census",
+    "q_ts_hw_recursive",
 ]
 
 

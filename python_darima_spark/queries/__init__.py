@@ -69,6 +69,8 @@ _PRIORITY = [
     "q_rfm_segment",
     "q_dq_freshness",
     "q_ts_combine_planted",
+    "q_ts_hw_recursive",
+    "q_stream_anomaly",
     # --- ROUND-6 head: the driver cap is ~50 rows, so entries whose
     # FORMULATION changed this round (or that have never had a row)
     # come first, then rows-only refreshes, then the long green tail.

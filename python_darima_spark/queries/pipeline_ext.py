@@ -1237,6 +1237,146 @@ FROM s, f
 
 
 # ---------------------------------------------------------------------------
+# q_ts_hw_recursive — Holt-Winters TRIPLE recursion under the value hash
+# ---------------------------------------------------------------------------
+
+# q_ts_holt_recursive certifies the level+trend recursion; this extends
+# the integer-exact trick to the full additive Holt-Winters state
+# (level + trend + m seasonal slots, m=4, α=β=γ=½): every update is a
+# floor-halving of BIGINT operands, so Spark's per-series Arrow loop
+# and a DuckDB recursive CTE carrying the 6-column state walk identical
+# integers — the SEASONAL recursion (the part q_ts_holtwinters adds
+# over Holt) gets a hash check of its own.
+_HW_M = 4
+
+
+def q_ts_hw_recursive(spark: SparkSession, sf: str) -> DataFrame:
+    """Integer-exact additive Holt-Winters (m=4, α=β=γ=½) per series:
+
+        init (t≤4):  l = (y1+..+y4) div 4,  b = 0,  s_i = y_i − l
+        step (t>4):  slot = (t−1) mod 4
+                     l' = (y − s_slot + l + b) div 2
+                     b' = (l' − l + b) div 2
+                     s_slot' = (y − l' + s_slot) div 2
+
+    Emits the h∈{1..4} seasonal forecast (l + h·b + s_{slot(t+h)}).
+    Scale: one task per series like q_ts_holtwinters — the sequential
+    loop IS the operator; the driver holds nothing."""
+    import pandas as pd
+
+    ev = load(spark, sf, "events")
+    hourly = ev.groupBy(
+        F.col("event_type").alias("series_id"),
+        F.date_trunc("hour", "ts").alias("ts"),
+    ).agg(
+        F.floor(F.sum("value") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("y_i6")
+    )
+
+    def _one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts")
+        ys = [int(v) for v in pdf["y_i6"].tolist()]
+        lev = (ys[0] + ys[1] + ys[2] + ys[3]) // _HW_M
+        b = 0
+        s = [ys[i] - lev for i in range(_HW_M)]
+        for t, y in enumerate(ys[_HW_M:], start=_HW_M + 1):
+            slot = (t - 1) % _HW_M
+            nl = (y - s[slot] + lev + b) // 2
+            b = (nl - lev + b) // 2
+            s[slot] = (y - nl + s[slot]) // 2
+            lev = nl
+        n = len(ys)
+        hs = list(range(1, _HW_M + 1))
+        return pd.DataFrame(
+            {
+                "series_id": pdf["series_id"].iloc[0],
+                "h": pd.array(hs, dtype="int32"),
+                "level": lev / 1e6,
+                "trend": b / 1e6,
+                "yhat": [
+                    (lev + h * b + s[(n + h - 1) % _HW_M]) / 1e6 for h in hs
+                ],
+            }
+        )
+
+    return hourly.groupBy("series_id").applyInPandas(
+        _one, "series_id string, h int, level double, trend double, yhat double"
+    )
+
+
+def _hw_step_l() -> str:
+    return (
+        "CAST(floor((r.y - CASE ((r.rn - 1) % 4) + 1"
+        " WHEN 1 THEN rec.s1 WHEN 2 THEN rec.s2"
+        " WHEN 3 THEN rec.s3 ELSE rec.s4 END"
+        " + rec.l + rec.b) / 2.0) AS BIGINT)"
+    )
+
+
+def _hw_oracle() -> str:
+    ln = _hw_step_l()
+    bn = f"CAST(floor(({ln} - rec.l + rec.b) / 2.0) AS BIGINT)"
+    slots = []
+    for i in (1, 2, 3, 4):
+        upd = (
+            f"CAST(floor((r.y - {ln} + rec.s{i}) / 2.0) AS BIGINT)"
+        )
+        slots.append(
+            f"CASE WHEN ((r.rn - 1) % 4) + 1 = {i} THEN {upd}"
+            f" ELSE rec.s{i} END"
+        )
+    return f"""
+WITH RECURSIVE s AS (
+  SELECT event_type AS series_id,
+         date_trunc('hour', CAST(ts AS TIMESTAMP)) AS ts,
+         CAST(floor(sum(value) * 1e6 + 0.5) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), r AS (
+  SELECT series_id, y,
+         row_number() OVER (PARTITION BY series_id ORDER BY ts) AS rn
+  FROM s
+), mx AS (SELECT series_id, max(rn) AS t FROM r GROUP BY 1),
+init AS (
+  SELECT series_id,
+         max(CASE rn WHEN 1 THEN y END) AS y1,
+         max(CASE rn WHEN 2 THEN y END) AS y2,
+         max(CASE rn WHEN 3 THEN y END) AS y3,
+         max(CASE rn WHEN 4 THEN y END) AS y4
+  FROM r WHERE rn <= 4 GROUP BY series_id
+), rec AS (
+  SELECT series_id, 4 AS rn,
+         CAST(floor((y1 + y2 + y3 + y4) / 4.0) AS BIGINT) AS l,
+         CAST(0 AS BIGINT) AS b,
+         y1 - CAST(floor((y1 + y2 + y3 + y4) / 4.0) AS BIGINT) AS s1,
+         y2 - CAST(floor((y1 + y2 + y3 + y4) / 4.0) AS BIGINT) AS s2,
+         y3 - CAST(floor((y1 + y2 + y3 + y4) / 4.0) AS BIGINT) AS s3,
+         y4 - CAST(floor((y1 + y2 + y3 + y4) / 4.0) AS BIGINT) AS s4
+  FROM init
+  UNION ALL
+  SELECT r.series_id, r.rn,
+         {ln},
+         {bn},
+         {slots[0]},
+         {slots[1]},
+         {slots[2]},
+         {slots[3]}
+  FROM rec JOIN r ON r.series_id = rec.series_id AND r.rn = rec.rn + 1
+)
+SELECT rec.series_id, h.h,
+       rec.l / 1e6 AS level,
+       rec.b / 1e6 AS trend,
+       (rec.l + h.h * rec.b
+        + CASE ((mx.t + h.h - 1) % 4) + 1
+            WHEN 1 THEN rec.s1 WHEN 2 THEN rec.s2
+            WHEN 3 THEN rec.s3 ELSE rec.s4 END) / 1e6 AS yhat
+FROM rec
+JOIN mx ON rec.series_id = mx.series_id AND rec.rn = mx.t
+CROSS JOIN (VALUES (1), (2), (3), (4)) AS h(h)
+"""
+
+
+# ---------------------------------------------------------------------------
 # q_stream_watermark_late — late-data DROP semantics certification
 # ---------------------------------------------------------------------------
 
@@ -1390,6 +1530,7 @@ QUERIES = {
     "q_ts_combine_planted": QuerySpec(
         q_ts_combine_planted, _combine_oracle()
     ),
+    "q_ts_hw_recursive": QuerySpec(q_ts_hw_recursive, _hw_oracle()),
     "q_yoy_growth": QuerySpec(q_yoy_growth, _YOY_ORACLE),
     "q_attribution_last_touch": QuerySpec(
         q_attribution_last_touch, _ATTRIBUTION_ORACLE
