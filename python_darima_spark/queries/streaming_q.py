@@ -345,6 +345,48 @@ def q_stream_anomaly_tws(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table(name)
 
 
+# The EWMA fold is a LINEAR recursion over per-key (ts, event_id) order,
+# so a recursive CTE restates it — every float op at the exact expression
+# shape the Python fold uses (delta reused, (0.1·δ)·δ association,
+# math.sqrt = SQL sqrt, both IEEE correctly rounded; 1.0−0.1 == 0.9
+# exactly in float64), so both engines walk bit-identical doubles and the
+# |z| ≥ 3 emission decisions cannot diverge. State rows accumulate one
+# per (key, i) — O(rows) but iteration-bound in DuckDB (depth = rows/key),
+# fine at the sf0.01 driver gate (q_stream_anomaly graduated from
+# rows-only in round 7). Shared verbatim by the TWS twin: the two
+# stateful APIs must produce the same hash.
+_EWMA_RECURSIVE_ORACLE = """WITH RECURSIVE ev AS (
+     SELECT event_type AS k, CAST(ts AS TIMESTAMP) AS ts, value,
+            row_number() OVER (
+              PARTITION BY event_type
+              ORDER BY CAST(ts AS TIMESTAMP), event_id) AS i
+     FROM events
+   ), st AS (
+     SELECT event_type AS k, 0 AS i, 0 AS cnt,
+            CAST(0 AS DOUBLE) AS mean, CAST(0 AS DOUBLE) AS var
+     FROM (SELECT DISTINCT event_type FROM events) t
+     UNION ALL
+     SELECT s.k, e.i, s.cnt + 1,
+            CASE WHEN s.cnt = 0 THEN e.value
+                 ELSE s.mean + CAST(0.1 AS DOUBLE)
+                      * (e.value - s.mean) END,
+            CASE WHEN s.cnt = 0 THEN CAST(0 AS DOUBLE)
+                 ELSE CAST(0.9 AS DOUBLE) * (s.var
+                      + (CAST(0.1 AS DOUBLE) * (e.value - s.mean))
+                        * (e.value - s.mean)) END
+     FROM st s JOIN ev e ON e.k = s.k AND e.i = s.i + 1
+   )
+   SELECT s.k AS series_key, e.ts, e.value,
+          floor((e.value - s.mean) / sqrt(s.var) * 1e6 + 0.5) / 1e6
+              AS zscore,
+          floor(s.mean * 1e6 + 0.5) / 1e6 AS ewm_mean,
+          CAST(s.cnt AS BIGINT) AS seen
+   FROM st s JOIN ev e ON e.k = s.k AND e.i = s.i + 1
+   WHERE s.cnt >= 24 AND s.var > 0
+     AND abs((e.value - s.mean) / sqrt(s.var))
+         >= CAST(3.0 AS DOUBLE)"""
+
+
 QUERIES = {
     "q_stream_dedup_near": QuerySpec(
         q_stream_dedup_near,
@@ -503,39 +545,7 @@ QUERIES = {
     # diverge. State rows accumulate one per (key, i) — the oracle is
     # O(rows) but iteration-bound in DuckDB (depth = rows/key), which is
     # fine at the sf0.01 driver gate.
-    "q_stream_anomaly": QuerySpec(
-        q_stream_anomaly,
-        """WITH RECURSIVE ev AS (
-             SELECT event_type AS k, CAST(ts AS TIMESTAMP) AS ts, value,
-                    row_number() OVER (
-                      PARTITION BY event_type
-                      ORDER BY CAST(ts AS TIMESTAMP), event_id) AS i
-             FROM events
-           ), st AS (
-             SELECT event_type AS k, 0 AS i, 0 AS cnt,
-                    CAST(0 AS DOUBLE) AS mean, CAST(0 AS DOUBLE) AS var
-             FROM (SELECT DISTINCT event_type FROM events) t
-             UNION ALL
-             SELECT s.k, e.i, s.cnt + 1,
-                    CASE WHEN s.cnt = 0 THEN e.value
-                         ELSE s.mean + CAST(0.1 AS DOUBLE)
-                              * (e.value - s.mean) END,
-                    CASE WHEN s.cnt = 0 THEN CAST(0 AS DOUBLE)
-                         ELSE CAST(0.9 AS DOUBLE) * (s.var
-                              + (CAST(0.1 AS DOUBLE) * (e.value - s.mean))
-                                * (e.value - s.mean)) END
-             FROM st s JOIN ev e ON e.k = s.k AND e.i = s.i + 1
-           )
-           SELECT s.k AS series_key, e.ts, e.value,
-                  floor((e.value - s.mean) / sqrt(s.var) * 1e6 + 0.5) / 1e6
-                      AS zscore,
-                  floor(s.mean * 1e6 + 0.5) / 1e6 AS ewm_mean,
-                  CAST(s.cnt AS BIGINT) AS seen
-           FROM st s JOIN ev e ON e.k = s.k AND e.i = s.i + 1
-           WHERE s.cnt >= 24 AND s.var > 0
-             AND abs((e.value - s.mean) / sqrt(s.var))
-                 >= CAST(3.0 AS DOUBLE)""",
-    ),
+    "q_stream_anomaly": QuerySpec(q_stream_anomaly, _EWMA_RECURSIVE_ORACLE),
     "q_stream_dedup": QuerySpec(
         q_stream_dedup,
         """SELECT user_id, event_type, event_id FROM (
@@ -561,10 +571,13 @@ QUERIES = {
 }
 
 # transformWithStateInPandas needs the protobuf package (its state-server
-# wire protocol). The entry is registered UNCONDITIONALLY (round-6 verdict
-# ask #5): where protobuf is installed it runs for real; where it is not,
-# the plan-time guard raises an explicit ENV-REFUSAL whose message lands
-# in the driver's CORRECTNESS row — a visible refusal instead of a silent
-# registry hole. The skip-gated twin-equivalence test documents the
-# semantics either way (q_stream_anomaly is the dependency-free twin).
-QUERIES["q_stream_anomaly_tws"] = QuerySpec(q_stream_anomaly_tws, None)
+# wire protocol). Where the real wheel is absent, the vendored minimal
+# wire runtime (python_darima_spark/vendor, clean-room from the public
+# spec) activates on driver and workers, so the entry runs for real here
+# too — and is hash-graded against the SAME recursive-CTE oracle as its
+# applyInPandasWithState twin (the state-API swap must be
+# result-invisible). Only if neither the real nor the vendored runtime
+# can import does the plan-time guard raise an explicit ENV-REFUSAL.
+QUERIES["q_stream_anomaly_tws"] = QuerySpec(
+    q_stream_anomaly_tws, _EWMA_RECURSIVE_ORACLE
+)
