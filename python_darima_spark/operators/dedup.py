@@ -31,6 +31,10 @@ from python_darima_spark.operators import (
     fan_out,
     shuffle_width,
 )
+from python_darima_spark.operators.ledger import (
+    commit_staged_ingest,
+    staged_parquet_writer,
+)
 
 # Prime just above 2^32: keeps the base hash domain small enough that the
 # affine family (a*h + b) % P never overflows a signed 64-bit value.
@@ -464,73 +468,55 @@ def minhash_index_append(
     skinny (~(8+8·num_hashes) bytes/doc + bands) no matter how large
     documents are.
 
-    ``ingest_tag`` makes the append IDEMPOTENT: a completion marker
-    ``_ingest_<tag>.done`` is written after both appends commit, and a
-    re-invocation with the same tag returns without appending — so a
-    caller that retries the same logical batch (e.g. a replayed
-    foreachBatch micro-batch under at-least-once semantics — the
-    round-5 ADVICE hazard in q_stream_dedup_near) can never duplicate
-    signatures. Markers, not per-ingest partition dirs: a first
-    implementation used ``ingest=<tag>`` subdirectories with overwrite,
-    but the extra partition-discovery level degraded the probe's scan
-    parallelism ~2.5× at sf1 — the flat layout keeps the read path
-    identical to untagged appends. Spark's file-commit protocol makes
-    a died-mid-append retry safe (no visible files until job commit).
-    The marker lives on the index's filesystem; on a real cluster an
-    ACID table format (or the metastore bucketed table above) is the
-    equivalent ingest ledger."""
-    sigs_done = False
-    if ingest_tag is not None:
-        # the marker ledger is os-level file I/O — it can only promise
-        # idempotency on a filesystem the driver can reach with open();
-        # a remote index (hdfs://, s3://) needs an ACID table format as
-        # the ingest ledger instead, so refuse rather than silently
-        # evaporate the contract (round-6 ADVICE)
-        if "://" in index_path and not index_path.startswith("file://"):
-            raise ValueError(
-                "ingest_tag idempotency markers require a local "
-                f"index_path; got {index_path!r} — use an ACID table "
-                "(Delta/Iceberg) as the ingest ledger on object stores"
-            )
-        marker = os.path.join(index_path, f"_ingest_{ingest_tag}.done")
-        sigs_marker = os.path.join(
-            index_path, f"_ingest_{ingest_tag}.sigs.done"
-        )
-        if os.path.exists(marker):
-            return
-        # per-STAGE markers: without them, a crash after the sigs append
-        # commits but before the bands append leaves a replay that
-        # re-runs BOTH appends and permanently duplicates signature rows
-        # (round-6 ADVICE). With the stage marker the replay skips the
-        # committed sigs job and redoes only bands (a died-mid-job bands
-        # attempt is invisible — Spark's commit protocol). Residual
-        # window: a crash between a job's commit and its marker write
-        # still duplicates that one table's batch rows; downstream
-        # distincts keep emitted pairs correct, and closing it entirely
-        # needs the ACID ledger above.
-        sigs_done = os.path.exists(sigs_marker)
+    ``ingest_tag`` makes the append EXACTLY-ONCE under replay: each
+    table's batch goes through the two-phase-commit directory protocol
+    in :mod:`python_darima_spark.operators.ledger` (stage with
+    overwrite → atomic per-file renames into the table dir → marker),
+    so a caller that retries the same logical batch after a crash at
+    ANY single point (e.g. a replayed foreachBatch micro-batch under
+    at-least-once semantics — the round-5 ADVICE hazard in
+    q_stream_dedup_near) neither duplicates nor loses signature rows —
+    the commit-vs-marker window the previous marker-file ledger left
+    open (round-7 VERDICT) is closed, and the ledger is scheme-routed
+    through the Hadoop FileSystem API, so ``file://`` URIs and remote
+    filesystems with atomic rename (HDFS, ABFS) work identically
+    (round-7 ADVICE: the old whitelist handed file:// URIs to
+    ``os.path``). Markers and staging dirs are underscore-prefixed —
+    invisible to parquet scans — so the read path stays identical to
+    untagged appends (flat layout; the ``ingest=<tag>`` partition-dir
+    alternative measured ~2.5× worse probe parallelism at sf1)."""
     rows_per_band = num_hashes // num_bands
     sig = minhash_signatures(
         batch_df, text_col, id_col, num_hashes, shingle_k, seed
     ).persist()
-    if not sigs_done:
-        sig.write.mode("append").parquet(f"{index_path}/sigs")
-        if ingest_tag is not None:
-            with open(sigs_marker, "w"):
-                pass
-    # repartition on the directory key first: ONE file per band dir per
-    # ingest instead of shuffle-partition-count tiny files per dir (the
-    # small-files problem compounds across ingests; measured ~2× faster
-    # append+probe round trip at fixture scale)
-    band_hashes(sig, id_col, num_bands, rows_per_band).repartition(
-        num_bands, "band_id"
-    ).write.mode("append").partitionBy("band_id").parquet(
-        f"{index_path}/bands"
-    )
-    sig.unpersist()
-    if ingest_tag is not None:
-        with open(marker, "w"):
-            pass
+    try:
+        # repartition on the directory key first: ONE file per band dir
+        # per ingest instead of shuffle-partition-count tiny files per
+        # dir (the small-files problem compounds across ingests;
+        # measured ~2× faster append+probe round trip at fixture scale)
+        bands = band_hashes(
+            sig, id_col, num_bands, rows_per_band
+        ).repartition(num_bands, "band_id")
+        if ingest_tag is None:
+            # untagged: plain appends; Spark's commit protocol makes a
+            # died-mid-job retry safe, but a caller-level replay
+            # duplicates (that is what tags are for)
+            sig.write.mode("append").parquet(f"{index_path}/sigs")
+            bands.write.mode("append").partitionBy("band_id").parquet(
+                f"{index_path}/bands"
+            )
+        else:
+            spark = batch_df.sparkSession
+            commit_staged_ingest(
+                spark, f"{index_path}/sigs", ingest_tag,
+                staged_parquet_writer(sig),
+            )
+            commit_staged_ingest(
+                spark, f"{index_path}/bands", ingest_tag,
+                staged_parquet_writer(bands, partition_by="band_id"),
+            )
+    finally:
+        sig.unpersist()
 
 
 def minhash_probe_index(

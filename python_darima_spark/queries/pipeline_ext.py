@@ -321,10 +321,19 @@ def q_mixture_temperature(spark: SparkSession, sf: str) -> DataFrame:
     scored = per_src.withColumn("w_micro", w_micro)
     tot = scored.agg(F.sum("w_micro").alias("tot_micro"))
     out = scored.crossJoin(F.broadcast(tot))
-    alloc = (
-        (F.col("w_micro").cast("decimal(38,0)")
-         * F.lit(_MIX_TOKEN_BUDGET).cast("decimal(38,0)"))
-        / F.col("tot_micro").cast("decimal(38,0)")
+    # Exact integer floor quotient (w_micro·budget) // tot_micro with NO
+    # float or rounded-decimal step: Catalyst's decimal division rounds
+    # HALF_UP to scale 6 before any floor(), which floors the wrong way
+    # when the true quotient sits within 5e-7 below an integer — so
+    # subtract the exact decimal remainder first, making the division
+    # itself integral ((p − p % t)/t is exact at any decimal scale).
+    # `div` can't be used directly: its result type is BIGINT and
+    # w_micro·budget overflows 2^63 at warehouse scale.
+    alloc = F.expr(
+        f"""CAST((CAST(w_micro AS DECIMAL(38,0)) * {_MIX_TOKEN_BUDGET}
+                  - CAST(w_micro AS DECIMAL(38,0)) * {_MIX_TOKEN_BUDGET}
+                    % CAST(tot_micro AS DECIMAL(38,0)))
+                 / CAST(tot_micro AS DECIMAL(38,0)) AS BIGINT)"""
     )
     return out.select(
         "source",
@@ -332,7 +341,7 @@ def q_mixture_temperature(spark: SparkSession, sf: str) -> DataFrame:
         "chars",
         rhu(F.col("w_micro").cast("double") / F.col("tot_micro").cast("double"), 6)
         .alias("weight"),
-        F.floor(alloc).cast("bigint").alias("token_alloc"),
+        alloc.alias("token_alloc"),
     )
 
 
@@ -349,8 +358,8 @@ WITH s AS (
 SELECT source, n_docs, chars,
        floor(CAST(w_micro AS DOUBLE) / CAST(tot_micro AS DOUBLE) * 1e6 + 0.5)
          / 1e6 AS weight,
-       CAST(floor(CAST(w_micro AS HUGEINT) * {_MIX_TOKEN_BUDGET}
-                  / tot_micro) AS BIGINT) AS token_alloc
+       CAST(CAST(w_micro AS HUGEINT) * {_MIX_TOKEN_BUDGET}
+            // CAST(tot_micro AS HUGEINT) AS BIGINT) AS token_alloc
 FROM m, t
 """
 
@@ -694,11 +703,16 @@ def q_ts_reconcile(spark: SparkSession, sf: str) -> DataFrame:
     out = bottom.crossJoin(F.broadcast(top)).crossJoin(
         F.broadcast(sum_bottom)
     )
-    recon = F.floor(
-        F.col("top_fc").cast("decimal(38,0)")
-        * F.col("bottom_fc").cast("decimal(38,0)")
-        / F.col("sum_bottom").cast("decimal(38,0)")
-    ).cast("bigint")
+    # Exact integer quotient via the remainder trick (see
+    # q_mixture_temperature): decimal division alone rounds HALF_UP at
+    # scale 6 before floor(); subtracting the exact remainder first
+    # makes the division integral, so no rounding can move the result.
+    recon = F.expr(
+        """CAST((CAST(top_fc AS DECIMAL(38,0)) * bottom_fc
+                 - CAST(top_fc AS DECIMAL(38,0)) * bottom_fc
+                   % CAST(sum_bottom AS DECIMAL(38,0)))
+                / CAST(sum_bottom AS DECIMAL(38,0)) AS BIGINT)"""
+    )
     return out.select(
         "event_type", "bottom_fc", "top_fc", recon.alias("recon_fc")
     )

@@ -173,43 +173,102 @@ def test_index_append_tagged_replay_is_idempotent(spark, tmp_path, docs_with_dup
     assert spark.read.parquet(f"{idx}/sigs").count() > n1
 
 
-def test_index_append_partial_sigs_replay_skips_sigs(
-    spark, tmp_path, docs_with_dups
-):
-    """Crash-window replay (round-6 ADVICE): if the sigs append committed
-    (stage marker present) but the bands append never ran, a replay must
-    redo ONLY bands — sigs rows are not duplicated."""
-    import os
+def _index_content(spark, idx):
+    """Canonical (order-free) content of both index tables, for
+    exactly-once comparisons that ignore file layout."""
+    sigs = (
+        spark.read.parquet(f"{idx}/sigs")
+        .selectExpr("doc_id", "cast(sig as array<bigint>) as sig")
+        .orderBy("doc_id")
+        .toPandas()
+    )
+    bands = (
+        spark.read.parquet(f"{idx}/bands")
+        .selectExpr("doc_id", "cast(band_id as int) band_id", "band_hash")
+        .orderBy("doc_id", "band_id")
+        .toPandas()
+    )
+    return sigs.reset_index(drop=True), bands.reset_index(drop=True)
 
+
+_CRASH_POINTS = [
+    "staged:sigs",  # staging committed, nothing published
+    "published-one:sigs",  # crash mid-publish (after the 1st rename)
+    "published:sigs",  # all files published, marker not yet written
+    "marked:sigs",  # sigs committed, staging cleanup never ran
+    "staged:bands",
+    "published-one:bands",
+    "published:bands",
+    "marked:bands",
+]
+
+
+@pytest.mark.parametrize("crash_point", _CRASH_POINTS)
+def test_index_append_crash_replay_exactly_once(
+    spark, tmp_path, docs_with_dups, crash_point, monkeypatch
+):
+    """ACID ingest ledger (round-7 VERDICT ask #2): inject a crash at
+    EVERY failure point of the two-phase-commit protocol, then replay
+    the same tagged ingest — the final index must hold exactly one copy
+    of the batch (no duplicated rows, no lost rows), byte-identical in
+    content to a never-crashed ingest."""
+    from python_darima_spark.operators import ledger
     from python_darima_spark.operators.dedup import minhash_index_append
+
+    batch = docs_with_dups.where("doc_id < 20")
+    # reference: a clean, never-crashed ingest
+    ref = str(tmp_path / "ref_index")
+    minhash_index_append(batch, ref, ingest_tag="b0")
+    exp_sigs, exp_bands = _index_content(spark, ref)
+
+    kind, table = crash_point.split(":")
+    fired = {"n": 0}
+
+    def boom(point: str) -> None:
+        if point.split(":")[0] == kind and point.endswith("/" + table):
+            fired["n"] += 1
+            if fired["n"] == 1:  # only the FIRST hit (mid-publish case)
+                raise RuntimeError(f"injected crash at {point}")
 
     idx = str(tmp_path / "mh_index")
-    batch = docs_with_dups.where("doc_id < 20")
+    monkeypatch.setattr(ledger, "_crash_hook", boom)
+    with pytest.raises(RuntimeError, match="injected crash"):
+        minhash_index_append(batch, idx, ingest_tag="b0")
+    # replay after the crash, no injection
+    monkeypatch.setattr(ledger, "_crash_hook", lambda p: None)
     minhash_index_append(batch, idx, ingest_tag="b0")
-    n_sigs = spark.read.parquet(f"{idx}/sigs").count()
-    n_bands = spark.read.parquet(f"{idx}/bands").count()
-    # simulate the crash window: final marker gone, sigs marker kept
-    os.remove(os.path.join(idx, "_ingest_b0.done"))
-    minhash_index_append(batch, idx, ingest_tag="b0")
-    assert spark.read.parquet(f"{idx}/sigs").count() == n_sigs
-    # bands were re-appended (the replayed stage) — duplicates there are
-    # benign (downstream candidate pairs are distinct-ed)
-    assert spark.read.parquet(f"{idx}/bands").count() == 2 * n_bands
-    assert os.path.exists(os.path.join(idx, "_ingest_b0.done"))
+
+    got_sigs, got_bands = _index_content(spark, idx)
+    pd.testing.assert_frame_equal(got_sigs, exp_sigs)
+    pd.testing.assert_frame_equal(got_bands, exp_bands)
+    # and the ledger is quiescent: markers present, staging reaped
+    import os
+
+    assert os.path.exists(f"{idx}/sigs/_ingest_b0.done")
+    assert os.path.exists(f"{idx}/bands/_ingest_b0.done")
+    assert not os.path.exists(f"{idx}/sigs/_staging/b0")
+    assert not os.path.exists(f"{idx}/bands/_staging/b0")
 
 
-def test_index_append_tagged_remote_path_refused(spark, docs_with_dups):
-    """The marker ledger is os-level file I/O, so a tagged append to an
-    object-store path must refuse loudly instead of silently dropping
-    the idempotency contract (round-6 ADVICE)."""
-    import pytest
-
+def test_index_append_file_uri_scheme(spark, tmp_path, docs_with_dups):
+    """The ledger is scheme-routed through the Hadoop FileSystem API
+    (round-7 ADVICE: the old whitelist accepted file:// and then broke
+    on os.path I/O). A file://-URI index must behave identically to a
+    bare local path — same protocol, same markers, same replay no-op."""
     from python_darima_spark.operators.dedup import minhash_index_append
 
-    with pytest.raises(ValueError, match="local"):
-        minhash_index_append(
-            docs_with_dups, "s3://bucket/index", ingest_tag="b0"
-        )
+    idx_uri = f"file://{tmp_path}/mh_index_uri"
+    batch = docs_with_dups.where("doc_id < 20")
+    minhash_index_append(batch, idx_uri, ingest_tag="b0")
+    n1 = spark.read.parquet(f"{idx_uri}/sigs").count()
+    assert n1 == batch.count()
+    # replay: committed tag → no-op
+    minhash_index_append(batch, idx_uri, ingest_tag="b0")
+    assert spark.read.parquet(f"{idx_uri}/sigs").count() == n1
+    # marker lives where the URI points
+    import os
+
+    assert os.path.exists(f"{tmp_path}/mh_index_uri/sigs/_ingest_b0.done")
 
 
 def test_shuffle_width_non_numeric_conf_falls_back(spark):
