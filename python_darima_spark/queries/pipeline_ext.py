@@ -989,16 +989,34 @@ def q_yoy_growth(spark: SparkSession, sf: str) -> DataFrame:
     monthly = orders.groupBy(
         F.date_format("o_orderdate", "yyyy-MM").alias("month")
     ).agg(F.sum(cents).alias("rev_cents"))
-    w = Window.orderBy("month")
-    prev = F.lag("rev_cents", 12).over(w)
-    return monthly.select(
-        "month",
-        "rev_cents",
-        prev.alias("prev_year_cents"),
-        rhu(
-            (F.col("rev_cents") - prev).cast("double") / prev.cast("double"),
-            6,
-        ).alias("yoy_growth"),
+    # Self-join on the EXPLICIT month-minus-12 key, not lag(12) over
+    # month-ordered rows: a positional lag silently compares against
+    # the wrong month whenever any month is missing from the data
+    # (round-7 ADVICE — both engines shared the flaw, so the hash gate
+    # could not see it). O(months) rows on both sides — the join is
+    # metadata-sized at any data scale.
+    prev_key = F.date_format(
+        F.add_months(F.to_date(F.concat(F.col("month"), F.lit("-01"))), -12),
+        "yyyy-MM",
+    )
+    cur = monthly.withColumn("prev_month_key", prev_key)
+    prior = monthly.select(
+        F.col("month").alias("prev_month_key"),
+        F.col("rev_cents").alias("prev_year_cents"),
+    )
+    prev = F.col("prev_year_cents")
+    return (
+        cur.join(F.broadcast(prior), "prev_month_key", "left")
+        .select(
+            "month",
+            "rev_cents",
+            prev.alias("prev_year_cents"),
+            rhu(
+                (F.col("rev_cents") - prev).cast("double")
+                / prev.cast("double"),
+                6,
+            ).alias("yoy_growth"),
+        )
     )
 
 
@@ -1009,13 +1027,14 @@ WITH m AS (
            AS rev_cents
   FROM orders GROUP BY 1
 )
-SELECT month, rev_cents,
-       lag(rev_cents, 12) OVER (ORDER BY month) AS prev_year_cents,
-       floor(CAST(rev_cents - lag(rev_cents, 12) OVER (ORDER BY month)
-                  AS DOUBLE)
-             / CAST(lag(rev_cents, 12) OVER (ORDER BY month) AS DOUBLE)
-             * 1e6 + 0.5) / 1e6 AS yoy_growth
-FROM m
+SELECT a.month, a.rev_cents,
+       b.rev_cents AS prev_year_cents,
+       floor(CAST(a.rev_cents - b.rev_cents AS DOUBLE)
+             / CAST(b.rev_cents AS DOUBLE) * 1e6 + 0.5) / 1e6 AS yoy_growth
+FROM m a
+LEFT JOIN m b
+  ON b.month = strftime(CAST(a.month || '-01' AS DATE)
+                        - INTERVAL 12 MONTH, '%Y-%m')
 """
 
 
@@ -1111,22 +1130,31 @@ def q_rfm_segment(spark: SparkSession, sf: str) -> DataFrame:
         )
         .crossJoin(F.broadcast(maxd))
         .withColumn("recency_days", F.datediff("as_of", "last_order"))
-        # customer-census-sized; persisted because each ranking pass
-        # runs an O(partitions) count job over it — without the cache
-        # every count re-executes the order rollup AND the prior ranks
+        # customer-census-sized; persisted because the count below plus
+        # each ranking pass re-reads it — without the cache every use
+        # re-executes the order rollup
         .persist()
     )
-    n = per_cust.agg(F.count("*").alias("n_cust"))
-    ranked = global_row_number(
-        per_cust, [F.asc("recency_days"), F.asc("o_custkey")], "rn_r"
-    )
-    ranked = global_row_number(
-        ranked, [F.desc("frequency"), F.asc("o_custkey")], "rn_f"
-    )
-    ranked = global_row_number(
-        ranked, [F.desc("monetary_cents"), F.asc("o_custkey")], "rn_m"
-    ).crossJoin(F.broadcast(n))
-    nc = F.col("n_cust")
+    try:
+        # O(1) driver scalar (the engine-wide bounded-collect rule);
+        # also lets per_cust be unpersisted before returning — the
+        # eager localCheckpoints inside global_row_number cut the
+        # returned plan's lineage above per_cust, so holding the cache
+        # past this function only leaked executor storage across the
+        # long probe/driver suites (round-7 ADVICE)
+        n_cust = per_cust.count()
+        ranked = global_row_number(
+            per_cust, [F.asc("recency_days"), F.asc("o_custkey")], "rn_r"
+        )
+        ranked = global_row_number(
+            ranked, [F.desc("frequency"), F.asc("o_custkey")], "rn_f"
+        )
+        ranked = global_row_number(
+            ranked, [F.desc("monetary_cents"), F.asc("o_custkey")], "rn_m"
+        )
+    finally:
+        per_cust.unpersist()
+    nc = F.lit(n_cust)
     code = (
         ntile_from_rank(F.col("rn_r"), nc, 5) * 100
         + ntile_from_rank(F.col("rn_f"), nc, 5) * 10

@@ -108,6 +108,16 @@ def _diff(base, big0, tol):
         want = set(map(tuple, base[cols].itertuples(index=False, name=None)))
         got = set(map(tuple, big0[cols].itertuples(index=False, name=None)))
         return sorted(want - got), sorted(got - want)
+    # the non-float columns must uniquely key each row — duplicate keys
+    # would cross-match in the outer merge and inflate 'both', silently
+    # weakening the gate (round-7 ADVICE)
+    for side, df in (("base", base), ("big", big0)):
+        dup = df.duplicated(subset=keys)
+        if dup.any():
+            raise ValueError(
+                f"planted check keys {keys} not unique on {side}: e.g. "
+                f"{df.loc[dup, keys].iloc[0].to_dict()}"
+            )
     m = base[cols].merge(
         big0[cols], on=keys, how="outer", indicator=True,
         suffixes=("_a", "_b"),
@@ -123,8 +133,14 @@ def _diff(base, big0, tol):
     both = m[m["_merge"] == "both"]
     bad = None
     for c in fl:
-        b = (both[f"{c}_a"] - both[f"{c}_b"]).abs() > tol[c]
-        bad = b if bad is None else (bad | b)
+        a, b = both[f"{c}_a"], both[f"{c}_b"]
+        # a NaN on EITHER side is a mismatch: (NaN−NaN) > tol is False,
+        # so a query regressing to NaN on both artifacts would otherwise
+        # read as a match (round-7 ADVICE)
+        nan_bad = a.isna() | b.isna()
+        val_bad = (a - b).abs() > tol[c]
+        col_bad = nan_bad | val_bad
+        bad = col_bad if bad is None else (bad | col_bad)
     if bad is not None and bad.any():
         for r in both.loc[bad, keys].itertuples(index=False):
             missing.append(tuple(r))
