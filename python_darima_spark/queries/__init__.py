@@ -23,6 +23,14 @@ from pyspark.sql import DataFrame, SparkSession
 class QuerySpec:
     fn: Callable[[SparkSession, str], DataFrame]
     oracle: str | None = None  # DuckDB SQL; None → rows-only check
+    # Optional scale-adaptive oracle: (duckdb_con, sf_dir) -> SQL. Used
+    # by the local probes instead of ``oracle`` when present, for
+    # oracles whose efficient SQL shape depends on the data size (the
+    # segmented EWMA recursion: DuckDB recursive CTEs pay a full
+    # working-set probe per iteration, so 20k-deep recursions need
+    # depth-bounded chained segments). ``oracle`` stays the static
+    # driver-facing string — the builder must produce IDENTICAL values.
+    oracle_builder: Callable | None = None
 
 
 _MODULES = [

@@ -52,7 +52,12 @@ def _normalize(df: pd.DataFrame) -> pd.DataFrame:
 
 def assert_query_matches(spark, duck, name, spec, sf_dir=SF_DIR):
     got = _normalize(spec.fn(spark, sf_dir).toPandas())
-    want = _normalize(duck.execute(spec.oracle).df())
+    oracle = (
+        spec.oracle_builder(duck, sf_dir)
+        if getattr(spec, "oracle_builder", None)
+        else spec.oracle
+    )
+    want = _normalize(duck.execute(oracle).df())
     assert list(got.columns) == list(want.columns), (
         f"{name}: columns {list(got.columns)} != {list(want.columns)}"
     )

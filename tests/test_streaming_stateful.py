@@ -165,3 +165,38 @@ def test_stream_dedup_near_equals_batch_contract(spark, sf_dir):
     }
     got = {(r.id_a, r.id_b) for r in streamed.itertuples()}
     assert got == want and len(got) > 0
+
+
+def test_segmented_ewma_oracle_identical_to_single(sf_dir):
+    """The scale-adaptive segmented EWMA oracle (chained depth-bounded
+    recursions over temp-table slices, used by the sf1 probe where the
+    single recursive CTE costs depth × |ev|) must produce rows
+    BIT-IDENTICAL to the single-CTE oracle — seeds are exact row copies
+    and update expressions are shared verbatim, so the float trajectory
+    cannot diverge. Forces segmentation at test scale (depth 50 → ~5
+    segments over ~200 rows/key at sf0.001)."""
+    import duckdb
+    import pandas as pd
+
+    import python_darima_spark.queries.streaming_q as sq
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/events.parquet')"
+    )
+    old = sq._EWMA_SEGMENT_DEPTH
+    sq._EWMA_SEGMENT_DEPTH = 50
+    try:
+        seg_sql = sq.build_segmented_ewma_oracle(con)
+        assert "_ewma_st_" in seg_sql  # segmentation actually engaged
+        seg = con.execute(seg_sql).df()
+    finally:
+        sq._EWMA_SEGMENT_DEPTH = old
+    single = con.execute(sq._EWMA_RECURSIVE_ORACLE).df()
+    cols = sorted(seg.columns)
+    pd.testing.assert_frame_equal(
+        seg[cols].sort_values(cols).reset_index(drop=True),
+        single[cols].sort_values(cols).reset_index(drop=True),
+    )
+    assert len(seg) > 0
