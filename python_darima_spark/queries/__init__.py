@@ -58,8 +58,25 @@ _MODULES = [
 # PROBE_r0*/PROBE_SF01_r0* artifacts are the full local replicas of the
 # driver gate over ALL entries regardless of the cap.
 _PRIORITY = [
-    # --- ROUND-7 head: the eleven new pipeline_ext entries have never
-    # had a driver row — they go first under the ~50-row cap.
+    # --- ROUND-8 head: (1) the never-rowed-green entries — the GEFCom
+    # headline workload (new this round) and the TWS detector, which
+    # now RUNS via the vendored protobuf wire runtime and shares the
+    # EWMA recursive-CTE hash oracle (previously env-refusal);
+    "q_ts_reference_gefcom",
+    "q_stream_anomaly_tws",
+    # (2) entries whose formulation changed this round: exact integer
+    # allocation (mixture/reconcile), month-key yoy join, unpersisted
+    # rfm, ledger-backed index append (+ its streaming consumer), and
+    # the EWMA twin sharing the segmented oracle builder
+    "q_mixture_temperature",
+    "q_ts_reconcile",
+    "q_yoy_growth",
+    "q_rfm_segment",
+    "q_dedup_index_append",
+    "q_stream_dedup_near",
+    "q_stream_anomaly",
+    # --- ROUND-7 head: the eleven new pipeline_ext entries first got
+    # driver rows in round 7.
     "q_text_quality_c4",
     "q_text_dedup_lines",
     "q_dedup_url",

@@ -1550,7 +1550,109 @@ GROUP BY 1, 2
 """
 
 
+# ---------------------------------------------------------------------------
+# q_ts_reference_gefcom — the reference's OWN headline workload under the gate
+# ---------------------------------------------------------------------------
+
+# The reference ships GEFCom2017-style data (10 zones × ~121k hourly train
+# obs, 2,879-step test horizon, /root/reference/data/*.csv) and its whole
+# program is this one job (/root/reference/darima.py:492-493 +
+# darima_config.json). The accuracy bands live in
+# tests/test_reference_accuracy.py; this entry puts the SAME end-to-end run
+# under the driver's value-hash gate as a census: per zone, the forecast
+# surface is complete (h rows, h = that zone's test length), every point
+# finite, every interval ordered (lo ≤ fc ≤ hi), and the global metrics sit
+# inside the recorded band (mean-combine run: MASE 2.1565, sMAPE 0.1399,
+# MSIS_80 10.31, MSIS_95 15.15). The DuckDB oracle reads the reference CSVs
+# itself, so the expected zones and horizons come from the data, not from
+# constants baked into the entry.
+_GEFCOM_DATA = "/root/reference/data"
+_GEFCOM_BANDS = {
+    "mase": (1.2, 2.5),
+    "smape": (0.08, 0.17),
+    "msis_80": (5.0, 14.0),
+    "msis_95": (7.0, 20.0),
+}
+
+
+def q_ts_reference_gefcom(spark: SparkSession, sf: str) -> DataFrame:
+    """End-to-end DARIMA on the reference's own GEFCom workload,
+    hash-certified as a census (the q_ts_backtest_census pattern).
+
+    ``sf`` is ignored by design: the reference workload IS the dataset
+    (fixed 10-zone layout), so this entry certifies the same job at
+    every scale tier. Plan: the darima pipeline itself — per-window
+    Arrow ARIMA fits in parallel, O(coef) driver combine, distributed
+    recursive scoring — followed by one per-zone aggregate over the
+    forecast surface; nothing here adds a row-scale collect."""
+    import os
+
+    from python_darima_spark.darima.pipeline import DarimaConfig, darima
+    from python_darima_spark.sources import read_reference_series_csv
+
+    if not os.path.exists(f"{_GEFCOM_DATA}/CT_train.csv"):
+        raise NotImplementedError(
+            "ENV-REFUSAL: reference GEFCom data not present at "
+            f"{_GEFCOM_DATA}; the same workload is band-asserted in "
+            "tests/test_reference_accuracy.py wherever the data exists"
+        )
+    train = read_reference_series_csv(spark, f"{_GEFCOM_DATA}/*_train.csv")
+    test = read_reference_series_csv(spark, f"{_GEFCOM_DATA}/*_test.csv")
+    # horizon = the (shared) per-zone test length, derived from the data
+    # like the oracle derives it — an O(1) driver scalar
+    h = test.groupBy("series_id").count().agg(F.max("count")).collect()[0][0]
+    cfg = DarimaConfig(num_windows=4, period=24, method="mean", tol=2000)
+    res = darima(train, cfg, test_df=test, h=int(h))
+    s = res.scores.collect()[0].asDict()
+    flags = {
+        name: int(lo <= s[name] <= hi)
+        for name, (lo, hi) in _GEFCOM_BANDS.items()
+    }
+    fc, lo, hi = F.col("mean"), F.col("lo_95"), F.col("hi_95")
+    finite = ~F.isnan(fc) & (fc > F.lit(float("-inf"))) & (
+        fc < F.lit(float("inf"))
+    )
+    return (
+        res.forecasts.groupBy(F.col("series_id").alias("zone"))
+        .agg(
+            F.count("*").alias("fc_rows"),
+            F.sum(finite.cast("bigint")).alias("fc_finite"),
+            F.sum(((lo <= fc) & (fc <= hi)).cast("bigint")).alias(
+                "interval_ok"
+            ),
+        )
+        .select(
+            "zone",
+            "fc_rows",
+            "fc_finite",
+            "interval_ok",
+            F.lit(flags["mase"]).cast("int").alias("mase_in_band"),
+            F.lit(flags["smape"]).cast("int").alias("smape_in_band"),
+            F.lit(flags["msis_80"]).cast("int").alias("msis80_in_band"),
+            F.lit(flags["msis_95"]).cast("int").alias("msis95_in_band"),
+        )
+    )
+
+
+_GEFCOM_ORACLE = f"""
+WITH t AS (
+  SELECT regexp_extract(filename, '([^/]+)_test\\.csv$', 1) AS zone,
+         CAST(count(*) AS BIGINT) AS h
+  FROM read_csv('{_GEFCOM_DATA}/*_test.csv', header=true, filename=true,
+                columns={{'demand': 'DOUBLE', 'time': 'VARCHAR'}})
+  GROUP BY 1
+)
+SELECT zone, h AS fc_rows, h AS fc_finite, h AS interval_ok,
+       CAST(1 AS INT) AS mase_in_band, CAST(1 AS INT) AS smape_in_band,
+       CAST(1 AS INT) AS msis80_in_band, CAST(1 AS INT) AS msis95_in_band
+FROM t
+"""
+
+
 QUERIES = {
+    "q_ts_reference_gefcom": QuerySpec(
+        q_ts_reference_gefcom, _GEFCOM_ORACLE
+    ),
     "q_text_quality_c4": QuerySpec(q_text_quality_c4, _C4_ORACLE),
     "q_text_dedup_lines": QuerySpec(q_text_dedup_lines, _DEDUP_LINES_ORACLE),
     "q_dedup_url": QuerySpec(q_dedup_url, _DEDUP_URL_ORACLE),
