@@ -289,3 +289,57 @@ def test_scan_through_fully_qualified_hadoop_fs_uri(spark, sf_dir):
     # the scheme reaches the physical scan's file index, not a local alias
     plan = qualified._jdf.queryExecution().executedPlan().toString()
     assert "file:/" in plan
+
+
+def test_write_and_read_through_uri_scheme_round_trip(spark, tmp_path):
+    """R2's write half (round-7 VERDICT ask #6): the engine's sink
+    functions and the reference-layout reader must route an explicit
+    URI-scheme path through Hadoop's FileSystem — never through
+    os.path special-casing — so the same call works against
+    gs://bucket/key once the connector jar + credentials exist. The
+    demonstrable scheme offline is authority-form file://: write
+    partitioned parquet and JSON through the engine's writers to
+    file:// URIs, read them back through the same scheme, and assert
+    the round trip is lossless."""
+    from python_darima_spark.sources.writers import (
+        write_json,
+        write_partitioned_parquet,
+    )
+
+    df = spark.range(100).selectExpr(
+        "id", "id % 4 AS part", "concat('v', id) AS payload"
+    )
+    pq_uri = f"file://{tmp_path}/uri_sink_parquet"
+    js_uri = f"file://{tmp_path}/uri_sink_json"
+    write_partitioned_parquet(df, pq_uri, partition_cols=["part"])
+    write_json(df, js_uri)
+
+    back_pq = spark.read.parquet(pq_uri)
+    back_js = spark.read.json(js_uri)
+    assert back_pq.count() == 100 and back_js.count() == 100
+    assert sorted(r.id for r in back_pq.collect()) == list(range(100))
+    assert sorted(r.id for r in back_js.collect()) == list(range(100))
+    # partition layout materialized where the URI points (hive dirs)
+    import os
+
+    assert os.path.isdir(f"{tmp_path}/uri_sink_parquet/part=3")
+
+
+def test_reference_reader_through_uri_scheme(spark):
+    """The reference's own config points its reader at gs:// CSVs
+    (darima_config.json:6-7); the migration reader must take the same
+    zone layout through an explicit URI scheme with ids still derived
+    per file from input_file_name()."""
+    import os
+
+    import pytest
+
+    if not os.path.exists("/root/reference/data/CT_train.csv"):
+        pytest.skip("reference GEFCom data not present")
+    from python_darima_spark.sources import read_reference_series_csv
+
+    df = read_reference_series_csv(
+        spark, "file:///root/reference/data/*_train.csv"
+    )
+    ids = {r.series_id for r in df.select("series_id").distinct().collect()}
+    assert len(ids) == 10 and "CT" in ids and "VT" in ids
