@@ -76,6 +76,37 @@ def char_shingles(text_col: str, k: int = 5):
     )
 
 
+def doc_shingle_gids(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 5,
+) -> DataFrame:
+    """The SHARED corpus shingle stage: one ``(id, gid)`` row per
+    DISTINCT shingle per document, gid = replay-stable ``xxhash64`` of
+    the shingle text. Every dedup pipeline in the family starts from
+    exactly this table — MinHash signatures (``pmod(gid, P)`` is the
+    base hash), the containment dictionary (document frequency per
+    gid), and exact set verification (sorted int-gid arrays intersect
+    ~10× cheaper than 5-char-string arrays) — so a caller that computes
+    it once and persists it (queries/llm_data.py `_corpus_shingles`)
+    pays the corpus text scan + shingle explode a single time for the
+    whole family instead of once per pipeline. A 64-bit collision
+    merges one shingle pair deterministically (P ≈ n²/2⁶⁴ per doc,
+    ~1e-13 at 2k shingles/doc — the same accepted bound as the
+    containment dictionary)."""
+    return (
+        fan_out(df, id_col)
+        .select(
+            F.col(id_col),
+            F.explode(
+                F.array_distinct(char_shingles(text_col, shingle_k))
+            ).alias("g"),
+        )
+        .select(id_col, F.xxhash64("g").alias("gid"))
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -83,6 +114,7 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_k: int = 5,
     seed: int = 42,
+    shingle_gids: DataFrame | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature → (id_col, sig: array<bigint>).
 
@@ -92,26 +124,39 @@ def minhash_signatures(
     ``num_hashes`` minima is a plain codegen'd ``min`` aggregate with
     map-side partial aggregation, so the only shuffle carries one
     ``num_hashes``-wide partial row per (task, doc). Duplicate shingles
-    need no dedup — they cannot change a min.
+    need no dedup — they cannot change a min, which is also why the
+    (distinct-per-doc) shared stage gives identical signatures.
+
+    ``shingle_gids`` — a :func:`doc_shingle_gids` table (typically the
+    family-shared persisted stage) — skips the text scan + explode
+    entirely: the base hash is ``pmod(gid, P)``, the same value the
+    inline path computes (gid = xxhash64(shingle)).
     """
     rng = np.random.default_rng(seed)
     a = rng.integers(1, 2**30, size=num_hashes)
     b = rng.integers(0, 2**30, size=num_hashes)
-    offsets = F.sequence(
-        F.lit(1), F.greatest(F.length(text_col) - (shingle_k - 1), F.lit(1))
-    )
-    # fan_out BEFORE the ~300×-row explode: full-core shingling, and the
-    # groupBy(id) below reuses this partitioning (no second exchange).
-    df = fan_out(df, id_col)
-    base = df.select(
-        F.col(id_col), F.col(text_col), F.explode(offsets).alias("_i")
-    ).select(
-        id_col,
-        F.pmod(
-            F.xxhash64(F.expr(f"substring({text_col}, _i, {shingle_k})")),
-            F.lit(_MERSENNE_P),
-        ).alias("_h"),
-    )
+    if shingle_gids is not None:
+        base = shingle_gids.select(
+            id_col, F.pmod("gid", F.lit(_MERSENNE_P)).alias("_h")
+        )
+    else:
+        offsets = F.sequence(
+            F.lit(1),
+            F.greatest(F.length(text_col) - (shingle_k - 1), F.lit(1)),
+        )
+        # fan_out BEFORE the ~300×-row explode: full-core shingling, and
+        # the groupBy(id) below reuses this partitioning (no second
+        # exchange).
+        df = fan_out(df, id_col)
+        base = df.select(
+            F.col(id_col), F.col(text_col), F.explode(offsets).alias("_i")
+        ).select(
+            id_col,
+            F.pmod(
+                F.xxhash64(F.expr(f"substring({text_col}, _i, {shingle_k})")),
+                F.lit(_MERSENNE_P),
+            ).alias("_h"),
+        )
     mins = [
         F.min(
             F.pmod(
@@ -213,12 +258,13 @@ def minhash_near_duplicates(
     num_bands: int = 16,
     seed: int = 42,
     max_bucket_size: int | None = None,
+    shingle_gids: DataFrame | None = None,
 ) -> DataFrame:
     """End-to-end near-dup pairs: MinHash → LSH candidates → signature
     Jaccard-estimate prefilter → EXACT Jaccard verification. Returns
     (id_a, id_b, jaccard) with jaccard ≥ threshold.
 
-    Three scale decisions, each measured on sf0.1 (5k docs, 138k LSH
+    Scale decisions, each measured on sf0.1 (5k docs, 138k LSH
     candidates → 256 true pairs):
 
     * signatures are ``persist()``-ed — the band self-join and both
@@ -230,13 +276,24 @@ def minhash_near_duplicates(
       64-long arrays) at ``threshold − 0.2`` — ≈3.5σ below the target
       for 64 hashes, so true pairs survive while the ~500× excess of
       LSH false positives never reaches exact verification;
-    * exact shingle sets are built ONLY for surviving pairs, from the
-      original text joined back by id — never materialized, cached, or
-      shuffled for all docs.
+    * exact shingle SETS are built ONLY for candidate docs (a semi-join
+      on the surviving pair ids), as sorted int-gid arrays — int
+      intersects run ~10× cheaper than 5-char-string intersects (the
+      containment_pairs measurement), and with a family-shared
+      ``shingle_gids`` stage the verify pays no text re-shingle at all.
+      Set-Jaccard over gids equals string Jaccard up to 64-bit
+      collisions (~1e-13/doc, the containment dictionary's accepted
+      bound).
     """
     rows_per_band = num_hashes // num_bands
+    gids = (
+        shingle_gids
+        if shingle_gids is not None
+        else doc_shingle_gids(df, text_col, id_col, shingle_k)
+    )
     sigs = minhash_signatures(
-        df, text_col, id_col, num_hashes, shingle_k, seed
+        df, text_col, id_col, num_hashes, shingle_k, seed,
+        shingle_gids=gids,
     ).persist()
     cands = minhash_candidate_pairs(
         sigs, id_col, num_bands, rows_per_band, max_bucket_size
@@ -263,27 +320,27 @@ def minhash_near_duplicates(
     # repartition-by-number before the CPU-heavy verify tail: the
     # survivor pairs are byte-tiny, AQE's byte-based coalescing would
     # shrink this exchange to a few partitions and run the per-pair
-    # shingling on a fraction of the cores (the _probe_verified_pairs
+    # intersects on a fraction of the cores (the _probe_verified_pairs
     # round-6 finding; REPARTITION_BY_NUM is exempt from coalescing)
     pre = pre.repartition(shuffle_width(df.sparkSession))
-    text = df.select(F.col(id_col), F.col(text_col))
-    joined = (
-        pre.join(
-            text.select(
-                F.col(id_col).alias("id_a"), F.col(text_col).alias("_txt_a")
-            ),
-            on="id_a",
-        )
-        .join(
-            text.select(
-                F.col(id_col).alias("id_b"), F.col(text_col).alias("_txt_b")
-            ),
-            on="id_b",
-        )
-        # shingle sets are computed ABOVE the joins, so the expression
-        # runs once per surviving pair, not once per document
-        .withColumn("_sh_a", F.array_distinct(char_shingles("_txt_a", shingle_k)))
-        .withColumn("_sh_b", F.array_distinct(char_shingles("_txt_b", shingle_k)))
+    # exact verify from sorted int-gid arrays, built only for docs that
+    # appear in a surviving pair (semi-join) — never for the corpus
+    cand_ids = (
+        pre.select(F.col("id_a").alias(id_col))
+        .union(pre.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    arr = (
+        gids.join(cand_ids, id_col, "left_semi")
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_list("gid")).alias("_sh"))
+    )
+    joined = pre.join(
+        arr.select(F.col(id_col).alias("id_a"), F.col("_sh").alias("_sh_a")),
+        on="id_a",
+    ).join(
+        arr.select(F.col(id_col).alias("id_b"), F.col("_sh").alias("_sh_b")),
+        on="id_b",
     )
     inter = F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
     union = F.size(F.array_union("_sh_a", "_sh_b")).cast("double")
@@ -371,12 +428,16 @@ def _probe_verified_pairs(
     threshold: float,
     num_hashes: int,
     shingle_k: int,
+    shingle_gids: DataFrame | None = None,
 ) -> DataFrame:
     """Shared tail of the incremental probe shapes: estimate-prefilter
     candidate (id_new, id_old) pairs on their signatures, then
-    exact-verify from the texts. Eager-materializes the (small) verified
-    set so callers can release their cached signature tables immediately
-    (a lazy return would leak cache entries per invocation)."""
+    exact-verify — from sorted int-gid arrays when the family-shared
+    ``shingle_gids`` stage is supplied (must cover both batch and
+    corpus ids; no text re-shingle, ~10× cheaper intersects), else from
+    the texts. Eager-materializes the (small) verified set so callers
+    can release their cached signature tables immediately (a lazy
+    return would leak cache entries per invocation)."""
     est_match = F.aggregate(
         F.zip_with("_sa", "_sb", lambda x, y: (x == y).cast("int")),
         F.lit(0),
@@ -404,34 +465,55 @@ def _probe_verified_pairs(
     spark = pre.sparkSession
     tgt = shuffle_width(spark)
     pre = pre.repartition(tgt).persist()
-    # ensure_parallelism on the TEXT sides: the survivor pair set is
-    # small so AQE broadcasts it, and then the per-pair shingling +
-    # intersect work runs at the text table's SCAN partitioning — a
-    # compact parquet corpus scans as ~6 splits and the verify stage
-    # crawled on 6 cores (round-6 sf1 profile; same scan-parallelism
-    # rule as the index reads above)
-    joined = (
-        pre.join(
-            ensure_parallelism(
-                new_df.select(
-                    F.col(id_col).alias("id_new"),
-                    F.col(text_col).alias("_txt_a"),
-                )
-            ),
-            on="id_new",
+    if shingle_gids is not None:
+        new_ids = pre.select(F.col("id_new").alias(id_col)).distinct()
+        old_ids = pre.select(F.col("id_old").alias(id_col)).distinct()
+        arr_new = (
+            shingle_gids.join(new_ids, id_col, "left_semi")
+            .groupBy(id_col)
+            .agg(F.sort_array(F.collect_list("gid")).alias("_sh_a"))
+            .withColumnRenamed(id_col, "id_new")
         )
-        .join(
-            ensure_parallelism(
-                old_texts.select(
-                    F.col(id_col).alias("id_old"),
-                    F.col(text_col).alias("_txt_b"),
-                )
-            ),
-            on="id_old",
+        arr_old = (
+            shingle_gids.join(old_ids, id_col, "left_semi")
+            .groupBy(id_col)
+            .agg(F.sort_array(F.collect_list("gid")).alias("_sh_b"))
+            .withColumnRenamed(id_col, "id_old")
         )
-        .withColumn("_sh_a", F.array_distinct(char_shingles("_txt_a", shingle_k)))
-        .withColumn("_sh_b", F.array_distinct(char_shingles("_txt_b", shingle_k)))
-    )
+        joined = pre.join(arr_new, "id_new").join(arr_old, "id_old")
+    else:
+        # ensure_parallelism on the TEXT sides: the survivor pair set is
+        # small so AQE broadcasts it, and then the per-pair shingling +
+        # intersect work runs at the text table's SCAN partitioning — a
+        # compact parquet corpus scans as ~6 splits and the verify stage
+        # crawled on 6 cores (round-6 sf1 profile; same scan-parallelism
+        # rule as the index reads above)
+        joined = (
+            pre.join(
+                ensure_parallelism(
+                    new_df.select(
+                        F.col(id_col).alias("id_new"),
+                        F.col(text_col).alias("_txt_a"),
+                    )
+                ),
+                on="id_new",
+            )
+            .join(
+                ensure_parallelism(
+                    old_texts.select(
+                        F.col(id_col).alias("id_old"),
+                        F.col(text_col).alias("_txt_b"),
+                    )
+                ),
+                on="id_old",
+            )
+            .withColumn(
+                "_sh_a", F.array_distinct(char_shingles("_txt_a", shingle_k))
+            )
+            .withColumn(
+                "_sh_b", F.array_distinct(char_shingles("_txt_b", shingle_k))
+            )
+        )
     inter = F.size(F.array_intersect("_sh_a", "_sh_b")).cast("double")
     union = F.size(F.array_union("_sh_a", "_sh_b")).cast("double")
     result = (
@@ -454,6 +536,7 @@ def minhash_index_append(
     num_bands: int = 16,
     seed: int = 42,
     ingest_tag: str | None = None,
+    shingle_gids: DataFrame | None = None,
 ) -> None:
     """WRITE path of the incremental dedup index: shingle + MinHash the
     batch ONCE and append its ``(id, sig)`` rows to ``{index}/sigs`` and
@@ -487,7 +570,16 @@ def minhash_index_append(
     alternative measured ~2.5× worse probe parallelism at sf1)."""
     rows_per_band = num_hashes // num_bands
     sig = minhash_signatures(
-        batch_df, text_col, id_col, num_hashes, shingle_k, seed
+        batch_df, text_col, id_col, num_hashes, shingle_k, seed,
+        # a family-shared stage covers the whole corpus; this ingest
+        # signs only ITS batch (semi-join on the batch ids)
+        shingle_gids=(
+            shingle_gids.join(
+                batch_df.select(id_col), id_col, "left_semi"
+            )
+            if shingle_gids is not None
+            else None
+        ),
     ).persist()
     try:
         # repartition on the directory key first: ONE file per band dir
@@ -530,6 +622,7 @@ def minhash_probe_index(
     shingle_k: int = 5,
     num_bands: int = 16,
     seed: int = 42,
+    shingle_gids: DataFrame | None = None,
 ) -> DataFrame:
     """PROBE a new batch against the PERSISTED index maintained by
     :func:`minhash_index_append` — the full production loop: append
@@ -546,7 +639,14 @@ def minhash_probe_index(
     spark = new_df.sparkSession
     rows_per_band = num_hashes // num_bands
     sig_new = minhash_signatures(
-        new_df, text_col, id_col, num_hashes, shingle_k, seed
+        new_df, text_col, id_col, num_hashes, shingle_k, seed,
+        shingle_gids=(
+            shingle_gids.join(
+                new_df.select(id_col), id_col, "left_semi"
+            )
+            if shingle_gids is not None
+            else None
+        ),
     ).persist()
     # ensure_parallelism on BOTH index scans (round 6): the index files
     # are few and small, so their scans plan at a handful of splits; when
@@ -571,6 +671,7 @@ def minhash_probe_index(
     result = _probe_verified_pairs(
         cands, sig_new, sig_idx, new_df, corpus_df,
         text_col, id_col, threshold, num_hashes, shingle_k,
+        shingle_gids=shingle_gids,
     )
     sig_new.unpersist()
     return result
@@ -847,6 +948,7 @@ def containment_pairs(
     threshold: float = 0.9,
     shingle_k: int = 5,
     probe_frac: float = 0.05,
+    shingle_gids: DataFrame | None = None,
 ) -> DataFrame:
     """ASYMMETRIC containment |A∩B|/|A| ≥ threshold — doc-inside-doc
     detection, the case Jaccard-based dedup structurally misses (a page
@@ -888,34 +990,29 @@ def containment_pairs(
     join touches ~answer-sized pair sets; every stage is linear in
     corpus shingle volume (measured 10.0× candidates / ~4× wall at 10×
     data on local[32])."""
-    # fan_out: a compact corpus parquet arrives as one split, and every
-    # stage below would otherwise run single-threaded. persist: the
-    # gid-encoded shingle table feeds FOUR consumers (ranked probe,
+    # the shared corpus stage (or its inline equivalent): one (id, gid)
+    # row per distinct shingle per doc; the dictionary id is a
+    # DETERMINISTIC content hash, not monotonically_increasing_id — a
+    # run-dependent gid is only bijective if every partition is computed
+    # exactly once, and a lineage replay of a lost cached partition
+    # would re-draw ids and silently mix two vocabularies in the verify
+    # arrays (round-6 ADVICE, medium). xxhash64 is replay-stable; a
+    # 64-bit collision merges one shingle pair deterministically
+    # (P≈n²/2⁶⁴, negligible).
+    src = (
+        shingle_gids
+        if shingle_gids is not None
+        else doc_shingle_gids(df, text_col, id_col, shingle_k)
+    )
+    # per-gram document frequency, grouped and joined on the 8-byte gid
+    # (the string shingle never leaves the shared stage). persist: the
+    # df-annotated shingle table feeds FOUR consumers (ranked probe,
     # index, and the two verify array sides) — unpersisted, each one
     # replays the scan→shingle→dictionary subtree (same reasoning as
     # minhash's persisted signatures; on a cluster, checkpoint to
     # storage instead).
-    e0 = fan_out(df, id_col).select(
-        F.col(id_col),
-        F.explode(
-            F.array_distinct(char_shingles(text_col, shingle_k))
-        ).alias("g"),
-    )
-    # per-gram document frequency; the dictionary id is a DETERMINISTIC
-    # content hash, not monotonically_increasing_id — a run-dependent
-    # gid is only bijective if every partition is computed exactly once,
-    # and a lineage replay of a lost cached partition would re-draw ids
-    # and silently mix two vocabularies in the verify arrays (round-6
-    # ADVICE, medium). xxhash64 is replay-stable; a 64-bit collision
-    # merges one shingle pair deterministically (P≈n²/2⁶⁴, negligible).
-    d = e0.groupBy("g").agg(F.count("*").alias("_df")).withColumn(
-        "gid", F.xxhash64("g")
-    )
-    e = (
-        e0.join(d.select("g", "gid", "_df"), "g")
-        .select(id_col, "gid", "_df")
-        .persist()
-    )
+    d = src.groupBy("gid").agg(F.count("*").alias("_df"))
+    e = src.join(d, "gid").select(id_col, "gid", "_df").persist()
     # one keyed window pass computes both the df-ascending probe rank
     # and the doc's shingle-set size (no separate sizes join)
     wdoc = Window.partitionBy(id_col)

@@ -53,6 +53,36 @@ from python_darima_spark.operators.similarity import (
 )
 from python_darima_spark.queries import QuerySpec, load
 
+# ---------------------------------------------------------------------------
+# Family-shared corpus shingle stage (round-7 VERDICT ask #7): the dedup
+# pipelines all start from the same (doc_id, gid) distinct-shingle table,
+# so it is computed ONCE per (session, sf) and persisted; q_dedup_near,
+# q_dedup_containment and q_dedup_index_append consume the cache instead
+# of re-shingling the corpus. Exactly ONE entry is kept (the previous sf's
+# stage is unpersisted on change) so executor storage stays bounded across
+# the long probe/driver suites — the same discipline the round-7 ADVICE
+# demanded of q_rfm_segment. In a production lake this stage is a real
+# persisted table the whole curation DAG reads.
+_SHINGLE_STAGE: dict[tuple, DataFrame] = {}
+
+
+def _corpus_shingles(spark: SparkSession, sf: str) -> DataFrame:
+    from python_darima_spark.operators.dedup import doc_shingle_gids
+
+    key = (id(spark.sparkContext), sf)
+    hit = _SHINGLE_STAGE.get(key)
+    if hit is not None:
+        return hit
+    for old_key, old_df in list(_SHINGLE_STAGE.items()):
+        try:
+            old_df.unpersist()
+        except Exception:
+            pass  # stale session handle — nothing to release
+        del _SHINGLE_STAGE[old_key]
+    stage = doc_shingle_gids(load(spark, sf, "documents")).persist()
+    _SHINGLE_STAGE[key] = stage
+    return stage
+
 
 def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     """Exact dedup keeping min doc_id per sha2 digest. The fixture has no
@@ -84,7 +114,8 @@ def q_dedup_near(spark: SparkSession, sf: str) -> DataFrame:
     oracle therefore still holds verbatim under the cap."""
     docs = load(spark, sf, "documents")
     return minhash_near_duplicates(
-        docs, "text", "doc_id", threshold=0.5, max_bucket_size=50
+        docs, "text", "doc_id", threshold=0.5, max_bucket_size=50,
+        shingle_gids=_corpus_shingles(spark, sf),
     ).orderBy("id_a", "id_b")
 
 
@@ -204,7 +235,8 @@ def q_dedup_containment(spark: SparkSession, sf: str) -> DataFrame:
     at sf0.1 and the 10×-data wall-clock ratio fell 12.2× → ~4×."""
     docs = load(spark, sf, "documents")
     return containment_pairs(
-        docs, "text", "doc_id", threshold=0.9
+        docs, "text", "doc_id", threshold=0.9,
+        shingle_gids=_corpus_shingles(spark, sf),
     ).orderBy("id_a", "id_b")
 
 
@@ -502,13 +534,19 @@ def q_dedup_index_append(spark: SparkSession, sf: str) -> DataFrame:
         f"pds_minhash_index_{os.path.basename(os.path.normpath(sf))}",
     )
     shutil.rmtree(path, ignore_errors=True)
-    minhash_index_append(docs.where(F.col("doc_id") % 5 == 1), path)
+    stage = _corpus_shingles(spark, sf)
     minhash_index_append(
-        docs.where((F.col("doc_id") % 5).isin(2, 3, 4)), path
+        docs.where(F.col("doc_id") % 5 == 1), path, shingle_gids=stage
+    )
+    minhash_index_append(
+        docs.where((F.col("doc_id") % 5).isin(2, 3, 4)), path,
+        shingle_gids=stage,
     )
     corpus = docs.where(F.col("doc_id") % 5 != 0)
     new = docs.where(F.col("doc_id") % 5 == 0)
-    return minhash_probe_index(new, path, corpus, threshold=0.5)
+    return minhash_probe_index(
+        new, path, corpus, threshold=0.5, shingle_gids=stage
+    )
 
 
 def q_sample_reservoir(spark: SparkSession, sf: str) -> DataFrame:
