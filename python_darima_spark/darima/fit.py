@@ -192,6 +192,15 @@ def _build_design(
 
 
 def _ols(yv: np.ndarray, X: np.ndarray) -> tuple[np.ndarray, float, int]:
+    # lstsq (SVD, gelsd) ON PURPOSE — faster solvers were tried and
+    # rejected on measured numerics (round 8): QR+solve is no faster on
+    # these tall-skinny designs (LAPACK-bound either way), and normal
+    # equations (3× faster) diverge on near-unit-root lagged designs —
+    # measured max beta error 4.8e2 at 25 lags and 6.5 at 7 lags on
+    # AR(2) fixtures, because κ(X'X) = κ(X)² and integrated-ish series
+    # make lag columns near-collinear at ANY order. The rank-revealing
+    # SVD path is the only one whose answers are placement- and
+    # conditioning-stable, which the oracle hash gates require.
     beta, _, _, _ = np.linalg.lstsq(X, yv, rcond=None)
     resid = yv - X @ beta
     sigma2 = float(np.dot(resid, resid) / max(1, yv.size))
