@@ -85,7 +85,12 @@ def test_containment_counting_prefix_in_plan(spark, sf_dir, monkeypatch):
     """The round-6 containment shape: all candidate/verify joins equi
     (hash or sort-merge), no nested loop anywhere, the df-rank prefix
     window present, and the round-5 MinHash estimate stage GONE (the
-    counting prefix filter replaced it — no xxhash64 anywhere)."""
+    counting prefix filter replaced it). The estimate stage is detected
+    by ITS markers — the `_mh*` minhash min-aggregates and the zip_with
+    signature compare — not by `xxhash64`, which the replay-stable gid
+    dictionary legitimately uses (round-6 ADVICE fix; the old blanket
+    no-xxhash64 assertion only ever passed when a previously registered
+    cache entry happened to hide the dictionary subtree)."""
     _no_checkpoint(monkeypatch)
     from python_darima_spark.queries.llm_data import load
     from python_darima_spark.operators.dedup import containment_pairs
@@ -94,8 +99,9 @@ def test_containment_counting_prefix_in_plan(spark, sf_dir, monkeypatch):
     plan = _plan(containment_pairs(docs, "text", "doc_id"))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    # signature estimate stage removed in round 6
-    assert "xxhash64" not in plan, plan[:2000]
+    # round-5 signature estimate stage removed in round 6
+    assert "_mh0" not in plan, plan[:2000]
+    assert "zip_with" not in plan, plan[:2000]
     # hit-count aggregate (map-side combined) + the df-rank window
     assert "HashAggregate" in plan
     assert "Window" in plan
