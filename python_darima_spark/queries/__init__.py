@@ -58,6 +58,15 @@ _MODULES = [
 # PROBE_r0*/PROBE_SF01_r0* artifacts are the full local replicas of the
 # driver gate over ALL entries regardless of the cap.
 _PRIORITY = [
+    # --- ROUND-8 late additions: brand-new entries with no driver row
+    # yet — k-core decomposition, k-anonymity generalization cascade,
+    # the adaptive-gain integer Kalman recursion, epoch-repetition
+    # mixtures, and cluster-based semantic dedup (SemDeDup).
+    "q_graph_kcore",
+    "q_anonymize_k",
+    "q_ts_kalman",
+    "q_mixture_epochs",
+    "q_dedup_semantic",
     # --- ROUND-8 head: (1) the never-rowed-green entries — the GEFCom
     # headline workload (new this round) and the TWS detector, which
     # now RUNS via the vendored protobuf wire runtime and shares the

@@ -321,9 +321,90 @@ def _labelprop_oracle() -> str:
     return head + body + tail
 
 
+_KCORE_K = 3
+_KCORE_ROUNDS = 5
+
+
+def q_graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    """K-CORE DECOMPOSITION (k=3) of the part co-order graph — the
+    density screen that strips low-degree fringe before community /
+    influence analysis (and the standard spam-subgraph filter on web
+    corpora). Iterative peel: each round drops every node whose degree
+    AMONG SURVIVORS is < k; a node's degree can only fall as neighbors
+    leave, so the fixed point is the maximal subgraph with min-degree
+    ≥ k. The engine runs _KCORE_ROUNDS synchronous rounds (semantics =
+    survivors-after-R-peels, deterministic whether or not converged;
+    on this fixture alive counts go 1494→533→241→112→74→68, so R=5 is
+    one round short of the fixed point ON PURPOSE — the oracle must
+    certify the ITERATION, not just a converged set that many wrong
+    iteration counts would also reach). Per round: two semi-joins of
+    the static edge list against the alive set + one count — the same
+    unrolled shape as q_graph_pagerank; alive shrinks monotonically so
+    later rounds get cheaper. At 100 TB: edges are the shuffle axis,
+    alive sets are skinny (node only); localCheckpoint per round cuts
+    the growing lineage exactly like the other iterative operators
+    (operators/graph.py note), and real deployments peel with k-level
+    buckets (Montresor et al.) — same join shape, fewer rounds."""
+    edges = _coorder_edges(spark, sf)
+    alive = edges.select(F.col("src").alias("node")).distinct()
+    deg = None
+    for _ in range(_KCORE_ROUNDS):
+        deg = (
+            edges.join(alive.withColumnRenamed("node", "src"), "src")
+            .join(alive.withColumnRenamed("node", "dst"), "dst")
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.count("*").alias("deg"))
+        )
+        alive = (
+            deg.where(F.col("deg") >= _KCORE_K)
+            .select("node")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        deg.where(F.col("deg") >= _KCORE_K)
+        .select("node", "deg")
+        .orderBy("node")
+    )
+
+
+def _kcore_oracle() -> str:
+    head = """WITH f AS (
+             SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+             WHERE l_quantity >= 45
+           ), half AS (
+             SELECT DISTINCT x.l_partkey AS src, y.l_partkey AS dst
+             FROM f x JOIN f y ON x.l_orderkey = y.l_orderkey
+                              AND x.l_partkey < y.l_partkey
+           ), e AS (
+             SELECT src, dst FROM half
+             UNION SELECT dst, src FROM half
+           ), a0 AS (
+             SELECT DISTINCT src AS node FROM e
+           )"""
+    step = """, d{cur} AS (
+             SELECT e.src AS node, count(*) AS deg
+             FROM e
+             JOIN a{cur} p ON p.node = e.src
+             JOIN a{cur} q ON q.node = e.dst
+             GROUP BY e.src
+           ), a{next} AS (
+             SELECT node FROM d{cur} WHERE deg >= {k}
+           )"""
+    body = "".join(
+        step.format(cur=i, next=i + 1, k=_KCORE_K)
+        for i in range(_KCORE_ROUNDS)
+    )
+    tail = f"""
+           SELECT node, deg FROM d{_KCORE_ROUNDS - 1}
+           WHERE deg >= {_KCORE_K}
+           ORDER BY node"""
+    return head + body + tail
+
+
 QUERIES = {
     "q_graph_pagerank": QuerySpec(q_graph_pagerank, _pagerank_oracle()),
     "q_graph_bfs": QuerySpec(q_graph_bfs, _BFS_ORACLE),
     "q_graph_triangles": QuerySpec(q_graph_triangles, _TRIANGLES_ORACLE),
     "q_graph_labelprop": QuerySpec(q_graph_labelprop, _labelprop_oracle()),
+    "q_graph_kcore": QuerySpec(q_graph_kcore, _kcore_oracle()),
 }

@@ -1649,6 +1649,232 @@ FROM t
 """
 
 
+# ---------------------------------------------------------------------------
+# q_anonymize_k — k-anonymity generalization cascade
+# ---------------------------------------------------------------------------
+
+# Privacy-preserving release (Sweeney 2002): every published row must
+# share its quasi-identifier (QI) combination with ≥ k-1 others. The
+# ladder generalizes each row to the FIRST level whose full-population
+# QI group reaches k: level 0 = (nation, segment, balance-bucket),
+# level 1 drops the bucket, level 2 drops nation too, level 3 =
+# suppressed (all QIs withheld). k=6 exercises the whole ladder on the
+# fixture: 13 rows publish at level 0, two (nation, segment) groups of
+# 5 fall through to level 2, everything else stops at level 1.
+_ANON_K = 6
+
+
+def q_anonymize_k(spark: SparkSession, sf: str) -> DataFrame:
+    """K-ANONYMITY generalization over ``customer`` quasi-identifiers.
+
+    Plan: three partial-agg groupBys on progressively coarser QI keys
+    (group tables are O(distinct QI combos), far smaller than the fact)
+    joined back on their keys — AQE broadcasts the coarse levels and
+    shuffles only the finest join. Map-only after the joins; no window,
+    no global state. At 100 TB: the QI censuses are one combine-heavy
+    pass each, and the row-level classification is embarrassingly
+    parallel — the same shape DP/k-anon release jobs run at warehouse
+    scale. The balance bucket is floor(acctbal/1000) — double division
+    + floor, bit-identical cross-engine."""
+    cust = load(spark, sf, "customer")
+    base = cust.select(
+        "c_custkey",
+        F.col("c_nationkey").alias("qi_nation"),
+        F.col("c_mktsegment").alias("qi_segment"),
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long")
+        .alias("qi_bal_bucket"),
+    )
+    g0 = base.groupBy("qi_nation", "qi_segment", "qi_bal_bucket").agg(
+        F.count("*").alias("n0")
+    )
+    g1 = base.groupBy("qi_nation", "qi_segment").agg(
+        F.count("*").alias("n1")
+    )
+    g2 = base.groupBy("qi_segment").agg(F.count("*").alias("n2"))
+    joined = (
+        base.join(g0, ["qi_nation", "qi_segment", "qi_bal_bucket"])
+        .join(g1, ["qi_nation", "qi_segment"])
+        .join(g2, ["qi_segment"])
+    )
+    k = _ANON_K
+    lvl = (
+        F.when(F.col("n0") >= k, 0)
+        .when(F.col("n1") >= k, 1)
+        .when(F.col("n2") >= k, 2)
+        .otherwise(3)
+    )
+    return joined.select(
+        "c_custkey",
+        lvl.cast("int").alias("gen_level"),
+        F.when(lvl <= 1, F.col("qi_nation")).alias("anon_nation"),
+        F.when(lvl <= 2, F.col("qi_segment")).alias("anon_segment"),
+        F.when(lvl <= 0, F.col("qi_bal_bucket")).alias("anon_bal_bucket"),
+        F.when(lvl == 0, F.col("n0"))
+        .when(lvl == 1, F.col("n1"))
+        .when(lvl == 2, F.col("n2"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("group_size"),
+    )
+
+
+_ANON_ORACLE = f"""
+WITH base AS (
+  SELECT c_custkey, c_nationkey AS qi_nation, c_mktsegment AS qi_segment,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS qi_bal_bucket
+  FROM customer
+), g0 AS (
+  SELECT qi_nation, qi_segment, qi_bal_bucket, count(*) AS n0
+  FROM base GROUP BY 1, 2, 3
+), g1 AS (
+  SELECT qi_nation, qi_segment, count(*) AS n1 FROM base GROUP BY 1, 2
+), g2 AS (
+  SELECT qi_segment, count(*) AS n2 FROM base GROUP BY 1
+), lv AS (
+  SELECT b.*, n0, n1, n2,
+         CASE WHEN n0 >= {_ANON_K} THEN 0
+              WHEN n1 >= {_ANON_K} THEN 1
+              WHEN n2 >= {_ANON_K} THEN 2
+              ELSE 3 END AS lvl
+  FROM base b
+  JOIN g0 USING (qi_nation, qi_segment, qi_bal_bucket)
+  JOIN g1 USING (qi_nation, qi_segment)
+  JOIN g2 USING (qi_segment)
+)
+SELECT c_custkey,
+       CAST(lvl AS INT) AS gen_level,
+       CASE WHEN lvl <= 1 THEN qi_nation END AS anon_nation,
+       CASE WHEN lvl <= 2 THEN qi_segment END AS anon_segment,
+       CASE WHEN lvl <= 0 THEN qi_bal_bucket END AS anon_bal_bucket,
+       CAST(CASE lvl WHEN 0 THEN n0 WHEN 1 THEN n1 WHEN 2 THEN n2
+                     ELSE 0 END AS BIGINT) AS group_size
+FROM lv
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_ts_kalman — adaptive-gain Kalman filter, exact integer recursion
+# ---------------------------------------------------------------------------
+
+# The state-space family beside the exponential-smoothing recursions
+# (q_ts_holt_recursive / q_ts_hw_recursive): a local-level Kalman
+# filter whose GAIN ADAPTS each step through the variance recursion —
+#   P⁻ = P + Q;  K = ⌊P⁻·M / (P⁻+R)⌋;  l += ⌊K·(y−l) / M⌋;
+#   P = ⌊(M−K)·P⁻ / M⌋            (M = 1e6 gain scale)
+# EWMA/Holt have constant gains, so this certifies a recursion whose
+# COEFFICIENTS are themselves recursive state. All arithmetic is BIGINT
+# micro-units; the one signed floor-division (K·(y−l) can be negative)
+# is spelled remainder-first in the oracle ((a − ((a%b)+b)%b)/b — the
+# q_mixture_temperature trick) because DuckDB's `//` truncates toward
+# zero while Python's floors. Series are capped to their LAST 240 hours
+# so the oracle's recursive CTE is depth-bounded at EVERY sf (the
+# q_stream_anomaly segmented-oracle lesson, avoided by construction).
+_KAL_M = 1_000_000       # gain scale
+_KAL_R = 4_000_000       # measurement variance, micro-units (4.0)
+_KAL_Q = 250_000         # process variance, micro-units (0.25)
+_KAL_HOURS = 240
+
+
+def q_ts_kalman(spark: SparkSession, sf: str) -> DataFrame:
+    """Local-level KALMAN FILTER per series (event_type), exact integer
+    recursion, hash-graded against a recursive-CTE oracle.
+
+    Plan: one partial-agg hourly census, a per-key window for the
+    240-hour cap, then ONE grouped Arrow UDF task per series running
+    the sequential filter (sequential by construction — the gain
+    recursion has no scan/closed form; same distribution contract as
+    q_ts_holt_recursive: the driver holds nothing, series count is the
+    scale axis)."""
+    import pandas as pd
+
+    ev = load(spark, sf, "events")
+    hourly = ev.groupBy(
+        F.col("event_type").alias("series_id"),
+        F.date_trunc("hour", "ts").alias("ts"),
+    ).agg(
+        F.floor(F.sum("value") * F.lit(1e6) + F.lit(0.5))
+        .cast("long")
+        .alias("y_i6")
+    )
+    w = Window.partitionBy("series_id")
+    capped = (
+        hourly.withColumn("_mx", F.max("ts").over(w))
+        .where(F.col("ts") > F.col("_mx") - F.expr(f"INTERVAL {_KAL_HOURS} HOURS"))
+        .drop("_mx")
+    )
+
+    def _one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("ts")
+        ys = [int(v) for v in pdf["y_i6"].tolist()]
+        m, rr, qq = _KAL_M, _KAL_R, _KAL_Q
+        lev, p, gain = ys[0], rr, 0
+        for y in ys[1:]:
+            pp = p + qq
+            gain = (pp * m) // (pp + rr)
+            lev = lev + (gain * (y - lev)) // m
+            p = ((m - gain) * pp) // m
+        return pd.DataFrame(
+            {
+                "series_id": [pdf["series_id"].iloc[0]],
+                "n_obs": [len(ys)],
+                "level": [lev / 1e6],
+                "p_var": [p / 1e6],
+                "gain": [gain / 1e6],
+            }
+        )
+
+    return capped.groupBy("series_id").applyInPandas(
+        _one,
+        "series_id string, n_obs int, level double, p_var double, gain double",
+    )
+
+
+def _kalman_oracle() -> str:
+    m, rr, qq = _KAL_M, _KAL_R, _KAL_Q
+    # Signed floor division a fld M (M>0), exact in BIGINT:
+    # (a − ((a%M)+M)%M) // M — the numerator is divisible by M, so the
+    # division is integral under any rounding mode (DuckDB's // truncates
+    # toward zero; Python's floors — this spelling makes them agree).
+    fld_ke = f"((k2 * e) - (((k2 * e) % {m}) + {m}) % {m}) // {m}"
+    return f"""
+WITH RECURSIVE h AS (
+  SELECT event_type AS series_id, date_trunc('hour', ts) AS ts,
+         CAST(floor(sum(value) * 1e6 + 0.5) AS BIGINT) AS y
+  FROM events GROUP BY 1, 2
+), capped AS (
+  SELECT series_id, ts, y,
+         row_number() OVER (PARTITION BY series_id ORDER BY ts) AS rn
+  FROM (
+    SELECT h.*, max(ts) OVER (PARTITION BY series_id) AS mx FROM h
+  )
+  WHERE ts > mx - INTERVAL {_KAL_HOURS} HOUR
+), rec AS (
+  SELECT series_id, rn, y AS l, CAST({rr} AS BIGINT) AS p,
+         CAST(0 AS BIGINT) AS k
+  FROM capped WHERE rn = 1
+  UNION ALL
+  SELECT series_id, rn,
+         l + ({fld_ke}) AS l,
+         (({m} - k2) * pp) // {m} AS p,
+         k2 AS k
+  FROM (
+    SELECT c.series_id, c.rn, r.l, (c.y - r.l) AS e,
+           (r.p + {qq}) AS pp,
+           ((r.p + {qq}) * {m}) // ((r.p + {qq}) + {rr}) AS k2
+    FROM rec r JOIN capped c
+      ON c.series_id = r.series_id AND c.rn = r.rn + 1
+  ) t
+), fin AS (
+  SELECT series_id, max(rn) AS n_obs FROM capped GROUP BY 1
+)
+SELECT r.series_id, CAST(f.n_obs AS INT) AS n_obs,
+       CAST(r.l AS DOUBLE) / 1e6 AS level,
+       CAST(r.p AS DOUBLE) / 1e6 AS p_var,
+       CAST(r.k AS DOUBLE) / 1e6 AS gain
+FROM rec r JOIN fin f ON f.series_id = r.series_id AND r.rn = f.n_obs
+"""
+
+
 QUERIES = {
     "q_ts_reference_gefcom": QuerySpec(
         q_ts_reference_gefcom, _GEFCOM_ORACLE
@@ -1681,4 +1907,6 @@ QUERIES = {
     ),
     "q_rfm_segment": QuerySpec(q_rfm_segment, _RFM_ORACLE),
     "q_dq_freshness": QuerySpec(q_dq_freshness, _FRESHNESS_ORACLE),
+    "q_anonymize_k": QuerySpec(q_anonymize_k, _ANON_ORACLE),
+    "q_ts_kalman": QuerySpec(q_ts_kalman, _kalman_oracle()),
 }

@@ -119,3 +119,34 @@ def test_bfs_distances_on_planted_graph(spark):
         ).collect()
     }
     assert got == {1: 0, 2: 1, 3: 2, 10: 2, 4: 3}  # 5 is 4 hops; 99/100 unreachable
+
+
+def test_kcore_matches_python_peel(spark):
+    """q_graph_kcore equals an independent pure-python synchronous peel
+    of the same co-order graph (sets + dict degree counting — no joins),
+    and every survivor meets the min-degree bound among survivors."""
+    from python_darima_spark.queries.graph import (
+        _KCORE_K,
+        _KCORE_ROUNDS,
+        _coorder_edges,
+        q_graph_kcore,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    edges = [
+        (r.src, r.dst) for r in _coorder_edges(spark, sf).collect()
+    ]
+    alive = {u for u, _ in edges}
+    deg: dict = {}
+    for _ in range(_KCORE_ROUNDS):
+        deg = {}
+        for u, v in edges:
+            if u in alive and v in alive:
+                deg[u] = deg.get(u, 0) + 1
+        alive = {u for u, d in deg.items() if d >= _KCORE_K}
+    want = sorted((u, deg[u]) for u in alive)
+    got = sorted(
+        (r.node, r.deg) for r in q_graph_kcore(spark, sf).collect()
+    )
+    assert got == want
+    assert all(d >= _KCORE_K for _, d in got)

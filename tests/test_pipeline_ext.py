@@ -224,3 +224,81 @@ def test_global_row_number_matches_single_partition_window(spark):
         .toPandas().sort_values("o_orderkey").reset_index(drop=True)
     )
     assert (nt_got.nt.values == nt_want.nt.values).all()
+
+
+def test_anonymize_k_cascade_and_invariant(spark):
+    """q_anonymize_k equals a pandas recomputation of the ladder, and
+    every published (non-suppressed) row's anonymity set is ≥ k."""
+    import math
+
+    from python_darima_spark.queries.pipeline_ext import _ANON_K, q_anonymize_k
+
+    sf = "/root/testdata/sf0.01"
+    got = (
+        q_anonymize_k(spark, sf)
+        .toPandas()
+        .sort_values("c_custkey")
+        .reset_index(drop=True)
+    )
+    cust = pd.read_parquet(f"{sf}/customer.parquet")
+    cust["b"] = (cust.c_acctbal / 1000.0).apply(math.floor)
+    n0 = cust.groupby(["c_nationkey", "c_mktsegment", "b"]).c_custkey.transform("size")
+    n1 = cust.groupby(["c_nationkey", "c_mktsegment"]).c_custkey.transform("size")
+    n2 = cust.groupby(["c_mktsegment"]).c_custkey.transform("size")
+    k = _ANON_K
+    lvl = pd.Series(3, index=cust.index)
+    lvl[n2 >= k] = 2
+    lvl[n1 >= k] = 1
+    lvl[n0 >= k] = 0
+    want = pd.DataFrame(
+        {"c_custkey": cust.c_custkey, "gen_level": lvl}
+    ).sort_values("c_custkey").reset_index(drop=True)
+    assert (got.gen_level.values == want.gen_level.values).all()
+    pub = got[got.gen_level < 3]
+    assert (pub.group_size >= k).all()
+    # the ladder actually cascades on this fixture: all of 0, 1, 2 occur
+    assert {0, 1, 2} <= set(got.gen_level.unique())
+    # suppressed rows reveal nothing
+    sup = got[got.gen_level == 3]
+    assert sup.anon_nation.isna().all() and sup.anon_segment.isna().all()
+
+
+def test_kalman_tracks_float_filter(spark):
+    """The integer micro-unit Kalman recursion stays within quantization
+    distance of an INDEPENDENT float-arithmetic local-level filter, and
+    the 240-hour cap bounds n_obs."""
+    from python_darima_spark.queries.pipeline_ext import (
+        _KAL_HOURS,
+        _KAL_M,
+        _KAL_Q,
+        _KAL_R,
+        q_ts_kalman,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = q_ts_kalman(spark, sf).toPandas().set_index("series_id")
+    assert (got.n_obs <= _KAL_HOURS).all()
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    ev["ts"] = pd.to_datetime(ev.ts)
+    hourly = (
+        ev.groupby(["event_type", ev.ts.dt.floor("h")])["value"]
+        .sum()
+        .reset_index()
+    )
+    for sid, grp in hourly.groupby("event_type"):
+        grp = grp.sort_values("ts")
+        grp = grp[grp.ts > grp.ts.max() - pd.Timedelta(hours=_KAL_HOURS)]
+        ys = grp.value.to_numpy(dtype=float)
+        m = _KAL_M
+        r_, q_ = _KAL_R / m, _KAL_Q / m
+        lev, p = ys[0], r_
+        for y in ys[1:]:
+            pp = p + q_
+            kk = pp / (pp + r_)
+            lev = lev + kk * (y - lev)
+            p = (1 - kk) * pp
+        assert got.loc[sid, "n_obs"] == len(ys)
+        # integer micro-unit recursion vs float: drift bounded by the
+        # per-step floor error accumulated through a contraction (<1e-3)
+        assert abs(got.loc[sid, "level"] - lev) < 1e-3
+        assert abs(got.loc[sid, "p_var"] - p) < 1e-3
