@@ -139,6 +139,12 @@ HEADLINE = [
     "q_ts_combine_planted",
     "q_ts_backtest_census",
     "q_ts_hw_recursive",
+    # round-8 additions
+    "q_dedup_semantic",
+    "q_mixture_epochs",
+    "q_anonymize_k",
+    "q_graph_kcore",
+    "q_ts_kalman",
 ]
 
 

@@ -94,16 +94,30 @@ def doc_shingle_gids(
     whole family instead of once per pipeline. A 64-bit collision
     merges one shingle pair deterministically (P ≈ n²/2⁶⁴ per doc,
     ~1e-13 at 2k shingles/doc — the same accepted bound as the
-    containment dictionary)."""
+    containment dictionary).
+
+    Shape: explode the OFFSET sequence and substring per row — NOT
+    ``array_distinct(transform(...))``: Spark interprets higher-order
+    lambdas row-at-a-time instead of codegen (the minhash_signatures
+    measurement, 8×), and the first cut of this stage shipped with the
+    HOF shape and doubled the near-dup family's wall at sf0.01 (probe
+    4.0 s → 8.7 s) before the round-8 re-audit caught it. Per-doc
+    distinctness comes from the (id, gid) hash aggregate — partial
+    aggregation dedups map-side, no per-row array ever materializes."""
+    offsets = F.sequence(
+        F.lit(1),
+        F.greatest(F.length(text_col) - (shingle_k - 1), F.lit(1)),
+    )
     return (
         fan_out(df, id_col)
+        .select(F.col(id_col), F.col(text_col), F.explode(offsets).alias("_i"))
         .select(
-            F.col(id_col),
-            F.explode(
-                F.array_distinct(char_shingles(text_col, shingle_k))
-            ).alias("g"),
+            id_col,
+            F.xxhash64(
+                F.expr(f"substring({text_col}, _i, {shingle_k})")
+            ).alias("gid"),
         )
-        .select(id_col, F.xxhash64("g").alias("gid"))
+        .distinct()
     )
 
 
@@ -321,8 +335,14 @@ def minhash_near_duplicates(
     # survivor pairs are byte-tiny, AQE's byte-based coalescing would
     # shrink this exchange to a few partitions and run the per-pair
     # intersects on a fraction of the cores (the _probe_verified_pairs
-    # round-6 finding; REPARTITION_BY_NUM is exempt from coalescing)
-    pre = pre.repartition(shuffle_width(df.sparkSession))
+    # round-6 finding; REPARTITION_BY_NUM is exempt from coalescing).
+    # Eagerly checkpointed: the verify tail reads `pre` three times
+    # (both cand_ids legs + the pair join), and without materialization
+    # each read re-runs the whole sig→band→prefilter prefix — measured
+    # 4 s of the 5.5 s sf0.01 wall before the round-8 re-audit.
+    pre = pre.repartition(shuffle_width(df.sparkSession)).localCheckpoint(
+        eager=True
+    )
     # exact verify from sorted int-gid arrays, built only for docs that
     # appear in a surviving pair (semi-join) — never for the corpus
     cand_ids = (

@@ -51,7 +51,7 @@ from python_darima_spark.operators.similarity import (
     sample_vectors_bounded,
     train_centroids,
 )
-from python_darima_spark.queries import QuerySpec, load
+from python_darima_spark.queries import QuerySpec, load, rhu
 
 # ---------------------------------------------------------------------------
 # Family-shared corpus shingle stage (round-7 VERDICT ask #7): the dedup
@@ -2535,9 +2535,276 @@ _DEDUP_PHASH_ORACLE = """WITH corpus AS (
            ORDER BY id_a, id_b"""
 
 
+# ---------------------------------------------------------------------------
+# q_mixture_epochs — epoch-repetition data scheduling
+# ---------------------------------------------------------------------------
+
+# The third leg of the mixture family: q_mixture_sample thins, and
+# q_mixture_temperature reweights; epoch scheduling REPEATS — small
+# high-value sources train for >1 epoch (e.g. "wiki ×3.5"), so the
+# materialized schedule must emit each doc floor(r) times plus one more
+# for a deterministic r-fractional subset (Muennighoff et al. 2023 on
+# repeating data; the LLaMA recipe's per-source epoch counts). Factors
+# and the fractional subset are md5-derived (content-addressed — no RNG
+# state), so the schedule reproduces identically at any partitioning,
+# re-ingestion, or engine.
+_EPOCH_BASE_I6 = 1_000_000     # every source trains ≥ 1 full epoch
+_EPOCH_SPREAD_I6 = 2_500_000   # + md5(source) % 2.5 epochs
+
+
+def q_mixture_epochs(spark: SparkSession, sf: str) -> DataFrame:
+    """EPOCH-REPETITION mixture schedule over ``documents``.
+
+    Per source, repeat factor r = 1.0 + (md5(source) % 2.5) epochs in
+    exact integer micro-units; each doc is emitted ⌊r⌋ times, plus once
+    more iff md5(doc_id)'s micro-fraction < frac(r) — so the expected
+    per-source volume is exactly r × |source| with no RNG. Plan:
+    map-only (explode of a ≤4-element sequence inside the scan stage —
+    no shuffle, no state; the repeat factor is a pure expression of the
+    row). At 100 TB the schedule is a streaming-friendly projection:
+    output ≈ Σ rᵢ·|sourceᵢ| rows, partitioned by the input splits."""
+    docs = ensure_parallelism(load(spark, sf, "documents"))
+    h_src = "cast(conv(substring(md5(source), 1, 8), 16, 10) as bigint)"
+    h_doc = (
+        "cast(conv(substring(md5(cast(doc_id as string)), 9, 8), 16, 10)"
+        " as bigint)"
+    )
+    f_i6 = F.expr(f"{_EPOCH_BASE_I6} + {h_src} % {_EPOCH_SPREAD_I6}")
+    n_copies = (
+        (f_i6 / F.lit(1_000_000)).cast("long")
+        + (F.expr(h_doc) % 1_000_000 < f_i6 % 1_000_000).cast("long")
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        rhu(f_i6.cast("double") / F.lit(1e6), 6).alias("repeat_factor"),
+        F.explode(F.sequence(F.lit(0).cast("long"), n_copies - 1)).alias(
+            "epoch"
+        ),
+    ).select(
+        "doc_id", "source", "repeat_factor", F.col("epoch").cast("int").alias("epoch")
+    )
+
+
+_MIXTURE_EPOCHS_ORACLE = f"""
+WITH m AS (
+  SELECT doc_id, source,
+         {_EPOCH_BASE_I6} + CAST(('0x' || substring(md5(source), 1, 8))
+                                 AS BIGINT) % {_EPOCH_SPREAD_I6} AS f_i6,
+         CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 9, 8))
+              AS BIGINT) % 1000000 AS doc_frac
+  FROM documents
+), c AS (
+  SELECT doc_id, source,
+         floor(CAST(f_i6 AS DOUBLE) / 1e6 * 1e6 + 0.5) / 1e6 AS repeat_factor,
+         f_i6 // 1000000
+           + CASE WHEN doc_frac < f_i6 % 1000000 THEN 1 ELSE 0 END AS n_copies
+  FROM m
+)
+SELECT doc_id, source, repeat_factor, CAST(u.e AS INT) AS epoch
+FROM c, unnest(range(0, n_copies)) AS u(e)
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_dedup_semantic — SemDeDup: cluster-then-threshold semantic dedup
+# ---------------------------------------------------------------------------
+
+# SemDeDup (Abbas et al. 2023): k-means the embedding space, then drop
+# all but one of each within-cluster group whose pairwise cosine clears
+# a threshold — semantic near-dups (paraphrases, templated rewrites)
+# that share no n-grams and so slip every lexical dedup. This entry is
+# the full pipeline under a value hash: (1) embeddings are quantized to
+# exact integer milli-units (floor(x·1000+.5) of the same double on
+# both engines — every dot product / distance below is exact BIGINT
+# arithmetic, no summation-order ulps); (2) cluster centers are the
+# ~1/32 CONTENT-ADDRESSED subset of distinct quantized vectors
+# (md5(vector-string) bucket — anchor count scales with corpus size
+# like SemDeDup's k ∝ n, and anchors are a pure function of vector
+# VALUES, so the assignment is stable under id remapping and under the
+# sf1 replica's id-shifted copies); (3) assignment = exact-integer
+# nearest anchor, ties to smallest cluster id; (4) within each cluster,
+# a doc is dropped iff a smaller-id member clears cosine ≥ 0.99 on the
+# quantized vectors (fixture native max 0.513; injected ×1.1-scaled
+# twins land ≥ 0.9994 — both an order of magnitude from the
+# threshold, so quantization noise cannot flip membership).
+_SEM_ANCHOR_MOD = 32
+_SEM_TAU = 0.99
+_SEM_TWIN_OFFSET = 100_000_000
+_SEM_QSCALE = 1000
+
+
+def _sem_quant(vec_col):
+    return F.transform(
+        vec_col,
+        lambda x: F.floor(x * F.lit(float(_SEM_QSCALE)) + F.lit(0.5)).cast(
+            "long"
+        ),
+    )
+
+
+def q_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    """SEMANTIC DEDUP (SemDeDup) over the embedding corpus + injected
+    twins: every doc gets its content-addressed cluster and a kept /
+    dup_of verdict.
+
+    Plan: quantize map-only; anchors = filtered distinct vectors
+    (≈ n/32 rows) BROADCAST into a map-side nearest-anchor assignment
+    (one zip_with·aggregate per (doc, anchor) — JVM HOFs, no Python);
+    the only data shuffles are the per-doc argmin window (keyed by
+    vec_id) and the within-cluster self-join (keyed by cluster id,
+    expected cluster size = anchor_mod, so candidate pairs ≈ n·mod/2 —
+    LINEAR in the corpus, never n²). At 100 TB: anchors grow with n —
+    past broadcast size, SemDeDup's real deployment trains a fixed-k
+    codebook (operators/similarity.py train_centroids) and assignment
+    becomes the same broadcast argmin at k rows; the cluster self-join
+    is unchanged. The kept rule (exists smaller-id member above τ) is
+    the same keep-first contract as q_dedup_exact."""
+    emb = load(spark, sf, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    twins = base.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + _SEM_TWIN_OFFSET).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("v", 1) * F.lit(1.1)),
+            F.slice("v", 2, F.size("v") - 1),
+        ).alias("v"),
+    )
+    corpus = base.unionByName(twins)
+    qs = corpus.select(
+        "vec_id",
+        _sem_quant(F.col("v")).alias("q"),
+    ).withColumn(
+        "qstr",
+        F.concat_ws(",", F.transform("q", lambda x: x.cast("string"))),
+    )
+    anchor_bucket = F.expr(
+        "cast(conv(substring(md5(qstr), 1, 8), 16, 10) as bigint)"
+    ) % _SEM_ANCHOR_MOD
+    anchors = (
+        qs.where(F.col("vec_id") < _SEM_TWIN_OFFSET)
+        .where(anchor_bucket == 0)
+        .select(F.md5("qstr").alias("cid"), F.col("q").alias("aq"))
+        .dropDuplicates(["cid"])
+    )
+    dist = F.aggregate(
+        F.zip_with("q", "aq", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
+    # The assignment feeds BOTH sides of the cluster self-join plus the
+    # final verdict join; an eager localCheckpoint materializes it once
+    # (the un-checkpointed plan re-ran the broadcast argmin three times
+    # — 24 scans in the formatted explain).
+    assigned = (
+        qs.crossJoin(F.broadcast(anchors))
+        .withColumn("dist", dist)
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("vec_id", "cid", "q")
+        .localCheckpoint(eager=True)
+    )
+    a = assigned.select(
+        "cid", F.col("vec_id").alias("ida"), F.col("q").alias("qa")
+    )
+    b = assigned.select(
+        "cid", F.col("vec_id").alias("idb"), F.col("q").alias("qb")
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sim = dot / F.sqrt((sq("qa") * sq("qb")).cast("double"))
+    dropped = (
+        a.join(b, "cid")
+        .where(F.col("ida") < F.col("idb"))
+        .where(rhu(sim, 6) >= _SEM_TAU)
+        .groupBy(F.col("idb").alias("vec_id"))
+        .agg(F.min("ida").alias("dup_of"))
+    )
+    return assigned.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "cid",
+        F.col("dup_of").isNull().alias("kept"),
+        "dup_of",
+    )
+
+
+def _semantic_oracle() -> str:
+    q = _SEM_QSCALE
+    quant = (
+        f"list_transform(v, x -> CAST(floor(x * {q}.0 + 0.5) AS BIGINT))"
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), twins AS (
+  SELECT vec_id + {_SEM_TWIN_OFFSET} AS vec_id,
+         list_concat([CAST(embedding[1] AS DOUBLE) * 1.1],
+                     list_transform(embedding[2:],
+                                    x -> CAST(x AS DOUBLE))) AS v
+  FROM embeddings WHERE vec_id % 10 = 0
+), corpus AS (
+  SELECT vec_id, {quant} AS qv FROM base
+  UNION ALL
+  SELECT vec_id, {quant} AS qv FROM twins
+), strs AS (
+  SELECT vec_id, qv, array_to_string(qv, ',') AS qstr FROM corpus
+), anchors AS (
+  SELECT cid, first(qv) AS aq FROM (
+    SELECT md5(qstr) AS cid, qv
+    FROM strs
+    WHERE vec_id < {_SEM_TWIN_OFFSET}
+      AND CAST(('0x' || substring(md5(qstr), 1, 8)) AS BIGINT)
+          % {_SEM_ANCHOR_MOD} = 0
+  ) GROUP BY cid
+), scored AS (
+  SELECT s.vec_id, s.qv, a.cid,
+         list_sum(list_transform(list_zip(s.qv, a.aq),
+                                 p -> (p[1] - p[2]) * (p[1] - p[2]))) AS dist
+  FROM strs s, anchors a
+), assigned AS (
+  SELECT vec_id, qv, cid FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id
+                                 ORDER BY dist, cid) AS rn
+    FROM scored
+  ) WHERE rn = 1
+), dropped AS (
+  SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+  FROM assigned a JOIN assigned b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE floor(
+          CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+                                       p -> p[1] * p[2])) AS DOUBLE)
+          / sqrt(CAST(
+              list_sum(list_transform(a.qv, x -> x * x))
+              * list_sum(list_transform(b.qv, x -> x * x)) AS DOUBLE))
+          * 1e6 + 0.5) / 1e6 >= {_SEM_TAU}
+  GROUP BY b.vec_id
+)
+SELECT s.vec_id, s.cid, d.dup_of IS NULL AS kept, d.dup_of
+FROM assigned s LEFT JOIN dropped d ON d.vec_id = s.vec_id
+"""
+
+
 QUERIES = {
     "q_multimodal_phash": QuerySpec(q_multimodal_phash, _PHASH_ORACLE),
     "q_dedup_phash": QuerySpec(q_dedup_phash, _DEDUP_PHASH_ORACLE),
+    "q_mixture_epochs": QuerySpec(
+        q_mixture_epochs, _MIXTURE_EPOCHS_ORACLE
+    ),
+    "q_dedup_semantic": QuerySpec(q_dedup_semantic, _semantic_oracle()),
     "q_sample_weighted_pps": QuerySpec(q_sample_weighted_pps, _PPS_ORACLE),
     "q_curation_pipeline": QuerySpec(
         q_curation_pipeline, _CURATION_ORACLE

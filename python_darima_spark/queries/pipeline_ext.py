@@ -1684,13 +1684,16 @@ def q_anonymize_k(spark: SparkSession, sf: str) -> DataFrame:
         F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long")
         .alias("qi_bal_bucket"),
     )
+    # One fact pass: the coarser censuses re-aggregate the finest one
+    # (Σn0 over a bucket = n1, Σn1 over a nation = n2) — metadata-sized
+    # inputs instead of three scans of the fact table.
     g0 = base.groupBy("qi_nation", "qi_segment", "qi_bal_bucket").agg(
         F.count("*").alias("n0")
     )
-    g1 = base.groupBy("qi_nation", "qi_segment").agg(
-        F.count("*").alias("n1")
+    g1 = g0.groupBy("qi_nation", "qi_segment").agg(
+        F.sum("n0").alias("n1")
     )
-    g2 = base.groupBy("qi_segment").agg(F.count("*").alias("n2"))
+    g2 = g1.groupBy("qi_segment").agg(F.sum("n1").alias("n2"))
     joined = (
         base.join(g0, ["qi_nation", "qi_segment", "qi_bal_bucket"])
         .join(g1, ["qi_nation", "qi_segment"])

@@ -965,3 +965,115 @@ def test_containment_extreme_asymmetry_survives_prefilter(spark):
     hit = pairs[(pairs.id_a == 1) & (pairs.id_b == 2)]
     assert len(hit) == 1, pairs
     assert hit.containment_a.iloc[0] >= 0.9
+
+
+def test_mixture_epochs_matches_hashlib_recomputation(spark):
+    """q_mixture_epochs equals a pure-python hashlib restatement: per
+    source r = 1 + md5%2.5 epochs; each doc emitted floor(r) times plus
+    one more iff its md5 micro-fraction < frac(r)."""
+    import hashlib
+
+    from python_darima_spark.queries.llm_data import q_mixture_epochs
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r.doc_id, r.epoch)
+        for r in q_mixture_epochs(spark, sf).collect()
+    )
+    docs = pd.read_parquet(f"{sf}/documents.parquet", columns=["doc_id", "source"])
+    want = []
+    for doc_id, source in docs.itertuples(index=False):
+        f_i6 = 1_000_000 + int(
+            hashlib.md5(source.encode()).hexdigest()[:8], 16
+        ) % 2_500_000
+        frac = int(
+            hashlib.md5(str(doc_id).encode()).hexdigest()[8:16], 16
+        ) % 1_000_000
+        n = f_i6 // 1_000_000 + (1 if frac < f_i6 % 1_000_000 else 0)
+        want.extend((doc_id, e) for e in range(n))
+    assert got == sorted(want)
+
+
+def test_dedup_semantic_matches_numpy_bruteforce(spark):
+    """q_dedup_semantic equals a numpy restatement (quantize → content-
+    addressed anchors → integer argmin assignment → within-cluster
+    keep-first), and the verdicts are exactly: every original kept,
+    every injected twin dropped onto its original."""
+    import hashlib
+
+    import numpy as np
+
+    from python_darima_spark.queries.llm_data import (
+        _SEM_ANCHOR_MOD,
+        _SEM_TAU,
+        _SEM_TWIN_OFFSET,
+        q_dedup_semantic,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.vec_id: (r.cid, r.kept, r.dup_of)
+        for r in q_dedup_semantic(spark, sf).collect()
+    }
+    emb = pd.read_parquet(f"{sf}/embeddings.parquet")
+    ids = emb.vec_id.to_numpy()
+    V = np.array(emb.embedding.tolist(), dtype=np.float64)
+    tw_mask = ids % 10 == 0
+    TW = V[tw_mask].copy()
+    TW[:, 0] *= 1.1
+    all_ids = np.concatenate([ids, ids[tw_mask] + _SEM_TWIN_OFFSET])
+    Q = np.floor(np.vstack([V, TW]) * 1000 + 0.5).astype(np.int64)
+
+    def md5hex(row):
+        return hashlib.md5(
+            ",".join(str(int(x)) for x in row).encode()
+        ).hexdigest()
+
+    hexes = [md5hex(r) for r in Q]
+    anchors = {}
+    for i in range(len(ids)):  # anchors from originals only
+        h = hexes[i]
+        if int(h[:8], 16) % _SEM_ANCHOR_MOD == 0:
+            anchors[h] = Q[i]
+    acids = sorted(anchors)  # ties in dist break to smallest cid
+    A = np.array([anchors[c] for c in acids], dtype=np.int64)
+    d = ((Q[:, None, :] - A[None, :, :]) ** 2).sum(axis=2)
+    assign = [acids[j] for j in d.argmin(axis=1)]
+    order = np.argsort(all_ids)
+    dup_of = {}
+    for pos_b in order:
+        for pos_a in order:
+            if all_ids[pos_a] >= all_ids[pos_b]:
+                break
+            if assign[pos_a] != assign[pos_b]:
+                continue
+            dot = int((Q[pos_a] * Q[pos_b]).sum())
+            na = int((Q[pos_a] ** 2).sum())
+            nb = int((Q[pos_b] ** 2).sum())
+            sim = np.floor(dot / np.sqrt(float(na * nb)) * 1e6 + 0.5) / 1e6
+            if sim >= _SEM_TAU:
+                dup_of.setdefault(all_ids[pos_b], all_ids[pos_a])
+    want = {
+        int(all_ids[i]): (
+            assign[i],
+            int(all_ids[i]) not in dup_of,
+            dup_of.get(int(all_ids[i])),
+        )
+        for i in range(len(all_ids))
+    }
+    assert got == want
+    # Originals are never dropped (native max cosine 0.51 ≪ τ); twins are
+    # dropped onto their base except across a cluster boundary — the
+    # documented SemDeDup recall mode (on this fixture: 49 of 50; the
+    # one miss is a base sitting near the anchor bisector that the ×1.1
+    # twin crosses).
+    n_twins = dropped_twins = 0
+    for vid, (cid, kept, d_of) in got.items():
+        if vid >= _SEM_TWIN_OFFSET:
+            n_twins += 1
+            if not kept:
+                dropped_twins += 1
+                assert d_of == vid - _SEM_TWIN_OFFSET
+        else:
+            assert kept
+    assert dropped_twins >= 0.9 * n_twins

@@ -53,9 +53,23 @@ CHECKS: dict[str, dict] = {
         "period": "graph",
         "tol": {"rank_x_n": 2e-6},
     },
+    # SemDeDup: anchors are a pure function of vector VALUES (unchanged
+    # across replica copies), copy-0 ids are the smallest ids at every
+    # level (originals < V ≤ copy-k originals; copy-0 twins at
+    # OFFSET+[0,V) < copy-k twins), and every cross-copy candidate is a
+    # value-duplicate of a copy-0 candidate — so copy-0 rows (cid, kept,
+    # dup_of included) must equal the sf0.1 run exactly. dup_of is NULL
+    # for kept rows; filled to -1 so the exact set-compare can't be
+    # poisoned by NaN≠NaN.
+    "q_dedup_semantic": {
+        "ids": ["vec_id"],
+        "period": "embeddings_twin",
+        "fillna": {"dup_of": -1},
+    },
 }
 
 _PART_OFFSET = 1_000_000
+_SEM_TWIN_OFFSET = 100_000_000  # keep equal to queries.llm_data._SEM_TWIN_OFFSET
 
 
 def _periods() -> dict[str, int]:
@@ -71,7 +85,10 @@ def _periods() -> dict[str, int]:
     p = con.execute(
         f"SELECT max(p_partkey) FROM read_parquet('{SRC}/part.parquet')"
     ).fetchone()[0] + 1
-    return {"documents": d, "supplier": s, "part": p}
+    v = con.execute(
+        f"SELECT max(vec_id) FROM read_parquet('{SRC}/embeddings.parquet')"
+    ).fetchone()[0] + 1
+    return {"documents": d, "supplier": s, "part": p, "embeddings": v}
 
 
 def _copy0_mask(pdf, ids, period, periods):
@@ -86,6 +103,14 @@ def _copy0_mask(pdf, ids, period, periods):
                 pdf[c] < periods["supplier"],
                 (pdf[c] - _PART_OFFSET) < periods["part"],
             )
+        elif period == "embeddings_twin":
+            # copy-0 = originals below the vec_id period, plus copy-0
+            # TWINS at _SEM_TWIN_OFFSET + [0, period)
+            off = _SEM_TWIN_OFFSET
+            m = (
+                (pdf[c] < periods["embeddings"])
+                | ((pdf[c] >= off) & (pdf[c] - off < periods["embeddings"]))
+            ).to_numpy()
         else:
             m = (pdf[c] < periods[period]).to_numpy()
         mask = m if mask is None else (mask & m)
@@ -168,6 +193,9 @@ def main() -> None:
         base = spec.fn(spark, SRC).toPandas()
         big = spec.fn(spark, OUT).toPandas()
         tol = cfg.get("tol", {})
+        for col, fill in cfg.get("fillna", {}).items():
+            base[col] = base[col].fillna(fill)
+            big[col] = big[col].fillna(fill)
         mask = _copy0_mask(big, cfg["ids"], cfg["period"], periods)
         big0 = big[mask]
         missing, extra = _diff(base, big0, tol)
