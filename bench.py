@@ -145,6 +145,8 @@ HEADLINE = [
     "q_anonymize_k",
     "q_graph_kcore",
     "q_ts_kalman",
+    "q_window_pattern",
+    "q_dq_anomaly_volume",
 ]
 
 

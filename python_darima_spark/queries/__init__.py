@@ -67,6 +67,8 @@ _PRIORITY = [
     "q_ts_kalman",
     "q_mixture_epochs",
     "q_dedup_semantic",
+    "q_window_pattern",
+    "q_dq_anomaly_volume",
     # --- ROUND-8 head: (1) the never-rowed-green entries — the GEFCom
     # headline workload (new this round) and the TWS detector, which
     # now RUNS via the vendored protobuf wire runtime and shares the

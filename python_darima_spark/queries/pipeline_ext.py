@@ -1878,6 +1878,167 @@ FROM rec r JOIN fin f ON f.series_id = r.series_id AND r.rn = f.n_obs
 """
 
 
+# ---------------------------------------------------------------------------
+# q_window_pattern — complex-event-processing sequence match
+# ---------------------------------------------------------------------------
+
+# MATCH_RECOGNIZE-style CEP: per user, does the ordered event stream
+# contain view → click+ → purchase? Funnel/event-sequence entries count
+# fixed step sets; this one matches a REGEX over the ordered event-type
+# string (the Flink CEP / SQL MATCH_RECOGNIZE primitive), so quantified
+# repetitions and non-overlapping occurrence counting come for free.
+# The per-user sequence is totally ordered by (ts, event_id) — event_id
+# is unique, so both engines build byte-identical strings.
+_CEP_PATTERN = "VC+P"
+_CEP_CHARS = [
+    ("view", "V"), ("click", "C"), ("purchase", "P"), ("signup", "S"),
+]
+
+
+def q_window_pattern(spark: SparkSession, sf: str) -> DataFrame:
+    """CEP conversion-pattern count per user (view→click+→purchase).
+
+    Plan: ONE keyed exchange (groupBy user) collecting (ts, eid, char)
+    structs; array_sort orders them lexicographically (total order —
+    event_id is unique), and the regex count runs per user row. At
+    100 TB: per-user sequences are session-bounded, the agg is the same
+    single shuffle as q_sessionize, and the streaming twin of this
+    operator is transformWithState with the partial sequence as state —
+    the regex itself never needs cross-user context."""
+    ev = load(spark, sf, "events")
+    char = None
+    for name, c in _CEP_CHARS:
+        cond = F.col("event_type") == name
+        char = F.when(cond, c) if char is None else char.when(cond, c)
+    char = char.otherwise("E")
+    rows = ev.select(
+        "user_id",
+        F.struct(
+            F.col("ts").alias("ts"),
+            F.col("event_id").alias("eid"),
+            char.alias("c"),
+        ).alias("s"),
+    )
+    per_user = rows.groupBy("user_id").agg(
+        F.array_sort(F.collect_list("s")).alias("arr")
+    )
+    seq = F.array_join(F.expr("transform(arr, x -> x.c)"), "")
+    n_conv = F.regexp_count(seq, F.lit(_CEP_PATTERN)).cast("int")
+    return per_user.select(
+        "user_id",
+        F.size("arr").cast("long").alias("n_events"),
+        n_conv.alias("n_conversions"),
+        (n_conv > 0).alias("converted"),
+    )
+
+
+_CEP_CASE = (
+    "CASE event_type WHEN 'view' THEN 'V' WHEN 'click' THEN 'C' "
+    "WHEN 'purchase' THEN 'P' WHEN 'signup' THEN 'S' ELSE 'E' END"
+)
+_CEP_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         string_agg({_CEP_CASE}, '' ORDER BY ts, event_id) AS s
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_events,
+       CAST(len(regexp_extract_all(s, '{_CEP_PATTERN}')) AS INT)
+         AS n_conversions,
+       len(regexp_extract_all(s, '{_CEP_PATTERN}')) > 0 AS converted
+FROM seq
+"""
+
+
+# ---------------------------------------------------------------------------
+# q_dq_anomaly_volume — trailing-window ingest-volume anomaly audit
+# ---------------------------------------------------------------------------
+
+# The data-quality check every ingest pipeline runs: per (source, day),
+# is today's row volume anomalous against the trailing week? z-score of
+# the daily count vs the mean/std of the 7 PRECEDING observations; rows
+# without a full 7-day history are not judged. All window sums are exact
+# BIGINTs (counts and squared counts), the variance is the one-pass
+# identity (Σx² − (Σx)²/n)/(n−1) evaluated in identical double
+# expressions on both engines, and z is rhu-quantized before the flag
+# comparison so the hash can't be flipped by formatting.
+_DQ_VOL_Z = 2.0
+
+
+def q_dq_anomaly_volume(spark: SparkSession, sf: str) -> DataFrame:
+    """Daily volume z-score per event_type over the trailing 7 days.
+
+    Plan: one partial-agg daily census, then a per-type window (keyed
+    exchange on event_type, tiny) with three frame aggregates sharing
+    one sort. At 100 TB the census is the only pass over the data —
+    the window runs over (types × days) rows."""
+    ev = load(spark, sf, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").alias("day")
+    ).agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-7, -1)
+    )
+    hist = F.count("n").over(w)
+    s1 = F.sum("n").over(w)
+    s2 = F.sum(F.col("n") * F.col("n")).over(w)
+    d = daily.select(
+        "event_type", "day", "n",
+        hist.alias("_h"), s1.alias("_s1"), s2.alias("_s2"),
+    ).where(F.col("_h") == 7)
+    mean = F.col("_s1").cast("double") / F.lit(7.0)
+    var = (
+        F.col("_s2").cast("double")
+        - F.col("_s1").cast("double") * F.col("_s1").cast("double") / F.lit(7.0)
+    ) / F.lit(6.0)
+    std = F.when(var > 0, F.sqrt(var))
+    z = rhu((F.col("n").cast("double") - mean) / std, 6)
+    return d.select(
+        "event_type",
+        "day",
+        "n",
+        rhu(mean, 6).alias("mean7"),
+        z.alias("z"),
+        F.coalesce(F.abs(z) > F.lit(_DQ_VOL_Z), F.lit(False)).alias(
+            "is_anomaly"
+        ),
+    )
+
+
+_DQ_VOL_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS day,
+         CAST(count(*) AS BIGINT) AS n
+  FROM events GROUP BY 1, 2
+), framed AS (
+  SELECT event_type, day, n,
+         count(n) OVER w AS h,
+         sum(n) OVER w AS s1,
+         sum(n * n) OVER w AS s2
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+), judged AS (
+  SELECT event_type, day, n,
+         CAST(s1 AS DOUBLE) / 7.0 AS mean,
+         (CAST(s2 AS DOUBLE)
+          - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / 7.0) / 6.0 AS var
+  FROM framed WHERE h = 7
+)
+SELECT event_type, day, n,
+       floor(mean * 1e6 + 0.5) / 1e6 AS mean7,
+       CASE WHEN var > 0 THEN
+         floor((CAST(n AS DOUBLE) - mean) / sqrt(var) * 1e6 + 0.5) / 1e6
+       END AS z,
+       coalesce(abs(CASE WHEN var > 0 THEN
+         floor((CAST(n AS DOUBLE) - mean) / sqrt(var) * 1e6 + 0.5) / 1e6
+       END) > {_DQ_VOL_Z}, false) AS is_anomaly
+FROM judged
+"""
+
+
 QUERIES = {
     "q_ts_reference_gefcom": QuerySpec(
         q_ts_reference_gefcom, _GEFCOM_ORACLE
@@ -1912,4 +2073,8 @@ QUERIES = {
     "q_dq_freshness": QuerySpec(q_dq_freshness, _FRESHNESS_ORACLE),
     "q_anonymize_k": QuerySpec(q_anonymize_k, _ANON_ORACLE),
     "q_ts_kalman": QuerySpec(q_ts_kalman, _kalman_oracle()),
+    "q_window_pattern": QuerySpec(q_window_pattern, _CEP_ORACLE),
+    "q_dq_anomaly_volume": QuerySpec(
+        q_dq_anomaly_volume, _DQ_VOL_ORACLE
+    ),
 }

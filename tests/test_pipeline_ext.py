@@ -302,3 +302,66 @@ def test_kalman_tracks_float_filter(spark):
         # per-step floor error accumulated through a contraction (<1e-3)
         assert abs(got.loc[sid, "level"] - lev) < 1e-3
         assert abs(got.loc[sid, "p_var"] - p) < 1e-3
+
+
+def test_window_pattern_matches_re_module(spark):
+    """q_window_pattern equals a pure-python re.findall recomputation
+    over (ts, event_id)-sorted event streams."""
+    import re
+
+    from python_darima_spark.queries.pipeline_ext import (
+        _CEP_PATTERN,
+        q_window_pattern,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        r.user_id: (r.n_events, r.n_conversions, r.converted)
+        for r in q_window_pattern(spark, sf).collect()
+    }
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    m = {"view": "V", "click": "C", "purchase": "P", "signup": "S"}
+    want = {}
+    for uid, grp in ev.groupby("user_id"):
+        grp = grp.sort_values(["ts", "event_id"])
+        s = "".join(m.get(t, "E") for t in grp.event_type)
+        n = len(re.findall(_CEP_PATTERN, s))
+        want[uid] = (len(s), n, n > 0)
+    assert got == want
+    # the fixture exercises both outcomes
+    assert any(v[2] for v in got.values()) and not all(v[2] for v in got.values())
+
+
+def test_dq_anomaly_volume_matches_pandas_rolling(spark):
+    """q_dq_anomaly_volume equals a pandas rolling mean/std (ddof=1)
+    recomputation, and only rows with a full 7-observation history are
+    judged."""
+    from python_darima_spark.queries.pipeline_ext import q_dq_anomaly_volume
+
+    sf = "/root/testdata/sf0.01"
+    got = (
+        q_dq_anomaly_volume(spark, sf)
+        .toPandas()
+        .sort_values(["event_type", "day"])
+        .reset_index(drop=True)
+    )
+    ev = pd.read_parquet(f"{sf}/events.parquet")
+    ev["day"] = pd.to_datetime(ev.ts).dt.floor("d")
+    daily = ev.groupby(["event_type", "day"]).size().rename("n").reset_index()
+    rows = []
+    for et, grp in daily.groupby("event_type"):
+        grp = grp.sort_values("day").reset_index(drop=True)
+        trail = grp.n.shift(1).rolling(7)
+        mean, std = trail.mean(), trail.std(ddof=1)
+        for i in range(len(grp)):
+            if i >= 7:
+                rows.append((et, grp.day[i], grp.n[i], mean[i], std[i]))
+    want = pd.DataFrame(rows, columns=["event_type", "day", "n", "mean", "std"])
+    want = want.sort_values(["event_type", "day"]).reset_index(drop=True)
+    assert len(got) == len(want)
+    assert (got.n.values == want.n.values).all()
+    assert (abs(got.mean7.values - want["mean"].values) < 1e-5).all()
+    z = (want.n - want["mean"]) / want["std"]
+    ok = want["std"] > 0
+    assert (abs(got.z.values[ok.values] - z[ok].values) < 1e-5).all()
+    assert (got.is_anomaly.values == (abs(z).fillna(0) > 2).values).all()
