@@ -2683,9 +2683,24 @@ def q_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
     anchor_bucket = F.expr(
         "cast(conv(substring(md5(qstr), 1, 8), 16, 10) as bigint)"
     ) % _SEM_ANCHOR_MOD
+    # Guaranteed-nonempty anchor set (round-8 ADVICE): bucket-0 misses
+    # every vector with probability (31/32)^n, and an empty anchor set
+    # would silently return an EMPTY verdict table (broadcast crossJoin
+    # of zero rows) instead of keeping every doc. The fallback unions in
+    # the min-md5 vector ONLY when bucket 0 is empty, so existing
+    # results are bit-identical; the guard is one O(1)-row broadcast
+    # aggregate, not a data shuffle.
+    originals = qs.where(F.col("vec_id") < _SEM_TWIN_OFFSET)
+    guard = originals.agg(
+        F.max((anchor_bucket == 0).cast("int")).alias("has_b0"),
+        F.min(F.md5("qstr")).alias("min_cid"),
+    )
     anchors = (
-        qs.where(F.col("vec_id") < _SEM_TWIN_OFFSET)
-        .where(anchor_bucket == 0)
+        originals.crossJoin(F.broadcast(guard))
+        .where(
+            (anchor_bucket == 0)
+            | ((F.col("has_b0") == 0) & (F.md5("qstr") == F.col("min_cid")))
+        )
         .select(F.md5("qstr").alias("cid"), F.col("q").alias("aq"))
         .dropDuplicates(["cid"])
     )
@@ -2761,13 +2776,19 @@ WITH base AS (
   SELECT vec_id, {quant} AS qv FROM twins
 ), strs AS (
   SELECT vec_id, qv, array_to_string(qv, ',') AS qstr FROM corpus
+), guard AS (
+  SELECT max(CASE WHEN CAST(('0x' || substring(md5(qstr), 1, 8)) AS BIGINT)
+                       % {_SEM_ANCHOR_MOD} = 0 THEN 1 ELSE 0 END) AS has_b0,
+         min(md5(qstr)) AS min_cid
+  FROM strs WHERE vec_id < {_SEM_TWIN_OFFSET}
 ), anchors AS (
   SELECT cid, first(qv) AS aq FROM (
     SELECT md5(qstr) AS cid, qv
-    FROM strs
+    FROM strs, guard
     WHERE vec_id < {_SEM_TWIN_OFFSET}
-      AND CAST(('0x' || substring(md5(qstr), 1, 8)) AS BIGINT)
-          % {_SEM_ANCHOR_MOD} = 0
+      AND (CAST(('0x' || substring(md5(qstr), 1, 8)) AS BIGINT)
+             % {_SEM_ANCHOR_MOD} = 0
+           OR (has_b0 = 0 AND md5(qstr) = min_cid))
   ) GROUP BY cid
 ), scored AS (
   SELECT s.vec_id, s.qv, a.cid,

@@ -1955,9 +1955,14 @@ FROM seq
 # ---------------------------------------------------------------------------
 
 # The data-quality check every ingest pipeline runs: per (source, day),
-# is today's row volume anomalous against the trailing week? z-score of
-# the daily count vs the mean/std of the 7 PRECEDING observations; rows
-# without a full 7-day history are not judged. All window sums are exact
+# is today's row volume anomalous against its trailing history? z-score
+# of the daily count vs the mean/std of the 7 preceding OBSERVED
+# (event_type, day) rows — a ROWS frame, deliberately: for a source
+# with gaps the baseline is the last 7 days that actually ingested
+# anything (which can span more than a calendar week), because a
+# calendar RANGE frame would refuse to judge any day after a gap even
+# when ample history exists. Days without 7 observed predecessors are
+# not judged. All window sums are exact
 # BIGINTs (counts and squared counts), the variance is the one-pass
 # identity (Σx² − (Σx)²/n)/(n−1) evaluated in identical double
 # expressions on both engines, and z is rhu-quantized before the flag
@@ -1966,7 +1971,8 @@ _DQ_VOL_Z = 2.0
 
 
 def q_dq_anomaly_volume(spark: SparkSession, sf: str) -> DataFrame:
-    """Daily volume z-score per event_type over the trailing 7 days.
+    """Daily volume z-score per event_type over the 7 preceding
+    observed ingest days (ROWS frame — see the gap note above).
 
     Plan: one partial-agg daily census, then a per-type window (keyed
     exchange on event_type, tiny) with three frame aggregates sharing

@@ -1077,3 +1077,28 @@ def test_dedup_semantic_matches_numpy_bruteforce(spark):
         else:
             assert kept
     assert dropped_twins >= 0.9 * n_twins
+
+
+def test_dedup_semantic_empty_bucket_fallback(spark, monkeypatch):
+    """With the anchor bucket made unhittable (mod ≫ 2³²), the min-md5
+    fallback anchor keeps the verdict table complete instead of empty
+    (round-8 ADVICE): one cluster, every doc rowed, originals kept,
+    twins dropped onto their base."""
+    from python_darima_spark.queries import llm_data
+
+    monkeypatch.setattr(llm_data, "_SEM_ANCHOR_MOD", (1 << 61) - 1)
+    sf = "/root/testdata/sf0.001"
+    rows = llm_data.q_dedup_semantic(spark, sf).collect()
+    n_emb = pd.read_parquet(f"{sf}/embeddings.parquet").shape[0]
+    n_twins = sum(
+        1 for r in rows if r.vec_id >= llm_data._SEM_TWIN_OFFSET
+    )
+    assert len(rows) == n_emb + n_twins and n_twins > 0
+    assert len({r.cid for r in rows}) == 1  # single fallback anchor
+    for r in rows:
+        if r.vec_id >= llm_data._SEM_TWIN_OFFSET:
+            # single cluster → every twin meets its base in the τ join
+            assert not r.kept
+            assert r.dup_of == r.vec_id - llm_data._SEM_TWIN_OFFSET
+        else:
+            assert r.kept

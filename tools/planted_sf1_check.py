@@ -69,7 +69,10 @@ CHECKS: dict[str, dict] = {
 }
 
 _PART_OFFSET = 1_000_000
-_SEM_TWIN_OFFSET = 100_000_000  # keep equal to queries.llm_data._SEM_TWIN_OFFSET
+# imported, not re-declared: a drifted copy would silently misclassify
+# twins in the copy-0 mask and degrade the planted gate instead of
+# failing it (round-8 ADVICE)
+from python_darima_spark.queries.llm_data import _SEM_TWIN_OFFSET  # noqa: E402
 
 
 def _periods() -> dict[str, int]:
