@@ -1653,19 +1653,38 @@ FROM t
 # q_anonymize_k — k-anonymity generalization cascade
 # ---------------------------------------------------------------------------
 
-# Privacy-preserving release (Sweeney 2002): every published row must
-# share its quasi-identifier (QI) combination with ≥ k-1 others. The
-# ladder generalizes each row to the FIRST level whose full-population
-# QI group reaches k: level 0 = (nation, segment, balance-bucket),
-# level 1 drops the bucket, level 2 drops nation too, level 3 =
-# suppressed (all QIs withheld). k=6 exercises the whole ladder on the
-# fixture: 13 rows publish at level 0, two (nation, segment) groups of
-# 5 fall through to level 2, everything else stops at level 1.
+# Generalization ladder + strict release (Sweeney 2002, k-anonymity).
+# Two entries share the QI schema (level 0 = (nation, segment,
+# balance-bucket), level 1 drops the bucket, level 2 drops nation too,
+# level 3 = suppressed):
+#
+# * q_anonymize_k — the generalization LADDER: each row is assigned the
+#   first level whose FULL-POPULATION QI group reaches k, and
+#   group_size is that population census. This is the risk-triage
+#   artifact (how far must each record generalize before its
+#   population anonymity set reaches k), NOT a k-anonymous release:
+#   because the released table mixes levels, a released equivalence
+#   class (the rows sharing a released representation AT the same
+#   level) can hold fewer than k rows (round-8 ADVICE example: a
+#   10-row group ≥ k splitting into a 7-row level-0 bucket plus 3
+#   fall-through rows releases a class of 3).
+# * q_anonymize_k_strict — the actual k-anonymous release: rows are
+#   released level by level, and each level's census counts only the
+#   rows STILL UNRELEASED, so every released class is by construction
+#   a ≥ k group of exactly the rows published at that level. See its
+#   docstring for the class-size proof.
+#
+# k=6 exercises the whole ladder on the fixture: 13 rows publish at
+# level 0, two (nation, segment) groups of 5 fall through to level 2,
+# everything else stops at level 1.
 _ANON_K = 6
 
 
 def q_anonymize_k(spark: SparkSession, sf: str) -> DataFrame:
-    """K-ANONYMITY generalization over ``customer`` quasi-identifiers.
+    """GENERALIZATION LADDER over ``customer`` quasi-identifiers:
+    first level at which each row's full-population QI group reaches k
+    (``group_size`` = that population census — see the ladder-vs-
+    release note above; ``q_anonymize_k_strict`` is the release).
 
     Plan: three partial-agg groupBys on progressively coarser QI keys
     (group tables are O(distinct QI combos), far smaller than the fact)
@@ -1743,6 +1762,120 @@ WITH base AS (
   JOIN g0 USING (qi_nation, qi_segment, qi_bal_bucket)
   JOIN g1 USING (qi_nation, qi_segment)
   JOIN g2 USING (qi_segment)
+)
+SELECT c_custkey,
+       CAST(lvl AS INT) AS gen_level,
+       CASE WHEN lvl <= 1 THEN qi_nation END AS anon_nation,
+       CASE WHEN lvl <= 2 THEN qi_segment END AS anon_segment,
+       CASE WHEN lvl <= 0 THEN qi_bal_bucket END AS anon_bal_bucket,
+       CAST(CASE lvl WHEN 0 THEN n0 WHEN 1 THEN n1 WHEN 2 THEN n2
+                     ELSE 0 END AS BIGINT) AS group_size
+FROM lv
+"""
+
+
+def q_anonymize_k_strict(spark: SparkSession, sf: str) -> DataFrame:
+    """K-ANONYMOUS RELEASE over ``customer`` quasi-identifiers: a
+    sequential-release cascade whose released equivalence classes all
+    reach k.
+
+    Rows are released level by level, each level's census counting only
+    the rows still unreleased: level 0 publishes the (nation, segment,
+    bucket) groups of size ≥ k; the fall-through rows are re-counted at
+    (nation, segment) and published at level 1 where ≥ k; the rest at
+    (segment); anything still short is suppressed (level 3, all QIs
+    withheld). Proof of k-anonymity: the rows published at level L with
+    released representation X are exactly the members of census-L group
+    X, which passed the ≥ k test, and no later pass adds or removes
+    rows from an already-released class (later levels publish under a
+    different mask, hence a different class); level 3 withholds every
+    QI. So every released class is a ≥ k set, and ``group_size`` IS the
+    released class size — the invariant the ladder twin documents away.
+
+    Plan: the same three partial-agg censuses as the ladder, but each
+    over the shrinking unreleased remainder (filters push into the
+    scan of the previous join output); the census tables are
+    metadata-sized, AQE broadcasts them, and the classification is
+    map-only after the joins. At 100 TB this is the ladder's cost plus
+    two filtered re-censuses of strict subsets — same shuffle count,
+    strictly less data per pass."""
+    cust = load(spark, sf, "customer")
+    k = _ANON_K
+    base = cust.select(
+        "c_custkey",
+        F.col("c_nationkey").alias("qi_nation"),
+        F.col("c_mktsegment").alias("qi_segment"),
+        F.floor(F.col("c_acctbal") / F.lit(1000.0)).cast("long")
+        .alias("qi_bal_bucket"),
+    )
+    g0 = base.groupBy("qi_nation", "qi_segment", "qi_bal_bucket").agg(
+        F.count("*").alias("n0")
+    )
+    b0 = base.join(g0, ["qi_nation", "qi_segment", "qi_bal_bucket"])
+    # census 1 counts ONLY rows not released at level 0
+    g1 = (
+        b0.where(F.col("n0") < k)
+        .groupBy("qi_nation", "qi_segment")
+        .agg(F.count("*").alias("n1"))
+    )
+    b1 = b0.join(g1, ["qi_nation", "qi_segment"], "left")
+    g2 = (
+        b1.where((F.col("n0") < k) & (F.col("n1") < k))
+        .groupBy("qi_segment")
+        .agg(F.count("*").alias("n2"))
+    )
+    b2 = b1.join(g2, ["qi_segment"], "left")
+    lvl = (
+        F.when(F.col("n0") >= k, 0)
+        .when(F.col("n1") >= k, 1)
+        .when(F.col("n2") >= k, 2)
+        .otherwise(3)
+    )
+    return b2.select(
+        "c_custkey",
+        lvl.cast("int").alias("gen_level"),
+        F.when(lvl <= 1, F.col("qi_nation")).alias("anon_nation"),
+        F.when(lvl <= 2, F.col("qi_segment")).alias("anon_segment"),
+        F.when(lvl <= 0, F.col("qi_bal_bucket")).alias("anon_bal_bucket"),
+        F.when(lvl == 0, F.col("n0"))
+        .when(lvl == 1, F.col("n1"))
+        .when(lvl == 2, F.col("n2"))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("group_size"),
+    )
+
+
+_ANON_STRICT_ORACLE = f"""
+WITH base AS (
+  SELECT c_custkey, c_nationkey AS qi_nation, c_mktsegment AS qi_segment,
+         CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS qi_bal_bucket
+  FROM customer
+), g0 AS (
+  SELECT qi_nation, qi_segment, qi_bal_bucket, count(*) AS n0
+  FROM base GROUP BY 1, 2, 3
+), b0 AS (
+  SELECT b.*, n0 FROM base b
+  JOIN g0 USING (qi_nation, qi_segment, qi_bal_bucket)
+), g1 AS (
+  SELECT qi_nation, qi_segment, count(*) AS n1
+  FROM b0 WHERE n0 < {_ANON_K} GROUP BY 1, 2
+), b1 AS (
+  SELECT b0.*, n1 FROM b0
+  LEFT JOIN g1 USING (qi_nation, qi_segment)
+), g2 AS (
+  SELECT qi_segment, count(*) AS n2
+  FROM b1 WHERE n0 < {_ANON_K} AND n1 < {_ANON_K} GROUP BY 1
+), b2 AS (
+  SELECT b1.*, n2 FROM b1
+  LEFT JOIN g2 USING (qi_segment)
+), lv AS (
+  SELECT *,
+         CASE WHEN n0 >= {_ANON_K} THEN 0
+              WHEN n1 >= {_ANON_K} THEN 1
+              WHEN n2 >= {_ANON_K} THEN 2
+              ELSE 3 END AS lvl
+  FROM b2
 )
 SELECT c_custkey,
        CAST(lvl AS INT) AS gen_level,
@@ -2078,6 +2211,9 @@ QUERIES = {
     "q_rfm_segment": QuerySpec(q_rfm_segment, _RFM_ORACLE),
     "q_dq_freshness": QuerySpec(q_dq_freshness, _FRESHNESS_ORACLE),
     "q_anonymize_k": QuerySpec(q_anonymize_k, _ANON_ORACLE),
+    "q_anonymize_k_strict": QuerySpec(
+        q_anonymize_k_strict, _ANON_STRICT_ORACLE
+    ),
     "q_ts_kalman": QuerySpec(q_ts_kalman, _kalman_oracle()),
     "q_window_pattern": QuerySpec(q_window_pattern, _CEP_ORACLE),
     "q_dq_anomaly_volume": QuerySpec(

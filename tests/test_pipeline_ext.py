@@ -228,7 +228,10 @@ def test_global_row_number_matches_single_partition_window(spark):
 
 def test_anonymize_k_cascade_and_invariant(spark):
     """q_anonymize_k equals a pandas recomputation of the ladder, and
-    every published (non-suppressed) row's anonymity set is ≥ k."""
+    every published row's FULL-POPULATION anonymity set is ≥ k.
+    (group_size here is the population census, NOT the released
+    equivalence class — the ladder is a risk-triage artifact; the
+    released-class ≥ k guarantee belongs to q_anonymize_k_strict.)"""
     import math
 
     from python_darima_spark.queries.pipeline_ext import _ANON_K, q_anonymize_k
@@ -261,6 +264,45 @@ def test_anonymize_k_cascade_and_invariant(spark):
     # suppressed rows reveal nothing
     sup = got[got.gen_level == 3]
     assert sup.anon_nation.isna().all() and sup.anon_segment.isna().all()
+
+
+def test_anonymize_k_strict_released_classes(spark):
+    """q_anonymize_k_strict is an actual k-anonymous release: every
+    RELEASED EQUIVALENCE CLASS — the rows sharing (gen_level,
+    anon_nation, anon_segment, anon_bal_bucket) — has ≥ k members for
+    gen_level < 3, group_size equals that released class size exactly,
+    and a strict row never sits at a finer level than its ladder row
+    (the strict cascade can only hold or push rows coarser)."""
+    from python_darima_spark.queries.pipeline_ext import (
+        _ANON_K,
+        q_anonymize_k,
+        q_anonymize_k_strict,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    got = q_anonymize_k_strict(spark, sf).toPandas()
+    cust = pd.read_parquet(f"{sf}/customer.parquet")
+    assert len(got) == len(cust) and got.c_custkey.is_unique
+    pub = got[got.gen_level < 3].fillna({"anon_nation": -1, "anon_bal_bucket": -1})
+    cls = pub.groupby(
+        ["gen_level", "anon_nation", "anon_segment", "anon_bal_bucket"],
+        dropna=False,
+    ).c_custkey.transform("size")
+    assert (cls >= _ANON_K).all()
+    assert (pub.group_size.values == cls.values).all()
+    sup = got[got.gen_level == 3]
+    assert sup.anon_nation.isna().all() and sup.anon_segment.isna().all()
+    # strict ≥ ladder level per row (sequential release only coarsens)
+    ladder = (
+        q_anonymize_k(spark, sf)
+        .toPandas()
+        .set_index("c_custkey")
+        .gen_level.sort_index()
+    )
+    strict_lvl = got.set_index("c_custkey").gen_level.sort_index()
+    assert (strict_lvl.values >= ladder.values).all()
+    # the cascade is exercised: at least two distinct released levels
+    assert got.gen_level.nunique() >= 2
 
 
 def test_kalman_tracks_float_filter(spark):
