@@ -147,6 +147,9 @@ HEADLINE = [
     "q_ts_kalman",
     "q_window_pattern",
     "q_dq_anomaly_volume",
+    # round-9 additions
+    "q_dedup_semantic_codebook",
+    "q_anonymize_k_strict",
 ]
 
 

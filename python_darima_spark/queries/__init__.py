@@ -58,10 +58,23 @@ _MODULES = [
 # PROBE_r0*/PROBE_SF01_r0* artifacts are the full local replicas of the
 # driver gate over ALL entries regardless of the cap.
 _PRIORITY = [
-    # --- ROUND-8 late additions: brand-new entries with no driver row
-    # yet — k-core decomposition, k-anonymity generalization cascade,
-    # the adaptive-gain integer Kalman recursion, epoch-repetition
-    # mixtures, and cluster-based semantic dedup (SemDeDup).
+    # --- ROUND-9 head: (1) brand-new entries — the fixed-k two-level
+    # codebook twin of SemDeDup (retires the anchor variant's O(n²/32)
+    # assignment FLOPs from the 100 TB story), the strict k-anonymous
+    # release cascade (released-class ≥ k by construction), and
+    # gap-sessionization on transformWithStateInPandas via ListState +
+    # event-time timers (shares q_stream_session's oracle);
+    "q_dedup_semantic_codebook",
+    "q_anonymize_k_strict",
+    "q_stream_session_tws",
+    # (2) entries whose formulation changed this round: the semantic
+    # anchor fallback (guaranteed-nonempty anchors), and the ladder
+    # twin re-documented beside the strict release.
+    "q_dedup_semantic",
+    "q_anonymize_k",
+    # --- ROUND-8 late additions: k-core decomposition, k-anonymity
+    # generalization cascade, the adaptive-gain integer Kalman
+    # recursion, epoch-repetition mixtures, SemDeDup.
     "q_graph_kcore",
     "q_anonymize_k",
     "q_ts_kalman",

@@ -2643,6 +2643,79 @@ def _sem_quant(vec_col):
     )
 
 
+def _sem_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared planted-twin corpus for the semantic-dedup family:
+    embeddings + the ×1.1-first-coordinate twins, quantized to exact
+    integer milli-units, with the content digest ``h`` = md5 of the
+    canonical comma-joined integer string. Columns: vec_id, q, qstr, h."""
+    emb = load(spark, sf, "embeddings")
+    base = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    twins = base.where(F.col("vec_id") % 10 == 0).select(
+        (F.col("vec_id") + _SEM_TWIN_OFFSET).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at("v", 1) * F.lit(1.1)),
+            F.slice("v", 2, F.size("v") - 1),
+        ).alias("v"),
+    )
+    corpus = base.unionByName(twins)
+    return (
+        corpus.select("vec_id", _sem_quant(F.col("v")).alias("q"))
+        .withColumn(
+            "qstr",
+            F.concat_ws(",", F.transform("q", lambda x: x.cast("string"))),
+        )
+        .withColumn("h", F.md5("qstr"))
+    )
+
+
+def _sem_int_dist(a: str, b: str):
+    """Exact integer squared L2 between two quantized vector columns."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _sem_tau_verdict(assigned: DataFrame) -> DataFrame:
+    """Shared SemDeDup verdict stage: within each cluster ``cid``, a doc
+    is dropped onto the smallest smaller-id member clearing integer
+    cosine ≥ τ. ``assigned`` needs columns (vec_id, cid, q)."""
+    a = assigned.select(
+        "cid", F.col("vec_id").alias("ida"), F.col("q").alias("qa")
+    )
+    b = assigned.select(
+        "cid", F.col("vec_id").alias("idb"), F.col("q").alias("qb")
+    )
+    dot = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: x * y),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sq = lambda c: F.aggregate(  # noqa: E731
+        F.transform(c, lambda x: x * x),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    sim = dot / F.sqrt((sq("qa") * sq("qb")).cast("double"))
+    dropped = (
+        a.join(b, "cid")
+        .where(F.col("ida") < F.col("idb"))
+        .where(rhu(sim, 6) >= _SEM_TAU)
+        .groupBy(F.col("idb").alias("vec_id"))
+        .agg(F.min("ida").alias("dup_of"))
+    )
+    return assigned.join(dropped, "vec_id", "left").select(
+        "vec_id",
+        "cid",
+        F.col("dup_of").isNull().alias("kept"),
+        "dup_of",
+    )
+
+
 def q_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
     """SEMANTIC DEDUP (SemDeDup) over the embedding corpus + injected
     twins: every doc gets its content-addressed cluster and a kept /
@@ -2660,26 +2733,7 @@ def q_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
     becomes the same broadcast argmin at k rows; the cluster self-join
     is unchanged. The kept rule (exists smaller-id member above τ) is
     the same keep-first contract as q_dedup_exact."""
-    emb = load(spark, sf, "embeddings")
-    base = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-    )
-    twins = base.where(F.col("vec_id") % 10 == 0).select(
-        (F.col("vec_id") + _SEM_TWIN_OFFSET).alias("vec_id"),
-        F.concat(
-            F.array(F.element_at("v", 1) * F.lit(1.1)),
-            F.slice("v", 2, F.size("v") - 1),
-        ).alias("v"),
-    )
-    corpus = base.unionByName(twins)
-    qs = corpus.select(
-        "vec_id",
-        _sem_quant(F.col("v")).alias("q"),
-    ).withColumn(
-        "qstr",
-        F.concat_ws(",", F.transform("q", lambda x: x.cast("string"))),
-    )
+    qs = _sem_corpus(spark, sf)
     anchor_bucket = F.expr(
         "cast(conv(substring(md5(qstr), 1, 8), 16, 10) as bigint)"
     ) % _SEM_ANCHOR_MOD
@@ -2722,36 +2776,197 @@ def q_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
         .select("vec_id", "cid", "q")
         .localCheckpoint(eager=True)
     )
-    a = assigned.select(
-        "cid", F.col("vec_id").alias("ida"), F.col("q").alias("qa")
+    return _sem_tau_verdict(assigned)
+
+
+# Fixed-k codebook twin of q_dedup_semantic (round-8 VERDICT ask #1):
+# retires the anchor variant's O(n²/mod) assignment-FLOPs asterisk from
+# the 100 TB story. Two-level content-addressed codebook TREE:
+#
+# * level 1 — a FIXED-k coarse codebook: the _SEM_CB_K1 distinct
+#   original vectors with the smallest content digests, broadcast into
+#   a map-side argmin (k·d integer FLOPs per row — constant, linear in
+#   n; deployment variant: operators/similarity.py train_centroids
+#   refines the same seeds with Lloyd steps, not registered because a
+#   float k-means is not DuckDB-replayable).
+# * level 2 — WITHIN each coarse cell, sub-anchors at the same
+#   content-addressed 1-in-32 rate (digest-bucket 0, plus each cell's
+#   digest-min member so no cell is anchorless); assignment joins on
+#   the coarse id, so each row scores only its own cell's sub-anchors
+#   (≈ cell/32).
+#
+# Why a tree: one fixed-k level leaves clusters of n/k (quadratic τ
+# self-join); value-proportional anchors leave O(n²/mod) assignment.
+# Each 64-way level multiplies addressable corpus by k1 at constant
+# per-row cost, so L levels bound BOTH: sub-clusters stay ≈ 32 rows
+# (linear self-join) and assignment is Σlevels k·d per row — ≤3 levels
+# (64³·32 ≈ 8M clusters) covers any realistic corpus, i.e. linear with
+# a small constant. The registered 2-level instance already certifies
+# the recursion: level-2 candidate pairs ≈ n·cell/32 with cell = n/64,
+# vanishing next to the level-1 term at every tested sf (measured in
+# PLANS.md §2.26). Same planted-twin contract, τ rule, and output
+# schema as q_dedup_semantic — the two entries must agree on every
+# verdict wherever their clusterings agree on twin-vs-base locality.
+_SEM_CB_K1 = 64
+_SEM_CB_SUB_MOD = 32
+
+
+def q_dedup_semantic_codebook(spark: SparkSession, sf: str) -> DataFrame:
+    """SEMANTIC DEDUP via a fixed-k two-level content-addressed
+    codebook: broadcast argmin at k rows per level, sub-clusters ≈ 32
+    rows, linear end to end (see the tree note above).
+
+    Plan: quantize map-only → level-1 argmin as a LITERAL-codebook
+    projection (zero shuffle, whole-stage codegen) → per-cell
+    sub-anchor derivation (one keyed window over DISTINCT vectors,
+    metadata-sized) → cell-keyed sub-assignment join → the shared τ
+    self-join keyed by the final cluster id. The only data-scale
+    shuffles are the level-2 argmin window and the cluster self-join,
+    both keyed, none global."""
+    qs = _sem_corpus(spark, sf)
+    originals = qs.where(F.col("vec_id") < _SEM_TWIN_OFFSET)
+    # level-1 coarse codebook: k1 smallest-digest distinct vectors,
+    # folded into ONE row holding the whole codebook as an
+    # array<struct> column. orderBy+limit plans as
+    # TakeOrderedAndProject (each partition keeps its top-k1); the
+    # 1-row broadcast crossJoin attaches the codebook column to every
+    # row, so the argmin is a map-only array_min over (dist, ccid)
+    # structs — no per-doc shuffle, no n×k intermediate, and no
+    # giant-literal codegen (a k·d literal array measurably fell out
+    # of whole-stage codegen; a column does not).
+    codebook = F.broadcast(
+        originals.select("h", "q")
+        .dropDuplicates(["h"])
+        .orderBy("h")
+        .limit(_SEM_CB_K1)
+        .agg(
+            F.collect_list(
+                F.struct(F.col("q").alias("cq"), F.col("h").alias("ccid"))
+            ).alias("cb")
+        )
     )
-    b = assigned.select(
-        "cid", F.col("vec_id").alias("idb"), F.col("q").alias("qb")
+    best = F.array_min(
+        F.transform(
+            F.col("cb"),
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("q"), c["cq"], lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d1"),
+                c["ccid"].alias("ccid"),
+            ),
+        )
     )
-    dot = F.aggregate(
-        F.zip_with("qa", "qb", lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    # the assignment feeds the sub-anchor census AND the level-2 join;
+    # checkpoint so the k1·d distance pass runs once
+    assigned1 = (
+        qs.crossJoin(codebook)
+        .select("vec_id", "h", "q", best["ccid"].alias("ccid"))
+        .localCheckpoint(eager=True)
     )
-    sq = lambda c: F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x * x),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    # level-2 sub-anchors: distinct original vectors per cell at the
+    # 1-in-32 digest rate; the cell's digest-min member is always an
+    # anchor, so every cell (each contains at least its own seed, which
+    # assigns to itself at distance 0) has ≥ 1 sub-anchor.
+    dov = (
+        assigned1.where(F.col("vec_id") < _SEM_TWIN_OFFSET)
+        .select("ccid", "h", "q")
+        .dropDuplicates(["h"])
     )
-    sim = dot / F.sqrt((sq("qa") * sq("qb")).cast("double"))
-    dropped = (
-        a.join(b, "cid")
-        .where(F.col("ida") < F.col("idb"))
-        .where(rhu(sim, 6) >= _SEM_TAU)
-        .groupBy(F.col("idb").alias("vec_id"))
-        .agg(F.min("ida").alias("dup_of"))
+    sub_bucket = (
+        F.expr("cast(conv(substring(h, 1, 8), 16, 10) as bigint)")
+        % _SEM_CB_SUB_MOD
     )
-    return assigned.join(dropped, "vec_id", "left").select(
-        "vec_id",
-        "cid",
-        F.col("dup_of").isNull().alias("kept"),
-        "dup_of",
+    w2 = Window.partitionBy("ccid").orderBy("h")
+    subs = (
+        dov.withColumn("_rk", F.row_number().over(w2))
+        .where((sub_bucket == 0) | (F.col("_rk") == 1))
+        .select("ccid", F.col("h").alias("cid"), F.col("q").alias("sq"))
     )
+    w3 = Window.partitionBy("vec_id").orderBy("d2", "cid")
+    assigned = (
+        assigned1.join(subs, "ccid")
+        .withColumn("d2", _sem_int_dist("q", "sq"))
+        .withColumn("_rn2", F.row_number().over(w3))
+        .where(F.col("_rn2") == 1)
+        .select("vec_id", "cid", "q")
+        .localCheckpoint(eager=True)
+    )
+    return _sem_tau_verdict(assigned)
+
+
+def _semantic_codebook_oracle() -> str:
+    q = _SEM_QSCALE
+    quant = (
+        f"list_transform(v, x -> CAST(floor(x * {q}.0 + 0.5) AS BIGINT))"
+    )
+    return f"""
+WITH base AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+), twins AS (
+  SELECT vec_id + {_SEM_TWIN_OFFSET} AS vec_id,
+         list_concat([CAST(embedding[1] AS DOUBLE) * 1.1],
+                     list_transform(embedding[2:],
+                                    x -> CAST(x AS DOUBLE))) AS v
+  FROM embeddings WHERE vec_id % 10 = 0
+), corpus AS (
+  SELECT vec_id, {quant} AS qv FROM base
+  UNION ALL
+  SELECT vec_id, {quant} AS qv FROM twins
+), strs AS (
+  SELECT vec_id, qv, md5(array_to_string(qv, ',')) AS h FROM corpus
+), coarse AS (
+  SELECT h AS ccid, aq FROM (
+    SELECT h, any_value(qv) AS aq FROM strs
+    WHERE vec_id < {_SEM_TWIN_OFFSET} GROUP BY h
+  ) QUALIFY row_number() OVER (ORDER BY h) <= {_SEM_CB_K1}
+), a1 AS (
+  SELECT vec_id, h, qv, ccid FROM (
+    SELECT s.vec_id, s.h, s.qv, c.ccid,
+           list_sum(list_transform(list_zip(s.qv, c.aq),
+                    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d1
+    FROM strs s, coarse c
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id
+                               ORDER BY d1, ccid) = 1
+), dov AS (
+  SELECT any_value(ccid) AS ccid, h, any_value(qv) AS qv
+  FROM a1 WHERE vec_id < {_SEM_TWIN_OFFSET} GROUP BY h
+), subs AS (
+  SELECT ccid, h AS cid, qv AS sq FROM (
+    SELECT *, row_number() OVER (PARTITION BY ccid ORDER BY h) AS rk
+    FROM dov
+  ) WHERE CAST(('0x' || substring(h, 1, 8)) AS BIGINT)
+            % {_SEM_CB_SUB_MOD} = 0
+     OR rk = 1
+), assigned AS (
+  SELECT vec_id, qv, cid FROM (
+    SELECT a.vec_id, a.qv, s.cid,
+           list_sum(list_transform(list_zip(a.qv, s.sq),
+                    p -> (p[1] - p[2]) * (p[1] - p[2]))) AS d2
+    FROM a1 a JOIN subs s USING (ccid)
+  ) QUALIFY row_number() OVER (PARTITION BY vec_id
+                               ORDER BY d2, cid) = 1
+), dropped AS (
+  SELECT b.vec_id AS vec_id, min(a.vec_id) AS dup_of
+  FROM assigned a JOIN assigned b
+    ON a.cid = b.cid AND a.vec_id < b.vec_id
+  WHERE floor(
+          CAST(list_sum(list_transform(list_zip(a.qv, b.qv),
+                                       p -> p[1] * p[2])) AS DOUBLE)
+          / sqrt(CAST(
+              list_sum(list_transform(a.qv, x -> x * x))
+              * list_sum(list_transform(b.qv, x -> x * x)) AS DOUBLE))
+          * 1e6 + 0.5) / 1e6 >= {_SEM_TAU}
+  GROUP BY b.vec_id
+)
+SELECT s.vec_id, s.cid, d.dup_of IS NULL AS kept, d.dup_of
+FROM assigned s LEFT JOIN dropped d ON d.vec_id = s.vec_id
+"""
 
 
 def _semantic_oracle() -> str:
@@ -2826,6 +3041,9 @@ QUERIES = {
         q_mixture_epochs, _MIXTURE_EPOCHS_ORACLE
     ),
     "q_dedup_semantic": QuerySpec(q_dedup_semantic, _semantic_oracle()),
+    "q_dedup_semantic_codebook": QuerySpec(
+        q_dedup_semantic_codebook, _semantic_codebook_oracle()
+    ),
     "q_sample_weighted_pps": QuerySpec(q_sample_weighted_pps, _PPS_ORACLE),
     "q_curation_pipeline": QuerySpec(
         q_curation_pipeline, _CURATION_ORACLE

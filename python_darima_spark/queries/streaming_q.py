@@ -23,6 +23,7 @@ from python_darima_spark.streaming.stateful import (
     ewma_anomalies,
     ewma_anomalies_tws,
     has_tws_support,
+    session_windows_tws,
 )
 from python_darima_spark.streaming.windows import (
     read_event_stream,
@@ -345,6 +346,63 @@ def q_stream_anomaly_tws(spark: SparkSession, sf: str) -> DataFrame:
     return spark.table(name)
 
 
+def q_stream_session_tws(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based sessionization on ``transformWithStateInPandas`` with
+    ListState + event-time timers (round-8 VERDICT ask #4) — the
+    arbitrary-state twin of q_stream_session's session_window plan.
+    Emission happens exclusively on the timer path (buffer on input,
+    flush when the watermark passes a session's end), and the entry
+    shares the windowed twin's hash oracle, so the two APIs must agree
+    emission for emission. See streaming.stateful.session_windows_tws
+    for the mechanics and the timer-expiry boundary analysis."""
+    name = run_stream_to_table(
+        session_windows_tws(_replayed(spark, sf)),
+        "append",
+        extra_confs={
+            "spark.sql.streaming.stateStore.providerClass": (
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider"
+            )
+        },
+    )
+    return spark.table(name)
+
+
+# Gap-based sessionization restated in SQL: sessions are maximal runs
+# with consecutive per-user gaps < 30 min (lag + running sum of session
+# starts), emitted iff session_end = last_ts + gap clears the append
+# cutoff max_ts − 2 h. SHARED by q_stream_session (session_window
+# windowed aggregation) and q_stream_session_tws (ListState + event-time
+# timers on transformWithStateInPandas): the hash match proves the
+# arbitrary-state reimplementation of Spark's own session operator is
+# emission-for-emission identical — the migration guarantee for moving a
+# sessionization stream onto the new API.
+_SESSION_ORACLE = """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, value,
+                             event_id
+                      FROM events),
+           mx AS (SELECT max(ts) AS mt FROM e),
+           o AS (SELECT user_id, ts, value, event_id,
+                        lag(ts) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id) AS pts
+                 FROM e),
+           f AS (SELECT *, CASE WHEN pts IS NULL
+                                  OR ts - pts >= INTERVAL 30 MINUTE
+                           THEN 1 ELSE 0 END AS is_new
+                 FROM o),
+           g AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id
+                                             ROWS UNBOUNDED PRECEDING) AS sid
+                 FROM f),
+           s AS (SELECT min(ts) AS session_start,
+                        max(ts) + INTERVAL 30 MINUTE AS session_end,
+                        user_id, count(*) AS n,
+                        round(sum(value), 4) AS sum_value
+                 FROM g GROUP BY user_id, sid)
+           SELECT s.session_start, s.session_end, s.user_id, s.n, s.sum_value
+           FROM s, mx
+           WHERE s.session_end <= mx.mt - INTERVAL 2 HOUR"""
+
+
 # The EWMA fold is a LINEAR recursion over per-key (ts, event_id) order,
 # so a recursive CTE restates it — every float op at the exact expression
 # shape the Python fold uses (delta reused, (0.1·δ)·δ association,
@@ -561,32 +619,9 @@ QUERIES = {
            FROM b, mx
            WHERE b.wstart + INTERVAL 1 HOUR <= mx.mt - INTERVAL 2 HOUR""",
     ),
-    "q_stream_session": QuerySpec(
-        q_stream_session,
-        """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts, user_id, value,
-                             event_id
-                      FROM events),
-           mx AS (SELECT max(ts) AS mt FROM e),
-           o AS (SELECT user_id, ts, value, event_id,
-                        lag(ts) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id) AS pts
-                 FROM e),
-           f AS (SELECT *, CASE WHEN pts IS NULL
-                                  OR ts - pts >= INTERVAL 30 MINUTE
-                           THEN 1 ELSE 0 END AS is_new
-                 FROM o),
-           g AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id
-                                             ORDER BY ts, event_id
-                                             ROWS UNBOUNDED PRECEDING) AS sid
-                 FROM f),
-           s AS (SELECT min(ts) AS session_start,
-                        max(ts) + INTERVAL 30 MINUTE AS session_end,
-                        user_id, count(*) AS n,
-                        round(sum(value), 4) AS sum_value
-                 FROM g GROUP BY user_id, sid)
-           SELECT s.session_start, s.session_end, s.user_id, s.n, s.sum_value
-           FROM s, mx
-           WHERE s.session_end <= mx.mt - INTERVAL 2 HOUR""",
+    "q_stream_session": QuerySpec(q_stream_session, _SESSION_ORACLE),
+    "q_stream_session_tws": QuerySpec(
+        q_stream_session_tws, _SESSION_ORACLE
     ),
     "q_stream_join": QuerySpec(
         q_stream_join,

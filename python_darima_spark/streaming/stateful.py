@@ -247,3 +247,215 @@ def ewma_anomalies_tws(
             timeMode="None",
         )
     )
+
+
+SESSION_TWS_SCHEMA = (
+    "session_start timestamp, session_end timestamp, user_id bigint, "
+    "n bigint, sum_value double"
+)
+_SESSION_BUF_SCHEMA = "ts_us bigint, event_id bigint, value double"
+
+
+def _round4_half_up(x: float) -> float:
+    """Spark's ``F.round(col, 4)``: BigDecimal HALF_UP on the double's
+    exact binary value (round-away-from-zero on ties) — NOT Python's
+    banker's ``round()``."""
+    import decimal
+
+    return float(
+        decimal.Decimal(x).quantize(
+            decimal.Decimal("0.0001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def session_windows_tws(
+    events: DataFrame,
+    gap_minutes: int = 30,
+    watermark: str = "2 hours",
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Gap-based session windows on ``transformWithStateInPandas`` with
+    **ListState + event-time timers** — the arbitrary-state surface a
+    real sessionization stream needs, exercised end to end (round-8
+    VERDICT ask #4; the EWMA twin only touches ValueState).
+
+    Semantics are exactly ``session_agg`` (session_window + append
+    emission), so the two share one hash oracle: a session is a maximal
+    run of per-user events with consecutive gaps < ``gap_minutes``; it
+    is emitted once its end (last event + gap) is at or below the
+    event-time watermark, and never revised afterwards.
+
+    Mechanics per key:
+
+    * ``handleInputRows`` appends the batch's (ts, event_id, value)
+      rows to a ListState buffer and registers an event-time timer
+      strictly below the earliest pending session end (expiry
+      ``ceil(end_us/1000) − 1`` ms: for any session ripe at watermark
+      W, that expiry is < W, so the timer fires under either of
+      Spark's possible firing comparisons). No rows are emitted here —
+      emission is the timer path's job, which is what this entry
+      exists to certify.
+    * ``handleExpiredTimer`` recomputes sessions from the buffer,
+      emits those whose end ≤ the PRECISE eviction watermark (the
+      same µs comparison session_window's state store makes), prunes
+      their events from ListState (``put`` of the survivors), clears
+      obsolete timers via ``listTimers``/``deleteTimer``, and
+      re-arms for the next pending end.
+
+    Determinism: in-order replay means a new event is never older than
+    an emitted session's close (chunk ranges ascend), so an emitted
+    session can never be extended; emission content is a pure function
+    of the per-key event multiset. State is O(unripe events per key) —
+    bounded by the watermark delay × per-key rate, the same bound
+    session_window's own state store carries at 100 TB/day.
+
+    Requires RocksDB state store + protobuf (vendored fallback), like
+    every transformWithState operator here."""
+    if not has_tws_support(events.sparkSession if events is not None else None):
+        raise NotImplementedError(
+            "ENV-REFUSAL: transformWithStateInPandas needs the "
+            "'protobuf' package (pyspark.sql.streaming.proto), not "
+            "installed and the vendored wire runtime failed to "
+            "activate; q_stream_session (session_window) computes the "
+            "same sessions on the windowed-aggregation path"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    gap_us = gap_minutes * 60_000_000
+
+    def _split_sessions(evs):
+        """evs sorted by (ts_us, event_id) → [(start_us, end_us, rows)]
+        with end = last + gap."""
+        out = []
+        cur = []
+        for e in evs:
+            if cur and e[0] - cur[-1][0] >= gap_us:
+                out.append((cur[0][0], cur[-1][0] + gap_us, cur))
+                cur = []
+            cur.append(e)
+        if cur:
+            out.append((cur[0][0], cur[-1][0] + gap_us, cur))
+        return out
+
+    class _Sessionizer(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._buf = handle.getListState("buf", _SESSION_BUF_SCHEMA)
+            self._handle = handle
+
+        def _flush(self, key, wm_ms: int, emit: bool):
+            """Emit ripe sessions (end ≤ watermark), keep the rest
+            buffered, re-arm one timer below the earliest pending end.
+            Returns the list of emitted pandas DataFrames."""
+            # ListState.get() yields plain (ts_us, event_id, value) tuples
+            evs = (
+                sorted(tuple(r) for r in self._buf.get())
+                if self._buf.exists()
+                else []
+            )
+            if not evs:
+                return []
+            wm_us = wm_ms * 1000
+            ripe, pending = [], []
+            for s in _split_sessions(evs):
+                (ripe if (emit and s[1] <= wm_us) else pending).append(s)
+            if ripe:
+                if pending:
+                    self._buf.put(
+                        [e for s in pending for e in s[2]]
+                    )
+                else:
+                    self._buf.clear()
+            want_timer = (
+                -(-pending[0][1] // 1000) - 1 if pending else None
+            )
+            existing = list(self._handle.listTimers())
+            if existing != ([want_timer] if want_timer is not None else []):
+                for t in existing:
+                    self._handle.deleteTimer(t)
+                if want_timer is not None:
+                    self._handle.registerTimer(want_timer)
+            if not ripe:
+                return []
+            return [
+                pd.DataFrame(
+                    {
+                        "session_start": pd.to_datetime(
+                            [s[0] for s in ripe], unit="us"
+                        ),
+                        "session_end": pd.to_datetime(
+                            [s[1] for s in ripe], unit="us"
+                        ),
+                        "user_id": int(key[0]),
+                        "n": [len(s[2]) for s in ripe],
+                        "sum_value": [
+                            _round4_half_up(
+                                _ltr_sum(v for _, _, v in s[2])
+                            )
+                            for s in ripe
+                        ],
+                    }
+                )
+            ]
+
+        def handleInputRows(self, key, rows, timer_values):  # noqa: ANN001
+            chunks = list(rows)
+            if chunks:
+                pdf = pd.concat(chunks, ignore_index=True)
+                us = (
+                    pdf[ts_col]
+                    .to_numpy()
+                    .astype("datetime64[us]")
+                    .astype("int64")
+                )
+                self._buf.appendList(
+                    list(
+                        zip(
+                            (int(x) for x in us),
+                            (int(x) for x in pdf[tiebreak_col]),
+                            (float(x) for x in pdf[value_col]),
+                        )
+                    )
+                )
+            # buffer + arm only; emission belongs to the timer path
+            return iter(
+                self._flush(key, timer_values.getCurrentWatermarkInMs(), False)
+            )
+
+        def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):  # noqa: ANN001, N803
+            # (parameter names are part of the contract: the runtime
+            # invokes this with timerValues=/expiredTimerInfo= kwargs)
+            return iter(
+                self._flush(key, timerValues.getCurrentWatermarkInMs(), True)
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select(key_col, ts_col, value_col, tiebreak_col)
+        .withWatermark(ts_col, watermark)
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            statefulProcessor=_Sessionizer(),
+            outputStructType=SESSION_TWS_SCHEMA,
+            outputMode="Append",
+            timeMode="EventTime",
+        )
+    )
+
+
+def _ltr_sum(vals) -> float:
+    """Plain left-to-right float64 accumulation (ts order) — the
+    summation shape closest to the single-partition per-session sums
+    the windowed twin produces; round-4 absorbs association ulps."""
+    acc = 0.0
+    for v in vals:
+        acc += v
+    return acc

@@ -1079,6 +1079,39 @@ def test_dedup_semantic_matches_numpy_bruteforce(spark):
     assert dropped_twins >= 0.9 * n_twins
 
 
+def test_dedup_semantic_codebook_twin_contract(spark):
+    """The fixed-k codebook twin honors the shared planted contract:
+    every original kept, ≥ 90% of the ×1.1 twins dropped onto exactly
+    their base (a twin crossing a cluster boundary is the documented
+    SemDeDup recall mode), and the two-level structure is real — more
+    than _SEM_CB_K1 final clusters (so level 2 actually splits cells)
+    but every cluster small (≤ 4·sub_mod rows)."""
+    from collections import Counter
+
+    from python_darima_spark.queries.llm_data import (
+        _SEM_CB_K1,
+        _SEM_CB_SUB_MOD,
+        _SEM_TWIN_OFFSET,
+        q_dedup_semantic_codebook,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = q_dedup_semantic_codebook(spark, sf).collect()
+    n_twins = dropped = 0
+    for r in rows:
+        if r.vec_id >= _SEM_TWIN_OFFSET:
+            n_twins += 1
+            if not r.kept:
+                dropped += 1
+                assert r.dup_of == r.vec_id - _SEM_TWIN_OFFSET
+        else:
+            assert r.kept
+    assert n_twins > 0 and dropped >= 0.9 * n_twins
+    sizes = Counter(r.cid for r in rows)
+    assert len(sizes) > _SEM_CB_K1
+    assert max(sizes.values()) <= 4 * _SEM_CB_SUB_MOD
+
+
 def test_dedup_semantic_empty_bucket_fallback(spark, monkeypatch):
     """With the anchor bucket made unhittable (mod ≫ 2³²), the min-md5
     fallback anchor keeps the verdict table complete instead of empty

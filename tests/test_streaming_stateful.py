@@ -142,6 +142,52 @@ def test_tws_twin_matches_apply_in_pandas_with_state(spark, sf_dir):
     pd.testing.assert_frame_equal(pa[cols], pb[cols], check_dtype=False)
 
 
+def test_session_tws_twin_matches_session_window(spark, sf_dir):
+    """The ListState+timer sessionizer must emit IDENTICAL sessions to
+    Spark's own session_window aggregation on identical replay — the
+    migration guarantee for moving sessionization onto the
+    arbitrary-state API, and the proof that the timer path (all
+    emission happens in handleExpiredTimer) reproduces append-mode
+    watermark eviction exactly."""
+    import pytest
+
+    from python_darima_spark.streaming.stateful import (
+        has_tws_support,
+        session_windows_tws,
+    )
+    from python_darima_spark.streaming.windows import (
+        read_event_stream,
+        run_stream_to_table,
+        session_agg,
+        stage_event_chunks,
+    )
+
+    if not has_tws_support():
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            session_windows_tws(None)
+        pytest.skip("protobuf not installed; TWS cannot run here")
+
+    staged = stage_event_chunks(spark, sf_dir, 4)
+    a = run_stream_to_table(
+        session_agg(read_event_stream(spark, staged)), "append"
+    )
+    b = run_stream_to_table(
+        session_windows_tws(read_event_stream(spark, staged)),
+        "append",
+        extra_confs={
+            "spark.sql.streaming.stateStore.providerClass": (
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider"
+            )
+        },
+    )
+    cols = ["user_id", "session_start", "session_end", "n", "sum_value"]
+    pa = spark.table(a).toPandas()[cols].sort_values(cols).reset_index(drop=True)
+    pb = spark.table(b).toPandas()[cols].sort_values(cols).reset_index(drop=True)
+    assert len(pa) > 0  # the replay actually closes sessions
+    pd.testing.assert_frame_equal(pa, pb, check_dtype=False)
+
+
 def test_stream_dedup_near_equals_batch_contract(spark, sf_dir):
     """The streaming append-then-probe ingest must emit EXACTLY the
     batch near-dup pairs touching the streamed slice (doc_id%5==0) —

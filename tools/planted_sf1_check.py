@@ -66,6 +66,15 @@ CHECKS: dict[str, dict] = {
         "period": "embeddings_twin",
         "fillna": {"dup_of": -1},
     },
+    # the fixed-k codebook twin shares q_dedup_semantic's planted
+    # argument verbatim: the coarse codebook and sub-anchors are pure
+    # functions of vector VALUES (unchanged across replica copies), and
+    # copy-0 ids are the smallest at every level.
+    "q_dedup_semantic_codebook": {
+        "ids": ["vec_id"],
+        "period": "embeddings_twin",
+        "fillna": {"dup_of": -1},
+    },
 }
 
 _PART_OFFSET = 1_000_000
