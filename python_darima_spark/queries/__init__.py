@@ -68,10 +68,13 @@ _PRIORITY = [
     "q_anonymize_k_strict",
     "q_stream_session_tws",
     # (2) entries whose formulation changed this round: the semantic
-    # anchor fallback (guaranteed-nonempty anchors), and the ladder
-    # twin re-documented beside the strict release.
+    # anchor fallback (guaranteed-nonempty anchors), the ladder twin
+    # re-documented beside the strict release, and the GEFCom census
+    # re-pointed at the checked-in fixtures/gefcom downsample (runs
+    # with /root/reference unmounted; new band constants).
     "q_dedup_semantic",
     "q_anonymize_k",
+    "q_ts_reference_gefcom",
     # --- ROUND-8 late additions: k-core decomposition, k-anonymity
     # generalization cascade, the adaptive-gain integer Kalman
     # recursion, epoch-repetition mixtures, SemDeDup.
