@@ -609,11 +609,21 @@ def minhash_index_append(
         bands = band_hashes(
             sig, id_col, num_bands, rows_per_band
         ).repartition(num_bands, "band_id")
+        # sig rows are skinny (id + num_hashes longs); writing them at
+        # full shuffle width leaves shuffle-partition-count tiny files
+        # PER INGEST (the small-files problem again, and each extra
+        # file is one extra task commit + one extra ledger rename).
+        # Scale file count with the session's width so big clusters
+        # still write in parallel; parquet row groups keep reads
+        # splittable either way.
+        sig_out = sig.coalesce(
+            max(4, shuffle_width(batch_df.sparkSession) // 8)
+        )
         if ingest_tag is None:
             # untagged: plain appends; Spark's commit protocol makes a
             # died-mid-job retry safe, but a caller-level replay
             # duplicates (that is what tags are for)
-            sig.write.mode("append").parquet(f"{index_path}/sigs")
+            sig_out.write.mode("append").parquet(f"{index_path}/sigs")
             bands.write.mode("append").partitionBy("band_id").parquet(
                 f"{index_path}/bands"
             )
@@ -621,7 +631,7 @@ def minhash_index_append(
             spark = batch_df.sparkSession
             commit_staged_ingest(
                 spark, f"{index_path}/sigs", ingest_tag,
-                staged_parquet_writer(sig),
+                staged_parquet_writer(sig_out),
             )
             commit_staged_ingest(
                 spark, f"{index_path}/bands", ingest_tag,

@@ -34,12 +34,15 @@ no marker, _SUCCESS      → publish crashed: resume renames (rename is
 All filesystem access is scheme-routed through Hadoop (``file://``,
 plain local paths, ``hdfs://``, ``abfs://`` …) — fixing the round-7
 advisory where ``file://`` URIs were whitelisted but then handed to
-``os.path``/``open()``. Honest limits: per-file rename is atomic on
-POSIX/HDFS/ABFS; object stores that fake rename as copy+delete (S3A
-without a committer) get idempotency-by-resume but not per-file
-atomicity — use a real table format there; publishing N files is not
-one atomic unit, but every intermediate state is resumable and readers
-only ever see whole, committed files of SOME prefix of ingests.
+``os.path``/``open()``. Honest limits of RENAME mode: per-file rename
+is atomic on POSIX/HDFS/ABFS; publishing N files is not one atomic
+unit, but every intermediate state is resumable and readers only ever
+see whole, committed files of SOME prefix of ingests. Object stores
+that fake rename as copy+delete (S3A without a committer) should use
+MANIFEST mode instead (``mode="manifest"`` /
+:func:`commit_manifest_ingest`): data files never move, and the commit
+is the atomic visibility of one small manifest object — whole-batch
+atomicity on exactly the stores where rename mode is weakest.
 """
 
 from __future__ import annotations
@@ -99,8 +102,23 @@ def _staged_files(spark: SparkSession, staging: str) -> list[tuple[str, str]]:
     return sorted(out, key=lambda t: t[1])
 
 
+# publish-pass parallelism: each rename is one blocking py4j→Hadoop FS
+# call (~ms local, ~10s of ms against a remote NameNode/object store),
+# and round 8's sequential loop made the 2PC ledger's publish pass the
+# dominant cost of q_dedup_index_append (5.2 s → 11.9 s at sf0.1).
+# Waves of concurrent renames amortize the round-trips (py4j is
+# thread-safe: one gateway connection per Python thread); crash hooks
+# still fire once per file, sequentially, AFTER each wave, so the
+# crash-injection matrix keeps deterministic mid-publish states.
+_PUBLISH_WAVE = 16
+
+
 def commit_staged_ingest(
-    spark: SparkSession, table_dir: str, tag: str, write_staged
+    spark: SparkSession,
+    table_dir: str,
+    tag: str,
+    write_staged,
+    mode: str = "rename",
 ) -> bool:
     """Run one table's staged ingest to completion (idempotent).
 
@@ -109,7 +127,20 @@ def commit_staged_ingest(
     attempt is replaced wholesale on replay). Returns True if this call
     performed (or finished) the ingest, False if the tag was already
     committed.
+
+    ``mode``:
+
+    * ``"rename"`` (default) — stage → per-file atomic rename into the
+      table dir → marker. Right for POSIX/HDFS/ABFS, where rename is
+      atomic. Renames run in concurrent waves (see _PUBLISH_WAVE).
+    * ``"manifest"`` — for stores that fake rename (S3A without a
+      committer): data files never move; commit = publishing a
+      manifest that lists them. See :func:`commit_manifest_ingest`.
     """
+    if mode == "manifest":
+        return commit_manifest_ingest(spark, table_dir, tag, write_staged)
+    if mode != "rename":
+        raise ValueError(f"unknown ledger mode {mode!r}")
     fs = _fs(spark, table_dir)
     marker = f"{table_dir}/_ingest_{tag}.done"
     staging = f"{table_dir}/_staging/{tag}"
@@ -121,6 +152,7 @@ def commit_staged_ingest(
         write_staged(staging)  # Spark writes _SUCCESS on job commit
     _crash_hook(f"staged:{table_dir}")
     fs.mkdirs(_jpath(spark, table_dir))
+    moves = []
     for abs_path, rel in _staged_files(spark, staging):
         parts = rel.rsplit("/", 1)
         dest_rel = (
@@ -128,11 +160,29 @@ def commit_staged_ingest(
             if len(parts) == 2
             else f"ingest-{tag}-{rel}"
         )
-        dest = f"{table_dir}/{dest_rel}"
-        parent = dest.rsplit("/", 1)[0]
+        moves.append((abs_path, f"{table_dir}/{dest_rel}"))
+    # one mkdirs per DISTINCT destination dir, not per file
+    for parent in sorted({d.rsplit("/", 1)[0] for _, d in moves}):
         fs.mkdirs(_jpath(spark, parent))
+
+    def _rename(move: tuple[str, str]) -> None:
+        src, dest = move
         # atomic per file; returns False when dest exists (resume case)
-        fs.rename(_jpath(spark, abs_path), _jpath(spark, dest))
+        fs.rename(_jpath(spark, src), _jpath(spark, dest))
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(moves) > 1:
+        with ThreadPoolExecutor(max_workers=_PUBLISH_WAVE) as pool:
+            for i in range(0, len(moves), _PUBLISH_WAVE):
+                wave = moves[i : i + _PUBLISH_WAVE]
+                # .result() re-raises worker exceptions
+                for f in [pool.submit(_rename, m) for m in wave]:
+                    f.result()
+                for _ in wave:
+                    _crash_hook(f"published-one:{table_dir}")
+    elif moves:
+        _rename(moves[0])
         _crash_hook(f"published-one:{table_dir}")
     _crash_hook(f"published:{table_dir}")
     _touch_no_overwrite(spark, marker)
@@ -142,6 +192,100 @@ def commit_staged_ingest(
     # by the next same-tag call
     fs.delete(_jpath(spark, staging), True)
     return True
+
+
+def commit_manifest_ingest(
+    spark: SparkSession, table_dir: str, tag: str, write_staged
+) -> bool:
+    """Manifest-commit ingest for stores WITHOUT atomic rename (the
+    round-8 honest limit: S3A fakes rename as copy+delete, so the
+    rename-mode ledger there is idempotent-by-resume but not per-file
+    atomic).
+
+    Data files are written ONCE under ``{table}/_batches/{tag}/`` and
+    never move. The commit record is ``_ingest_{tag}.manifest`` in the
+    table dir, listing the batch's data files (paths relative to the
+    table dir, one per line, sorted). Readers
+    (:func:`read_manifested_table`) see exactly the union of manifested
+    files — an uncommitted batch is invisible no matter how many of its
+    data files exist, so the WHOLE batch commits atomically with the
+    manifest's visibility. The manifest is written to a ``.tmp`` name
+    first and then moved into place without replace: on POSIX/HDFS
+    that is an atomic rename; on S3A it is one small-object copy — an
+    atomic PUT, so a reader can never observe a PARTIAL manifest
+    (S3 makes no partial object visible), which is the property the
+    mode exists for. The underscore prefixes keep both batches and
+    manifests out of naive recursive parquet scans; manifest tables
+    are read through the manifest reader by contract.
+
+    Replay decision table (tag t): manifest exists → committed, reap
+    tmp garbage, keep data. No manifest, no ``_SUCCESS`` → restage the
+    batch dir wholesale. No manifest, ``_SUCCESS`` → rebuild tmp and
+    move it into place (a concurrent commit winning the no-replace
+    race reads as committed).
+    """
+    fs = _fs(spark, table_dir)
+    manifest = f"{table_dir}/_ingest_{tag}.manifest"
+    tmp = f"{manifest}.tmp"
+    batch_dir = f"{table_dir}/_batches/{tag}"
+    if _exists(spark, manifest):
+        fs.delete(_jpath(spark, tmp), False)
+        return False
+    if not _exists(spark, f"{batch_dir}/_SUCCESS"):
+        write_staged(batch_dir)
+    _crash_hook(f"staged:{table_dir}")
+    rels = sorted(
+        f"_batches/{tag}/{rel}"
+        for _, rel in _staged_files(spark, batch_dir)
+    )
+    body = ("\n".join(rels) + "\n").encode()
+    out = fs.create(_jpath(spark, tmp), True)  # overwrite: tmp is ours
+    try:
+        out.write(body)
+    finally:
+        out.close()
+    _crash_hook(f"manifest-tmp:{table_dir}")
+    # no-replace move: False result = a concurrent committer won; both
+    # outcomes leave a complete manifest in place
+    fs.rename(_jpath(spark, tmp), _jpath(spark, manifest))
+    _crash_hook(f"manifested:{table_dir}")
+    fs.delete(_jpath(spark, tmp), False)
+    return True
+
+
+def read_manifested_table(spark: SparkSession, table_dir: str) -> DataFrame:
+    """Union of all committed manifests' data files of a manifest-mode
+    table. Uncommitted / crashed batches are invisible by construction
+    (their files are listed by no manifest). Raises if the table has no
+    committed manifest yet — an empty parquet read has no schema."""
+    fs = _fs(spark, table_dir)
+    jpath = _jpath(spark, table_dir)
+    files: list[str] = []
+    if fs.exists(jpath):
+        for st in fs.listStatus(jpath):
+            name = st.getPath().getName()
+            if not (
+                name.startswith("_ingest_") and name.endswith(".manifest")
+            ):
+                continue
+            stream = fs.open(st.getPath())
+            try:
+                # one py4j call for the whole (small) manifest body —
+                # commons-io ships on Spark's classpath
+                text = spark._jvm.org.apache.commons.io.IOUtils.toString(
+                    stream, "UTF-8"
+                )
+            finally:
+                stream.close()
+            files.extend(
+                f"{table_dir}/{rel}" for rel in text.splitlines() if rel
+            )
+    if not files:
+        raise FileNotFoundError(
+            f"no committed manifest under {table_dir}; write one with "
+            "commit_staged_ingest(..., mode='manifest')"
+        )
+    return spark.read.parquet(*sorted(files))
 
 
 def staged_parquet_writer(df: DataFrame, partition_by: str | None = None):

@@ -75,6 +75,11 @@ _PRIORITY = [
     "q_dedup_semantic",
     "q_anonymize_k",
     "q_ts_reference_gefcom",
+    # index append now runs tagged through the (wave-parallel) 2PC
+    # ledger with coalesced sig files; the streaming consumer shares
+    # the write path
+    "q_dedup_index_append",
+    "q_stream_dedup_near",
     # --- ROUND-8 late additions: k-core decomposition, k-anonymity
     # generalization cascade, the adaptive-gain integer Kalman
     # recursion, epoch-repetition mixtures, SemDeDup.

@@ -535,12 +535,17 @@ def q_dedup_index_append(spark: SparkSession, sf: str) -> DataFrame:
     )
     shutil.rmtree(path, ignore_errors=True)
     stage = _corpus_shingles(spark, sf)
+    # tagged: each append runs the full two-phase-commit ledger (stage →
+    # wave-parallel atomic renames → marker), so the benched entry pays
+    # — and showcases — the exactly-once write path, not the bare
+    # append (operators/ledger.py; crash matrix in tests/test_llm_data)
     minhash_index_append(
-        docs.where(F.col("doc_id") % 5 == 1), path, shingle_gids=stage
+        docs.where(F.col("doc_id") % 5 == 1), path, shingle_gids=stage,
+        ingest_tag="b1",
     )
     minhash_index_append(
         docs.where((F.col("doc_id") % 5).isin(2, 3, 4)), path,
-        shingle_gids=stage,
+        shingle_gids=stage, ingest_tag="b2",
     )
     corpus = docs.where(F.col("doc_id") % 5 != 0)
     new = docs.where(F.col("doc_id") % 5 == 0)
