@@ -68,6 +68,7 @@ _PRIORITY = [
     "q_anonymize_k_strict",
     "q_stream_session_tws",
     "q_stream_distinct_tws",
+    "q_stream_pattern_tws",
     # (2) entries whose formulation changed this round: the semantic
     # anchor fallback (guaranteed-nonempty anchors), the ladder twin
     # re-documented beside the strict release, and the GEFCom census

@@ -19,7 +19,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from python_darima_spark.queries import QuerySpec, load
+from python_darima_spark.queries.pipeline_ext import _CEP_ORACLE
 from python_darima_spark.streaming.stateful import (
+    cep_pattern_counts_tws,
     distinct_user_counts_tws,
     ewma_anomalies,
     ewma_anomalies_tws,
@@ -376,6 +378,35 @@ def q_stream_distinct_tws(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_stream_pattern_tws(spark: SparkSession, sf: str) -> DataFrame:
+    """Streaming CEP conversion counting (view→click+→purchase) with
+    O(1) per-user state — the DFA restatement of q_window_pattern's
+    regex, sharing its hash oracle (the two entries must agree on every
+    user's conversion count). Cumulative update-mode emissions are
+    monotone, so the final value per user is the max over the sink.
+    See streaming.stateful.cep_pattern_counts_tws for the DFA and the
+    leftmost-match equivalence argument."""
+    name = run_stream_to_table(
+        cep_pattern_counts_tws(_replayed(spark, sf)),
+        "update",
+        extra_confs={
+            "spark.sql.streaming.stateStore.providerClass": (
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider"
+            )
+        },
+    )
+    return (
+        spark.table(name)
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("n_conversions").alias("n_conversions"),
+        )
+        .withColumn("converted", F.col("n_conversions") > 0)
+    )
+
+
 def q_stream_session_tws(spark: SparkSession, sf: str) -> DataFrame:
     """Gap-based sessionization on ``transformWithStateInPandas`` with
     ListState + event-time timers (round-8 VERDICT ask #4) — the
@@ -660,6 +691,9 @@ QUERIES = {
                   CAST(count(*) AS BIGINT) AS n_events
            FROM events GROUP BY event_type""",
     ),
+    # shares q_window_pattern's oracle: the streaming DFA and the batch
+    # regex must agree on every user's conversion count
+    "q_stream_pattern_tws": QuerySpec(q_stream_pattern_tws, _CEP_ORACLE),
     "q_stream_join": QuerySpec(
         q_stream_join,
         """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS ts,

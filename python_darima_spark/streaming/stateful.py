@@ -451,6 +451,117 @@ def session_windows_tws(
     )
 
 
+PATTERN_TWS_SCHEMA = (
+    "user_id bigint, n_events bigint, n_conversions int, converted boolean"
+)
+
+
+def cep_pattern_counts_tws(
+    events: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+) -> DataFrame:
+    """Streaming CEP: count non-overlapping ``view → click+ → purchase``
+    conversions per user with **O(1) state** — the Flink-CEP NFA-state
+    pattern on ``transformWithStateInPandas``.
+
+    The batch twin (q_window_pattern) counts ``regexp_count(seq,
+    'VC+P')`` over the full per-user event-type string. A leftmost
+    non-overlapping regex scan is a DFA fold, so the stream needs only
+    (events_seen, dfa_state, conversions) per user — never the string:
+
+        state 0 (need V):  V→1, else 0
+        state 1 (have V):  C→2, V→1, else 0
+        state 2 (V C+):    C→2, P→count++ →0, V→1, else 0
+
+    Leftmost-equivalence: the scan restarts at the next V exactly where
+    the regex engine's next match attempt can first succeed, and C+'s
+    greediness never changes the COUNT of non-overlapping matches.
+    Appending events never decreases the count (the prefix's scan is a
+    prefix of the longer scan), so cumulative update-mode emissions are
+    monotone and the final value per user is the max over the sink —
+    hash-pinned to the batch oracle. At 100 TB/day this is THE shape
+    streaming funnel analytics needs: per-key state is three integers
+    regardless of history length, vs the session/list twins' buffered
+    rows."""
+    if not has_tws_support(events.sparkSession if events is not None else None):
+        raise NotImplementedError(
+            "ENV-REFUSAL: transformWithStateInPandas needs the "
+            "'protobuf' package (pyspark.sql.streaming.proto), not "
+            "installed and the vendored wire runtime failed to "
+            "activate; q_window_pattern computes the same counts in "
+            "batch"
+        )
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    _char = {"view": "V", "click": "C", "purchase": "P", "signup": "S"}
+
+    def _dfa(st: int, conv: int, chars) -> tuple[int, int]:
+        for c in chars:
+            if c == "V":
+                st = 1
+            elif c == "C":
+                st = 2 if st in (1, 2) else 0
+            elif c == "P" and st == 2:
+                conv += 1
+                st = 0
+            else:
+                st = 0
+        return st, conv
+
+    class _Cep(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._st = handle.getValueState(
+                "cep", "n bigint, st int, conv int"
+            )
+
+        def handleInputRows(self, key, rows, timer_values):  # noqa: ANN001
+            chunks = list(rows)
+            if not chunks:
+                return iter([])
+            pdf = pd.concat(chunks, ignore_index=True)
+            pdf = pdf.sort_values([ts_col, tiebreak_col], kind="mergesort")
+            n, st, conv = (
+                tuple(self._st.get()) if self._st.exists() else (0, 0, 0)
+            )
+            st, conv = _dfa(
+                st, conv, (_char.get(t, "E") for t in pdf[type_col])
+            )
+            n += len(pdf)
+            self._st.update((n, st, conv))
+            return iter(
+                [
+                    pd.DataFrame(
+                        {
+                            "user_id": [int(key[0])],
+                            "n_events": [n],
+                            "n_conversions": [conv],
+                            "converted": [conv > 0],
+                        }
+                    )
+                ]
+            )
+
+        def close(self) -> None:
+            pass
+
+    return (
+        events.select(key_col, ts_col, type_col, tiebreak_col)
+        .groupBy(key_col)
+        .transformWithStateInPandas(
+            statefulProcessor=_Cep(),
+            outputStructType=PATTERN_TWS_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+
 COUNTS_TWS_SCHEMA = "series_key string, users bigint, events bigint"
 
 

@@ -188,6 +188,53 @@ def test_session_tws_twin_matches_session_window(spark, sf_dir):
     pd.testing.assert_frame_equal(pa, pb, check_dtype=False)
 
 
+def test_cep_dfa_equals_regex_nonoverlapping_count():
+    """The O(1)-state DFA inside cep_pattern_counts_tws must count
+    exactly what the batch twin's regexp_count('VC+P') counts — for
+    EVERY event string and every split into stream batches (state
+    carried across the split). Property-tested over the full alphabet
+    the mapper emits (V, C, P, S, E)."""
+    import re
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def dfa(chars, st0=0, conv0=0):
+        stt, conv = st0, conv0
+        for c in chars:
+            if c == "V":
+                stt = 1
+            elif c == "C":
+                stt = 2 if stt in (1, 2) else 0
+            elif c == "P" and stt == 2:
+                conv += 1
+                stt = 0
+            else:
+                stt = 0
+        return stt, conv
+
+    @settings(max_examples=500, deadline=None)
+    @given(
+        s=st.text(alphabet="VCPSE", max_size=60),
+        cut=st.integers(min_value=0, max_value=60),
+    )
+    def check(s, cut):
+        want = len(re.findall("VC+P", s))
+        _, one_pass = dfa(s)
+        assert one_pass == want
+        # batch-boundary invariance: fold the prefix, carry state,
+        # fold the suffix — exactly what the streaming operator does
+        cut = min(cut, len(s))
+        mid_st, mid_conv = dfa(s[:cut])
+        _, two_pass = dfa(s[cut:], mid_st, mid_conv)
+        assert two_pass == want
+        # monotone: appending never reduces the count (the max-over-
+        # sink aggregation in q_stream_pattern_tws relies on this)
+        assert one_pass >= len(re.findall("VC+P", s[:cut]))
+
+    check()
+
+
 def test_stream_dedup_near_equals_batch_contract(spark, sf_dir):
     """The streaming append-then-probe ingest must emit EXACTLY the
     batch near-dup pairs touching the streamed slice (doc_id%5==0) —
