@@ -291,8 +291,11 @@ def q_scan_pysource_stream(spark: SparkSession, sf: str) -> DataFrame:
         )
         .start()
     )
+    from python_darima_spark.streaming.windows import _stream_timeout
+
+    budget = _stream_timeout()
     try:
-        deadline = time.time() + 120
+        deadline = time.time() + budget
         while (
             time.time() < deadline and spark.table(name).count() < expected
         ):
@@ -305,7 +308,8 @@ def q_scan_pysource_stream(spark: SparkSession, sf: str) -> DataFrame:
         # with no indication the stream simply hadn't finished
         raise RuntimeError(
             f"synthetic stream drained {landed}/{expected} rows before the "
-            "120 s deadline — machine too slow, not a correctness failure"
+            f"{budget} s deadline — machine too slow, not a correctness "
+            "failure"
         )
     y6 = F.round(F.col("y") * 1e6).cast("bigint")
     return (

@@ -38,6 +38,17 @@ EVENTS_SCHEMA = (
 )
 
 
+def _stream_timeout(default: int = 120) -> int:
+    """Harness stream deadline, env-overridable: large-SF probes (sf1 =
+    1M replayed events through chatty per-key state RPCs) legitimately
+    need more than the 120 s that keeps fixture-scale failures fast —
+    set SPARK_GRAFT_STREAM_TIMEOUT instead of editing call sites."""
+    try:
+        return int(os.environ.get("SPARK_GRAFT_STREAM_TIMEOUT", default))
+    except ValueError:
+        return default
+
+
 def tumbling_agg(df: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
     """Tumbling-window count/sum per event_type with late-data watermark."""
     return (
@@ -248,7 +259,7 @@ def read_event_stream(spark: SparkSession, staged_path: str) -> DataFrame:
 
 def run_stream_to_files(
     result: DataFrame,
-    timeout_s: int = 120,
+    timeout_s: int | None = None,
     state_partitions: int | None = 8,
 ) -> str:
     """Execute a streaming DataFrame (availableNow) into a PARQUET file
@@ -256,6 +267,7 @@ def run_stream_to_files(
     file output (restarts resume from the checkpoint without
     re-emitting), append mode only. Returns the output directory.
     Fresh temp dirs per call keep replays independent."""
+    timeout_s = _stream_timeout() if timeout_s is None else timeout_s
     base = tempfile.mkdtemp(prefix="pds_stream_sink_")
     out, ckpt = os.path.join(base, "out"), os.path.join(base, "ckpt")
     spark = result.sparkSession
@@ -283,7 +295,7 @@ def run_stream_to_files(
 
 def run_stream_foreach_upsert(
     stream: DataFrame,
-    timeout_s: int = 120,
+    timeout_s: int | None = None,
 ) -> str:
     """``foreachBatch`` CDC upsert: every micro-batch SCD1-merges into a
     keyed parquet state table (latest row per user_id by (ts, event_id)).
@@ -302,6 +314,7 @@ def run_stream_foreach_upsert(
     merge) or hand the rewrite to a table format's MERGE."""
     from pyspark.sql import Window
 
+    timeout_s = _stream_timeout() if timeout_s is None else timeout_s
     base = tempfile.mkdtemp(prefix="pds_stream_upsert_")
     state, ckpt = os.path.join(base, "state"), os.path.join(base, "ckpt")
 
@@ -339,7 +352,7 @@ def run_stream_foreach_upsert(
 def run_stream_to_table(
     result: DataFrame,
     mode: str = "append",
-    timeout_s: int = 120,
+    timeout_s: int | None = None,
     state_partitions: int | None = 8,
     extra_confs: dict[str, str] | None = None,
 ) -> str:
@@ -362,6 +375,7 @@ def run_stream_to_table(
     tests) is strictly sequential, so nothing observes the window; do
     not call this helper concurrently with batch work on one session.
     """
+    timeout_s = _stream_timeout() if timeout_s is None else timeout_s
     name = f"pds_sink_{uuid.uuid4().hex[:12]}"
     spark = result.sparkSession
     key = "spark.sql.shuffle.partitions"
