@@ -2045,9 +2045,11 @@ def q_window_pattern(spark: SparkSession, sf: str) -> DataFrame:
     structs; array_sort orders them lexicographically (total order —
     event_id is unique), and the regex count runs per user row. At
     100 TB: per-user sequences are session-bounded, the agg is the same
-    single shuffle as q_sessionize, and the streaming twin of this
-    operator is transformWithState with the partial sequence as state —
-    the regex itself never needs cross-user context."""
+    single shuffle as q_sessionize, and the STREAMING TWIN is real and
+    hash-graded against this entry's own oracle — q_stream_pattern_tws
+    folds the same pattern as an O(1)-state DFA on
+    transformWithStateInPandas (three integers per user, no buffered
+    sequence)."""
     ev = load(spark, sf, "events")
     char = None
     for name, c in _CEP_CHARS:
