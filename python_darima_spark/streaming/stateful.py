@@ -406,24 +406,31 @@ def session_windows_tws(
 
         def handleInputRows(self, key, rows, timer_values):  # noqa: ANN001
             chunks = list(rows)
-            if chunks:
-                pdf = pd.concat(chunks, ignore_index=True)
-                us = (
-                    pdf[ts_col]
-                    .to_numpy()
-                    .astype("datetime64[us]")
-                    .astype("int64")
-                )
-                self._buf.appendList(
-                    list(
-                        zip(
-                            (int(x) for x in us),
-                            (int(x) for x in pdf[tiebreak_col]),
-                            (float(x) for x in pdf[value_col]),
-                        )
+            if not chunks:
+                return iter([])
+            pdf = pd.concat(chunks, ignore_index=True)
+            us = (
+                pdf[ts_col]
+                .to_numpy()
+                .astype("datetime64[us]")
+                .astype("int64")
+            )
+            self._buf.appendList(
+                list(
+                    zip(
+                        (int(x) for x in us),
+                        (int(x) for x in pdf[tiebreak_col]),
+                        (float(x) for x in pdf[value_col]),
                     )
                 )
-            # buffer + arm only; emission belongs to the timer path
+            )
+            # Arm precisely from the input path (buffer read + one
+            # timer write). The cheaper-looking alternative — arm an
+            # EARLY timer at min(batch ts)+gap without reading the
+            # buffer — measured WORSE (23.2 s vs 17.0 s isolated at
+            # sf0.1): every early timer fires on the next watermark
+            # advance and pays a full buffer read + re-arm in the
+            # timer path, more than the two RPCs the input path saved.
             return iter(
                 self._flush(key, timer_values.getCurrentWatermarkInMs(), False)
             )
