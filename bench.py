@@ -269,28 +269,53 @@ def main() -> None:
             except Exception as exc:  # noqa: BLE001
                 print(f"  [sf1] {name}: SKIPPED ({exc})", file=sys.stderr)
 
+    # Round-9 driver artifact BENCH_r09.json recorded "parsed": null —
+    # the driver tail-captures stdout and the old single JSON line
+    # (with per-query reps and medians inlined) was long enough to get
+    # truncated mid-line. Split the output: the COMPACT summary (the
+    # driver's documented shape: metric/value/unit/queries/sf) goes to
+    # stdout TWICE — first and last line — so head- or tail-capture
+    # both land on a complete, parseable line; the full detail (reps,
+    # medians, loadavg, sf1 per-query walls) goes to a sidecar file
+    # and stderr.
     out = {
         "metric": "headline_total_runtime",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "sf": sf_val,
+    }
+    detail = {
+        **out,
         "queries_median": medians,
         "reps": all_reps,
         "methodology": f"warm min of {reps} reps (page-cache + UDF-pool warmup first); medians and raw reps alongside",
         "loadavg_before": [round(x, 2) for x in load_before],
         "loadavg_after": [round(x, 2) for x in os.getloadavg()],
         "noise_note": "shared host: ambient load inflates single reps up to ~4x (PLANS.md 2.10); compare warm minima across rounds, medians within a round",
-        "sf": sf_val,
     }
     if sf1_timings:
-        out["sf1_queries"] = sf1_timings
         out["sf1_total"] = round(sum(sf1_timings.values()), 3)
-        out["sf1_methodology"] = (
+        detail["sf1_total"] = out["sf1_total"]
+        detail["sf1_queries"] = sf1_timings
+        detail["sf1_methodology"] = (
             f"same headline set on the 10x-replicated .scaledata/sf1 "
             f"(tools/scale_probe.py derivation of sf0.1), warm min of "
             f"{sf1_reps_n} rep(s)"
         )
-    print(json.dumps(out))
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "bench_detail_last.json"
+    )
+    try:
+        with open(detail_path, "w") as fh:
+            json.dump(detail, fh, indent=1)
+        out["detail"] = os.path.basename(detail_path)
+    except OSError as exc:  # read-only checkout: detail to stderr only
+        print(f"  detail sidecar unwritable: {exc}", file=sys.stderr)
+    print(json.dumps(detail), file=sys.stderr)
+    line = json.dumps(out)
+    print(line)
+    print(line)
     spark.stop()
 
 

@@ -616,6 +616,15 @@ def minhash_index_append(
         # Scale file count with the session's width so big clusters
         # still write in parallel; parquet row groups keep reads
         # splittable either way.
+        #
+        # Trade-off (round-9 ADVICE): coalesce without shuffle collapses
+        # the PARENT stage too, so when `sig` is recomputed for this
+        # write (cache miss / eviction) the signature computation itself
+        # runs at ≤ width/8 tasks — acceptable while the persist() above
+        # holds (the compute ran wide once), and net-faster in the
+        # bench. If sig computation ever dominates, switch to
+        # repartition(n) (one extra skinny shuffle, full compute
+        # parallelism) or localCheckpoint before coalescing.
         sig_out = sig.coalesce(
             max(4, shuffle_width(batch_df.sparkSession) // 8)
         )

@@ -108,8 +108,13 @@ def _staged_files(spark: SparkSession, staging: str) -> list[tuple[str, str]]:
 # dominant cost of q_dedup_index_append (5.2 s → 11.9 s at sf0.1).
 # Waves of concurrent renames amortize the round-trips (py4j is
 # thread-safe: one gateway connection per Python thread); crash hooks
-# still fire once per file, sequentially, AFTER each wave, so the
-# crash-injection matrix keeps deterministic mid-publish states.
+# still fire once per file, sequentially, AFTER each wave — so at the
+# default width the reachable mid-publish states are WAVE-ALIGNED
+# prefixes (16, 32, …), not every 1..N prefix the old sequential loop
+# exposed. The crash tests therefore also run with this global
+# monkeypatched to 1 (it is read at call time), which restores
+# per-file injection points; replay idempotency is proven at both
+# granularities.
 _PUBLISH_WAVE = 16
 
 

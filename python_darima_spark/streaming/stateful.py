@@ -349,10 +349,19 @@ def session_windows_tws(
             self._buf = handle.getListState("buf", _SESSION_BUF_SCHEMA)
             self._handle = handle
 
-        def _flush(self, key, wm_ms: int, emit: bool):
+        def _flush(self, key, wm_ms: int, emit: bool, fired_ms: int | None = None):
             """Emit ripe sessions (end ≤ watermark), keep the rest
             buffered, re-arm one timer below the earliest pending end.
-            Returns the list of emitted pandas DataFrames."""
+            Returns the list of emitted pandas DataFrames.
+
+            ``fired_ms`` is the expiry of the timer being handled (timer
+            path only): the runtime deletes THAT timestamp after
+            handleExpiredTimer returns (stateful_processor_util), so a
+            re-arm at exactly fired_ms would be silently erased and the
+            pending session would never emit without new input for the
+            key. Clamp the re-arm to ≥ fired_ms + 1 — still ≤
+            ceil(end_us/1000), i.e. early enough to fire before (or
+            exactly when) the session is ripe."""
             # ListState.get() yields plain (ts_us, event_id, value) tuples
             evs = (
                 sorted(tuple(r) for r in self._buf.get())
@@ -375,6 +384,8 @@ def session_windows_tws(
             want_timer = (
                 -(-pending[0][1] // 1000) - 1 if pending else None
             )
+            if want_timer is not None and fired_ms is not None:
+                want_timer = max(want_timer, fired_ms + 1)
             existing = list(self._handle.listTimers())
             if existing != ([want_timer] if want_timer is not None else []):
                 for t in existing:
@@ -439,7 +450,12 @@ def session_windows_tws(
             # (parameter names are part of the contract: the runtime
             # invokes this with timerValues=/expiredTimerInfo= kwargs)
             return iter(
-                self._flush(key, timerValues.getCurrentWatermarkInMs(), True)
+                self._flush(
+                    key,
+                    timerValues.getCurrentWatermarkInMs(),
+                    True,
+                    fired_ms=expiredTimerInfo.getExpiryTimeInMs(),
+                )
             )
 
         def close(self) -> None:

@@ -193,13 +193,22 @@ def _index_content(spark, idx):
 
 _CRASH_POINTS = [
     "staged:sigs",  # staging committed, nothing published
-    "published-one:sigs",  # crash mid-publish (after the 1st rename)
+    "published-one:sigs",  # crash mid-publish (after the 1st wave)
     "published:sigs",  # all files published, marker not yet written
     "marked:sigs",  # sigs committed, staging cleanup never ran
     "staged:bands",
     "published-one:bands",
     "published:bands",
     "marked:bands",
+    # wave=1 variants (round-9 ADVICE): the 16-way publish wave makes
+    # the default "published-one" states wave-ALIGNED prefixes only;
+    # shrinking ledger._PUBLISH_WAVE to 1 (read at call time) restores
+    # per-file injection — @wave1 crashes after exactly ONE published
+    # file, @wave1h3 after exactly THREE (a mid-prefix state the
+    # sequential loop used to reach).
+    "published-one:sigs@wave1",
+    "published-one:bands@wave1",
+    "published-one:bands@wave1h3",
 ]
 
 
@@ -222,12 +231,18 @@ def test_index_append_crash_replay_exactly_once(
     exp_sigs, exp_bands = _index_content(spark, ref)
 
     kind, table = crash_point.split(":")
+    crash_at_hit = 1
+    if "@" in table:
+        table, variant = table.split("@")
+        monkeypatch.setattr(ledger, "_PUBLISH_WAVE", 1)
+        if variant == "wave1h3":
+            crash_at_hit = 3
     fired = {"n": 0}
 
     def boom(point: str) -> None:
         if point.split(":")[0] == kind and point.endswith("/" + table):
             fired["n"] += 1
-            if fired["n"] == 1:  # only the FIRST hit (mid-publish case)
+            if fired["n"] == crash_at_hit:  # deterministic mid-publish state
                 raise RuntimeError(f"injected crash at {point}")
 
     idx = str(tmp_path / "mh_index")
