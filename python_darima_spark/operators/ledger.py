@@ -199,6 +199,38 @@ def commit_staged_ingest(
     return True
 
 
+# Schemes whose Hadoop connectors implement rename as copy+delete (no
+# server-side atomic move): the manifest there must be committed by an
+# atomic PUT (create-no-overwrite of the whole object — S3 makes no
+# partial object visible), NOT by tmp+rename, whose copy step is the
+# very non-atomicity manifest mode exists to avoid. POSIX/HDFS keep
+# tmp+rename: there create+write is the non-atomic step and rename the
+# atomic one — the two publish strategies are mirror images.
+_RENAMELESS_SCHEMES = frozenset(
+    {"s3", "s3a", "s3n", "gs", "oss", "cos", "swift", "wasb"}
+)
+
+
+def _rename_is_atomic(spark: SparkSession, fs, path: str) -> bool:
+    """Best-effort capability probe: an explicit ``renameIsAtomic``
+    attribute on the filesystem wins (the offline fake store and any
+    python shim set it); otherwise known object-store schemes are
+    rename-less; otherwise assume atomic (POSIX/HDFS/ABFS default)."""
+    try:
+        flagged = getattr(fs, "renameIsAtomic", None)
+    except Exception:
+        flagged = None
+    if flagged is not None and not isinstance(flagged, bool):
+        flagged = None  # a java member stub, not a python attr
+    if flagged is not None:
+        return flagged
+    try:
+        scheme = _jpath(spark, path).toUri().getScheme()
+    except Exception:
+        scheme = None
+    return (scheme or "file").lower() not in _RENAMELESS_SCHEMES
+
+
 def commit_manifest_ingest(
     spark: SparkSession, table_dir: str, tag: str, write_staged
 ) -> bool:
@@ -214,14 +246,20 @@ def commit_manifest_ingest(
     (:func:`read_manifested_table`) see exactly the union of manifested
     files — an uncommitted batch is invisible no matter how many of its
     data files exist, so the WHOLE batch commits atomically with the
-    manifest's visibility. The manifest is written to a ``.tmp`` name
-    first and then moved into place without replace: on POSIX/HDFS
-    that is an atomic rename; on S3A it is one small-object copy — an
-    atomic PUT, so a reader can never observe a PARTIAL manifest
-    (S3 makes no partial object visible), which is the property the
-    mode exists for. The underscore prefixes keep both batches and
-    manifests out of naive recursive parquet scans; manifest tables
-    are read through the manifest reader by contract.
+    manifest's visibility. HOW the manifest becomes visible depends on
+    the store (see :func:`_rename_is_atomic`): where rename is atomic
+    (POSIX/HDFS/ABFS) it is written to a ``.tmp`` name and moved into
+    place without replace; on rename-less object stores (s3a/gs/…, or
+    any filesystem flagging ``renameIsAtomic = False``) it is committed
+    by ONE create-no-overwrite atomic PUT of the whole object — such
+    stores never expose a partial object, which is exactly the property
+    the mode exists for, and their "rename" (copy+delete) is the
+    non-atomic step to avoid. Both strategies are exercised by the
+    crash matrix; the rename-less one against the offline fake store in
+    :mod:`python_darima_spark.testing.fakestore`. The underscore
+    prefixes keep both batches and manifests out of naive recursive
+    parquet scans; manifest tables are read through the manifest reader
+    by contract.
 
     Replay decision table (tag t): manifest exists → committed, reap
     tmp garbage, keep data. No manifest, no ``_SUCCESS`` → restage the
@@ -244,6 +282,25 @@ def commit_manifest_ingest(
         for _, rel in _staged_files(spark, batch_dir)
     )
     body = ("\n".join(rels) + "\n").encode()
+    if not _rename_is_atomic(spark, fs, table_dir):
+        # rename-less store (S3-class): commit by atomic PUT of the
+        # whole manifest object, create-no-overwrite (conditional PUT).
+        # A crash before the PUT completes leaves NO object — the store
+        # never exposes a partial one — so readers see none-or-all of
+        # the batch at every point; a racing committer losing the
+        # no-overwrite condition reads as already-committed.
+        _crash_hook(f"manifest-put:{table_dir}")
+        try:
+            out = fs.create(_jpath(spark, manifest), False)
+            try:
+                out.write(body)
+            finally:
+                out.close()
+        except Exception:
+            if not _exists(spark, manifest):
+                raise
+        _crash_hook(f"manifested:{table_dir}")
+        return True
     out = fs.create(_jpath(spark, tmp), True)  # overwrite: tmp is ours
     try:
         out.write(body)
