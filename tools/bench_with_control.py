@@ -52,6 +52,17 @@ PROBE_SET = [
     "q_text_bm25",
 ]
 
+# Extension set (round-9 VERDICT asks #1): a sink, a sketch, and the
+# ledger-backed index append — the three families whose in-suite
+# "regressions" needed manual noise adjudication in rounds 8-9. Run
+# against BOTH trees alongside the core set (kept stable) so the
+# adjudication is automatic from round 10 on.
+PROBE_SET_EXT = [
+    "q_dedup_index_append",
+    "q_sink_dynamic_overwrite",
+    "q_sketch_countmin",
+]
+
 # streaming entries measured one-per-process (fresh session each)
 STREAMING_ISOLATED = [
     "q_stream_tumble",
@@ -90,6 +101,11 @@ def main() -> None:
     p.add_argument("--control-commit", required=True)
     p.add_argument("--sf", default="/root/testdata/sf0.1")
     p.add_argument(
+        "--sf1-dir",
+        default=os.path.join(REPO, ".scaledata", "sf1"),
+        help="10x-replicated sf1 dir for the control_sf1 block ('' to skip)",
+    )
+    p.add_argument(
         "--skip-suite",
         action="store_true",
         help="reuse the suite block from an existing BENCH_LOCAL file",
@@ -115,9 +131,18 @@ def main() -> None:
         if proc.returncode != 0:
             raise RuntimeError(f"bench.py failed: {proc.stderr[-500:]}")
         doc = json.loads(proc.stdout.strip().splitlines()[-1])
+        # bench.py's stdout is now the driver-shaped COMPACT summary
+        # (round-9 VERDICT ask #8); the medians/reps/loadavg detail is
+        # in the sidecar — fold it back in for the local artifact
+        detail_path = os.path.join(REPO, "bench_detail_last.json")
+        if os.path.exists(detail_path):
+            with open(detail_path) as f:
+                detail = json.load(f)
+            if detail.get("queries") == doc.get("queries"):
+                doc = {**detail, **doc}
 
-    # 2. control: current tree, fresh process
-    cur = _run_probe_set(REPO, a.sf, PROBE_SET)
+    # 2. control: current tree, fresh process (core + extension set)
+    cur = _run_probe_set(REPO, a.sf, PROBE_SET + PROBE_SET_EXT)
 
     # 3. control: previous round's code in a worktree
     wt = os.path.join(REPO, ".bench_control", f"r{a.round - 1}")
@@ -127,7 +152,7 @@ def main() -> None:
             cwd=REPO,
             check=True,
         )
-    prev = _run_probe_set(wt, a.sf, PROBE_SET)
+    prev = _run_probe_set(wt, a.sf, PROBE_SET + PROBE_SET_EXT)
 
     # 4. streaming entries isolated, one fresh process each
     iso: dict[str, float] = {}
@@ -135,17 +160,20 @@ def main() -> None:
         res = _run_probe_set(REPO, a.sf, [name])
         iso.update(res["queries"])
 
-    ratios = {
-        n: round(cur["queries"][n] / prev["queries"][n], 3)
-        for n in PROBE_SET
-        if n in cur.get("queries", {}) and prev.get("queries", {}).get(n)
-    }
+    def _ratios(c: dict, p: dict) -> dict:
+        return {
+            n: round(c["queries"][n] / p["queries"][n], 3)
+            for n in c.get("queries", {})
+            if p.get("queries", {}).get(n)
+        }
+
     doc["control"] = {
         "probe_set": PROBE_SET,
+        "probe_set_ext": PROBE_SET_EXT,
         "control_commit": a.control_commit,
         "current": cur,
         "previous": prev,
-        "current_over_previous": ratios,
+        "current_over_previous": _ratios(cur, prev),
         "streaming_isolated": iso,
         "recorded_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
         "note": (
@@ -156,6 +184,25 @@ def main() -> None:
             "PLANS.md 2.25)"
         ),
     }
+
+    # 5. sf1 control (round-9 VERDICT ask #1): the same two trees on
+    # the 10x-replicated sf1 derivation, core + extension set — the
+    # block that adjudicates sf1 round-over-round signals (r9's
+    # q_dedup_index_append doubling had no same-host sf1 control)
+    if a.sf1_dir and os.path.isdir(a.sf1_dir):
+        cur1 = _run_probe_set(REPO, a.sf1_dir, PROBE_SET + PROBE_SET_EXT)
+        prev1 = _run_probe_set(wt, a.sf1_dir, PROBE_SET + PROBE_SET_EXT)
+        doc["control_sf1"] = {
+            "sf_dir": a.sf1_dir,
+            "current": cur1,
+            "previous": prev1,
+            "current_over_previous": _ratios(cur1, prev1),
+            "recorded_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        }
+    elif a.sf1_dir:
+        doc["control_sf1"] = {
+            "skipped": f"{a.sf1_dir} absent — run tools/scale_probe.py --build-only"
+        }
     with open(out_path, "w") as f:
         json.dump(doc, f, indent=1)
     print(f"wrote {out_path}")
