@@ -150,6 +150,9 @@ HEADLINE = [
     # round-9 additions
     "q_dedup_semantic_codebook",
     "q_anonymize_k_strict",
+    # round-10 additions
+    "q_dedup_semantic_codebook3",
+    "q_multimodal_decode_jpeg",
 ]
 
 

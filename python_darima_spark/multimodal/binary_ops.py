@@ -10,10 +10,12 @@ iterator of frames, and Spark never materializes more than
 rows (documents), so these stages scale linearly with executors; keep
 payloads out of shuffle keys and only ever shuffle extracted features.
 
-Codec support (round-4): PNG decode/encode is REAL and dependency-free
-(stdlib zlib + numpy, multimodal/codecs.py), so ``decode_media`` /
-``resize_media`` run genuinely on ``image/png`` payloads in this
-container. Other formats (JPEG/WebP/…) use Pillow WHEN IMPORTABLE;
+Codec support: PNG decode/encode (round 4) and baseline greyscale JPEG
+decode/encode (round 10) are REAL and dependency-free (stdlib + numpy,
+multimodal/codecs.py), so ``decode_media`` / ``resize_media`` run
+genuinely on ``image/png`` and ``image/jpeg`` payloads in this
+container. Other formats (WebP/…, and JPEG features the vendored
+decoder refuses — progressive, color) use Pillow WHEN IMPORTABLE;
 declaring them without PIL present refuses at PLAN time — the honest
 capability guard the fake path always had. ``fake=True`` keeps the
 deterministic byte-histogram stand-in used by the hash-checked oracles.
@@ -33,19 +35,32 @@ _HAS_PIL = importlib.util.find_spec("PIL") is not None
 
 
 def _supported_formats() -> set[str]:
-    # PNG always (stdlib codec); everything else only through Pillow
-    return {"image/png"} if not _HAS_PIL else {
+    # PNG and baseline greyscale JPEG always (vendored clean-room
+    # codecs); everything else only through Pillow
+    return {"image/png", "image/jpeg"} if not _HAS_PIL else {
         "image/png", "image/jpeg", "image/webp", "image/bmp", "image/gif",
     }
 
 
 def _decode_image(payload: bytes, fmt: str) -> np.ndarray:
-    """Real decode: stdlib PNG codec for image/png, Pillow otherwise.
+    """Real decode: vendored codecs for image/png and baseline
+    image/jpeg, Pillow otherwise (and as the fallback for JPEG features
+    the vendored decoder honestly refuses — progressive, color).
     Returns a uint8 array (h, w) or (h, w, ch)."""
     if fmt == "image/png":
         from python_darima_spark.multimodal.codecs import png_decode
 
         return png_decode(payload)
+    if fmt == "image/jpeg":
+        from python_darima_spark.multimodal.codecs import (
+            jpeg_decode_baseline,
+        )
+
+        try:
+            return jpeg_decode_baseline(payload)
+        except NotImplementedError:
+            if not _HAS_PIL:
+                raise
     import io
 
     from PIL import Image  # guarded by _supported_formats at plan time
@@ -102,8 +117,9 @@ def decode_media(
     ``fake=False``: REAL decode. ``formats`` declares what the payloads
     contain; any declared format without an available codec refuses AT
     PLAN TIME (not per-row inside executors, where it would surface as a
-    storm of task failures) — PNG is always available via the stdlib
-    codec, other image formats require Pillow. The feature is the same
+    storm of task failures) — PNG and baseline JPEG are always available
+    via the vendored codecs, other image formats require Pillow. The
+    feature is the same
     16-bin L1-normalized histogram, computed over DECODED PIXEL bytes
     (n_bytes = decoded sample count), so for a losslessly encoded raster
     real-decode features provably equal the raw-byte features — the
@@ -202,6 +218,51 @@ def attach_png_from_text(
                     "payload": payloads,
                     "meta_width": widths,
                     "meta_height": 1,
+                    "meta_duration_s": None,
+                }
+            )
+
+    return src.mapInPandas(encode, MEDIA_SCHEMA)
+
+
+def attach_jpeg_from_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Media table with REAL ``image/jpeg`` payloads: each byte of a
+    doc's utf-8 text becomes one FLAT 8×8 block of a greyscale baseline
+    JPEG (image is 8 × 8n), encoded through the vendored T.81 codec
+    inside an Arrow ``mapInPandas`` stage — genuine markers, huffman
+    entropy data, byte stuffing. JPEG is lossy in general, but a flat
+    block holds ONLY a DC coefficient and the default table's DC step
+    (8) divides S00 = 8·(v−128) exactly, so the decode reproduces every
+    block's value EXACTLY — each text byte comes back 64 times, which
+    keeps the real-decode stage SQL-oracle-checkable corpus-wide (the
+    lossy AC paths are certified separately in tests/test_codecs.py)."""
+    from python_darima_spark.multimodal.codecs import jpeg_encode_baseline
+
+    src = df.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("_raw"),
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, widths = [], []
+            for raw in pdf["_raw"]:
+                b = raw if isinstance(raw, bytes) else bytes(raw)
+                b = b if b else b"\x00"
+                arr = np.frombuffer(b, dtype=np.uint8)
+                img = np.repeat(np.repeat(arr[None, :], 8, 0), 8, 1)
+                payloads.append(jpeg_encode_baseline(img))
+                widths.append(img.shape[1])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": "image",
+                    "format": "image/jpeg",
+                    "payload": payloads,
+                    "meta_width": widths,
+                    "meta_height": 8,
                     "meta_duration_s": None,
                 }
             )

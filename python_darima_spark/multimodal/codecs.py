@@ -152,3 +152,368 @@ def png_decode(data: bytes) -> np.ndarray:
             raise ValueError(f"bad filter type {ftype} on scanline {y}")
     img = out.reshape(h, w, ch)
     return img[:, :, 0] if ch == 1 else img
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81, public spec): 8-bit GREYSCALE, sequential
+# DCT, huffman entropy coding. Clean-room like the PNG codec above —
+# written from the published wire format (markers, DQT/DHT/SOF0/SOS
+# segments, zigzag, category/extend amplitude coding, 0xFF00 byte
+# stuffing), shares no code with libjpeg/Pillow. Scope is the honest
+# subset the engine needs and tests: single-component baseline
+# (progressive SOF2, restart intervals, multi-component interleave and
+# 12-bit precision all REFUSE with explicit errors — the plan-time-
+# honesty rule from binary_ops). The encoder exists to make the decode
+# path corpus-testable offline (this container has no image fixtures);
+# both halves speak the real format: the encoder's output is a valid
+# JFIF file any decoder opens, and the decoder reads its huffman tables
+# from the stream's DHT segments, not from assumptions about ours.
+# ---------------------------------------------------------------------------
+
+JPEG_SOI = b"\xff\xd8"
+
+
+def _jpeg_zigzag() -> list[tuple[int, int]]:
+    """The T.81 zigzag scan, generated (not transcribed): diagonals of
+    constant u+v, direction alternating with parity."""
+    order: list[tuple[int, int]] = []
+    for s in range(15):
+        diag = [(s - j, j) for j in range(s + 1) if s - j < 8 and j < 8]
+        if s % 2:
+            diag.reverse()
+        order.extend(diag)
+    return order
+
+
+_ZZ = _jpeg_zigzag()
+_ZZ_ROWS = np.array([r for r, _ in _ZZ])
+_ZZ_COLS = np.array([c for _, c in _ZZ])
+
+# orthonormal 8-point DCT-II basis in the T.81 normalization:
+# S = D B Dᵀ (forward), B = Dᵀ S D (inverse)
+_DCT = np.array(
+    [
+        [
+            0.5 * (1.0 / np.sqrt(2.0) if u == 0 else 1.0)
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+# canonical huffman spec (BITS counts per code length 1..16, then the
+# symbol list in code order — exactly the DHT payload layout). Simple
+# fixed-length tables: 12 DC categories at 4 bits, all 162 AC symbols
+# at 8 bits. Both leave the all-ones code unused, as T.81 requires.
+_DC_BITS = [0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+_DC_VALS = list(range(12))
+_AC_BITS = [0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0]
+_AC_VALS = [0x00, 0xF0] + sorted(
+    (r << 4) | s for r in range(16) for s in range(1, 11)
+)
+
+
+def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) by the T.81 canonical construction."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+class _BitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self._acc = 0
+        self._n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self._acc = (self._acc << length) | (code & ((1 << length) - 1))
+        self._n += length
+        while self._n >= 8:
+            self._n -= 8
+            byte = (self._acc >> self._n) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing
+                self.buf.append(0x00)
+        self._acc &= (1 << self._n) - 1
+
+    def flush(self) -> bytes:
+        if self._n:
+            self.put((1 << (8 - self._n)) - 1, 8 - self._n)  # pad with 1s
+        return bytes(self.buf)
+
+
+def _seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
+
+
+def _default_quant() -> np.ndarray:
+    """Flat table: DC step 8, AC step 16. DC=8 makes flat blocks (only
+    a DC coefficient, S00 = 8·(v−128)) quantize and reconstruct EXACTLY
+    — the property q_multimodal_decode_jpeg's corpus-wide oracle rides
+    on."""
+    q = np.full((8, 8), 16, dtype=np.int64)
+    q[0, 0] = 8
+    return q
+
+
+def jpeg_encode_baseline(
+    arr: np.ndarray, quant: np.ndarray | None = None
+) -> bytes:
+    """Encode a uint8 GREYSCALE (h, w) array as a real baseline JFIF
+    JPEG: FDCT per 8×8 block (edge-replicated padding), quantization,
+    zigzag, DC-prediction + category/extend amplitude coding, huffman
+    (tables emitted in DHT), 0xFF byte stuffing."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim != 2:
+        raise ValueError("baseline JPEG codec: greyscale (h, w) only")
+    h, w = a.shape
+    if h < 1 or w < 1:
+        raise ValueError("empty image")
+    q = _default_quant() if quant is None else np.asarray(quant, dtype=np.int64)
+    if q.shape != (8, 8) or (q < 1).any() or (q > 255).any():
+        raise ValueError("quant table must be 8x8 with entries in 1..255")
+    pad = np.pad(a, ((0, -h % 8), (0, -w % 8)), mode="edge")
+    dc_code = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_code = _huff_codes(_AC_BITS, _AC_VALS)
+    bw = _BitWriter()
+    pred = 0
+    for by in range(pad.shape[0] // 8):
+        for bx in range(pad.shape[1] // 8):
+            blk = pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            s = _DCT @ (blk.astype(np.float64) - 128.0) @ _DCT.T
+            coef = np.round(s / q).astype(np.int64)
+            zz = coef[_ZZ_ROWS, _ZZ_COLS]
+            diff = int(zz[0]) - pred
+            pred = int(zz[0])
+            size = abs(diff).bit_length()
+            bw.put(*dc_code[size])
+            if size:
+                bw.put(diff if diff > 0 else diff + (1 << size) - 1, size)
+            run = 0
+            nz = np.nonzero(zz[1:])[0]
+            last = int(nz[-1]) + 1 if nz.size else 0
+            for k in range(1, last + 1):
+                v = int(zz[k])
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    bw.put(*ac_code[0xF0])  # ZRL: 16 zeros
+                    run -= 16
+                size = abs(v).bit_length()
+                bw.put(*ac_code[(run << 4) | size])
+                bw.put(v if v > 0 else v + (1 << size) - 1, size)
+                run = 0
+            if last < 63:
+                bw.put(*ac_code[0x00])  # EOB
+    zz_q = q[_ZZ_ROWS, _ZZ_COLS]
+    return (
+        JPEG_SOI
+        + _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + _seg(0xDB, bytes([0x00]) + bytes(int(x) for x in zz_q))
+        + _seg(
+            0xC0,
+            struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]),
+        )
+        + _seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+        + _seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
+        + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + bw.flush()
+        + b"\xff\xd9"
+    )
+
+
+class _BitReader:
+    """Entropy-segment bit reader with 0xFF00 unstuffing; stops at any
+    real marker."""
+
+    def __init__(self, data: bytes, pos: int):
+        self.data = data
+        self.pos = pos
+        self._acc = 0
+        self._n = 0
+
+    def bit(self) -> int:
+        if not self._n:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated entropy-coded segment")
+            b = self.data[self.pos]
+            if b == 0xFF:
+                nxt = (
+                    self.data[self.pos + 1]
+                    if self.pos + 1 < len(self.data)
+                    else None
+                )
+                if nxt == 0x00:
+                    self.pos += 2
+                elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+                    raise NotImplementedError(
+                        "restart markers (DRI/RSTn) not supported"
+                    )
+                else:
+                    raise ValueError("entropy data ran into a marker")
+            else:
+                self.pos += 1
+            self._acc = b
+            self._n = 8
+        self._n -= 1
+        return (self._acc >> self._n) & 1
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _huff_decoder(bits: list[int], vals: list[int]):
+    """(code, length) → symbol lookup via the canonical construction."""
+    table = {
+        (c, ln): sym for sym, (c, ln) in _huff_codes(bits, vals).items()
+    }
+
+    def decode(br: _BitReader) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | br.bit()
+            length += 1
+            sym = table.get((code, length))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid huffman code in entropy segment")
+
+    return decode
+
+
+def _extend(v: int, size: int) -> int:
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def jpeg_decode_baseline(data: bytes) -> np.ndarray:
+    """Decode a baseline greyscale JPEG to a uint8 (h, w) array: marker
+    parse, DHT-driven huffman decode (tables read from the STREAM),
+    dequantize, de-zigzag, IDCT, level shift, crop. Raises ValueError on
+    malformed input and NotImplementedError on legal-but-unsupported
+    features (progressive, multi-component, restart intervals, 12-bit)."""
+    if data[:2] != JPEG_SOI:
+        raise ValueError("not a JPEG (bad SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    htabs: dict[tuple[int, int], object] = {}
+    sof = None
+    comp_q = 0
+    while True:
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG (no SOS)")
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:
+            raise ValueError("EOI before SOS")
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue  # standalone markers
+        (ln,) = struct.unpack(">H", data[pos : pos + 2])
+        body = data[pos + 2 : pos + ln]
+        if len(body) != ln - 2:
+            raise ValueError("truncated marker segment")
+        pos += ln
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                t = np.zeros((8, 8), dtype=np.int64)
+                t[_ZZ_ROWS, _ZZ_COLS] = np.frombuffer(
+                    body[i + 1 : i + 65], dtype=np.uint8
+                ).astype(np.int64)
+                qtabs[tq] = t
+                i += 65
+        elif marker == 0xC4:  # DHT
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                vals = list(body[i + 17 : i + 17 + n])
+                htabs[(tc, th)] = _huff_decoder(bits, vals)
+                i += 17 + n
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit precision")
+            if ncomp != 1:
+                raise NotImplementedError(
+                    "multi-component JPEG (greyscale-only decoder)"
+                )
+            if body[7] != 0x11:
+                raise NotImplementedError("subsampled single component")
+            comp_q = body[8]
+            sof = (h, w)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                        0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                f"SOF{marker - 0xC0} (non-baseline JPEG)"
+            )
+        elif marker == 0xDD:
+            raise NotImplementedError("restart intervals (DRI)")
+        elif marker == 0xDA:  # SOS
+            if sof is None:
+                raise ValueError("SOS before SOF0")
+            ns = body[0]
+            if ns != 1:
+                raise NotImplementedError("multi-component scan")
+            td, ta = body[2] >> 4, body[2] & 0xF
+            if tuple(body[3:6]) != (0, 63, 0):
+                raise NotImplementedError("non-sequential scan parameters")
+            break
+        # APPn / COM / anything else with a length: skipped
+    h, w = sof
+    q = qtabs.get(comp_q)
+    dc = htabs.get((0, td))
+    ac = htabs.get((1, ta))
+    if q is None or dc is None or ac is None:
+        raise ValueError("missing quant/huffman table referenced by scan")
+    bh, bw_ = -(-h // 8), -(-w // 8)
+    out = np.zeros((bh * 8, bw_ * 8), dtype=np.uint8)
+    br = _BitReader(data, pos)
+    pred = 0
+    for by in range(bh):
+        for bx in range(bw_):
+            zz = np.zeros(64, dtype=np.int64)
+            size = dc(br)
+            if size:
+                pred += _extend(br.bits(size), size)
+            zz[0] = pred
+            k = 1
+            while k <= 63:
+                sym = ac(br)
+                if sym == 0x00:  # EOB
+                    break
+                run, size = sym >> 4, sym & 0xF
+                if size == 0:
+                    if run != 15:
+                        raise ValueError(f"invalid AC symbol {sym:#x}")
+                    k += 16  # ZRL
+                    continue
+                k += run
+                if k > 63:
+                    raise ValueError("AC run past end of block")
+                zz[k] = _extend(br.bits(size), size)
+                k += 1
+            coef = np.zeros((8, 8), dtype=np.float64)
+            coef[_ZZ_ROWS, _ZZ_COLS] = zz * q[_ZZ_ROWS, _ZZ_COLS]
+            blk = _DCT.T @ coef @ _DCT + 128.0
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
+                np.round(blk), 0, 255
+            ).astype(np.uint8)
+    return out[:h, :w]

@@ -58,6 +58,12 @@ _MODULES = [
 # PROBE_r0*/PROBE_SF01_r0* artifacts are the full local replicas of the
 # driver gate over ALL entries regardless of the cap.
 _PRIORITY = [
+    # --- ROUND-10 head: the THREE-level fixed-k codebook SemDeDup
+    # (constant per-row assignment work at every level — the tree
+    # note's linearity claim made executable) and the real baseline-
+    # JPEG decode twin of q_multimodal_decode_real.
+    "q_dedup_semantic_codebook3",
+    "q_multimodal_decode_jpeg",
     # --- ROUND-9 head: (1) brand-new entries — the fixed-k two-level
     # codebook twin of SemDeDup (retires the anchor variant's O(n²/32)
     # assignment FLOPs from the 100 TB story), the strict k-anonymous

