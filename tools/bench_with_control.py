@@ -63,10 +63,12 @@ PROBE_SET_EXT = [
     "q_sketch_countmin",
 ]
 
-# streaming entries measured one-per-process (fresh session each)
+# streaming entries measured one-per-process (fresh session each) —
+# every q_stream_* the headline suite times, plus the TWS family
 STREAMING_ISOLATED = [
     "q_stream_tumble",
     "q_stream_anomaly",
+    "q_stream_watermark_late",
     "q_stream_anomaly_tws",
     "q_stream_session_tws",
     "q_stream_dedup_near",
