@@ -153,6 +153,7 @@ HEADLINE = [
     # round-10 additions
     "q_dedup_semantic_codebook3",
     "q_multimodal_decode_jpeg",
+    "q_multimodal_decode_jpeg_color",
 ]
 
 

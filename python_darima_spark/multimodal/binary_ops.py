@@ -270,6 +270,50 @@ def attach_jpeg_from_text(
     return src.mapInPandas(encode, MEDIA_SCHEMA)
 
 
+def attach_jpeg_rgb_from_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """COLOR variant of :func:`attach_jpeg_from_text`: each text byte
+    becomes one flat 8×8 block of a grey RGB raster (R=G=B=v), encoded
+    as a genuine 3-component 4:4:4 interleaved baseline JPEG. Grey RGB
+    converts to (Y=v, Cb=Cr=128) exactly after rounding, neutral-chroma
+    flat blocks reconstruct exactly (DC-only in all three components,
+    steps divide), and the inverse color transform at Cb=Cr=128 is the
+    identity — so the decoded RGB pixels are each text byte ×192 and
+    the color decode path stays SQL-oracle-checkable corpus-wide."""
+    from python_darima_spark.multimodal.codecs import jpeg_encode_baseline
+
+    src = df.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("_raw"),
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, widths = [], []
+            for raw in pdf["_raw"]:
+                b = raw if isinstance(raw, bytes) else bytes(raw)
+                b = b if b else b"\x00"
+                arr = np.frombuffer(b, dtype=np.uint8)
+                gray = np.repeat(np.repeat(arr[None, :], 8, 0), 8, 1)
+                rgb = np.stack([gray, gray, gray], axis=-1)
+                payloads.append(jpeg_encode_baseline(rgb))
+                widths.append(gray.shape[1])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": "image",
+                    "format": "image/jpeg",
+                    "payload": payloads,
+                    "meta_width": widths,
+                    "meta_height": 8,
+                    "meta_duration_s": None,
+                }
+            )
+
+    return src.mapInPandas(encode, MEDIA_SCHEMA)
+
+
 RESIZED_SCHEMA = (
     "media_id long, modality string, payload binary, "
     "meta_width int, meta_height int"

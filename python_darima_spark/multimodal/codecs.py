@@ -264,68 +264,110 @@ def _default_quant() -> np.ndarray:
     return q
 
 
+# BT.601 full-range YCbCr, the JFIF color space (both matrices from
+# the public JFIF spec; the decoder inverts with the standard
+# 1.402/0.344136/0.714136/1.772 coefficients)
+def _rgb_to_ycbcr(a: np.ndarray) -> list[np.ndarray]:
+    r = a[:, :, 0].astype(np.float64)
+    g = a[:, :, 1].astype(np.float64)
+    b = a[:, :, 2].astype(np.float64)
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return [
+        np.clip(np.floor(p + 0.5), 0, 255).astype(np.uint8)
+        for p in (y, cb, cr)
+    ]
+
+
+def _encode_block(bw: _BitWriter, blk, q, pred: int, dc_code, ac_code) -> int:
+    """FDCT + quantize + entropy-code one 8×8 block; returns the new
+    DC predictor for this block's component."""
+    s = _DCT @ (blk.astype(np.float64) - 128.0) @ _DCT.T
+    coef = np.round(s / q).astype(np.int64)
+    zz = coef[_ZZ_ROWS, _ZZ_COLS]
+    diff = int(zz[0]) - pred
+    size = abs(diff).bit_length()
+    bw.put(*dc_code[size])
+    if size:
+        bw.put(diff if diff > 0 else diff + (1 << size) - 1, size)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = int(nz[-1]) + 1 if nz.size else 0
+    for k in range(1, last + 1):
+        v = int(zz[k])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:
+            bw.put(*ac_code[0xF0])  # ZRL: 16 zeros
+            run -= 16
+        size = abs(v).bit_length()
+        bw.put(*ac_code[(run << 4) | size])
+        bw.put(v if v > 0 else v + (1 << size) - 1, size)
+        run = 0
+    if last < 63:
+        bw.put(*ac_code[0x00])  # EOB
+    return int(zz[0])
+
+
 def jpeg_encode_baseline(
     arr: np.ndarray, quant: np.ndarray | None = None
 ) -> bytes:
-    """Encode a uint8 GREYSCALE (h, w) array as a real baseline JFIF
-    JPEG: FDCT per 8×8 block (edge-replicated padding), quantization,
-    zigzag, DC-prediction + category/extend amplitude coding, huffman
-    (tables emitted in DHT), 0xFF byte stuffing."""
+    """Encode a uint8 array as a real baseline JFIF JPEG — (h, w)
+    greyscale or (h, w, 3) RGB (converted to YCbCr, encoded 4:4:4
+    interleaved, one block per component per MCU): FDCT per 8×8 block
+    (edge-replicated padding), quantization, zigzag, per-component
+    DC-prediction + category/extend amplitude coding, huffman (tables
+    emitted in DHT), 0xFF byte stuffing."""
     a = np.ascontiguousarray(arr, dtype=np.uint8)
-    if a.ndim != 2:
-        raise ValueError("baseline JPEG codec: greyscale (h, w) only")
-    h, w = a.shape
+    if a.ndim == 3 and a.shape[2] == 3:
+        h, w = a.shape[:2]
+        planes = _rgb_to_ycbcr(a)
+    elif a.ndim == 2:
+        h, w = a.shape
+        planes = [a]
+    else:
+        raise ValueError(
+            "baseline JPEG codec: greyscale (h, w) or RGB (h, w, 3) only"
+        )
     if h < 1 or w < 1:
         raise ValueError("empty image")
     q = _default_quant() if quant is None else np.asarray(quant, dtype=np.int64)
     if q.shape != (8, 8) or (q < 1).any() or (q > 255).any():
         raise ValueError("quant table must be 8x8 with entries in 1..255")
-    pad = np.pad(a, ((0, -h % 8), (0, -w % 8)), mode="edge")
+    pads = [
+        np.pad(p, ((0, -h % 8), (0, -w % 8)), mode="edge") for p in planes
+    ]
     dc_code = _huff_codes(_DC_BITS, _DC_VALS)
     ac_code = _huff_codes(_AC_BITS, _AC_VALS)
     bw = _BitWriter()
-    pred = 0
-    for by in range(pad.shape[0] // 8):
-        for bx in range(pad.shape[1] // 8):
-            blk = pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-            s = _DCT @ (blk.astype(np.float64) - 128.0) @ _DCT.T
-            coef = np.round(s / q).astype(np.int64)
-            zz = coef[_ZZ_ROWS, _ZZ_COLS]
-            diff = int(zz[0]) - pred
-            pred = int(zz[0])
-            size = abs(diff).bit_length()
-            bw.put(*dc_code[size])
-            if size:
-                bw.put(diff if diff > 0 else diff + (1 << size) - 1, size)
-            run = 0
-            nz = np.nonzero(zz[1:])[0]
-            last = int(nz[-1]) + 1 if nz.size else 0
-            for k in range(1, last + 1):
-                v = int(zz[k])
-                if v == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    bw.put(*ac_code[0xF0])  # ZRL: 16 zeros
-                    run -= 16
-                size = abs(v).bit_length()
-                bw.put(*ac_code[(run << 4) | size])
-                bw.put(v if v > 0 else v + (1 << size) - 1, size)
-                run = 0
-            if last < 63:
-                bw.put(*ac_code[0x00])  # EOB
+    preds = [0] * len(pads)
+    # 4:4:4 non-subsampled: every component has sampling 1×1, so each
+    # MCU is one block of each component in SOF order (T.81 A.2.3)
+    for by in range(pads[0].shape[0] // 8):
+        for bx in range(pads[0].shape[1] // 8):
+            for ci, pad in enumerate(pads):
+                preds[ci] = _encode_block(
+                    bw,
+                    pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
+                    q,
+                    preds[ci],
+                    dc_code,
+                    ac_code,
+                )
     zz_q = q[_ZZ_ROWS, _ZZ_COLS]
+    ncomp = len(pads)
+    sof_comps = b"".join(bytes([ci + 1, 0x11, 0]) for ci in range(ncomp))
+    sos_comps = b"".join(bytes([ci + 1, 0x00]) for ci in range(ncomp))
     return (
         JPEG_SOI
         + _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
         + _seg(0xDB, bytes([0x00]) + bytes(int(x) for x in zz_q))
-        + _seg(
-            0xC0,
-            struct.pack(">BHHB", 8, h, w, 1) + bytes([1, 0x11, 0]),
-        )
+        + _seg(0xC0, struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps)
         + _seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
         + _seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
-        + _seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+        + _seg(0xDA, bytes([ncomp]) + sos_comps + bytes([0, 63, 0]))
         + bw.flush()
         + b"\xff\xd9"
     )
@@ -398,18 +440,20 @@ def _extend(v: int, size: int) -> int:
 
 
 def jpeg_decode_baseline(data: bytes) -> np.ndarray:
-    """Decode a baseline greyscale JPEG to a uint8 (h, w) array: marker
-    parse, DHT-driven huffman decode (tables read from the STREAM),
-    dequantize, de-zigzag, IDCT, level shift, crop. Raises ValueError on
+    """Decode a baseline JPEG to a uint8 array — greyscale → (h, w),
+    3-component 4:4:4 YCbCr → RGB (h, w, 3): marker parse, DHT-driven
+    huffman decode (tables read from the STREAM), interleaved-MCU
+    entropy decode with per-component DC prediction, dequantize,
+    de-zigzag, IDCT, color conversion, crop. Raises ValueError on
     malformed input and NotImplementedError on legal-but-unsupported
-    features (progressive, multi-component, restart intervals, 12-bit)."""
+    features (progressive, subsampling, restart intervals, 12-bit)."""
     if data[:2] != JPEG_SOI:
         raise ValueError("not a JPEG (bad SOI)")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], object] = {}
     sof = None
-    comp_q = 0
+    comps: list[tuple[int, int]] = []  # (component id, quant table id)
     while True:
         if pos + 2 > len(data):
             raise ValueError("truncated JPEG (no SOS)")
@@ -451,13 +495,18 @@ def jpeg_decode_baseline(data: bytes) -> np.ndarray:
             prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
             if prec != 8:
                 raise NotImplementedError(f"{prec}-bit precision")
-            if ncomp != 1:
+            if ncomp not in (1, 3):
                 raise NotImplementedError(
-                    "multi-component JPEG (greyscale-only decoder)"
+                    f"{ncomp}-component JPEG (1 or 3 supported)"
                 )
-            if body[7] != 0x11:
-                raise NotImplementedError("subsampled single component")
-            comp_q = body[8]
+            comps = []
+            for ci in range(ncomp):
+                cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "chroma subsampling (4:4:4 only)"
+                    )
+                comps.append((cid, tq))
             sof = (h, w)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
@@ -470,50 +519,78 @@ def jpeg_decode_baseline(data: bytes) -> np.ndarray:
             if sof is None:
                 raise ValueError("SOS before SOF0")
             ns = body[0]
-            if ns != 1:
-                raise NotImplementedError("multi-component scan")
-            td, ta = body[2] >> 4, body[2] & 0xF
-            if tuple(body[3:6]) != (0, 63, 0):
+            if ns != len(comps):
+                raise NotImplementedError(
+                    "partial scan (all components in one scan only)"
+                )
+            scan_tabs = []
+            by_id = dict(comps)
+            for si in range(ns):
+                cs, tda = body[1 + 2 * si : 3 + 2 * si]
+                if cs not in by_id:
+                    raise ValueError(f"scan selects unknown component {cs}")
+                scan_tabs.append((cs, tda >> 4, tda & 0xF, by_id[cs]))
+            if tuple(body[1 + 2 * ns : 4 + 2 * ns]) != (0, 63, 0):
                 raise NotImplementedError("non-sequential scan parameters")
             break
         # APPn / COM / anything else with a length: skipped
     h, w = sof
-    q = qtabs.get(comp_q)
-    dc = htabs.get((0, td))
-    ac = htabs.get((1, ta))
-    if q is None or dc is None or ac is None:
-        raise ValueError("missing quant/huffman table referenced by scan")
+    per_comp = []
+    for _cs, td, ta, tq in scan_tabs:
+        q = qtabs.get(tq)
+        dc = htabs.get((0, td))
+        ac = htabs.get((1, ta))
+        if q is None or dc is None or ac is None:
+            raise ValueError("missing quant/huffman table referenced by scan")
+        per_comp.append((q, dc, ac))
     bh, bw_ = -(-h // 8), -(-w // 8)
-    out = np.zeros((bh * 8, bw_ * 8), dtype=np.uint8)
+    planes = [
+        np.zeros((bh * 8, bw_ * 8), dtype=np.float64) for _ in per_comp
+    ]
     br = _BitReader(data, pos)
-    pred = 0
+    preds = [0] * len(per_comp)
+    # MCU-interleaved, one block per component (4:4:4), SOF order
     for by in range(bh):
         for bx in range(bw_):
-            zz = np.zeros(64, dtype=np.int64)
-            size = dc(br)
-            if size:
-                pred += _extend(br.bits(size), size)
-            zz[0] = pred
-            k = 1
-            while k <= 63:
-                sym = ac(br)
-                if sym == 0x00:  # EOB
-                    break
-                run, size = sym >> 4, sym & 0xF
-                if size == 0:
-                    if run != 15:
-                        raise ValueError(f"invalid AC symbol {sym:#x}")
-                    k += 16  # ZRL
-                    continue
-                k += run
-                if k > 63:
-                    raise ValueError("AC run past end of block")
-                zz[k] = _extend(br.bits(size), size)
-                k += 1
-            coef = np.zeros((8, 8), dtype=np.float64)
-            coef[_ZZ_ROWS, _ZZ_COLS] = zz * q[_ZZ_ROWS, _ZZ_COLS]
-            blk = _DCT.T @ coef @ _DCT + 128.0
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = np.clip(
-                np.round(blk), 0, 255
-            ).astype(np.uint8)
-    return out[:h, :w]
+            for ci, (q, dc, ac) in enumerate(per_comp):
+                zz = np.zeros(64, dtype=np.int64)
+                size = dc(br)
+                if size:
+                    preds[ci] += _extend(br.bits(size), size)
+                zz[0] = preds[ci]
+                k = 1
+                while k <= 63:
+                    sym = ac(br)
+                    if sym == 0x00:  # EOB
+                        break
+                    run, size = sym >> 4, sym & 0xF
+                    if size == 0:
+                        if run != 15:
+                            raise ValueError(f"invalid AC symbol {sym:#x}")
+                        k += 16  # ZRL
+                        continue
+                    k += run
+                    if k > 63:
+                        raise ValueError("AC run past end of block")
+                    zz[k] = _extend(br.bits(size), size)
+                    k += 1
+                coef = np.zeros((8, 8), dtype=np.float64)
+                coef[_ZZ_ROWS, _ZZ_COLS] = zz * q[_ZZ_ROWS, _ZZ_COLS]
+                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                    _DCT.T @ coef @ _DCT + 128.0
+                )
+    if len(planes) == 1:
+        return (
+            np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[:h, :w]
+        )
+    # JFIF YCbCr → RGB (standard inverse coefficients)
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)[:h, :w]

@@ -64,6 +64,7 @@ _PRIORITY = [
     # JPEG decode twin of q_multimodal_decode_real.
     "q_dedup_semantic_codebook3",
     "q_multimodal_decode_jpeg",
+    "q_multimodal_decode_jpeg_color",
     # --- ROUND-9 head: (1) brand-new entries — the fixed-k two-level
     # codebook twin of SemDeDup (retires the anchor variant's O(n²/32)
     # assignment FLOPs from the 100 TB story), the strict k-anonymous

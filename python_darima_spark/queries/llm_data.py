@@ -1760,6 +1760,33 @@ def q_multimodal_decode_jpeg(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_multimodal_decode_jpeg_color(spark: SparkSession, sf: str) -> DataFrame:
+    """COLOR (3-component 4:4:4 interleaved) baseline-JPEG decode: the
+    vendored T.81 codec's multi-component path — per-MCU interleaved
+    blocks with per-component DC prediction, per-component table
+    selection from the scan header, and the JFIF YCbCr→RGB inverse —
+    exercised end-to-end and hash-certified corpus-wide through the
+    neutral-chroma exactness window (grey RGB → Y=v, Cb=Cr=128; all
+    DC-only, steps divide, inverse transform at neutral chroma is the
+    identity, so decoded pixels are each text byte ×192). Lossy color
+    paths are unit-certified in tests/test_codecs.py (±3 at quant=1,
+    the YCbCr round-trip bound)."""
+    from python_darima_spark.multimodal.binary_ops import (
+        attach_jpeg_rgb_from_text,
+        decode_media,
+    )
+
+    docs = ensure_parallelism(load(spark, sf, "documents"))
+    media = attach_jpeg_rgb_from_text(docs)
+    feats = decode_media(media, fake=False, formats=("image/jpeg",))
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.element_at("feature", 1), 6).alias("f1"),
+        F.round(F.element_at("feature", 7), 6).alias("f7"),
+    )
+
+
 def q_scan_binaryfile(spark: SparkSession, sf: str) -> DataFrame:
     """Spark's ``binaryFile`` SOURCE over a directory of real PNG files —
     the missing media-ingestion scan family (everything upstream of
@@ -4368,6 +4395,21 @@ QUERIES = {
            )
            SELECT doc_id AS media_id,
                   64 * CAST(count(*) AS BIGINT) AS n_bytes,
+                  round(sum(CASE WHEN unicode(ch) // 16 = 0 THEN 1 ELSE 0 END)
+                        / count(*), 6) AS f1,
+                  round(sum(CASE WHEN unicode(ch) // 16 = 6 THEN 1 ELSE 0 END)
+                        / count(*), 6) AS f7
+           FROM c GROUP BY doc_id""",
+    ),
+    "q_multimodal_decode_jpeg_color": QuerySpec(
+        q_multimodal_decode_jpeg_color,
+        # neutral-chroma flat blocks decode exactly, so RGB pixels are
+        # the text bytes repeated 192x (64 per block x 3 channels)
+        """WITH c AS (
+             SELECT doc_id, unnest(split(text, '')) AS ch FROM documents
+           )
+           SELECT doc_id AS media_id,
+                  192 * CAST(count(*) AS BIGINT) AS n_bytes,
                   round(sum(CASE WHEN unicode(ch) // 16 = 0 THEN 1 ELSE 0 END)
                         / count(*), 6) AS f1,
                   round(sum(CASE WHEN unicode(ch) // 16 = 6 THEN 1 ELSE 0 END)

@@ -236,6 +236,41 @@ def test_jpeg_default_quant_is_lossy_but_bounded():
     assert not np.array_equal(dec, img)  # honest: default quant IS lossy
 
 
+def test_jpeg_color_neutral_chroma_roundtrip_exactly():
+    """Grey RGB → (Y=v, Cb=Cr=128): all three components are DC-only
+    flat blocks whose steps divide, and the inverse color transform at
+    neutral chroma is the identity — the decode must reproduce every
+    RGB byte exactly. This is q_multimodal_decode_jpeg_color's
+    corpus-wide oracle invariant, covering the interleaved-MCU and
+    per-component-DC-prediction paths."""
+    rng = np.random.default_rng(17)
+    b = rng.integers(0, 256, 50, dtype=np.uint8)
+    gray = np.repeat(np.repeat(b[None, :], 8, 0), 8, 1)
+    rgb = np.stack([gray, gray, gray], axis=-1)
+    enc = jpeg_encode_baseline(rgb)
+    dec = jpeg_decode_baseline(enc)
+    assert dec.shape == rgb.shape
+    assert np.array_equal(dec, rgb)
+
+
+def test_jpeg_color_random_quant1_within_three():
+    """Arbitrary RGB at quant=1: the only losses are the YCbCr round
+    trip (±2-3) and FDCT/IDCT rounding (±1)."""
+    rng = np.random.default_rng(19)
+    img = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    dec = jpeg_decode_baseline(jpeg_encode_baseline(img, quant=_Q1))
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_jpeg_color_crops_non_multiple_dims():
+    rng = np.random.default_rng(23)
+    img = rng.integers(0, 256, (11, 13, 3), dtype=np.uint8)
+    dec = jpeg_decode_baseline(jpeg_encode_baseline(img, quant=_Q1))
+    assert dec.shape == (11, 13, 3)
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 3
+
+
 def test_jpeg_malformed_and_unsupported_refuse_cleanly():
     img = np.full((8, 8), 130, dtype=np.uint8)
     enc = jpeg_encode_baseline(img)
