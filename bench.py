@@ -154,6 +154,7 @@ HEADLINE = [
     "q_dedup_semantic_codebook3",
     "q_multimodal_decode_jpeg",
     "q_multimodal_decode_jpeg_color",
+    "q_multimodal_decode_jpeg420",
 ]
 
 

@@ -271,16 +271,26 @@ def attach_jpeg_from_text(
 
 
 def attach_jpeg_rgb_from_text(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    subsample: str = "444",
+    restart_interval: int = 0,
 ) -> DataFrame:
     """COLOR variant of :func:`attach_jpeg_from_text`: each text byte
     becomes one flat 8×8 block of a grey RGB raster (R=G=B=v), encoded
-    as a genuine 3-component 4:4:4 interleaved baseline JPEG. Grey RGB
+    as a genuine 3-component interleaved baseline JPEG. Grey RGB
     converts to (Y=v, Cb=Cr=128) exactly after rounding, neutral-chroma
     flat blocks reconstruct exactly (DC-only in all three components,
     steps divide), and the inverse color transform at Cb=Cr=128 is the
     identity — so the decoded RGB pixels are each text byte ×192 and
-    the color decode path stays SQL-oracle-checkable corpus-wide."""
+    the color decode path stays SQL-oracle-checkable corpus-wide.
+
+    ``subsample="420"`` emits 2×2-subsampled chroma (box-mean keeps
+    neutral chroma at exactly 128, and replication upsampling restores
+    it, so the exactness window survives subsampling untouched);
+    ``restart_interval=N`` inserts DRI/RSTn restart segments every N
+    MCUs (lossless wire feature — predictor resets + byte alignment)."""
     from python_darima_spark.multimodal.codecs import jpeg_encode_baseline
 
     src = df.select(
@@ -297,7 +307,13 @@ def attach_jpeg_rgb_from_text(
                 arr = np.frombuffer(b, dtype=np.uint8)
                 gray = np.repeat(np.repeat(arr[None, :], 8, 0), 8, 1)
                 rgb = np.stack([gray, gray, gray], axis=-1)
-                payloads.append(jpeg_encode_baseline(rgb))
+                payloads.append(
+                    jpeg_encode_baseline(
+                        rgb,
+                        subsample=subsample,
+                        restart_interval=restart_interval,
+                    )
+                )
                 widths.append(gray.shape[1])
             yield pd.DataFrame(
                 {

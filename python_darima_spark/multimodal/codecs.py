@@ -160,10 +160,12 @@ def png_decode(data: bytes) -> np.ndarray:
 # written from the published wire format (markers, DQT/DHT/SOF0/SOS
 # segments, zigzag, category/extend amplitude coding, 0xFF00 byte
 # stuffing), shares no code with libjpeg/Pillow. Scope is the honest
-# subset the engine needs and tests: single-component baseline
-# (progressive SOF2, restart intervals, multi-component interleave and
-# 12-bit precision all REFUSE with explicit errors — the plan-time-
-# honesty rule from binary_ops). The encoder exists to make the decode
+# subset the engine needs and tests: sequential baseline, 1 or 3
+# components, 4:4:4 or subsampled interleave with integer upsampling
+# ratios (covers 4:2:0/4:2:2/4:4:0), restart intervals (DRI/RSTn)
+# (progressive SOF2, fractional-ratio sampling and 12-bit precision
+# REFUSE with explicit errors — the plan-time-honesty rule from
+# binary_ops). The encoder exists to make the decode
 # path corpus-testable offline (this container has no image fixtures);
 # both halves speak the real format: the encoder's output is a valid
 # JFIF file any decoder opens, and the decoder reads its huffman tables
@@ -249,6 +251,13 @@ class _BitWriter:
             self.put((1 << (8 - self._n)) - 1, 8 - self._n)  # pad with 1s
         return bytes(self.buf)
 
+    def restart(self, m: int) -> None:
+        """Byte-align (1-padding, stuffed like any entropy byte) and
+        emit RSTm — T.81 E.1.4. Markers themselves are never stuffed."""
+        if self._n:
+            self.put((1 << (8 - self._n)) - 1, 8 - self._n)
+        self.buf += bytes([0xFF, 0xD0 + (m & 7)])
+
 
 def _seg(marker: int, body: bytes) -> bytes:
     return bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body
@@ -278,6 +287,17 @@ def _rgb_to_ycbcr(a: np.ndarray) -> list[np.ndarray]:
         np.clip(np.floor(p + 0.5), 0, 255).astype(np.uint8)
         for p in (y, cb, cr)
     ]
+
+
+def _downsample2(p: np.ndarray) -> np.ndarray:
+    """2×2 box-mean with round-half-up (edge-replicated to even dims
+    first) — the chroma downsample for 4:2:0. Constant regions (and in
+    particular neutral chroma 128) survive exactly."""
+    ph = np.pad(
+        p, ((0, p.shape[0] % 2), (0, p.shape[1] % 2)), mode="edge"
+    ).astype(np.int64)
+    s = ph[0::2, 0::2] + ph[0::2, 1::2] + ph[1::2, 0::2] + ph[1::2, 1::2]
+    return ((s + 2) // 4).astype(np.uint8)
 
 
 def _encode_block(bw: _BitWriter, blk, q, pred: int, dc_code, ac_code) -> int:
@@ -312,14 +332,26 @@ def _encode_block(bw: _BitWriter, blk, q, pred: int, dc_code, ac_code) -> int:
 
 
 def jpeg_encode_baseline(
-    arr: np.ndarray, quant: np.ndarray | None = None
+    arr: np.ndarray,
+    quant: np.ndarray | None = None,
+    subsample: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode a uint8 array as a real baseline JFIF JPEG — (h, w)
-    greyscale or (h, w, 3) RGB (converted to YCbCr, encoded 4:4:4
-    interleaved, one block per component per MCU): FDCT per 8×8 block
-    (edge-replicated padding), quantization, zigzag, per-component
-    DC-prediction + category/extend amplitude coding, huffman (tables
-    emitted in DHT), 0xFF byte stuffing."""
+    greyscale or (h, w, 3) RGB (converted to YCbCr, interleaved per
+    T.81 A.2.3): FDCT per 8×8 block (edge-replicated padding),
+    quantization, zigzag, per-component DC-prediction +
+    category/extend amplitude coding, huffman (tables emitted in DHT),
+    0xFF byte stuffing.
+
+    ``subsample``: ``"444"`` (one block of each component per MCU) or
+    ``"420"`` (RGB only — luma sampled 2×2, chroma box-mean-downsampled
+    2×2, MCU = 4 Y + Cb + Cr blocks over a 16×16 pixel tile).
+    ``restart_interval``: if > 0, emit a DRI segment and an RSTm marker
+    (byte-aligned, DC predictors reset, m cycling 0..7) after every
+    that many MCUs — the T.81 feature that makes the entropy stream
+    independently decodable per restart segment (the parallel-decode
+    seam at scale)."""
     a = np.ascontiguousarray(arr, dtype=np.uint8)
     if a.ndim == 3 and a.shape[2] == 3:
         h, w = a.shape[:2]
@@ -327,43 +359,81 @@ def jpeg_encode_baseline(
     elif a.ndim == 2:
         h, w = a.shape
         planes = [a]
+        subsample = "444"  # single component: sampling is always 1×1
     else:
         raise ValueError(
             "baseline JPEG codec: greyscale (h, w) or RGB (h, w, 3) only"
         )
     if h < 1 or w < 1:
         raise ValueError("empty image")
+    if subsample not in ("444", "420"):
+        raise ValueError("subsample must be '444' or '420'")
+    if not 0 <= restart_interval <= 0xFFFF:
+        raise ValueError("restart interval must be in 0..65535 MCUs")
     q = _default_quant() if quant is None else np.asarray(quant, dtype=np.int64)
     if q.shape != (8, 8) or (q < 1).any() or (q > 255).any():
         raise ValueError("quant table must be 8x8 with entries in 1..255")
-    pads = [
-        np.pad(p, ((0, -h % 8), (0, -w % 8)), mode="edge") for p in planes
-    ]
+    if subsample == "420":
+        samps = [(2, 2), (1, 1), (1, 1)]
+        planes = [planes[0]] + [_downsample2(p) for p in planes[1:]]
+    else:
+        samps = [(1, 1)] * len(planes)
+    hmax = max(s[0] for s in samps)
+    vmax = max(s[1] for s in samps)
+    mcu_cols = -(-w // (8 * hmax))
+    mcu_rows = -(-h // (8 * vmax))
+    pads = []
+    for p, (hs, vs) in zip(planes, samps):
+        th, tw = mcu_rows * vs * 8, mcu_cols * hs * 8
+        pads.append(
+            np.pad(
+                p,
+                ((0, th - p.shape[0]), (0, tw - p.shape[1])),
+                mode="edge",
+            )
+        )
     dc_code = _huff_codes(_DC_BITS, _DC_VALS)
     ac_code = _huff_codes(_AC_BITS, _AC_VALS)
     bw = _BitWriter()
     preds = [0] * len(pads)
-    # 4:4:4 non-subsampled: every component has sampling 1×1, so each
-    # MCU is one block of each component in SOF order (T.81 A.2.3)
-    for by in range(pads[0].shape[0] // 8):
-        for bx in range(pads[0].shape[1] // 8):
-            for ci, pad in enumerate(pads):
-                preds[ci] = _encode_block(
-                    bw,
-                    pad[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8],
-                    q,
-                    preds[ci],
-                    dc_code,
-                    ac_code,
-                )
+    mcu, rst = 0, 0
+    for by in range(mcu_rows):
+        for bx in range(mcu_cols):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                bw.restart(rst)
+                rst = (rst + 1) % 8
+                preds = [0] * len(pads)
+            for ci, (pad, (hs, vs)) in enumerate(zip(pads, samps)):
+                for v in range(vs):
+                    for hh in range(hs):
+                        r = (by * vs + v) * 8
+                        c = (bx * hs + hh) * 8
+                        preds[ci] = _encode_block(
+                            bw,
+                            pad[r : r + 8, c : c + 8],
+                            q,
+                            preds[ci],
+                            dc_code,
+                            ac_code,
+                        )
+            mcu += 1
     zz_q = q[_ZZ_ROWS, _ZZ_COLS]
     ncomp = len(pads)
-    sof_comps = b"".join(bytes([ci + 1, 0x11, 0]) for ci in range(ncomp))
+    sof_comps = b"".join(
+        bytes([ci + 1, (samps[ci][0] << 4) | samps[ci][1], 0])
+        for ci in range(ncomp)
+    )
     sos_comps = b"".join(bytes([ci + 1, 0x00]) for ci in range(ncomp))
+    dri = (
+        _seg(0xDD, struct.pack(">H", restart_interval))
+        if restart_interval
+        else b""
+    )
     return (
         JPEG_SOI
         + _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
         + _seg(0xDB, bytes([0x00]) + bytes(int(x) for x in zz_q))
+        + dri
         + _seg(0xC0, struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps)
         + _seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
         + _seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
@@ -397,8 +467,9 @@ class _BitReader:
                 if nxt == 0x00:
                     self.pos += 2
                 elif nxt is not None and 0xD0 <= nxt <= 0xD7:
-                    raise NotImplementedError(
-                        "restart markers (DRI/RSTn) not supported"
+                    raise ValueError(
+                        "restart marker inside an entropy-coded block "
+                        "(misaligned or corrupt restart segment)"
                     )
                 else:
                     raise ValueError("entropy data ran into a marker")
@@ -414,6 +485,21 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.bit()
         return v
+
+    def restart(self) -> int:
+        """Discard pad bits to the byte boundary, consume the RSTm
+        marker that must sit there (T.81 E.2.4), return m."""
+        self._acc = 0
+        self._n = 0
+        if (
+            self.pos + 2 > len(self.data)
+            or self.data[self.pos] != 0xFF
+            or not 0xD0 <= self.data[self.pos + 1] <= 0xD7
+        ):
+            raise ValueError("expected RSTn marker at restart boundary")
+        m = self.data[self.pos + 1] & 7
+        self.pos += 2
+        return m
 
 
 def _huff_decoder(bits: list[int], vals: list[int]):
@@ -441,19 +527,25 @@ def _extend(v: int, size: int) -> int:
 
 def jpeg_decode_baseline(data: bytes) -> np.ndarray:
     """Decode a baseline JPEG to a uint8 array — greyscale → (h, w),
-    3-component 4:4:4 YCbCr → RGB (h, w, 3): marker parse, DHT-driven
+    3-component YCbCr → RGB (h, w, 3): marker parse, DHT-driven
     huffman decode (tables read from the STREAM), interleaved-MCU
-    entropy decode with per-component DC prediction, dequantize,
-    de-zigzag, IDCT, color conversion, crop. Raises ValueError on
-    malformed input and NotImplementedError on legal-but-unsupported
-    features (progressive, subsampling, restart intervals, 12-bit)."""
+    entropy decode with per-component DC prediction and sampling
+    factors (4:4:4, 4:2:0, 4:2:2, 4:4:0 — any integer upsampling
+    ratio; chroma upsampled by pixel replication per JFIF), restart
+    intervals (DRI/RSTn with modulo-8 sequence checking and DC
+    predictor reset), dequantize, de-zigzag, IDCT, color conversion,
+    crop. Raises ValueError on malformed input and NotImplementedError
+    on legal-but-unsupported features (progressive, fractional
+    upsampling ratios, 12-bit)."""
     if data[:2] != JPEG_SOI:
         raise ValueError("not a JPEG (bad SOI)")
     pos = 2
     qtabs: dict[int, np.ndarray] = {}
     htabs: dict[tuple[int, int], object] = {}
     sof = None
-    comps: list[tuple[int, int]] = []  # (component id, quant table id)
+    ri = 0  # restart interval in MCUs (0 = none)
+    # (component id) → (H sampling, V sampling, quant table id)
+    comps: list[tuple[int, int, int, int]] = []
     while True:
         if pos + 2 > len(data):
             raise ValueError("truncated JPEG (no SOS)")
@@ -502,19 +594,18 @@ def jpeg_decode_baseline(data: bytes) -> np.ndarray:
             comps = []
             for ci in range(ncomp):
                 cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
-                if samp != 0x11:
-                    raise NotImplementedError(
-                        "chroma subsampling (4:4:4 only)"
-                    )
-                comps.append((cid, tq))
+                hs, vs = samp >> 4, samp & 0xF
+                if not (1 <= hs <= 4 and 1 <= vs <= 4):
+                    raise ValueError(f"sampling factors {hs}x{vs} out of range")
+                comps.append((cid, hs, vs, tq))
             sof = (h, w)
         elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                         0xCB, 0xCD, 0xCE, 0xCF):
             raise NotImplementedError(
                 f"SOF{marker - 0xC0} (non-baseline JPEG)"
             )
-        elif marker == 0xDD:
-            raise NotImplementedError("restart intervals (DRI)")
+        elif marker == 0xDD:  # DRI
+            (ri,) = struct.unpack(">H", body[:2])
         elif marker == 0xDA:  # SOS
             if sof is None:
                 raise ValueError("SOS before SOF0")
@@ -524,7 +615,7 @@ def jpeg_decode_baseline(data: bytes) -> np.ndarray:
                     "partial scan (all components in one scan only)"
                 )
             scan_tabs = []
-            by_id = dict(comps)
+            by_id = {cid: (hs, vs, tq) for cid, hs, vs, tq in comps}
             for si in range(ns):
                 cs, tda = body[1 + 2 * si : 3 + 2 * si]
                 if cs not in by_id:
@@ -535,50 +626,85 @@ def jpeg_decode_baseline(data: bytes) -> np.ndarray:
             break
         # APPn / COM / anything else with a length: skipped
     h, w = sof
+    hmax = max(hs for _cid, hs, _vs, _tq in comps)
+    vmax = max(vs for _cid, _hs, vs, _tq in comps)
+    for _cid, hs, vs, _tq in comps:
+        if hmax % hs or vmax % vs:
+            raise NotImplementedError(
+                f"fractional upsampling ratio ({hs}x{vs} vs max "
+                f"{hmax}x{vmax}) — integer ratios only"
+            )
     per_comp = []
-    for _cs, td, ta, tq in scan_tabs:
+    for _cs, td, ta, (hs, vs, tq) in scan_tabs:
         q = qtabs.get(tq)
         dc = htabs.get((0, td))
         ac = htabs.get((1, ta))
         if q is None or dc is None or ac is None:
             raise ValueError("missing quant/huffman table referenced by scan")
-        per_comp.append((q, dc, ac))
-    bh, bw_ = -(-h // 8), -(-w // 8)
+        per_comp.append((q, dc, ac, hs, vs))
+    mcu_rows, mcu_cols = -(-h // (8 * vmax)), -(-w // (8 * hmax))
     planes = [
-        np.zeros((bh * 8, bw_ * 8), dtype=np.float64) for _ in per_comp
+        np.zeros((mcu_rows * vs * 8, mcu_cols * hs * 8), dtype=np.float64)
+        for (_q, _dc, _ac, hs, vs) in per_comp
     ]
     br = _BitReader(data, pos)
     preds = [0] * len(per_comp)
-    # MCU-interleaved, one block per component (4:4:4), SOF order
-    for by in range(bh):
-        for bx in range(bw_):
-            for ci, (q, dc, ac) in enumerate(per_comp):
-                zz = np.zeros(64, dtype=np.int64)
-                size = dc(br)
-                if size:
-                    preds[ci] += _extend(br.bits(size), size)
-                zz[0] = preds[ci]
-                k = 1
-                while k <= 63:
-                    sym = ac(br)
-                    if sym == 0x00:  # EOB
-                        break
-                    run, size = sym >> 4, sym & 0xF
-                    if size == 0:
-                        if run != 15:
-                            raise ValueError(f"invalid AC symbol {sym:#x}")
-                        k += 16  # ZRL
-                        continue
-                    k += run
-                    if k > 63:
-                        raise ValueError("AC run past end of block")
-                    zz[k] = _extend(br.bits(size), size)
-                    k += 1
-                coef = np.zeros((8, 8), dtype=np.float64)
-                coef[_ZZ_ROWS, _ZZ_COLS] = zz * q[_ZZ_ROWS, _ZZ_COLS]
-                planes[ci][by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                    _DCT.T @ coef @ _DCT + 128.0
-                )
+    # MCU-interleaved, H×V blocks per component per MCU, SOF order
+    # (T.81 A.2.3); restart segments reset predictors and byte-align
+    mcu, rst_expect = 0, 0
+    for by in range(mcu_rows):
+        for bx in range(mcu_cols):
+            if ri and mcu and mcu % ri == 0:
+                m = br.restart()
+                if m != rst_expect:
+                    raise ValueError(
+                        f"restart marker out of sequence (RST{m}, "
+                        f"expected RST{rst_expect})"
+                    )
+                rst_expect = (rst_expect + 1) % 8
+                preds = [0] * len(per_comp)
+            for ci, (q, dc, ac, hs, vs) in enumerate(per_comp):
+                for v in range(vs):
+                    for hh in range(hs):
+                        zz = np.zeros(64, dtype=np.int64)
+                        size = dc(br)
+                        if size:
+                            preds[ci] += _extend(br.bits(size), size)
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k <= 63:
+                            sym = ac(br)
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 0xF
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError(
+                                        f"invalid AC symbol {sym:#x}"
+                                    )
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("AC run past end of block")
+                            zz[k] = _extend(br.bits(size), size)
+                            k += 1
+                        coef = np.zeros((8, 8), dtype=np.float64)
+                        coef[_ZZ_ROWS, _ZZ_COLS] = zz * q[_ZZ_ROWS, _ZZ_COLS]
+                        r0 = (by * vs + v) * 8
+                        c0 = (bx * hs + hh) * 8
+                        planes[ci][r0 : r0 + 8, c0 : c0 + 8] = (
+                            _DCT.T @ coef @ _DCT + 128.0
+                        )
+            mcu += 1
+    # upsample subsampled components by pixel replication to the full
+    # MCU-padded grid, then crop to the true image size
+    planes = [
+        np.repeat(
+            np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1
+        )
+        for p, (_q, _dc, _ac, hs, vs) in zip(planes, per_comp)
+    ]
     if len(planes) == 1:
         return (
             np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[:h, :w]

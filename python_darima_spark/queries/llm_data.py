@@ -1787,6 +1787,38 @@ def q_multimodal_decode_jpeg_color(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_multimodal_decode_jpeg420(spark: SparkSession, sf: str) -> DataFrame:
+    """4:2:0-SUBSAMPLED + RESTART-SEGMENTED baseline-JPEG decode: the
+    codec's generic-sampling interleave (MCU = 4 Y + Cb + Cr blocks
+    over a 16×16 tile, chroma box-downsampled on encode and
+    replication-upsampled on decode) and the DRI/RSTn restart machinery
+    (byte-aligned markers, modulo-8 sequence check, DC predictor
+    resets — the wire feature that makes a JPEG entropy stream
+    independently decodable per restart segment, i.e. the
+    parallel-decode seam for media at scale), exercised end-to-end
+    corpus-wide. The neutral-chroma exactness window survives both:
+    grey RGB → (Y=v, Cb=Cr=128); 2×2 box-mean of constant 128 is 128,
+    flat DC-only blocks reconstruct exactly, replication upsampling of
+    constant 128 is exact, and restart segments are lossless — so
+    decoded RGB pixels are each text byte ×192, same as the 4:4:4
+    color entry, and the DuckDB histogram oracle is EXACT. Lossy
+    subsampled paths are unit-bounded in tests/test_codecs.py."""
+    from python_darima_spark.multimodal.binary_ops import (
+        attach_jpeg_rgb_from_text,
+        decode_media,
+    )
+
+    docs = ensure_parallelism(load(spark, sf, "documents"))
+    media = attach_jpeg_rgb_from_text(docs, subsample="420", restart_interval=3)
+    feats = decode_media(media, fake=False, formats=("image/jpeg",))
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.element_at("feature", 1), 6).alias("f1"),
+        F.round(F.element_at("feature", 7), 6).alias("f7"),
+    )
+
+
 def q_scan_binaryfile(spark: SparkSession, sf: str) -> DataFrame:
     """Spark's ``binaryFile`` SOURCE over a directory of real PNG files —
     the missing media-ingestion scan family (everything upstream of
@@ -4405,6 +4437,23 @@ QUERIES = {
         q_multimodal_decode_jpeg_color,
         # neutral-chroma flat blocks decode exactly, so RGB pixels are
         # the text bytes repeated 192x (64 per block x 3 channels)
+        """WITH c AS (
+             SELECT doc_id, unnest(split(text, '')) AS ch FROM documents
+           )
+           SELECT doc_id AS media_id,
+                  192 * CAST(count(*) AS BIGINT) AS n_bytes,
+                  round(sum(CASE WHEN unicode(ch) // 16 = 0 THEN 1 ELSE 0 END)
+                        / count(*), 6) AS f1,
+                  round(sum(CASE WHEN unicode(ch) // 16 = 6 THEN 1 ELSE 0 END)
+                        / count(*), 6) AS f7
+           FROM c GROUP BY doc_id""",
+    ),
+    "q_multimodal_decode_jpeg420": QuerySpec(
+        q_multimodal_decode_jpeg420,
+        # 4:2:0 subsampling and restart segments are both exact on
+        # neutral-chroma flat blocks (box-mean/replication of constant
+        # 128 is 128; restarts are lossless), so the oracle is the
+        # same text-byte-x192 restatement as the 4:4:4 color entry
         """WITH c AS (
              SELECT doc_id, unnest(split(text, '')) AS ch FROM documents
            )

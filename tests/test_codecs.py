@@ -305,3 +305,105 @@ def test_jpeg_decoder_reads_tables_from_stream():
         ))
     except ValueError:
         pass  # clean refusal is equally acceptable for a broken table
+
+
+def test_jpeg_420_neutral_chroma_roundtrip_exactly():
+    """Grey RGB flat blocks through 4:2:0: Y blocks are flat with
+    dividing DC steps, chroma is constant 128 (box-mean keeps it,
+    replication upsampling restores it) — decode must be EXACT.  This
+    is the window q_multimodal_decode_jpeg420's corpus oracle rides."""
+    rng = np.random.default_rng(29)
+    vals = rng.integers(0, 256, 17, dtype=np.uint8)
+    gray = np.repeat(np.repeat(vals[None, :], 8, 0), 8, 1)
+    rgb = np.stack([gray, gray, gray], axis=-1)
+    enc = jpeg_encode_baseline(rgb, subsample="420")
+    # the wire really is subsampled: SOF lists Y sampling 0x22
+    sof = enc.index(b"\xff\xc0")
+    assert enc[sof + 11] == 0x22 and enc[sof + 14] == 0x11
+    dec = jpeg_decode_baseline(enc)
+    assert dec.shape == rgb.shape
+    assert np.array_equal(dec, rgb)
+
+
+def test_jpeg_420_constant_color_quant1_bounded():
+    """Constant non-grey color: downsampling is exact on constants, so
+    the only loss is the YCbCr round trip (+-3)."""
+    img = np.zeros((24, 40, 3), dtype=np.uint8)
+    img[:] = (200, 30, 90)
+    dec = jpeg_decode_baseline(
+        jpeg_encode_baseline(img, quant=_Q1, subsample="420")
+    )
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_jpeg_420_tile_constant_color_quant1_bounded():
+    """Random colors constant over each 2x2 pixel tile: the box
+    downsample is exact per tile and replication upsampling restores
+    it, so 4:2:0 at quant=1 stays within the same +-3 YCbCr round-trip
+    bound as 4:4:4 — exactly characterizing what subsampling preserves
+    (chroma at or below half resolution) vs what it loses."""
+    rng = np.random.default_rng(31)
+    tiles = rng.integers(0, 256, (10, 11, 3), dtype=np.uint8)
+    img = np.repeat(np.repeat(tiles, 2, 0), 2, 1)
+    dec = jpeg_decode_baseline(
+        jpeg_encode_baseline(img, quant=_Q1, subsample="420")
+    )
+    assert dec.shape == img.shape
+    assert np.abs(dec.astype(int) - img.astype(int)).max() <= 3
+
+
+def test_jpeg_restart_markers_lossless_and_on_wire():
+    """DRI/RSTn segments are pure wire structure: decode is unchanged,
+    the DRI segment and ceil(n_mcus/interval)-1 byte-aligned RSTn
+    markers (m cycling 0..7) are physically present."""
+    import re
+
+    rng = np.random.default_rng(37)
+    g = rng.integers(0, 256, (17, 33), dtype=np.uint8)
+    plain = jpeg_decode_baseline(jpeg_encode_baseline(g, quant=_Q1))
+    enc = jpeg_encode_baseline(g, quant=_Q1, restart_interval=2)
+    assert b"\xff\xdd" in enc
+    # 3x5 blocks = 15 MCUs, interval 2 -> 7 internal restart markers
+    markers = re.findall(rb"\xff([\xd0-\xd7])", enc)
+    assert len(markers) == 7
+    assert [m[0] & 7 for m in markers] == [0, 1, 2, 3, 4, 5, 6]
+    assert np.array_equal(jpeg_decode_baseline(enc), plain)
+    assert np.abs(plain.astype(int) - g.astype(int)).max() <= 1
+
+
+def test_jpeg_restart_sequence_checked():
+    """A restart marker out of modulo-8 sequence is data corruption
+    and must be refused, not silently resynchronized."""
+    img = np.full((8, 64), 130, dtype=np.uint8)
+    enc = bytearray(jpeg_encode_baseline(img, restart_interval=2))
+    i = enc.index(b"\xff\xd0")
+    enc[i + 1] = 0xD5
+    with pytest.raises(ValueError, match="out of sequence"):
+        jpeg_decode_baseline(bytes(enc))
+
+
+def test_jpeg_420_with_restarts_composes():
+    """Subsampling and restart segments together (the common
+    real-camera shape): neutral-chroma flat blocks stay exact."""
+    rng = np.random.default_rng(41)
+    vals = rng.integers(0, 256, 23, dtype=np.uint8)
+    gray = np.repeat(np.repeat(vals[None, :], 8, 0), 8, 1)
+    rgb = np.stack([gray, gray, gray], axis=-1)
+    enc = jpeg_encode_baseline(rgb, subsample="420", restart_interval=3)
+    assert b"\xff\xdd" in enc
+    assert np.array_equal(jpeg_decode_baseline(enc), rgb)
+
+
+def test_jpeg_fractional_upsampling_refused():
+    """Legal-but-unsupported sampling (3x1 luma vs 2x1 chroma gives a
+    fractional ratio) refuses with NotImplementedError, per the
+    plan-time-honesty rule."""
+    img = np.full((8, 8, 3), 99, dtype=np.uint8)
+    enc = bytearray(jpeg_encode_baseline(img, subsample="420"))
+    sof = enc.index(b"\xff\xc0")
+    enc[sof + 11] = 0x33  # luma 3x3 over chroma 2x2 -> ratio 3/2
+    enc[sof + 14] = 0x22
+    enc[sof + 17] = 0x22
+    with pytest.raises(NotImplementedError, match="fractional"):
+        jpeg_decode_baseline(bytes(enc))
