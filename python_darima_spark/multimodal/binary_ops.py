@@ -10,10 +10,12 @@ iterator of frames, and Spark never materializes more than
 rows (documents), so these stages scale linearly with executors; keep
 payloads out of shuffle keys and only ever shuffle extracted features.
 
-Codec support: PNG decode/encode (round 4) and baseline greyscale JPEG
-decode/encode (round 10) are REAL and dependency-free (stdlib + numpy,
-multimodal/codecs.py), so ``decode_media`` / ``resize_media`` run
-genuinely on ``image/png`` and ``image/jpeg`` payloads in this
+Codec support: PNG decode/encode (round 4), baseline JPEG
+decode/encode (round 10: greyscale, 4:4:4 and 4:2:0 color, restart
+segments) and RIFF/WAVE PCM (round 10) are REAL and dependency-free
+(stdlib + numpy, multimodal/codecs.py), so ``decode_media`` /
+``resize_media`` / ``wav_frame_energy`` run genuinely on
+``image/png``, ``image/jpeg`` and ``audio/wav`` payloads in this
 container. Other formats (WebP/…, and JPEG features the vendored
 decoder refuses — progressive, color) use Pillow WHEN IMPORTABLE;
 declaring them without PIL present refuses at PLAN time — the honest
@@ -517,6 +519,108 @@ def audio_frame_energy(df: DataFrame, frame_len: int = 32) -> DataFrame:
                 # one vectorized pass per payload: reduceat sums each
                 # frame's squares at the frame offsets (no per-frame
                 # Python loop — O(1) interpreter ops per payload)
+                offs = np.arange(0, arr.size, frame_len)
+                ss = np.add.reduceat(arr * arr, offs)
+                n = np.minimum(arr.size - offs, frame_len)
+                mids.append(np.full(offs.size, mid, dtype=np.int64))
+                idxs.append(offs // frame_len)
+                ns.append(n)
+                sss.append(ss)
+            if not mids:
+                yield pd.DataFrame(
+                    {"media_id": [], "frame_idx": [], "n_samples": [],
+                     "sum_sq": [], "rms": []}
+                )
+                continue
+            mid_a = np.concatenate(mids)
+            idx_a = np.concatenate(idxs)
+            n_a = np.concatenate(ns)
+            ss_a = np.concatenate(sss)
+            rms_a = np.round(np.sqrt(ss_a / n_a.astype(np.float64)), 6)
+            yield pd.DataFrame(
+                {
+                    "media_id": mid_a,
+                    "frame_idx": idx_a.astype(np.int32),
+                    "n_samples": n_a.astype(np.int32),
+                    "sum_sq": ss_a,
+                    "rms": rms_a,
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        frames, AUDIO_FRAMES_SCHEMA
+    )
+
+
+def attach_wav_from_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sample_rate: int = 8000,
+) -> DataFrame:
+    """Media table with REAL ``audio/wav`` payloads: each byte of a
+    doc's utf-8 text becomes one 16-bit PCM sample ``(b - 128) * 256``
+    (the byte re-centered then left-shifted into int16 range — an exact
+    integer map, so the sample stream is SQL-restatable), written as a
+    genuine RIFF/WAVE file by the vendored PCM codec
+    (multimodal/codecs.py) inside one Arrow ``mapInPandas`` stage. WAV
+    is lossless, so the real decode stage downstream recovers every
+    sample bit-for-bit — the audio analogue of the PNG/JPEG exactness
+    windows."""
+    from python_darima_spark.multimodal.codecs import wav_encode_pcm
+
+    src = df.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("_raw"),
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, durs = [], []
+            for raw in pdf["_raw"]:
+                b = raw if isinstance(raw, bytes) else bytes(raw)
+                b = b if b else b"\x00"
+                arr = np.frombuffer(b, dtype=np.uint8).astype(np.int64)
+                samples = ((arr - 128) * 256).astype(np.int16)
+                payloads.append(wav_encode_pcm(samples, sample_rate))
+                durs.append(arr.size / float(sample_rate))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": "audio",
+                    "format": "audio/wav",
+                    "payload": payloads,
+                    "meta_width": None,
+                    "meta_height": None,
+                    "meta_duration_s": durs,
+                }
+            )
+
+    return src.mapInPandas(encode, MEDIA_SCHEMA)
+
+
+def wav_frame_energy(df: DataFrame, frame_len: int = 32) -> DataFrame:
+    """REAL-codec counterpart of :func:`audio_frame_energy`: payloads
+    are decoded as RIFF/WAVE PCM by the vendored chunk-walking parser
+    (fmt-tag checked, unknown chunks skipped, 8- and 16-bit PCM), then
+    channel-0 samples are framed and reduced to per-frame integer
+    ``sum_sq`` + double ``rms`` exactly like the stand-in path — one
+    Arrow ``mapInPandas`` stage, payload bytes never shuffle. 8-bit
+    files are re-centered at 128 per the spec's unsigned convention;
+    16-bit samples are used as stored."""
+    from python_darima_spark.multimodal.codecs import wav_decode_pcm
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, idxs, ns, sss = [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = payload if isinstance(payload, bytes) else bytes(payload)
+                samples, _rate = wav_decode_pcm(b)
+                arr = samples[:, 0].astype(np.int64)
+                if samples.dtype == np.uint8:
+                    arr -= 128  # 8-bit PCM is stored biased at 128
+                if arr.size == 0:
+                    continue
                 offs = np.arange(0, arr.size, frame_len)
                 ss = np.add.reduceat(arr * arr, offs)
                 n = np.minimum(arr.size - offs, frame_len)

@@ -1,4 +1,4 @@
-"""REAL image codecs with zero third-party dependencies.
+"""REAL media codecs with zero third-party dependencies.
 
 ``png_encode`` / ``png_decode`` implement the PNG spec (RFC 2083 /
 ISO 15948) for the cases a training-data pipeline actually stores:
@@ -720,3 +720,114 @@ def jpeg_decode_baseline(data: bytes) -> np.ndarray:
         axis=-1,
     )
     return np.clip(np.round(rgb), 0, 255).astype(np.uint8)[:h, :w]
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF PCM, public Microsoft/IBM spec + RFC 2361 format tags):
+# the audio counterpart of the image codecs above — clean-room, shares
+# no code with soundfile/audioop. Scope: linear PCM (format tag 1),
+# 8-bit unsigned / 16-bit signed little-endian, any channel count and
+# sample rate; a spec-correct chunk walker (unknown chunks skipped,
+# odd-sized chunks padded to word boundaries per RIFF). IEEE-float,
+# extensible (0xFFFE) and compressed format tags REFUSE with explicit
+# NotImplementedError; structurally broken files raise ValueError.
+# ---------------------------------------------------------------------------
+
+WAV_RIFF = b"RIFF"
+
+
+def wav_encode_pcm(
+    samples: np.ndarray, sample_rate: int = 8000, bits: int = 16
+) -> bytes:
+    """Encode PCM samples as a real RIFF/WAVE file — (n,) mono or
+    (n, channels) interleaved; ``bits`` 16 (int16 LE signed, the CD
+    convention) or 8 (uint8 unsigned, stored biased at 128 per the
+    spec). Lossless: :func:`wav_decode_pcm` returns the array
+    bit-for-bit."""
+    a = np.asarray(samples)
+    if a.ndim == 1:
+        a = a[:, None]
+    if a.ndim != 2 or a.shape[0] < 1 or a.shape[1] < 1:
+        raise ValueError("samples must be (n,) or (n, channels), n >= 1")
+    if sample_rate < 1:
+        raise ValueError("sample rate must be positive")
+    nch = a.shape[1]
+    if bits == 16:
+        data = np.ascontiguousarray(a.astype("<i2")).tobytes()
+    elif bits == 8:
+        data = np.ascontiguousarray(a.astype(np.uint8)).tobytes()
+    else:
+        raise ValueError("bits must be 8 or 16")
+    block = nch * (bits // 8)
+    fmt = struct.pack(
+        "<HHIIHH", 1, nch, sample_rate, sample_rate * block, block, bits
+    )
+    body = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+        + (b"\x00" if len(data) % 2 else b"")  # RIFF word alignment
+    )
+    return WAV_RIFF + struct.pack("<I", len(body)) + body
+
+
+def wav_decode_pcm(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode a RIFF/WAVE PCM file to ``((n, channels) array,
+    sample_rate)`` — dtype preserves the stored convention (int16 for
+    16-bit signed frames, uint8 for 8-bit unsigned frames, so callers
+    re-center 8-bit data by dtype, not by guessing). Walks the chunk list per the RIFF spec: unknown chunks
+    (LIST, fact, cue, ...) are skipped by their declared size, odd
+    sizes consume the word-alignment pad byte, and the fmt chunk must
+    precede data. Refuses non-PCM format tags explicitly."""
+    if len(data) < 12 or data[:4] != WAV_RIFF:
+        raise ValueError("not a RIFF file")
+    (riff_len,) = struct.unpack("<I", data[4:8])
+    if data[8:12] != b"WAVE":
+        raise ValueError("RIFF file is not WAVE")
+    if riff_len + 8 > len(data):
+        raise ValueError("truncated RIFF payload")
+    pos, end = 12, 8 + riff_len
+    fmt = None
+    while pos + 8 <= end:
+        cid = data[pos : pos + 4]
+        (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+        body = data[pos + 8 : pos + 8 + clen]
+        if len(body) != clen:
+            raise ValueError(f"truncated {cid!r} chunk")
+        pos += 8 + clen + (clen % 2)  # odd chunks carry a pad byte
+        if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError("fmt chunk too short")
+            tag, nch, rate, _bps, block, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if tag == 0xFFFE:
+                raise NotImplementedError(
+                    "WAVE_FORMAT_EXTENSIBLE not supported"
+                )
+            if tag == 3:
+                raise NotImplementedError("IEEE-float WAV not supported")
+            if tag != 1:
+                raise NotImplementedError(
+                    f"compressed WAV format tag {tag} not supported"
+                )
+            if bits not in (8, 16):
+                raise NotImplementedError(f"{bits}-bit PCM not supported")
+            if nch < 1 or block != nch * (bits // 8):
+                raise ValueError("inconsistent channel/block alignment")
+            fmt = (nch, rate, bits)
+        elif cid == b"data":
+            if fmt is None:
+                raise ValueError("data chunk before fmt chunk")
+            nch, rate, bits = fmt
+            width = bits // 8
+            nframes = clen // (nch * width)
+            if nframes < 1:
+                raise ValueError("empty data chunk")
+            raw = body[: nframes * nch * width]
+            if bits == 16:
+                arr = np.frombuffer(raw, dtype="<i2").astype(np.int16)
+            else:
+                arr = np.frombuffer(raw, dtype=np.uint8)
+            return arr.reshape(nframes, nch), rate
+    raise ValueError("no data chunk in WAVE file")

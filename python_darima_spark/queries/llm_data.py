@@ -1819,6 +1819,30 @@ def q_multimodal_decode_jpeg420(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_multimodal_decode_wav(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL audio decode end-to-end — the audio counterpart of the
+    PNG/JPEG entries, closing the byte-literal stand-in asterisk on the
+    audio path: each doc's utf-8 bytes become 16-bit PCM samples
+    ``(b-128)*256`` in a genuine RIFF/WAVE file (vendored chunk-walking
+    codec, multimodal/codecs.py — fmt/data chunks, word-alignment pad
+    bytes, format-tag checking), encoded in one Arrow stage and DECODED
+    BACK by the real parser in the next, then framed to per-frame
+    integer sum-of-squares + RMS energy. WAV is lossless, so the
+    decoded samples are exactly the mapped text bytes and the DuckDB
+    oracle restates the whole framing arithmetic on the text — the
+    hash match certifies parser + framing corpus-wide (chunk walking,
+    8-bit re-centering, stereo and refusal paths are certified in
+    tests/test_codecs.py)."""
+    from python_darima_spark.multimodal.binary_ops import (
+        attach_wav_from_text,
+        wav_frame_energy,
+    )
+
+    docs = ensure_parallelism(load(spark, sf, "documents"))
+    media = attach_wav_from_text(docs)
+    return wav_frame_energy(media, frame_len=32)
+
+
 def q_scan_binaryfile(spark: SparkSession, sf: str) -> DataFrame:
     """Spark's ``binaryFile`` SOURCE over a directory of real PNG files —
     the missing media-ingestion scan family (everything upstream of
@@ -4557,6 +4581,33 @@ QUERIES = {
                   doc_id = min(doc_id) OVER (PARTITION BY canon_url)
                       AS is_canonical
            FROM c""",
+    ),
+    "q_multimodal_decode_wav": QuerySpec(
+        q_multimodal_decode_wav,
+        # WAV is lossless: decoded channel-0 samples are exactly
+        # (byte-128)*256, so the oracle restates the framing (frame =
+        # position//32) and the integer sum-of-squares on the text
+        """WITH ch AS (
+             SELECT doc_id AS media_id,
+                    unnest(generate_series(1, greatest(strlen(text), 1))) AS i,
+                    CASE WHEN strlen(text) = 0 THEN chr(0) ELSE text END
+                      AS text
+             FROM documents
+           ), samples AS (
+             SELECT media_id,
+                    CAST((i - 1) // 32 AS INTEGER) AS frame_idx,
+                    (unicode(substring(text, CAST(i AS INT), 1)) - 128)
+                      * 256 AS s
+             FROM ch
+           )
+           SELECT media_id, frame_idx,
+                  CAST(count(*) AS INTEGER) AS n_samples,
+                  CAST(sum(CAST(s AS BIGINT) * CAST(s AS BIGINT)) AS BIGINT)
+                    AS sum_sq,
+                  round(sqrt(CAST(sum(CAST(s AS BIGINT) * CAST(s AS BIGINT))
+                                  AS DOUBLE)
+                             / CAST(count(*) AS DOUBLE)), 6) AS rms
+           FROM samples GROUP BY media_id, frame_idx""",
     ),
     "q_multimodal_audio_energy": QuerySpec(
         q_multimodal_audio_energy,

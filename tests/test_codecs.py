@@ -407,3 +407,90 @@ def test_jpeg_fractional_upsampling_refused():
     enc[sof + 17] = 0x22
     with pytest.raises(NotImplementedError, match="fractional"):
         jpeg_decode_baseline(bytes(enc))
+
+
+# ---------------------------------------------------------------------------
+# WAV (RIFF PCM) — the audio codec
+# ---------------------------------------------------------------------------
+
+from python_darima_spark.multimodal.codecs import (  # noqa: E402
+    wav_decode_pcm,
+    wav_encode_pcm,
+)
+
+
+def test_wav_16bit_stereo_roundtrip_exact():
+    rng = np.random.default_rng(43)
+    s = rng.integers(-32768, 32768, (301, 2), dtype=np.int16)
+    enc = wav_encode_pcm(s, sample_rate=44100)
+    assert enc[:4] == b"RIFF" and enc[8:12] == b"WAVE"
+    dec, rate = wav_decode_pcm(enc)
+    assert rate == 44100 and dec.dtype == np.int16
+    assert np.array_equal(dec, s)
+
+
+def test_wav_8bit_mono_odd_length_pad_byte():
+    """Odd-sized data chunks carry a RIFF word-alignment pad byte; the
+    encoder emits it and the chunk walker steps over it."""
+    rng = np.random.default_rng(47)
+    m = rng.integers(0, 256, 33, dtype=np.uint8)
+    enc = wav_encode_pcm(m, sample_rate=8000, bits=8)
+    assert len(enc) % 2 == 0  # padded to word boundary
+    dec, rate = wav_decode_pcm(enc)
+    assert rate == 8000 and dec.dtype == np.uint8
+    assert np.array_equal(dec[:, 0], m)
+
+
+def test_wav_unknown_chunks_skipped():
+    """A LIST metadata chunk (odd-sized, so pad-byte handling is also
+    exercised) between fmt and data must be skipped, not break parse."""
+    import struct as _st
+
+    s = np.arange(-5, 0, dtype=np.int16)
+    enc = wav_encode_pcm(s, 8000)
+    i = enc.index(b"data")
+    extra = b"LIST" + _st.pack("<I", 5) + b"INFOx" + b"\x00"
+    spliced = enc[:i] + extra + enc[i:]
+    spliced = (
+        spliced[:4] + _st.pack("<I", len(spliced) - 8) + spliced[8:]
+    )
+    dec, _ = wav_decode_pcm(spliced)
+    assert np.array_equal(dec[:, 0], s)
+
+
+def test_wav_refusals_and_malformed():
+    import struct as _st
+
+    s = np.zeros(4, dtype=np.int16)
+    enc = bytearray(wav_encode_pcm(s, 8000))
+    j = enc.index(b"fmt ") + 8
+    for tag, match in ((3, "IEEE-float"), (0xFFFE, "EXTENSIBLE"),
+                       (85, "compressed")):
+        bad = bytearray(enc)
+        bad[j : j + 2] = _st.pack("<H", tag)
+        with pytest.raises(NotImplementedError, match=match):
+            wav_decode_pcm(bytes(bad))
+    with pytest.raises(ValueError, match="RIFF"):
+        wav_decode_pcm(b"not audio at all")
+    with pytest.raises(ValueError, match="truncated"):
+        wav_decode_pcm(bytes(enc[: len(enc) - 3]))
+    # data before fmt is structurally invalid
+    nofmt = bytes(enc).replace(b"fmt ", b"junk")
+    with pytest.raises(ValueError, match="before fmt"):
+        wav_decode_pcm(nofmt)
+
+
+def test_wav_golden_header_bytes():
+    """Pin the exact wire layout of a minimal file: 2 samples, mono,
+    16-bit, 8 kHz — byte-for-byte against the spec-derived golden."""
+    import struct as _st
+
+    enc = wav_encode_pcm(np.array([1, -2], dtype=np.int16), 8000)
+    golden = (
+        b"RIFF" + _st.pack("<I", 40) + b"WAVE"
+        + b"fmt " + _st.pack("<I", 16)
+        + _st.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16)
+        + b"data" + _st.pack("<I", 4)
+        + _st.pack("<hh", 1, -2)
+    )
+    assert enc == golden
