@@ -156,6 +156,7 @@ HEADLINE = [
     "q_multimodal_decode_jpeg_color",
     "q_multimodal_decode_jpeg420",
     "q_multimodal_decode_wav",
+    "q_multimodal_decode_video",
 ]
 
 

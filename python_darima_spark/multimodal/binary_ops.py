@@ -16,7 +16,9 @@ segments) and RIFF/WAVE PCM (round 10) are REAL and dependency-free
 (stdlib + numpy, multimodal/codecs.py), so ``decode_media`` /
 ``resize_media`` / ``wav_frame_energy`` run genuinely on
 ``image/png``, ``image/jpeg`` and ``audio/wav`` payloads in this
-container. Other formats (WebP/…, and JPEG features the vendored
+container — and AVI video (uncompressed DIB or MJPG, the latter
+decoding each frame through the vendored JPEG codec) via
+``attach_avi_from_text`` / ``video_frame_sample``. Other formats (WebP/…, and JPEG features the vendored
 decoder refuses — progressive, color) use Pillow WHEN IMPORTABLE;
 declaring them without PIL present refuses at PLAN time — the honest
 capability guard the fake path always had. ``fake=True`` keeps the
@@ -651,4 +653,101 @@ def wav_frame_energy(df: DataFrame, frame_len: int = 32) -> DataFrame:
 
     return df.select("media_id", "payload").mapInPandas(
         frames, AUDIO_FRAMES_SCHEMA
+    )
+
+
+def attach_avi_from_text(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    codec: str = "MJPG",
+    fps: int = 10,
+) -> DataFrame:
+    """Media table with REAL ``video/avi`` payloads: each byte of a
+    doc's utf-8 text becomes one FLAT 8×8 greyscale frame of a genuine
+    AVI file (vendored RIFF container writer, multimodal/codecs.py) —
+    with ``codec="MJPG"`` every frame is itself a real baseline JPEG
+    from the vendored T.81 encoder (the motion-JPEG convention), so the
+    container parse AND the per-frame image decode downstream are both
+    real. Flat frames ride the same DC-exactness window as the image
+    entries: each decodes back to its byte value exactly, keeping the
+    video path SQL-oracle-checkable corpus-wide."""
+    from python_darima_spark.multimodal.codecs import avi_encode
+
+    src = df.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("_raw"),
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, durs = [], []
+            for raw in pdf["_raw"]:
+                b = raw if isinstance(raw, bytes) else bytes(raw)
+                b = b if b else b"\x00"
+                arr = np.frombuffer(b, dtype=np.uint8)
+                frames = np.repeat(arr[:, None, None], 8, 1).repeat(8, 2)
+                payloads.append(avi_encode(frames, fps=fps, codec=codec))
+                durs.append(arr.size / float(fps))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": "video",
+                    "format": "video/avi",
+                    "payload": payloads,
+                    "meta_width": 8,
+                    "meta_height": 8,
+                    "meta_duration_s": durs,
+                }
+            )
+
+    return src.mapInPandas(encode, MEDIA_SCHEMA)
+
+
+VIDEO_FRAMES_SCHEMA = (
+    "media_id long, frame_idx int, src_frame int, n_pixels int, "
+    "frame_mean double"
+)
+
+
+def video_frame_sample(
+    df: DataFrame, every_n: int = 4, max_frames: int = 8
+) -> DataFrame:
+    """REAL video frame sampling — the codec-backed replacement for the
+    byte-offset stub in :func:`frame_sample`: payloads are parsed as
+    AVI by the vendored RIFF walker, frames decoded (MJPG frames
+    through the vendored JPEG decoder), every ``every_n``-th frame kept
+    up to ``max_frames``, and each sampled frame reduced to its pixel
+    count + mean — one Arrow ``mapInPandas`` stage; only the skinny
+    per-frame feature rows ever leave it, payload bytes never shuffle.
+    This is the training-pipeline shape for video at 100 TB: sample on
+    the executors right after decode, ship features not frames."""
+    from python_darima_spark.multimodal.codecs import avi_decode
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mids, idxs, srcs, nps, means = [], [], [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                b = payload if isinstance(payload, bytes) else bytes(payload)
+                frames, _fps = avi_decode(b)
+                keep = np.arange(0, frames.shape[0], every_n)[:max_frames]
+                for k, src in enumerate(keep):
+                    f = frames[src]
+                    mids.append(mid)
+                    idxs.append(k)
+                    srcs.append(int(src))
+                    nps.append(int(f.size))
+                    means.append(round(float(f.mean()), 6))
+            yield pd.DataFrame(
+                {
+                    "media_id": np.array(mids, dtype=np.int64),
+                    "frame_idx": np.array(idxs, dtype=np.int32),
+                    "src_frame": np.array(srcs, dtype=np.int32),
+                    "n_pixels": np.array(nps, dtype=np.int32),
+                    "frame_mean": np.array(means, dtype=np.float64),
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        sample, VIDEO_FRAMES_SCHEMA
     )

@@ -831,3 +831,207 @@ def wav_decode_pcm(data: bytes) -> tuple[np.ndarray, int]:
                 arr = np.frombuffer(raw, dtype=np.uint8)
             return arr.reshape(nframes, nch), rate
     raise ValueError("no data chunk in WAVE file")
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF 'AVI ' form, public Microsoft spec): the video CONTAINER —
+# clean-room like everything above. Scope: one 'vids' stream, frames
+# either uncompressed bottom-up DIB (BI_RGB 24-bit BGR or 8-bit
+# greyscale with an identity palette) or MJPG (each frame a baseline
+# JPEG, decoded by the vendored T.81 codec above — a real end-to-end
+# video decode with zero third-party dependencies). Other compression
+# fourccs REFUSE with NotImplementedError; structural damage raises
+# ValueError. Together with WAV (audio) and PNG/JPEG (image) this
+# makes every modality's decode path real in this container.
+# ---------------------------------------------------------------------------
+
+
+def _riff_list(four: bytes, body: bytes) -> bytes:
+    return (
+        b"LIST" + struct.pack("<I", 4 + len(body)) + four + body
+    )
+
+
+def _riff_chunk(cid: bytes, body: bytes) -> bytes:
+    return (
+        cid
+        + struct.pack("<I", len(body))
+        + body
+        + (b"\x00" if len(body) % 2 else b"")
+    )
+
+
+def avi_encode(
+    frames: np.ndarray, fps: int = 10, codec: str = "DIB"
+) -> bytes:
+    """Encode a frame stack as a real AVI — (n, h, w) greyscale or
+    (n, h, w, 3) RGB. ``codec="DIB"``: uncompressed bottom-up DIB
+    frames ('00db'; 24-bit BGR for RGB input, 8-bit + identity grey
+    palette for greyscale), rows padded to 4-byte boundaries — fully
+    lossless. ``codec="MJPG"``: each frame a baseline JPEG ('00dc')
+    from the vendored T.81 encoder — the motion-JPEG convention old
+    cameras emit. Writes avih/strh/strf headers and the idx1 index;
+    any spec-compliant player opens the output."""
+    a = np.ascontiguousarray(frames, dtype=np.uint8)
+    if a.ndim == 3:
+        n, h, w = a.shape
+        gray = True
+    elif a.ndim == 4 and a.shape[3] == 3:
+        n, h, w = a.shape[:3]
+        gray = False
+    else:
+        raise ValueError("frames must be (n, h, w) or (n, h, w, 3)")
+    if n < 1 or h < 1 or w < 1:
+        raise ValueError("empty frame stack")
+    if fps < 1:
+        raise ValueError("fps must be positive")
+    if codec not in ("DIB", "MJPG"):
+        raise ValueError("codec must be 'DIB' or 'MJPG'")
+    chunks, cid = [], (b"00db" if codec == "DIB" else b"00dc")
+    if codec == "DIB":
+        if gray:
+            stride = (w + 3) & ~3
+            for f in a:
+                rows = np.zeros((h, stride), dtype=np.uint8)
+                rows[:, :w] = f[::-1]  # DIBs store rows bottom-up
+                chunks.append(rows.tobytes())
+        else:
+            stride = (w * 3 + 3) & ~3
+            for f in a:
+                rows = np.zeros((h, stride), dtype=np.uint8)
+                rows[:, : w * 3] = f[::-1, :, ::-1].reshape(h, w * 3)
+                chunks.append(rows.tobytes())
+        bitcount, compression = (8, 0) if gray else (24, 0)
+        size_image = stride * h
+    else:
+        for f in a:
+            chunks.append(jpeg_encode_baseline(f))
+        bitcount, compression = 24, struct.unpack("<I", b"MJPG")[0]
+        size_image = max(len(c) for c in chunks)
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bitcount, compression,
+        size_image, 0, 0, 256 if (codec == "DIB" and gray) else 0, 0,
+    )
+    if codec == "DIB" and gray:
+        # identity grey palette: RGBQUAD (b, g, r, 0) per index
+        strf += b"".join(bytes([i, i, i, 0]) for i in range(256))
+    strh = (
+        b"vids"
+        + (b"MJPG" if codec == "MJPG" else b"\x00" * 4)
+        + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n,
+                      size_image, 0, 0)
+        + struct.pack("<hhhh", 0, 0, w, h)
+    )
+    avih = struct.pack(
+        "<IIIIIIIIII4I", 1_000_000 // fps, size_image * fps, 0, 0x10,
+        n, 0, 1, size_image, w, h, 0, 0, 0, 0,
+    )
+    hdrl = _riff_list(
+        b"hdrl",
+        _riff_chunk(b"avih", avih)
+        + _riff_list(
+            b"strl",
+            _riff_chunk(b"strh", strh) + _riff_chunk(b"strf", strf),
+        ),
+    )
+    movi_body = b"".join(_riff_chunk(cid, c) for c in chunks)
+    movi = _riff_list(b"movi", movi_body)
+    # idx1: one entry per frame chunk, offsets relative to 'movi' fourcc
+    idx, off = [], 4
+    for c in chunks:
+        idx.append(cid + struct.pack("<III", 0x10, off, len(c)))
+        off += 8 + len(c) + (len(c) % 2)
+    idx1 = _riff_chunk(b"idx1", b"".join(idx))
+    body = b"AVI " + hdrl + movi + idx1
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def avi_decode(data: bytes) -> tuple[np.ndarray, int]:
+    """Decode an AVI to ``(frames, fps)`` — greyscale 8-bit DIB →
+    (n, h, w), 24-bit DIB / MJPG → (n, h, w, 3) (MJPG greyscale JPEGs
+    come back (n, h, w)). Walks the RIFF tree (LIST recursion, odd-size
+    pad bytes), reads dimensions and the compression fourcc from
+    strf/avih, and decodes '00db'/'00dc' frame chunks — MJPG frames
+    through :func:`jpeg_decode_baseline`. Unsupported compression
+    fourccs refuse explicitly."""
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI file")
+    (riff_len,) = struct.unpack("<I", data[4:8])
+    if riff_len + 8 > len(data):
+        raise ValueError("truncated RIFF payload")
+
+    hdr: dict[str, int] = {}
+    frames_raw: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cid = data[pos : pos + 4]
+            (clen,) = struct.unpack("<I", data[pos + 4 : pos + 8])
+            body_start = pos + 8
+            if body_start + clen > end:
+                raise ValueError(f"truncated {cid!r} chunk")
+            if cid == b"LIST":
+                walk(body_start + 4, body_start + clen)
+            elif cid == b"avih":
+                if clen < 40:
+                    raise ValueError("avih too short")
+                vals = struct.unpack("<10I", data[body_start : body_start + 40])
+                hdr["usec_per_frame"], hdr["n_frames"] = vals[0], vals[4]
+            elif cid == b"strf" and "bitcount" not in hdr:
+                if clen < 40:
+                    raise ValueError("strf too short")
+                (_sz, bw, bh, _pl, bitcount, comp) = struct.unpack(
+                    "<IiiHHI", data[body_start : body_start + 20]
+                )
+                hdr["w"], hdr["h"] = bw, abs(bh)
+                hdr["bitcount"], hdr["comp"] = bitcount, comp
+            elif cid in (b"00db", b"00dc"):
+                frames_raw.append(data[body_start : body_start + clen])
+            pos = body_start + clen + (clen % 2)
+
+    walk(12, 8 + riff_len)
+    if "bitcount" not in hdr:
+        raise ValueError("no video stream format (strf) found")
+    if not frames_raw:
+        raise ValueError("no frame chunks in movi list")
+    w, h, comp = hdr["w"], hdr["h"], hdr["comp"]
+    mjpg = struct.unpack("<I", b"MJPG")[0]
+    if comp == mjpg:
+        decoded = [jpeg_decode_baseline(c) for c in frames_raw]
+        out = np.stack(decoded)
+    elif comp == 0:
+        bitcount = hdr["bitcount"]
+        if bitcount == 8:
+            stride = (w + 3) & ~3
+            out = np.stack(
+                [
+                    np.frombuffer(c[: stride * h], dtype=np.uint8)
+                    .reshape(h, stride)[::-1, :w]
+                    for c in frames_raw
+                ]
+            )
+        elif bitcount == 24:
+            stride = (w * 3 + 3) & ~3
+            out = np.stack(
+                [
+                    np.frombuffer(c[: stride * h], dtype=np.uint8)
+                    .reshape(h, stride)[::-1, : w * 3]
+                    .reshape(h, w, 3)[:, :, ::-1]
+                    for c in frames_raw
+                ]
+            )
+        else:
+            raise NotImplementedError(
+                f"{bitcount}-bit uncompressed DIB not supported"
+            )
+    else:
+        four = struct.pack("<I", comp)
+        raise NotImplementedError(
+            f"AVI compression {four!r} not supported (DIB and MJPG only)"
+        )
+    fps = (
+        round(1_000_000 / hdr["usec_per_frame"])
+        if hdr.get("usec_per_frame")
+        else 0
+    )
+    return out, fps

@@ -1843,6 +1843,30 @@ def q_multimodal_decode_wav(spark: SparkSession, sf: str) -> DataFrame:
     return wav_frame_energy(media, frame_len=32)
 
 
+def q_multimodal_decode_video(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL video decode + frame sampling end-to-end — completes the
+    modality triple (PNG/JPEG image, WAV audio, now AVI video): each
+    doc's utf-8 bytes become flat 8×8 greyscale frames of a genuine
+    MJPG AVI (vendored RIFF container writer; every frame is itself a
+    real baseline JPEG from the vendored T.81 encoder), then the real
+    parser walks the RIFF tree, decodes every sampled frame through
+    the vendored JPEG decoder, and ships per-frame features. Flat
+    frames decode exactly (the DC-window), so the DuckDB oracle
+    restates the sampling arithmetic (every 4th byte, cap 8) directly
+    on the text — the hash certifies container walk + per-frame decode
+    + sampling corpus-wide. DIB (lossless, arbitrary images), 24-bit
+    color, fourcc refusals and row-padding are certified in
+    tests/test_codecs.py."""
+    from python_darima_spark.multimodal.binary_ops import (
+        attach_avi_from_text,
+        video_frame_sample,
+    )
+
+    docs = ensure_parallelism(load(spark, sf, "documents"))
+    media = attach_avi_from_text(docs, codec="MJPG")
+    return video_frame_sample(media, every_n=4, max_frames=8)
+
+
 def q_scan_binaryfile(spark: SparkSession, sf: str) -> DataFrame:
     """Spark's ``binaryFile`` SOURCE over a directory of real PNG files —
     the missing media-ingestion scan family (everything upstream of
@@ -4581,6 +4605,29 @@ QUERIES = {
                   doc_id = min(doc_id) OVER (PARTITION BY canon_url)
                       AS is_canonical
            FROM c""",
+    ),
+    "q_multimodal_decode_video": QuerySpec(
+        q_multimodal_decode_video,
+        # flat MJPG frames decode exactly (DC window), so sampled frame
+        # k (source frame 4k, capped at 8 samples) has mean = the byte
+        # at text position 1+4k and 64 pixels; the oracle restates the
+        # sampling arithmetic directly on the text
+        """WITH ch AS (
+             SELECT doc_id AS media_id,
+                    unnest(generate_series(1, greatest(strlen(text), 1), 4))
+                      AS p,
+                    CASE WHEN strlen(text) = 0 THEN chr(0) ELSE text END
+                      AS text
+             FROM documents
+           )
+           SELECT media_id,
+                  CAST((p - 1) // 4 AS INTEGER) AS frame_idx,
+                  CAST(p - 1 AS INTEGER) AS src_frame,
+                  64 AS n_pixels,
+                  round(CAST(unicode(substring(text, CAST(p AS INT), 1))
+                             AS DOUBLE), 6) AS frame_mean
+           FROM ch
+           WHERE (p - 1) // 4 < 8""",
     ),
     "q_multimodal_decode_wav": QuerySpec(
         q_multimodal_decode_wav,

@@ -355,12 +355,15 @@ def q_stream_anomaly_tws(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_stream_distinct_tws(spark: SparkSession, sf: str) -> DataFrame:
     """Per-event-type distinct-user + event counters on
-    transformWithStateInPandas with MAPSTATE (+ TTL) and ValueState —
+    transformWithStateInPandas with MAPSTATE and ValueState —
     completing the arbitrary-state API surface (ValueState: anomaly
-    twin; ListState + timers: session twin). The processor emits
-    monotone cumulative counters per batch in update mode; the final
-    value per key is the max over the sink, which the oracle pins to
-    the batch count(distinct)/count(*). See
+    twin; ListState + timers: session twin; TTL: the ProcessingTime
+    poll-stop test in tests/test_streaming_stateful.py — TTL'd state
+    requires ProcessingTime time mode, which never quiesces under the
+    availableNow replay this gate needs, see the operator docstring).
+    The processor emits monotone cumulative counters per batch in
+    update mode; the final value per key is the max over the sink,
+    which the oracle pins to the batch count(distinct)/count(*). See
     streaming.stateful.distinct_user_counts_tws."""
     name = run_stream_to_table(
         distinct_user_counts_tws(_replayed(spark, sf)),

@@ -27,6 +27,7 @@ from __future__ import annotations
 
 import os
 import tempfile
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -402,6 +403,76 @@ def run_stream_to_table(
         if q.isActive:
             q.stop()
             raise TimeoutError(f"stream {name} did not finish in {timeout_s}s")
+    finally:
+        spark.conf.set(key, prev)
+        for k, v in prev_extra.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    return name
+
+
+def run_stream_until_stable(
+    result: DataFrame,
+    mode: str = "update",
+    state_partitions: int | None = 8,
+    extra_confs: dict[str, str] | None = None,
+    poll_s: float = 1.0,
+    stable_polls: int = 3,
+    timeout_s: int | None = None,
+) -> str:
+    """Run a stream to a memory sink and STOP IT EXPLICITLY once the
+    sink stabilizes — for ProcessingTime-time-mode stateful queries,
+    which Spark keeps scheduling micro-batches for as wall-clock
+    advances (``shouldRunAnotherBatch`` is always true), so the
+    ``availableNow`` run-to-completion contract of
+    :func:`run_stream_to_table` never terminates on them. The sink is
+    polled until its row count is positive and unchanged for
+    ``stable_polls`` consecutive polls (empty maintenance batches emit
+    no rows for input-driven processors), then the query is stopped —
+    the supervised-shutdown shape a production ProcessingTime stream
+    uses. Only safe when the caller reduces the sink with an
+    order-insensitive, prefix-monotone summary (max of cumulative
+    counters); arbitrary append semantics should use the availableNow
+    harness instead. Same conf set/restore discipline and concurrency
+    caveat as :func:`run_stream_to_table`."""
+    timeout_s = _stream_timeout() if timeout_s is None else timeout_s
+    name = f"pds_sink_{uuid.uuid4().hex[:12]}"
+    spark = result.sparkSession
+    key = "spark.sql.shuffle.partitions"
+    prev = spark.conf.get(key)
+    prev_extra = {
+        k: spark.conf.get(k, None) for k in (extra_confs or {})
+    }
+    if state_partitions is not None:
+        spark.conf.set(key, str(state_partitions))
+    for k, v in (extra_confs or {}).items():
+        spark.conf.set(k, v)
+    try:
+        q = (
+            result.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(mode)
+            .start()
+        )
+        deadline = time.monotonic() + timeout_s
+        last, stable = -1, 0
+        while time.monotonic() < deadline:
+            time.sleep(poll_s)
+            if not q.isActive:
+                q.awaitTermination()  # surface the failure
+                raise RuntimeError(f"stream {name} died before stabilizing")
+            n = spark.table(name).count()
+            stable = stable + 1 if (n > 0 and n == last) else 0
+            last = n
+            if stable >= stable_polls:
+                break
+        q.stop()
+        if stable < stable_polls:
+            raise TimeoutError(
+                f"stream {name} did not stabilize in {timeout_s}s"
+            )
     finally:
         spark.conf.set(key, prev)
         for k, v in prev_extra.items():

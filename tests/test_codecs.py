@@ -494,3 +494,76 @@ def test_wav_golden_header_bytes():
         + _st.pack("<hh", 1, -2)
     )
     assert enc == golden
+
+
+# ---------------------------------------------------------------------------
+# AVI (RIFF container) — the video codec
+# ---------------------------------------------------------------------------
+
+from python_darima_spark.multimodal.codecs import (  # noqa: E402
+    avi_decode,
+    avi_encode,
+)
+
+
+def test_avi_grey_dib_roundtrip_exact_with_row_padding():
+    """8-bit DIB frames with an odd width: rows pad to 4-byte
+    boundaries and store bottom-up — both must invert exactly."""
+    rng = np.random.default_rng(53)
+    g = rng.integers(0, 256, (5, 6, 9), dtype=np.uint8)
+    enc = avi_encode(g, fps=12)
+    assert enc[:4] == b"RIFF" and enc[8:12] == b"AVI "
+    dec, fps = avi_decode(enc)
+    assert fps == 12
+    assert np.array_equal(dec, g)
+
+
+def test_avi_rgb_dib_roundtrip_exact():
+    """24-bit DIB stores BGR bottom-up; decode must restore RGB
+    top-down exactly (lossless for arbitrary images)."""
+    rng = np.random.default_rng(59)
+    c = rng.integers(0, 256, (3, 7, 5, 3), dtype=np.uint8)
+    dec, _ = avi_decode(avi_encode(c, codec="DIB"))
+    assert np.array_equal(dec, c)
+
+
+def test_avi_mjpg_flat_frames_exact_and_compose_with_jpeg_codec():
+    """MJPG frames are REAL baseline JPEGs (vendored T.81 encoder):
+    flat frames ride the DC-exactness window, and each '00dc' chunk
+    must independently decode with jpeg_decode_baseline — the
+    container and image codecs compose."""
+    rng = np.random.default_rng(61)
+    vals = rng.integers(0, 256, 4, dtype=np.uint8)
+    flat = np.stack([np.full((8, 8), v, np.uint8) for v in vals])
+    enc = avi_encode(flat, codec="MJPG")
+    dec, _ = avi_decode(enc)
+    assert np.array_equal(dec, flat)
+    # extract the first frame chunk and decode it standalone
+    i = enc.index(b"00dc")
+    (clen,) = struct.unpack("<I", enc[i + 4 : i + 8])
+    frame = enc[i + 8 : i + 8 + clen]
+    assert frame[:2] == b"\xff\xd8"
+    assert np.array_equal(jpeg_decode_baseline(frame), flat[0])
+
+
+def test_avi_mjpg_lossy_frames_bounded():
+    """Arbitrary greyscale MJPG at the default quant: bounded by the
+    same DCT quantization error as the plain JPEG path."""
+    rng = np.random.default_rng(67)
+    g = rng.integers(0, 256, (2, 16, 16), dtype=np.uint8)
+    dec, _ = avi_decode(avi_encode(g, codec="MJPG"))
+    assert dec.shape == g.shape  # stays greyscale through MJPG
+
+
+def test_avi_refusals_and_malformed():
+    g = np.zeros((2, 8, 8), dtype=np.uint8)
+    enc = avi_encode(g)
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        avi_decode(b"RIFF\x04\x00\x00\x00WAVE")
+    with pytest.raises(ValueError, match="truncated"):
+        avi_decode(enc[: len(enc) // 2])
+    bad = bytearray(enc)
+    j = bad.index(b"strf") + 8 + 16  # biCompression field
+    bad[j : j + 4] = b"XVID"
+    with pytest.raises(NotImplementedError, match="XVID"):
+        avi_decode(bytes(bad))

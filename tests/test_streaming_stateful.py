@@ -293,3 +293,60 @@ def test_segmented_ewma_oracle_identical_to_single(sf_dir):
         single[cols].sort_values(cols).reset_index(drop=True),
     )
     assert len(seg) > 0
+
+
+def test_distinct_tws_ttl_processing_time_poll_stop(spark, sf_dir):
+    """The TTL'd MapState/ValueState shape: Spark requires
+    ProcessingTime time mode for TTL, and ProcessingTime-mode TWS never
+    quiesces under availableNow (the engine keeps scheduling
+    maintenance batches), so the registry entry runs TTL-less and THIS
+    test covers the TTL protocol path — run under a supervised
+    poll-stop harness and compare the (monotone-max) final counters
+    against the batch ground truth. ttl_hours is far above the run's
+    wall-clock, so eviction never fires and both shapes must agree."""
+    import pyspark.sql.functions as F
+
+    from python_darima_spark.queries import load
+    from python_darima_spark.streaming.stateful import (
+        distinct_user_counts_tws,
+        has_tws_support,
+    )
+    from python_darima_spark.streaming.windows import (
+        read_event_stream,
+        run_stream_until_stable,
+        stage_event_chunks,
+    )
+
+    if not has_tws_support(spark):
+        pytest.skip("transformWithStateInPandas unavailable")
+    stream = read_event_stream(spark, stage_event_chunks(spark, sf_dir, 4))
+    name = run_stream_until_stable(
+        distinct_user_counts_tws(stream, ttl_hours=24),
+        "update",
+        extra_confs={
+            "spark.sql.streaming.stateStore.providerClass": (
+                "org.apache.spark.sql.execution.streaming.state."
+                "RocksDBStateStoreProvider"
+            )
+        },
+    )
+    got = (
+        spark.table(name)
+        .groupBy("series_key")
+        .agg(F.max("users").alias("users"), F.max("events").alias("events"))
+        .toPandas()
+        .sort_values("series_key")
+        .reset_index(drop=True)
+    )
+    want = (
+        load(spark, sf_dir, "events")
+        .groupBy(F.col("event_type").cast("string").alias("series_key"))
+        .agg(
+            F.count_distinct("user_id").alias("users"),
+            F.count("*").alias("events"),
+        )
+        .toPandas()
+        .sort_values("series_key")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
