@@ -157,6 +157,7 @@ HEADLINE = [
     "q_multimodal_decode_jpeg420",
     "q_multimodal_decode_wav",
     "q_multimodal_decode_video",
+    "q_multimodal_decode_jpeg_prog",
 ]
 
 

@@ -18,8 +18,9 @@ segments) and RIFF/WAVE PCM (round 10) are REAL and dependency-free
 ``image/png``, ``image/jpeg`` and ``audio/wav`` payloads in this
 container — and AVI video (uncompressed DIB or MJPG, the latter
 decoding each frame through the vendored JPEG codec) via
-``attach_avi_from_text`` / ``video_frame_sample``. Other formats (WebP/…, and JPEG features the vendored
-decoder refuses — progressive, color) use Pillow WHEN IMPORTABLE;
+``attach_avi_from_text`` / ``video_frame_sample``. Other formats (WebP/…, and the narrow JPEG features the
+vendored decoders still refuse — e.g. 12-bit) use Pillow WHEN
+IMPORTABLE;
 declaring them without PIL present refuses at PLAN time — the honest
 capability guard the fake path always had. ``fake=True`` keeps the
 deterministic byte-histogram stand-in used by the hash-checked oracles.
@@ -56,12 +57,10 @@ def _decode_image(payload: bytes, fmt: str) -> np.ndarray:
 
         return png_decode(payload)
     if fmt == "image/jpeg":
-        from python_darima_spark.multimodal.codecs import (
-            jpeg_decode_baseline,
-        )
+        from python_darima_spark.multimodal.codecs import jpeg_decode
 
         try:
-            return jpeg_decode_baseline(payload)
+            return jpeg_decode(payload)  # dispatches SOF0/SOF2
         except NotImplementedError:
             if not _HAS_PIL:
                 raise
@@ -230,7 +229,10 @@ def attach_png_from_text(
 
 
 def attach_jpeg_from_text(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    progressive: bool = False,
 ) -> DataFrame:
     """Media table with REAL ``image/jpeg`` payloads: each byte of a
     doc's utf-8 text becomes one FLAT 8×8 block of a greyscale baseline
@@ -242,7 +244,16 @@ def attach_jpeg_from_text(
     block's value EXACTLY — each text byte comes back 64 times, which
     keeps the real-decode stage SQL-oracle-checkable corpus-wide (the
     lossy AC paths are certified separately in tests/test_codecs.py)."""
-    from python_darima_spark.multimodal.codecs import jpeg_encode_baseline
+    from python_darima_spark.multimodal.codecs import (
+        jpeg_encode_baseline,
+        jpeg_encode_progressive,
+    )
+
+    enc_fn = (
+        (lambda a: jpeg_encode_progressive(a, dc_al=1, ac_al=1))
+        if progressive
+        else jpeg_encode_baseline
+    )
 
     src = df.select(
         F.col(id_col).alias("media_id"),
@@ -257,7 +268,7 @@ def attach_jpeg_from_text(
                 b = b if b else b"\x00"
                 arr = np.frombuffer(b, dtype=np.uint8)
                 img = np.repeat(np.repeat(arr[None, :], 8, 0), 8, 1)
-                payloads.append(jpeg_encode_baseline(img))
+                payloads.append(enc_fn(img))
                 widths.append(img.shape[1])
             yield pd.DataFrame(
                 {

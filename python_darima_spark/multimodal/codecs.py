@@ -162,10 +162,11 @@ def png_decode(data: bytes) -> np.ndarray:
 # stuffing), shares no code with libjpeg/Pillow. Scope is the honest
 # subset the engine needs and tests: sequential baseline, 1 or 3
 # components, 4:4:4 or subsampled interleave with integer upsampling
-# ratios (covers 4:2:0/4:2:2/4:4:0), restart intervals (DRI/RSTn)
-# (progressive SOF2, fractional-ratio sampling and 12-bit precision
-# REFUSE with explicit errors — the plan-time-honesty rule from
-# binary_ops). The encoder exists to make the decode
+# ratios (covers 4:2:0/4:2:2/4:4:0), restart intervals (DRI/RSTn);
+# progressive SOF2 lives in jpeg_encode/decode_progressive below
+# (fractional-ratio sampling and 12-bit precision REFUSE with explicit
+# errors — the plan-time-honesty rule from binary_ops). The encoder
+# exists to make the decode
 # path corpus-testable offline (this container has no image fixtures);
 # both halves speak the real format: the encoder's output is a valid
 # JFIF file any decoder opens, and the decoder reads its huffman tables
@@ -213,6 +214,16 @@ _DC_VALS = list(range(12))
 _AC_BITS = [0, 0, 0, 0, 0, 0, 0, 162, 0, 0, 0, 0, 0, 0, 0, 0]
 _AC_VALS = [0x00, 0xF0] + sorted(
     (r << 4) | s for r in range(16) for s in range(1, 11)
+)
+
+# progressive AC table: the baseline symbols plus the EOBn run-length
+# symbols (r<<4 for r=1..14, T.81 G.1.2.2) that only progressive scans
+# emit — 176 symbols, still leaving the all-ones code unused
+_AC_BITS_PROG = [0, 0, 0, 0, 0, 0, 0, 176, 0, 0, 0, 0, 0, 0, 0, 0]
+_AC_VALS_PROG = sorted(
+    [0x00, 0xF0]
+    + [r << 4 for r in range(1, 15)]
+    + [(r << 4) | s for r in range(16) for s in range(1, 11)]
 )
 
 
@@ -1035,3 +1046,530 @@ def avi_decode(data: bytes) -> tuple[np.ndarray, int]:
         else 0
     )
     return out, fps
+
+
+# ---------------------------------------------------------------------------
+# Progressive JPEG (ITU-T T.81 SOF2, public spec, clean-room like the
+# baseline path): spectral selection + successive approximation, the
+# full huffman-coded progressive feature set — DC first/refine scans,
+# per-component AC band scans with EOB-run coding (G.1.2.2), and AC
+# refinement scans with embedded correction bits (G.1.2.3/G.2.2).
+# Both halves are vendored: the encoder exists so the decoder's
+# progressive machinery is testable offline, and correctness is pinned
+# by the strongest available oracle — a progressive stream transmits
+# EXACTLY the same quantized coefficients as the sequential encoding
+# of the same image, so both decodes must agree bit-for-bit.
+# Greyscale or 3-component 4:4:4 (subsampling stays a sequential-path
+# feature; progressive+subsampled refuses explicitly).
+# ---------------------------------------------------------------------------
+
+
+def _pt(v: int, al: int) -> int:
+    """T.81 point transform for AC coefficients: divide by 2^Al
+    truncating toward zero (sign-preserving), G.1.2.1."""
+    return -((-v) >> al) if v < 0 else v >> al
+
+
+def _quantized_blocks(plane: np.ndarray, q: np.ndarray) -> list[np.ndarray]:
+    """FDCT + quantize every 8×8 block of an edge-padded plane; returns
+    zigzag-order int64 arrays in row-major block order."""
+    h8, w8 = plane.shape[0] // 8, plane.shape[1] // 8
+    out = []
+    for by in range(h8):
+        for bx in range(w8):
+            blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            s = _DCT @ (blk.astype(np.float64) - 128.0) @ _DCT.T
+            coef = np.round(s / q).astype(np.int64)
+            out.append(coef[_ZZ_ROWS, _ZZ_COLS])
+    return out
+
+
+def _emit_amplitude(bw: _BitWriter, v: int) -> None:
+    size = abs(v).bit_length()
+    bw.put(v if v > 0 else v + (1 << size) - 1, size)
+
+
+def _flush_eobrun(bw: _BitWriter, eobrun: int, ac_code, pending_bits) -> int:
+    """Emit the EOBn symbol for an accumulated EOB run (plus its extra
+    bits), then any pending refinement correction bits (G.1.2.3)."""
+    if eobrun > 0:
+        r = eobrun.bit_length() - 1
+        bw.put(*ac_code[r << 4])
+        if r:
+            bw.put(eobrun - (1 << r), r)
+        for bit in pending_bits:
+            bw.put(bit, 1)
+        pending_bits.clear()
+    return 0
+
+
+def jpeg_encode_progressive(
+    arr: np.ndarray,
+    quant: np.ndarray | None = None,
+    bands: tuple[tuple[int, int], ...] = ((1, 5), (6, 63)),
+    dc_al: int = 1,
+    ac_al: int = 1,
+) -> bytes:
+    """Encode a uint8 array as a real PROGRESSIVE JFIF JPEG (SOF2) —
+    (h, w) greyscale or (h, w, 3) RGB 4:4:4. Scan script: interleaved
+    DC first scan at ``Al=dc_al`` + one DC refinement scan per level,
+    then per-component AC first scans for each spectral ``band`` at
+    ``Al=ac_al`` + AC refinement scans per level — i.e. both
+    progressive mechanisms (spectral selection AND successive
+    approximation) with EOB-run coding throughout. The stream
+    transmits exactly the sequential encoder's quantized coefficients,
+    which is what the round-trip tests pin."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 3 and a.shape[2] == 3:
+        h, w = a.shape[:2]
+        planes = _rgb_to_ycbcr(a)
+    elif a.ndim == 2:
+        h, w = a.shape
+        planes = [a]
+    else:
+        raise ValueError(
+            "progressive JPEG codec: greyscale (h, w) or RGB (h, w, 3) only"
+        )
+    if h < 1 or w < 1:
+        raise ValueError("empty image")
+    if dc_al < 0 or ac_al < 0 or dc_al > 13 or ac_al > 13:
+        raise ValueError("successive-approximation Al out of range")
+    lo = 1
+    for ss, se in bands:
+        if ss != lo or se < ss or se > 63:
+            raise ValueError("bands must partition 1..63 in order")
+        lo = se + 1
+    if lo != 64:
+        raise ValueError("bands must cover 1..63 completely")
+    q = _default_quant() if quant is None else np.asarray(quant, dtype=np.int64)
+    if q.shape != (8, 8) or (q < 1).any() or (q > 255).any():
+        raise ValueError("quant table must be 8x8 with entries in 1..255")
+    pads = [
+        np.pad(p, ((0, -h % 8), (0, -w % 8)), mode="edge") for p in planes
+    ]
+    comps = [_quantized_blocks(p, q) for p in pads]
+    n_blocks = len(comps[0])
+    dc_code = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_code = _huff_codes(_AC_BITS_PROG, _AC_VALS_PROG)
+    ncomp = len(comps)
+
+    def sos(comp_ids, ss, se, ah, al) -> bytes:
+        body = bytes([len(comp_ids)])
+        for cid in comp_ids:
+            body += bytes([cid + 1, 0x00 if ss == 0 else 0x10])
+        return _seg(0xDA, body + bytes([ss, se, (ah << 4) | al]))
+
+    scans: list[bytes] = []
+
+    # --- DC first scan (interleaved, Ah=0, Al=dc_al) ---
+    bw = _BitWriter()
+    preds = [0] * ncomp
+    for b in range(n_blocks):
+        for ci in range(ncomp):
+            v = int(comps[ci][b][0]) >> dc_al  # DC point transform
+            diff = v - preds[ci]
+            preds[ci] = v
+            size = abs(diff).bit_length()
+            bw.put(*dc_code[size])
+            if size:
+                _emit_amplitude(bw, diff)
+    scans.append(sos(list(range(ncomp)), 0, 0, 0, dc_al) + bw.flush())
+    # --- DC refinement scans: one raw bit per block per level ---
+    for al in range(dc_al - 1, -1, -1):
+        bw = _BitWriter()
+        for b in range(n_blocks):
+            for ci in range(ncomp):
+                bw.put((int(comps[ci][b][0]) >> al) & 1, 1)
+        scans.append(sos(list(range(ncomp)), 0, 0, al + 1, al) + bw.flush())
+
+    # --- AC scans: per component, per band ---
+    for ci in range(ncomp):
+        blocks = comps[ci]
+        for ss, se in bands:
+            # first scan at Al=ac_al (G.1.2.2 with EOB runs)
+            bw = _BitWriter()
+            eobrun = 0
+            for b in range(n_blocks):
+                band = [_pt(int(blocks[b][k]), ac_al) for k in range(ss, se + 1)]
+                nz = [i for i, v in enumerate(band) if v != 0]
+                if not nz:
+                    eobrun += 1
+                    if eobrun == 32767:
+                        eobrun = _flush_eobrun(bw, eobrun, ac_code, [])
+                    continue
+                eobrun = _flush_eobrun(bw, eobrun, ac_code, [])
+                run = 0
+                for i in range(nz[-1] + 1):
+                    v = band[i]
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run > 15:
+                        bw.put(*ac_code[0xF0])
+                        run -= 16
+                    size = abs(v).bit_length()
+                    bw.put(*ac_code[(run << 4) | size])
+                    _emit_amplitude(bw, v)
+                    run = 0
+                if nz[-1] + 1 <= se - ss:  # trailing zeros → EOB
+                    eobrun += 1
+            _flush_eobrun(bw, eobrun, ac_code, [])
+            scans.append(sos([ci], ss, se, 0, ac_al) + bw.flush())
+            # refinement scans per level (G.1.2.3)
+            for al in range(ac_al - 1, -1, -1):
+                bw = _BitWriter()
+                eobrun = 0
+                pending: list[int] = []
+                for b in range(n_blocks):
+                    coefs = [int(blocks[b][k]) for k in range(ss, se + 1)]
+                    hist = [_pt(v, al + 1) for v in coefs]
+                    now = [_pt(v, al) for v in coefs]
+                    newly = [
+                        i
+                        for i in range(len(coefs))
+                        if hist[i] == 0 and now[i] != 0
+                    ]
+                    if not newly:
+                        # EOB-run block: its correction bits queue up
+                        # behind the next EOBn flush
+                        eobrun += 1
+                        pending.extend(
+                            abs(now[i]) & 1
+                            for i in range(len(coefs))
+                            if hist[i] != 0
+                        )
+                        if eobrun == 32767:
+                            eobrun = _flush_eobrun(
+                                bw, eobrun, ac_code, pending
+                            )
+                        continue
+                    eobrun = _flush_eobrun(bw, eobrun, ac_code, pending)
+                    run = 0  # counts zero-HISTORY, still-zero positions
+                    skipped_corrections: list[int] = []
+                    for i in range(newly[-1] + 1):
+                        if hist[i] != 0:
+                            skipped_corrections.append(abs(now[i]) & 1)
+                            continue
+                        if now[i] == 0:
+                            run += 1
+                            if run == 16:
+                                bw.put(*ac_code[0xF0])  # ZRL
+                                for bit in skipped_corrections:
+                                    bw.put(bit, 1)
+                                skipped_corrections = []
+                                run = 0
+                            continue
+                        # newly significant: must be ±1 at this level
+                        bw.put(*ac_code[(run << 4) | 1])
+                        bw.put(1 if now[i] > 0 else 0, 1)
+                        for bit in skipped_corrections:
+                            bw.put(bit, 1)
+                        skipped_corrections = []
+                        run = 0
+                    # trailing corrections after the last newly-significant
+                    # coefficient ride the block's EOB
+                    tail_bits = [
+                        abs(now[i]) & 1
+                        for i in range(newly[-1] + 1, len(coefs))
+                        if hist[i] != 0
+                    ]
+                    if newly[-1] + 1 <= se - ss or tail_bits:
+                        eobrun += 1
+                        pending.extend(tail_bits)
+                _flush_eobrun(bw, eobrun, ac_code, pending)
+                scans.append(sos([ci], ss, se, al + 1, al) + bw.flush())
+
+    zz_q = q[_ZZ_ROWS, _ZZ_COLS]
+    sof_comps = b"".join(bytes([ci + 1, 0x11, 0]) for ci in range(ncomp))
+    return (
+        JPEG_SOI
+        + _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+        + _seg(0xDB, bytes([0x00]) + bytes(int(x) for x in zz_q))
+        + _seg(0xC2, struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps)
+        + _seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
+        + _seg(
+            0xC4, bytes([0x10]) + bytes(_AC_BITS_PROG) + bytes(_AC_VALS_PROG)
+        )
+        + b"".join(scans)
+        + b"\xff\xd9"
+    )
+
+
+def jpeg_decode_progressive(data: bytes) -> np.ndarray:
+    """Decode a progressive (SOF2) JPEG — greyscale → (h, w),
+    3-component 4:4:4 → RGB (h, w, 3). Accumulates quantized
+    coefficients scan by scan (DC first/refine, AC band first scans
+    with EOB runs per G.2.2, AC refinement scans with embedded
+    correction bits), then dequantizes + IDCTs once at the end — so a
+    progressive stream decodes bit-identically to the sequential
+    encoding of the same coefficients. Subsampled or restart-segmented
+    progressive streams refuse explicitly (sequential covers both)."""
+    if data[:2] != JPEG_SOI:
+        raise ValueError("not a JPEG (bad SOI)")
+    pos = 2
+    qtabs: dict[int, np.ndarray] = {}
+    hdec: dict[tuple[int, int], object] = {}
+    sof = None
+    comps: list[tuple[int, int]] = []  # (component id, quant tbl) in SOF order
+    coefs: list[list[np.ndarray]] = []  # per comp, per block, zz int64
+    n_blocks = 0
+    while True:
+        if pos + 2 > len(data):
+            raise ValueError("truncated JPEG (no EOI)")
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        pos += 2
+        if marker == 0xD9:  # EOI
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            continue
+        (ln,) = struct.unpack(">H", data[pos : pos + 2])
+        body = data[pos + 2 : pos + ln]
+        if len(body) != ln - 2:
+            raise ValueError("truncated marker segment")
+        pos += ln
+        if marker == 0xDB:
+            i = 0
+            while i < len(body):
+                pq, tq = body[i] >> 4, body[i] & 0xF
+                if pq != 0:
+                    raise NotImplementedError("16-bit quant tables")
+                t = np.zeros((8, 8), dtype=np.int64)
+                t[_ZZ_ROWS, _ZZ_COLS] = np.frombuffer(
+                    body[i + 1 : i + 65], dtype=np.uint8
+                ).astype(np.int64)
+                qtabs[tq] = t
+                i += 65
+        elif marker == 0xC4:
+            i = 0
+            while i < len(body):
+                tc, th = body[i] >> 4, body[i] & 0xF
+                bits = list(body[i + 1 : i + 17])
+                n = sum(bits)
+                hdec[(tc, th)] = _huff_decoder(
+                    bits, list(body[i + 17 : i + 17 + n])
+                )
+                i += 17 + n
+        elif marker == 0xC2:  # SOF2 progressive
+            prec, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if prec != 8:
+                raise NotImplementedError(f"{prec}-bit precision")
+            if ncomp not in (1, 3):
+                raise NotImplementedError(
+                    f"{ncomp}-component JPEG (1 or 3 supported)"
+                )
+            for ci in range(ncomp):
+                cid, samp, tq = body[6 + 3 * ci : 9 + 3 * ci]
+                if samp != 0x11:
+                    raise NotImplementedError(
+                        "subsampled progressive JPEG (4:4:4 only; "
+                        "subsampling is supported on the sequential path)"
+                    )
+                comps.append((cid, tq))
+            sof = (h, w)
+            n_blocks = (-(-h // 8)) * (-(-w // 8))
+            coefs = [
+                [np.zeros(64, dtype=np.int64) for _ in range(n_blocks)]
+                for _ in range(ncomp)
+            ]
+        elif marker == 0xC0:
+            raise ValueError(
+                "baseline SOF0 in progressive decoder — use "
+                "jpeg_decode_baseline (jpeg_decode dispatches)"
+            )
+        elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(f"SOF{marker - 0xC0}")
+        elif marker == 0xDD:
+            raise NotImplementedError(
+                "restart intervals in progressive streams (sequential "
+                "path supports DRI/RSTn)"
+            )
+        elif marker == 0xDA:  # one scan of the progression
+            if sof is None:
+                raise ValueError("SOS before SOF2")
+            ns = body[0]
+            scan_comps = []  # (component index in SOF order, td, ta)
+            by_id = {cid: i for i, (cid, _tq) in enumerate(comps)}
+            for si in range(ns):
+                cs, tda = body[1 + 2 * si : 3 + 2 * si]
+                if cs not in by_id:
+                    raise ValueError(f"scan selects unknown component {cs}")
+                scan_comps.append((by_id[cs], tda >> 4, tda & 0xF))
+            ss, se, ahl = body[1 + 2 * ns : 4 + 2 * ns]
+            ah, al = ahl >> 4, ahl & 0xF
+            br = _BitReader(data, pos)
+            if ss == 0:  # DC scan (interleaved over scan components)
+                if se != 0:
+                    raise ValueError("DC scan must have Se=0")
+                if ah == 0:
+                    preds = [0] * len(scan_comps)
+                    for b in range(n_blocks):
+                        for si, (ci, td, _ta) in enumerate(scan_comps):
+                            dc = hdec.get((0, td))
+                            if dc is None:
+                                raise ValueError("missing DC huffman table")
+                            size = dc(br)
+                            if size:
+                                preds[si] += _extend(br.bits(size), size)
+                            coefs[ci][b][0] = preds[si] << al
+                else:
+                    for b in range(n_blocks):
+                        for ci, _td, _ta in scan_comps:
+                            if br.bit():
+                                coefs[ci][b][0] |= 1 << al
+            else:  # AC scan: exactly one component
+                if len(scan_comps) != 1:
+                    raise ValueError(
+                        "progressive AC scans are single-component"
+                    )
+                ci, _td, ta = scan_comps[0]
+                ac = hdec.get((1, ta))
+                if ac is None:
+                    raise ValueError("missing AC huffman table")
+                if ah == 0:  # first scan for this band (G.2.1)
+                    eobrun = 0
+                    for b in range(n_blocks):
+                        if eobrun > 0:
+                            eobrun -= 1
+                            continue
+                        k = ss
+                        while k <= se:
+                            sym = ac(br)
+                            r, s = sym >> 4, sym & 0xF
+                            if s == 0:
+                                if r == 15:
+                                    k += 16  # ZRL
+                                    continue
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += br.bits(r)
+                                break
+                            k += r
+                            if k > se:
+                                raise ValueError("AC run past band end")
+                            coefs[ci][b][k] = _extend(br.bits(s), s) << al
+                            k += 1
+                else:  # refinement scan (G.2.2)
+                    p1, m1 = 1 << al, -1 << al
+                    eobrun = 0
+
+                    def correct(blk, k) -> None:
+                        if br.bit() and not blk[k] & p1:
+                            blk[k] += p1 if blk[k] >= 0 else m1
+
+                    for b in range(n_blocks):
+                        blk = coefs[ci][b]
+                        k = ss
+                        if eobrun == 0:
+                            while k <= se:
+                                sym = ac(br)
+                                r, s = sym >> 4, sym & 0xF
+                                if s == 0:
+                                    if r < 15:
+                                        eobrun = (1 << r) + (
+                                            br.bits(r) if r else 0
+                                        )
+                                        break
+                                    newval = 0  # ZRL: 16 zero-history skips
+                                    skip = 16
+                                elif s == 1:
+                                    newval = p1 if br.bit() else m1
+                                    skip = r + 1  # r zero-history skips,
+                                    # then place at the next one
+                                else:
+                                    raise ValueError(
+                                        "refinement scan size > 1"
+                                    )
+                                while k <= se:
+                                    if blk[k] != 0:
+                                        correct(blk, k)
+                                    else:
+                                        skip -= 1
+                                        if skip == 0:
+                                            if newval:
+                                                blk[k] = newval
+                                            k += 1
+                                            break
+                                    k += 1
+                                else:
+                                    if skip:
+                                        raise ValueError(
+                                            "refinement run past band end"
+                                        )
+                        if eobrun > 0:
+                            # EOB-run block (or rest of the block where
+                            # the EOBn appeared): correction bits for
+                            # every nonzero coefficient
+                            while k <= se:
+                                if blk[k] != 0:
+                                    correct(blk, k)
+                                k += 1
+                            eobrun -= 1
+            # resync: skip pad bits, position at the next marker
+            pos = br.pos
+            while pos + 1 < len(data) and not (
+                data[pos] == 0xFF
+                and data[pos + 1] != 0x00
+                and not 0xD0 <= data[pos + 1] <= 0xD7
+            ):
+                pos += 1
+            if pos + 1 >= len(data):
+                raise ValueError("no marker after scan data")
+    if sof is None:
+        raise ValueError("no SOF2 frame")
+    h, w = sof
+    bh, bw_ = -(-h // 8), -(-w // 8)
+    planes = []
+    for ci, (_cid, tq) in enumerate(comps):
+        q = qtabs.get(tq)
+        if q is None:
+            raise ValueError("missing quant table referenced by frame")
+        plane = np.zeros((bh * 8, bw_ * 8), dtype=np.float64)
+        for b in range(n_blocks):
+            coef = np.zeros((8, 8), dtype=np.float64)
+            coef[_ZZ_ROWS, _ZZ_COLS] = coefs[ci][b] * q[_ZZ_ROWS, _ZZ_COLS]
+            by, bx = divmod(b, bw_)
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
+                _DCT.T @ coef @ _DCT + 128.0
+            )
+        planes.append(plane)
+    if len(planes) == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[:h, :w]
+    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+    rgb = np.stack(
+        [
+            y + 1.402 * cr,
+            y - 0.344136 * cb - 0.714136 * cr,
+            y + 1.772 * cb,
+        ],
+        axis=-1,
+    )
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)[:h, :w]
+
+
+def jpeg_decode(data: bytes) -> np.ndarray:
+    """Decode any supported JPEG: sniffs the frame marker (SOF0 →
+    sequential baseline decoder, SOF2 → progressive decoder) by
+    walking the marker stream — the single entry point binary_ops
+    uses."""
+    if data[:2] != JPEG_SOI:
+        raise ValueError("not a JPEG (bad SOI)")
+    pos = 2
+    while pos + 4 <= len(data):
+        if data[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = data[pos + 1]
+        if marker == 0xC0:
+            return jpeg_decode_baseline(data)
+        if marker == 0xC2:
+            return jpeg_decode_progressive(data)
+        if marker == 0xD9 or marker == 0xDA:
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
+        pos += 2 + ln
+    raise ValueError("no SOF frame marker before scan data")

@@ -1843,6 +1843,36 @@ def q_multimodal_decode_wav(spark: SparkSession, sf: str) -> DataFrame:
     return wav_frame_energy(media, frame_len=32)
 
 
+def q_multimodal_decode_jpeg_prog(spark: SparkSession, sf: str) -> DataFrame:
+    """PROGRESSIVE (SOF2) baseline-JPEG decode end-to-end: the vendored
+    codec's full huffman progressive machinery — spectral-selection
+    band scans with EOB-run coding, successive approximation (DC
+    first/refine scans, AC refinement scans with embedded correction
+    bits per T.81 G.2.2) — exercised corpus-wide. Each doc's bytes are
+    encoded as a REAL multi-scan progressive stream (DC at Al=1 +
+    refine, two AC bands at Al=1 + refines) and decoded back by the
+    progressive decoder through the jpeg_decode dispatcher. A
+    progressive stream transmits exactly the sequential encoder's
+    quantized coefficients, so flat blocks ride the same DC-exactness
+    window and the ×64 text oracle is EXACT — and the
+    progressive==sequential bit-identity is pinned across random
+    images/bands/levels in tests/test_codecs.py."""
+    from python_darima_spark.multimodal.binary_ops import (
+        attach_jpeg_from_text,
+        decode_media,
+    )
+
+    docs = ensure_parallelism(load(spark, sf, "documents"))
+    media = attach_jpeg_from_text(docs, progressive=True)
+    feats = decode_media(media, fake=False, formats=("image/jpeg",))
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.element_at("feature", 1), 6).alias("f1"),
+        F.round(F.element_at("feature", 7), 6).alias("f7"),
+    )
+
+
 def q_multimodal_decode_video(spark: SparkSession, sf: str) -> DataFrame:
     """REAL video decode + frame sampling end-to-end — completes the
     modality triple (PNG/JPEG image, WAV audio, now AVI video): each
@@ -4605,6 +4635,22 @@ QUERIES = {
                   doc_id = min(doc_id) OVER (PARTITION BY canon_url)
                       AS is_canonical
            FROM c""",
+    ),
+    "q_multimodal_decode_jpeg_prog": QuerySpec(
+        q_multimodal_decode_jpeg_prog,
+        # progressive transmits exactly the sequential coefficients, so
+        # flat blocks decode exactly and the oracle is the same
+        # text-byte-x64 restatement as the sequential greyscale entry
+        """WITH c AS (
+             SELECT doc_id, unnest(split(text, '')) AS ch FROM documents
+           )
+           SELECT doc_id AS media_id,
+                  64 * CAST(count(*) AS BIGINT) AS n_bytes,
+                  round(sum(CASE WHEN unicode(ch) // 16 = 0 THEN 1 ELSE 0 END)
+                        / count(*), 6) AS f1,
+                  round(sum(CASE WHEN unicode(ch) // 16 = 6 THEN 1 ELSE 0 END)
+                        / count(*), 6) AS f7
+           FROM c GROUP BY doc_id""",
     ),
     "q_multimodal_decode_video": QuerySpec(
         q_multimodal_decode_video,

@@ -567,3 +567,87 @@ def test_avi_refusals_and_malformed():
     bad[j : j + 4] = b"XVID"
     with pytest.raises(NotImplementedError, match="XVID"):
         avi_decode(bytes(bad))
+
+
+# ---------------------------------------------------------------------------
+# progressive JPEG (SOF2): spectral selection + successive approximation
+# ---------------------------------------------------------------------------
+
+from python_darima_spark.multimodal.codecs import (  # noqa: E402
+    jpeg_decode,
+    jpeg_decode_progressive,
+    jpeg_encode_progressive,
+)
+
+
+@pytest.mark.parametrize(
+    "bands,dc_al,ac_al",
+    [
+        (((1, 63),), 0, 0),  # spectral selection only, single band
+        (((1, 5), (6, 63)), 1, 1),  # bands + one SA level
+        (((1, 2), (3, 20), (21, 63)), 2, 2),  # deeper SA, 3 bands
+    ],
+)
+def test_progressive_decodes_identically_to_sequential(bands, dc_al, ac_al):
+    """The acid test: a progressive stream transmits EXACTLY the
+    sequential encoder's quantized coefficients, so for any image the
+    progressive decode must equal the sequential decode bit-for-bit —
+    this pins every scan type (DC first/refine, AC band first with EOB
+    runs, AC refinement with correction bits) at once."""
+    rng = np.random.default_rng(dc_al * 100 + ac_al)
+    for shape in ((8, 8), (24, 40), (13, 21)):
+        g = rng.integers(0, 256, shape, dtype=np.uint8)
+        seq = jpeg_decode_baseline(jpeg_encode_baseline(g, quant=_Q1))
+        enc = jpeg_encode_progressive(
+            g, quant=_Q1, bands=bands, dc_al=dc_al, ac_al=ac_al
+        )
+        assert b"\xff\xc2" in enc  # really SOF2 on the wire
+        assert np.array_equal(jpeg_decode_progressive(enc), seq)
+
+
+def test_progressive_color_and_default_quant():
+    rng = np.random.default_rng(73)
+    img = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+    seq = jpeg_decode_baseline(jpeg_encode_baseline(img, quant=_Q1))
+    prog = jpeg_decode_progressive(
+        jpeg_encode_progressive(img, quant=_Q1, dc_al=2, ac_al=2)
+    )
+    assert np.array_equal(prog, seq)
+    g = rng.integers(0, 256, (24, 24), dtype=np.uint8)
+    assert np.array_equal(
+        jpeg_decode_progressive(jpeg_encode_progressive(g, dc_al=1, ac_al=2)),
+        jpeg_decode_baseline(jpeg_encode_baseline(g)),
+    )
+
+
+def test_progressive_flat_blocks_exact_and_long_eob_runs():
+    """A flat image is DC-only: every AC scan degenerates to one long
+    EOB run (and every AC refinement scan to an EOB run with zero
+    correction bits) — and the decode must still be EXACT, which is
+    the window q_multimodal_decode_jpeg_prog's corpus oracle rides."""
+    rng = np.random.default_rng(79)
+    vals = rng.integers(0, 256, 40, dtype=np.uint8)
+    img = np.repeat(np.repeat(vals[None, :], 8, 0), 8, 1)
+    enc = jpeg_encode_progressive(img)
+    assert np.array_equal(jpeg_decode_progressive(enc), img)
+
+
+def test_jpeg_decode_dispatcher_routes_by_sof():
+    g = np.full((8, 8), 130, dtype=np.uint8)
+    assert np.array_equal(jpeg_decode(jpeg_encode_baseline(g)), g)
+    assert np.array_equal(jpeg_decode(jpeg_encode_progressive(g)), g)
+    with pytest.raises(ValueError):
+        jpeg_decode(b"\xff\xd8\xff\xd9")  # no frame marker
+
+
+def test_progressive_refusals():
+    g = np.full((8, 8), 99, dtype=np.uint8)
+    with pytest.raises(ValueError, match="bands"):
+        jpeg_encode_progressive(g, bands=((1, 30),))  # doesn't cover 1..63
+    with pytest.raises(ValueError, match="bands"):
+        jpeg_encode_progressive(g, bands=((2, 63),))  # doesn't start at 1
+    enc = bytearray(jpeg_encode_progressive(g))
+    sof = enc.index(b"\xff\xc2")
+    enc[sof + 11] = 0x22  # claim subsampled luma
+    with pytest.raises(NotImplementedError, match="subsampled progressive"):
+        jpeg_decode_progressive(bytes(enc))
