@@ -158,6 +158,8 @@ HEADLINE = [
     "q_multimodal_decode_wav",
     "q_multimodal_decode_video",
     "q_multimodal_decode_jpeg_prog",
+    "q_multimodal_decode_bmp",
+    "q_multimodal_decode_png_adam7",
 ]
 
 

@@ -40,9 +40,9 @@ _HAS_PIL = importlib.util.find_spec("PIL") is not None
 
 
 def _supported_formats() -> set[str]:
-    # PNG and baseline greyscale JPEG always (vendored clean-room
-    # codecs); everything else only through Pillow
-    return {"image/png", "image/jpeg"} if not _HAS_PIL else {
+    # PNG, JPEG (baseline + progressive) and BMP always (vendored
+    # clean-room codecs); everything else only through Pillow
+    return {"image/png", "image/jpeg", "image/bmp"} if not _HAS_PIL else {
         "image/png", "image/jpeg", "image/webp", "image/bmp", "image/gif",
     }
 
@@ -56,6 +56,14 @@ def _decode_image(payload: bytes, fmt: str) -> np.ndarray:
         from python_darima_spark.multimodal.codecs import png_decode
 
         return png_decode(payload)
+    if fmt == "image/bmp":
+        from python_darima_spark.multimodal.codecs import bmp_decode
+
+        try:
+            return bmp_decode(payload)
+        except NotImplementedError:
+            if not _HAS_PIL:
+                raise
     if fmt == "image/jpeg":
         from python_darima_spark.multimodal.codecs import jpeg_decode
 
@@ -189,14 +197,20 @@ def decode_media(
 
 
 def attach_png_from_text(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    interlace: bool = False,
 ) -> DataFrame:
     """Media table with REAL ``image/png`` payloads: each doc's utf-8
-    bytes become a 1×n greyscale raster encoded through the stdlib PNG
+    bytes become a greyscale raster encoded through the stdlib PNG
     codec inside an Arrow ``mapInPandas`` stage — genuine encoded bytes
     (signature, CRCs, DEFLATE), not a fake. Because the encode is
     lossless, decoded pixels equal the original text bytes, which is
-    what makes a real decode stage SQL-oracle-checkable."""
+    what makes a real decode stage SQL-oracle-checkable.
+    ``interlace=True`` writes Adam7 streams (the byte row tiled 8
+    rows deep so all seven pass grids are non-trivially populated,
+    and the normalized histogram is unchanged)."""
     from python_darima_spark.multimodal.codecs import png_encode
 
     src = df.select(
@@ -210,8 +224,15 @@ def attach_png_from_text(
             for raw in pdf["_raw"]:
                 b = raw if isinstance(raw, bytes) else bytes(raw)
                 b = b if b else b"\x00"  # PNG cannot encode a 0×0 image
-                arr = np.frombuffer(b, dtype=np.uint8)[None, :]
-                payloads.append(png_encode(arr))
+                arr = np.frombuffer(b, dtype=np.uint8)
+                if interlace:
+                    # stack 8 IDENTICAL rows so every Adam7 pass grid
+                    # carries real pixels while the normalized pixel
+                    # histogram stays exactly the text-byte histogram
+                    arr = np.tile(arr[None, :], (8, 1))
+                else:
+                    arr = arr[None, :]
+                payloads.append(png_encode(arr, interlace=interlace))
                 widths.append(arr.shape[1])
             yield pd.DataFrame(
                 {
@@ -220,7 +241,7 @@ def attach_png_from_text(
                     "format": "image/png",
                     "payload": payloads,
                     "meta_width": widths,
-                    "meta_height": 1,
+                    "meta_height": 8 if interlace else 1,
                     "meta_duration_s": None,
                 }
             )
@@ -762,3 +783,44 @@ def video_frame_sample(
     return df.select("media_id", "payload").mapInPandas(
         sample, VIDEO_FRAMES_SCHEMA
     )
+
+
+def attach_bmp_from_text(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Media table with REAL ``image/bmp`` payloads: each doc's utf-8
+    bytes become a 1×n greyscale raster written as a genuine BMP
+    (BITMAPFILEHEADER + BITMAPINFOHEADER + identity grey palette +
+    bottom-up row-padded pixels, vendored codec). BMP is uncompressed
+    and lossless, so decoded pixels equal the text bytes — the same
+    SQL-oracle window as the PNG path, over a third container
+    format."""
+    from python_darima_spark.multimodal.codecs import bmp_encode
+
+    src = df.select(
+        F.col(id_col).alias("media_id"),
+        F.encode(F.col(text_col), "UTF-8").alias("_raw"),
+    )
+
+    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, widths = [], []
+            for raw in pdf["_raw"]:
+                b = raw if isinstance(raw, bytes) else bytes(raw)
+                b = b if b else b"\x00"
+                arr = np.frombuffer(b, dtype=np.uint8)[None, :]
+                payloads.append(bmp_encode(arr))
+                widths.append(arr.shape[1])
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": "image",
+                    "format": "image/bmp",
+                    "payload": payloads,
+                    "meta_width": widths,
+                    "meta_height": 1,
+                    "meta_duration_s": None,
+                }
+            )
+
+    return src.mapInPandas(encode, MEDIA_SCHEMA)

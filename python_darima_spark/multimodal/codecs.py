@@ -42,11 +42,15 @@ def _chunk(tag: bytes, body: bytes) -> bytes:
     )
 
 
-def png_encode(arr: np.ndarray, level: int = 6) -> bytes:
+def png_encode(
+    arr: np.ndarray, level: int = 6, interlace: bool = False
+) -> bytes:
     """Encode a uint8 array as a real PNG: (h, w) → greyscale,
     (h, w, 2) → grey+alpha, (h, w, 3) → RGB, (h, w, 4) → RGBA.
     Filter type 0 on every scanline (simple, always valid); any
-    spec-compliant decoder — including :func:`png_decode` — reads it."""
+    spec-compliant decoder — including :func:`png_decode` — reads it.
+    ``interlace=True`` writes Adam7 (seven sub-images on the spec's
+    pass grids, each with its own filter bytes)."""
     a = np.ascontiguousarray(arr, dtype=np.uint8)
     if a.ndim == 1:
         a = a[None, :]
@@ -61,15 +65,29 @@ def png_encode(arr: np.ndarray, level: int = 6) -> bytes:
     h, w = a.shape[0], a.shape[1]
     if h < 1 or w < 1:
         raise ValueError("empty image")
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
-    # prepend the filter byte (0 = None) to each scanline
-    raw = np.empty((h, 1 + w * ch), dtype=np.uint8)
-    raw[:, 0] = 0
-    raw[:, 1:] = a.reshape(h, w * ch)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 1 if interlace else 0)
+    if interlace:
+        parts = []
+        for x0, y0, dx, dy in _ADAM7:
+            sub = a[y0::dy, x0::dx]
+            if sub.shape[0] == 0 or sub.shape[1] == 0:
+                continue
+            hp, wp = sub.shape[0], sub.shape[1]
+            raw = np.empty((hp, 1 + wp * ch), dtype=np.uint8)
+            raw[:, 0] = 0
+            raw[:, 1:] = sub.reshape(hp, wp * ch)
+            parts.append(raw.tobytes())
+        payload = b"".join(parts)
+    else:
+        # prepend the filter byte (0 = None) to each scanline
+        raw = np.empty((h, 1 + w * ch), dtype=np.uint8)
+        raw[:, 0] = 0
+        raw[:, 1:] = a.reshape(h, w * ch)
+        payload = raw.tobytes()
     return (
         PNG_MAGIC
         + _chunk(b"IHDR", ihdr)
-        + _chunk(b"IDAT", zlib.compress(raw.tobytes(), level))
+        + _chunk(b"IDAT", zlib.compress(payload, level))
         + _chunk(b"IEND", b"")
     )
 
@@ -82,11 +100,53 @@ def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
     return out.astype(np.uint8)
 
 
+# Adam7 pass grid: (x offset, y offset, x stride, y stride), PNG spec 8.2
+_ADAM7 = (
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+)
+
+
+def _png_unfilter(raw: np.ndarray, w: int, ch: int) -> np.ndarray:
+    """Invert PNG scanline filtering over one (sub-)image: raw is
+    (h, stride+1) with the filter byte leading each row; the previous
+    scanline is the previous row OF THE SAME (sub-)image, per spec."""
+    h, stride = raw.shape[0], raw.shape[1] - 1
+    out = np.zeros((h, stride), dtype=np.uint8)
+    zero = np.zeros(stride, dtype=np.uint8)
+    for y in range(h):
+        ftype, line = raw[y, 0], raw[y, 1:].copy()
+        prev = out[y - 1] if y else zero
+        if ftype == 0:  # None
+            out[y] = line
+        elif ftype == 1:  # Sub — sequential in x, vectorize across channels
+            acc = line.reshape(w, ch).astype(np.int32)
+            np.cumsum(acc, axis=0, out=acc)
+            out[y] = (acc % 256).astype(np.uint8).reshape(stride)
+        elif ftype == 2:  # Up
+            out[y] = line + prev  # uint8 wraps mod 256, per spec
+        elif ftype == 3:  # Average
+            row = out[y]
+            for x in range(stride):
+                left = int(row[x - ch]) if x >= ch else 0
+                row[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            row = out[y]
+            for x in range(stride):
+                a = row[x - ch] if x >= ch else np.uint8(0)
+                c = prev[x - ch] if x >= ch else np.uint8(0)
+                row[x] = (int(line[x]) + int(_paeth(a, prev[x], c))) & 0xFF
+        else:
+            raise ValueError(f"bad filter type {ftype} on scanline {y}")
+    return out
+
+
 def png_decode(data: bytes) -> np.ndarray:
     """Decode a PNG to a uint8 array: greyscale → (h, w), multichannel →
     (h, w, ch). Supports 8-bit depth, color types 0/2/4/6, all five
-    scanline filters, non-interlaced (interlace 0 — Adam7 refused
-    explicitly). Raises ValueError on anything malformed."""
+    scanline filters, and BOTH interlace methods (0 = sequential,
+    1 = Adam7 — seven independently-filtered sub-images merged on
+    their pass grids). Raises ValueError on anything malformed."""
     if data[:8] != PNG_MAGIC:
         raise ValueError("not a PNG (bad signature)")
     pos, ihdr, idat = 8, None, []
@@ -116,40 +176,34 @@ def png_decode(data: bytes) -> np.ndarray:
         raise ValueError(f"unsupported PNG: depth={depth} color={color}")
     if comp != 0 or filt != 0:
         raise ValueError("unsupported compression/filter method")
-    if interlace != 0:
-        raise ValueError("Adam7 interlacing not supported")
+    if interlace not in (0, 1):
+        raise ValueError(f"bad interlace method {interlace}")
     ch = _CHANNELS[color]
     stride = w * ch
     raw = np.frombuffer(zlib.decompress(b"".join(idat)), dtype=np.uint8)
+    if interlace == 1:  # Adam7: 7 independently-filtered sub-images
+        img = np.zeros((h, w, ch), dtype=np.uint8)
+        pos = 0
+        for x0, y0, dx, dy in _ADAM7:
+            wp = -(-(w - x0) // dx) if w > x0 else 0
+            hp = -(-(h - y0) // dy) if h > y0 else 0
+            if wp == 0 or hp == 0:
+                continue
+            sp = wp * ch
+            need = hp * (sp + 1)
+            if pos + need > raw.size:
+                raise ValueError("IDAT too short for Adam7 passes")
+            sub = _png_unfilter(
+                raw[pos : pos + need].reshape(hp, sp + 1), wp, ch
+            )
+            pos += need
+            img[y0::dy, x0::dx] = sub.reshape(hp, wp, ch)
+        if pos != raw.size:
+            raise ValueError("IDAT length does not match Adam7 passes")
+        return img[:, :, 0] if ch == 1 else img
     if raw.size != h * (stride + 1):
         raise ValueError("IDAT length does not match dimensions")
-    raw = raw.reshape(h, stride + 1)
-    out = np.zeros((h, stride), dtype=np.uint8)
-    zero = np.zeros(stride, dtype=np.uint8)
-    for y in range(h):
-        ftype, line = raw[y, 0], raw[y, 1:].copy()
-        prev = out[y - 1] if y else zero
-        if ftype == 0:  # None
-            out[y] = line
-        elif ftype == 1:  # Sub — sequential in x, vectorize across channels
-            acc = line.reshape(w, ch).astype(np.int32)
-            np.cumsum(acc, axis=0, out=acc)
-            out[y] = (acc % 256).astype(np.uint8).reshape(stride)
-        elif ftype == 2:  # Up
-            out[y] = line + prev  # uint8 wraps mod 256, per spec
-        elif ftype == 3:  # Average
-            row = out[y]
-            for x in range(stride):
-                left = int(row[x - ch]) if x >= ch else 0
-                row[x] = (int(line[x]) + ((left + int(prev[x])) >> 1)) & 0xFF
-        elif ftype == 4:  # Paeth
-            row = out[y]
-            for x in range(stride):
-                a = row[x - ch] if x >= ch else np.uint8(0)
-                c = prev[x - ch] if x >= ch else np.uint8(0)
-                row[x] = (int(line[x]) + int(_paeth(a, prev[x], c))) & 0xFF
-        else:
-            raise ValueError(f"bad filter type {ftype} on scanline {y}")
+    out = _png_unfilter(raw.reshape(h, stride + 1), w, ch)
     img = out.reshape(h, w, ch)
     return img[:, :, 0] if ch == 1 else img
 
@@ -1573,3 +1627,104 @@ def jpeg_decode(data: bytes) -> np.ndarray:
         (ln,) = struct.unpack(">H", data[pos + 2 : pos + 4])
         pos += 2 + ln
     raise ValueError("no SOF frame marker before scan data")
+
+
+# ---------------------------------------------------------------------------
+# BMP (Windows DIB file, public spec): BITMAPFILEHEADER + the same
+# BITMAPINFOHEADER/bottom-up/row-padded raster the AVI path uses —
+# lossless, uncompressed. 8-bit greyscale (identity palette) and
+# 24-bit BGR; compressed BMPs (RLE/bitfields) refuse explicitly.
+# ---------------------------------------------------------------------------
+
+
+def bmp_encode(arr: np.ndarray) -> bytes:
+    """Encode a uint8 array as a real BMP — (h, w) greyscale (8-bit +
+    identity grey palette) or (h, w, 3) RGB (24-bit BGR). Bottom-up
+    rows padded to 4-byte boundaries; opens in any viewer."""
+    a = np.ascontiguousarray(arr, dtype=np.uint8)
+    if a.ndim == 2:
+        h, w = a.shape
+        gray = True
+    elif a.ndim == 3 and a.shape[2] == 3:
+        h, w = a.shape[:2]
+        gray = False
+    else:
+        raise ValueError("BMP codec: greyscale (h, w) or RGB (h, w, 3) only")
+    if h < 1 or w < 1:
+        raise ValueError("empty image")
+    if gray:
+        stride = (w + 3) & ~3
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, :w] = a[::-1]
+        palette = b"".join(bytes([i, i, i, 0]) for i in range(256))
+        bitcount, n_colors = 8, 256
+    else:
+        stride = (w * 3 + 3) & ~3
+        rows = np.zeros((h, stride), dtype=np.uint8)
+        rows[:, : w * 3] = a[::-1, :, ::-1].reshape(h, w * 3)
+        palette = b""
+        bitcount, n_colors = 24, 0
+    pixels = rows.tobytes()
+    offset = 14 + 40 + len(palette)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, bitcount, 0, len(pixels), 0, 0,
+        n_colors, 0,
+    )
+    header = b"BM" + struct.pack(
+        "<IHHI", offset + len(pixels), 0, 0, offset
+    )
+    return header + info + palette + pixels
+
+
+def bmp_decode(data: bytes) -> np.ndarray:
+    """Decode a BMP to a uint8 array — 8-bit palettized → the palette
+    is applied (greyscale identity palettes collapse to (h, w)),
+    24-bit BGR → RGB (h, w, 3). Top-down (negative height) files are
+    handled; RLE/bitfields compression refuses explicitly."""
+    if len(data) < 54 or data[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    (offset,) = struct.unpack("<I", data[10:14])
+    (info_sz, w, h, _planes, bitcount, comp) = struct.unpack(
+        "<IiiHHI", data[14:34]
+    )
+    if info_sz < 40:
+        raise ValueError("pre-BITMAPINFOHEADER BMP not supported")
+    if comp != 0:
+        raise NotImplementedError(
+            f"compressed BMP (biCompression={comp}) not supported"
+        )
+    topdown = h < 0
+    h = abs(h)
+    if w < 1 or h < 1:
+        raise ValueError("bad BMP dimensions")
+    if bitcount == 8:
+        (n_colors,) = struct.unpack("<I", data[46:50])
+        n_colors = n_colors or 256
+        pal_off = 14 + info_sz
+        pal = np.frombuffer(
+            data[pal_off : pal_off + 4 * n_colors], dtype=np.uint8
+        ).reshape(-1, 4)[:, :3][:, ::-1]  # BGRX → RGB
+        stride = (w + 3) & ~3
+        raw = data[offset : offset + stride * h]
+        if len(raw) < stride * h:
+            raise ValueError("truncated BMP pixel data")
+        idx = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)[:, :w]
+        if not topdown:
+            idx = idx[::-1]
+        rgb = pal[idx]
+        if (rgb[:, :, 0] == rgb[:, :, 1]).all() and (
+            rgb[:, :, 1] == rgb[:, :, 2]
+        ).all():
+            return np.ascontiguousarray(rgb[:, :, 0])  # grey identity
+        return np.ascontiguousarray(rgb)
+    if bitcount == 24:
+        stride = (w * 3 + 3) & ~3
+        raw = data[offset : offset + stride * h]
+        if len(raw) < stride * h:
+            raise ValueError("truncated BMP pixel data")
+        rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride)
+        img = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]
+        if not topdown:
+            img = img[::-1]
+        return np.ascontiguousarray(img)
+    raise NotImplementedError(f"{bitcount}-bit BMP not supported")

@@ -1873,6 +1873,56 @@ def q_multimodal_decode_jpeg_prog(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_multimodal_decode_bmp(spark: SparkSession, sf: str) -> DataFrame:
+    """REAL BMP decode end-to-end: text bytes → genuine BMP files
+    (BITMAPFILEHEADER + BITMAPINFOHEADER + identity grey palette +
+    bottom-up row-padded pixels, vendored codec — the same DIB raster
+    the AVI path stores, now as a standalone container) → decoded back
+    by the real parser. BMP is lossless, so the histogram oracle is
+    the same text-byte restatement as the PNG entry; palette
+    application, 24-bit BGR, top-down files, RLE refusals are
+    unit-certified in tests/test_codecs.py."""
+    from python_darima_spark.multimodal.binary_ops import (
+        attach_bmp_from_text,
+        decode_media,
+    )
+
+    docs = ensure_parallelism(load(spark, sf, "documents"))
+    media = attach_bmp_from_text(docs)
+    feats = decode_media(media, fake=False, formats=("image/bmp",))
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.element_at("feature", 1), 6).alias("f1"),
+        F.round(F.element_at("feature", 7), 6).alias("f7"),
+    )
+
+
+def q_multimodal_decode_png_adam7(spark: SparkSession, sf: str) -> DataFrame:
+    """Adam7-INTERLACED PNG decode: the PNG decoder's seven-pass
+    deinterlace (independently-filtered sub-images on the spec's pass
+    grids, merged by offset/stride) exercised corpus-wide. The byte
+    row is tiled 8 deep so every pass carries real pixels; tiling
+    multiplies every histogram bin by 8, so the normalized feature
+    equals the text-byte histogram exactly and n_bytes = 8 × byte
+    count. Per-pass filters 1-4 and the corrected pass grid are
+    unit-certified in tests/test_codecs.py."""
+    from python_darima_spark.multimodal.binary_ops import (
+        attach_png_from_text,
+        decode_media,
+    )
+
+    docs = ensure_parallelism(load(spark, sf, "documents"))
+    media = attach_png_from_text(docs, interlace=True)
+    feats = decode_media(media, fake=False, formats=("image/png",))
+    return feats.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.element_at("feature", 1), 6).alias("f1"),
+        F.round(F.element_at("feature", 7), 6).alias("f7"),
+    )
+
+
 def q_multimodal_decode_video(spark: SparkSession, sf: str) -> DataFrame:
     """REAL video decode + frame sampling end-to-end — completes the
     modality triple (PNG/JPEG image, WAV audio, now AVI video): each
@@ -4635,6 +4685,36 @@ QUERIES = {
                   doc_id = min(doc_id) OVER (PARTITION BY canon_url)
                       AS is_canonical
            FROM c""",
+    ),
+    "q_multimodal_decode_bmp": QuerySpec(
+        q_multimodal_decode_bmp,
+        # BMP is lossless: decoded pixels are exactly the text bytes
+        """WITH c AS (
+             SELECT doc_id, unnest(split(text, '')) AS ch FROM documents
+           )
+           SELECT doc_id AS media_id,
+                  CAST(count(*) AS BIGINT) AS n_bytes,
+                  round(sum(CASE WHEN unicode(ch) // 16 = 0 THEN 1 ELSE 0 END)
+                        / count(*), 6) AS f1,
+                  round(sum(CASE WHEN unicode(ch) // 16 = 6 THEN 1 ELSE 0 END)
+                        / count(*), 6) AS f7
+           FROM c GROUP BY doc_id""",
+    ),
+    "q_multimodal_decode_png_adam7": QuerySpec(
+        q_multimodal_decode_png_adam7,
+        # the byte row is tiled 8 deep (so every Adam7 pass is
+        # populated): bins scale uniformly by 8 -> normalized
+        # histogram unchanged, pixel count = 8x byte count
+        """WITH c AS (
+             SELECT doc_id, unnest(split(text, '')) AS ch FROM documents
+           )
+           SELECT doc_id AS media_id,
+                  8 * CAST(count(*) AS BIGINT) AS n_bytes,
+                  round(sum(CASE WHEN unicode(ch) // 16 = 0 THEN 1 ELSE 0 END)
+                        / count(*), 6) AS f1,
+                  round(sum(CASE WHEN unicode(ch) // 16 = 6 THEN 1 ELSE 0 END)
+                        / count(*), 6) AS f7
+           FROM c GROUP BY doc_id""",
     ),
     "q_multimodal_decode_jpeg_prog": QuerySpec(
         q_multimodal_decode_jpeg_prog,

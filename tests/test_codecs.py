@@ -651,3 +651,98 @@ def test_progressive_refusals():
     enc[sof + 11] = 0x22  # claim subsampled luma
     with pytest.raises(NotImplementedError, match="subsampled progressive"):
         jpeg_decode_progressive(bytes(enc))
+
+
+# ---------------------------------------------------------------------------
+# Adam7 PNG interlacing + BMP
+# ---------------------------------------------------------------------------
+
+from python_darima_spark.multimodal.codecs import (  # noqa: E402
+    _ADAM7,
+    bmp_decode,
+    bmp_encode,
+)
+
+
+@pytest.mark.parametrize(
+    "shape",
+    [(1, 1), (3, 5), (8, 8), (17, 23), (5, 7, 3), (9, 11, 4), (1, 16)],
+)
+def test_png_adam7_roundtrip(shape):
+    """Adam7 encode→decode must be exact for every color type and for
+    dims smaller than one 8×8 tile (where several passes are empty)."""
+    rng = np.random.default_rng(sum(shape))
+    a = rng.integers(0, 256, shape, dtype=np.uint8)
+    enc = png_encode(a, interlace=True)
+    # really interlaced on the wire: IHDR interlace byte = 1
+    # (magic 8 + length 4 + tag 4 + 12 bytes into the 13-byte body)
+    assert enc[8 + 4 + 4 + 12] == 1
+    d = png_decode(enc)
+    assert d.shape == a.shape and np.array_equal(d, a)
+
+
+def test_png_adam7_per_pass_filters():
+    """Each Adam7 pass is filtered independently (prev scanline = prev
+    row of the SAME pass): synthesize filter-2 (Up) rows per pass and
+    the decoder must invert them against pass-local history."""
+    rng = np.random.default_rng(97)
+    img = rng.integers(0, 256, (9, 10, 3), dtype=np.uint8)
+    parts = []
+    for x0, y0, dx, dy in _ADAM7:
+        sub = img[y0::dy, x0::dx].astype(int)
+        hp, wp = sub.shape[:2]
+        if hp == 0 or wp == 0:
+            continue
+        flat = sub.reshape(hp, wp * 3)
+        prev = np.zeros(wp * 3, dtype=int)
+        rows = []
+        for y in range(hp):
+            rows.append(
+                bytes([2]) + bytes(((flat[y] - prev) % 256).astype(np.uint8))
+            )
+            prev = flat[y]
+        parts.append(b"".join(rows))
+    ihdr = struct.pack(">IIBBBBB", 10, 9, 8, 2, 0, 0, 1)
+    data = (
+        PNG_MAGIC
+        + _chunk(b"IHDR", ihdr)
+        + _chunk(b"IDAT", zlib.compress(b"".join(parts)))
+        + _chunk(b"IEND", b"")
+    )
+    assert np.array_equal(png_decode(data), img)
+
+
+def test_bmp_roundtrips_and_refusals():
+    rng = np.random.default_rng(101)
+    g = rng.integers(0, 256, (5, 9), dtype=np.uint8)  # odd width: row pad
+    enc = bmp_encode(g)
+    assert enc[:2] == b"BM"
+    assert np.array_equal(bmp_decode(enc), g)
+    c = rng.integers(0, 256, (7, 5, 3), dtype=np.uint8)
+    assert np.array_equal(bmp_decode(bmp_encode(c)), c)
+    bad = bytearray(bmp_encode(g))
+    bad[30:34] = struct.pack("<I", 1)  # biCompression = BI_RLE8
+    with pytest.raises(NotImplementedError, match="compressed BMP"):
+        bmp_decode(bytes(bad))
+    with pytest.raises(ValueError, match="not a BMP"):
+        bmp_decode(b"PNG? nope")
+    with pytest.raises(ValueError, match="truncated"):
+        bmp_decode(bytes(bmp_encode(c))[:-5])
+
+
+def test_bmp_topdown_negative_height():
+    """Top-down BMPs (negative biHeight) store rows in display order."""
+    rng = np.random.default_rng(103)
+    g = rng.integers(0, 256, (4, 6), dtype=np.uint8)
+    enc = bytearray(bmp_encode(g))
+    # flip height sign and reverse the stored rows
+    (h,) = struct.unpack("<i", enc[22:26])
+    enc[22:26] = struct.pack("<i", -h)
+    (offset,) = struct.unpack("<I", enc[10:14])
+    stride = (6 + 3) & ~3
+    rows = bytes(enc[offset:])
+    flipped = b"".join(
+        rows[i * stride : (i + 1) * stride] for i in range(h - 1, -1, -1)
+    )
+    enc[offset:] = flipped
+    assert np.array_equal(bmp_decode(bytes(enc)), g)
