@@ -628,24 +628,53 @@ def minhash_index_append(
         sig_out = sig.coalesce(
             max(4, shuffle_width(batch_df.sparkSession) // 8)
         )
+        # The sigs table and the bands table are INDEPENDENT targets that
+        # both derive from the persisted `sig`: submit the two write jobs
+        # concurrently (guide §2.6 — actions are only sequential because
+        # driver code calls them sequentially) so the second job's tasks
+        # back-fill executors freed by the first job's tail. Safe because
+        # each per-table ledger transaction is self-contained (its own
+        # staging dir, marker, and tag-prefixed file names) and Spark's
+        # block-level cache locks deduplicate the concurrent first
+        # materialization of `sig`. A crash/replay interleaving where one
+        # table commits and the other does not was already reachable
+        # sequentially; the per-table replay decision table is unchanged.
+        from concurrent.futures import ThreadPoolExecutor
+
         if ingest_tag is None:
             # untagged: plain appends; Spark's commit protocol makes a
             # died-mid-job retry safe, but a caller-level replay
             # duplicates (that is what tags are for)
-            sig_out.write.mode("append").parquet(f"{index_path}/sigs")
-            bands.write.mode("append").partitionBy("band_id").parquet(
-                f"{index_path}/bands"
-            )
+            jobs = [
+                lambda: sig_out.write.mode("append").parquet(
+                    f"{index_path}/sigs"
+                ),
+                lambda: bands.write.mode("append")
+                .partitionBy("band_id")
+                .parquet(f"{index_path}/bands"),
+            ]
         else:
             spark = batch_df.sparkSession
-            commit_staged_ingest(
-                spark, f"{index_path}/sigs", ingest_tag,
-                staged_parquet_writer(sig_out),
-            )
-            commit_staged_ingest(
-                spark, f"{index_path}/bands", ingest_tag,
-                staged_parquet_writer(bands, partition_by="band_id"),
-            )
+            jobs = [
+                lambda: commit_staged_ingest(
+                    spark, f"{index_path}/sigs", ingest_tag,
+                    staged_parquet_writer(sig_out),
+                ),
+                lambda: commit_staged_ingest(
+                    spark, f"{index_path}/bands", ingest_tag,
+                    staged_parquet_writer(bands, partition_by="band_id"),
+                ),
+            ]
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            futures = [pool.submit(j) for j in jobs]
+            errs = []
+            for f in futures:
+                try:
+                    f.result()
+                except Exception as exc:  # noqa: BLE001 — re-raised below
+                    errs.append(exc)
+            if errs:
+                raise errs[0]
     finally:
         sig.unpersist()
 

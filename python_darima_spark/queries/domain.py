@@ -455,24 +455,36 @@ def q_ts_anomaly_mad(spark: SparkSession, sf: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(-23, 0)
     )
-    med = F.round(F.expr("percentile(value, 0.5)").over(w), 6)
-    p25 = F.expr("percentile(value, 0.25)").over(w)
-    p75 = F.expr("percentile(value, 0.75)").over(w)
-    iqr = F.round(p75 - p25, 6)
-    val = F.round("value", 6)
     # the flag compares the ROUNDED med/iqr/value (the emitted columns),
     # not the raw doubles: Spark percentile() vs DuckDB quantile_cont
     # interpolate identically in exact arithmetic, but a last-ulp
-    # difference on a borderline row must not flip the flag (r4 ADVICE)
+    # difference on a borderline row must not flip the flag (r4 ADVICE).
+    # The three sliding percentiles are materialized ONCE in a first
+    # select — Catalyst does no CSE across window expressions, so
+    # inlining med/iqr into both the output columns and the flag ran SIX
+    # percentile frames per row instead of three (plan-verified,
+    # plans/r10/q_ts_anomaly_mad_{before,after}.txt).
     d = e.select(
         "event_id",
         "event_type",
-        val.alias("value"),
-        med.alias("med"),
-        iqr.alias("iqr"),
-        (F.abs(val - med) > 1.5 * iqr).alias("is_anomaly"),
+        F.round("value", 6).alias("value"),
+        F.round(F.expr("percentile(value, 0.5)").over(w), 6).alias("med"),
+        F.round(
+            F.expr("percentile(value, 0.75)").over(w)
+            - F.expr("percentile(value, 0.25)").over(w),
+            6,
+        ).alias("iqr"),
     )
-    return d
+    return d.select(
+        "event_id",
+        "event_type",
+        "value",
+        "med",
+        "iqr",
+        (F.abs(F.col("value") - F.col("med")) > 1.5 * F.col("iqr")).alias(
+            "is_anomaly"
+        ),
+    )
 
 
 def q_ts_changepoint(spark: SparkSession, sf: str) -> DataFrame:

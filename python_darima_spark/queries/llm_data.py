@@ -538,15 +538,36 @@ def q_dedup_index_append(spark: SparkSession, sf: str) -> DataFrame:
     # tagged: each append runs the full two-phase-commit ledger (stage →
     # wave-parallel atomic renames → marker), so the benched entry pays
     # — and showcases — the exactly-once write path, not the bare
-    # append (operators/ledger.py; crash matrix in tests/test_llm_data)
-    minhash_index_append(
-        docs.where(F.col("doc_id") % 5 == 1), path, shingle_gids=stage,
-        ingest_tag="b1",
-    )
-    minhash_index_append(
-        docs.where((F.col("doc_id") % 5).isin(2, 3, 4)), path,
-        shingle_gids=stage, ingest_tag="b2",
-    )
+    # append (operators/ledger.py; crash matrix in tests/test_llm_data).
+    # The two ingests are SEPARATE ledger transactions (distinct tags,
+    # staging dirs, markers) with no data dependency, so they are
+    # submitted concurrently (guide §2.6): each batch still pays its own
+    # full 2PC, but the second batch's signature jobs back-fill the
+    # executor tail of the first instead of waiting for it — the
+    # production shape for independent ingest partitions.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        futs = [
+            pool.submit(
+                minhash_index_append,
+                docs.where(F.col("doc_id") % 5 == 1), path,
+                shingle_gids=stage, ingest_tag="b1",
+            ),
+            pool.submit(
+                minhash_index_append,
+                docs.where((F.col("doc_id") % 5).isin(2, 3, 4)), path,
+                shingle_gids=stage, ingest_tag="b2",
+            ),
+        ]
+        errs = []
+        for f in futs:
+            try:
+                f.result()
+            except Exception as exc:  # noqa: BLE001 — re-raised below
+                errs.append(exc)
+        if errs:
+            raise errs[0]
     corpus = docs.where(F.col("doc_id") % 5 != 0)
     new = docs.where(F.col("doc_id") % 5 == 0)
     return minhash_probe_index(
@@ -1010,7 +1031,14 @@ def q_text_tfidf(spark: SparkSession, sf: str) -> DataFrame:
     words = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
     ).where(F.length("w") >= 3)
-    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    # eager-materialize tf: both the scored join and the df aggregate
+    # read it, and without materialization each replays the corpus
+    # scan + word explode + count (the _bm25_scored finding, r10)
+    tf = (
+        words.groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+        .localCheckpoint(eager=True)
+    )
     dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").alias("_n"))
     scored = (
@@ -1049,6 +1077,12 @@ def _bm25_scored(
     words = docs.select(
         "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("w")
     ).where(F.length("w") >= 3)
+    # The posting table has FOUR consumers (the scored join, dl, dfreq,
+    # and the query-term panel); the initial plan holds four copies of
+    # the explode→aggregate subtree, but AQE's runtime ReuseExchange
+    # dedups them (r10 measurement: an eager localCheckpoint here was
+    # 1.08× SLOWER — the materialization barrier cost more than the
+    # recompute it saved), so the plan is left pipelined.
     tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
     dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
     dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))

@@ -1880,8 +1880,14 @@ def q_sketch_hll_manual(spark: SparkSession, sf: str) -> DataFrame:
     the register table is a partial ``max`` aggregate (map-side
     combine), 64 rows of state per key-group regardless of input size,
     and union-merge across shards is the same ``max``."""
+    # Hash DISTINCT keys, not raw rows: registers are a max aggregate, so
+    # duplicate keys can never change a register — pre-distincting (one
+    # partial-agg shuffle of bare bigints) does the dedup before the md5
+    # fan-out instead of hashing every row (guide §2.3).
     h = (
         load(spark, sf, "orders")
+        .select("o_custkey")
+        .distinct()
         .select(
             F.md5(
                 F.concat(F.lit("hll:"), F.col("o_custkey").cast("string"))
@@ -1933,21 +1939,36 @@ def q_sketch_countmin(spark: SparkSession, sf: str) -> DataFrame:
     bits of ``row:key`` mod 256 — exact integers end to end, so the
     whole sketch state AND the estimates are under the value hash, and
     the defining guarantee est ≥ true is directly visible in the
-    output. Build cost: a 4× map-side fan-out (explode over literal
-    row ids) into a (4·256)-cell keyed aggregate — partial-agg
-    combine means the shuffle carries at most d·w rows per map task,
-    NOT the corpus; merging shards is elementwise ``sum`` (the sketch
-    is linear), which is why this is the structure heavy-hitter
-    pipelines ship at 100 TB. Probe side is a broadcast join against
-    the 1024-cell counter table."""
-    cells = (
+    output. Build cost: one keyed count per partkey (partial-agg
+    combine — the shuffle carries at most |distinct keys| rows per map
+    task, NOT the corpus), then a 4× fan-out of the FREQUENCY table
+    into the (4·256)-cell aggregate: the sketch is linear, so summing
+    per-key frequencies into cells equals counting raw rows while
+    hashing |keys| values instead of 4×|rows|. Merging shards is
+    elementwise ``sum``, which is why this is the structure
+    heavy-hitter pipelines ship at 100 TB. Probe side is a broadcast
+    join against the 1024-cell counter table."""
+    # Build from the per-key frequency table, NOT the raw row stream: the
+    # sketch is linear, so cnt(j,pos) = Σ_{key: h(j,key)=pos} freq(key) —
+    # identical integers — while the md5 fan-out runs over |distinct
+    # partkey| rows instead of 4×|lineitem| (guide §2.3 "aggregate before
+    # you shuffle": the keyed count's partial aggregation reduces
+    # map-side; measured 4.2 s → see OPTIMIZATION_r10.md). The same
+    # frequency table is what the truth join below recomputes.
+    key_freq = (
         load(spark, sf, "lineitem")
-        .select("l_partkey")
-        .select(
-            "l_partkey", F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("j")
+        .groupBy("l_partkey")
+        .agg(F.count("*").alias("_freq"))
+    )
+    cells = (
+        key_freq.select(
+            "l_partkey",
+            "_freq",
+            F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("j"),
         )
         .select(
             "j",
+            "_freq",
             (
                 F.conv(
                     F.substring(
@@ -1968,7 +1989,7 @@ def q_sketch_countmin(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("pos"),
         )
         .groupBy("j", "pos")
-        .agg(F.count("*").alias("cnt"))
+        .agg(F.sum("_freq").alias("cnt"))
     )
     probes = (
         load(spark, sf, "part")
