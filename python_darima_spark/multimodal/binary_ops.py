@@ -757,17 +757,21 @@ def video_frame_sample(
     from python_darima_spark.multimodal.codecs import avi_decode
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # the sampled positions are a fixed ascending prefix-closed set,
+        # so avi_decode can decode ONLY them (positions past the stream
+        # end drop off the tail) — identical kept frames, without paying
+        # per-frame JPEG decode for the frames sampling throws away (r10)
+        wanted = list(range(0, every_n * max_frames, every_n))
         for pdf in batches:
             mids, idxs, srcs, nps, means = [], [], [], [], []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 b = payload if isinstance(payload, bytes) else bytes(payload)
-                frames, _fps = avi_decode(b)
-                keep = np.arange(0, frames.shape[0], every_n)[:max_frames]
-                for k, src in enumerate(keep):
-                    f = frames[src]
+                frames, _fps = avi_decode(b, frame_indices=wanted)
+                for k in range(frames.shape[0]):
+                    f = frames[k]
                     mids.append(mid)
                     idxs.append(k)
-                    srcs.append(int(src))
+                    srcs.append(wanted[k])
                     nps.append(int(f.size))
                     means.append(round(float(f.mean()), 6))
             yield pd.DataFrame(

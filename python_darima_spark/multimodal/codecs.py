@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import struct
 import zlib
+from functools import lru_cache
 
 import numpy as np
 
@@ -259,6 +260,23 @@ _DCT = np.array(
     ]
 )
 
+def _dequant_idct(zz_rows: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Batched dequantize + de-zigzag + 2-D inverse DCT over ``(n, 64)``
+    zigzag coefficient rows → ``(n, 8, 8)`` float64 sample blocks
+    (+128 level shift). ONE shared implementation so the sequential and
+    progressive decoders produce identical pixels (tests assert
+    cross-decoder equality); per block the arithmetic is the same two
+    8×8 float64 matrix products the old per-block form ran, batched
+    across blocks so the decode pays two matmul calls per COMPONENT
+    instead of two per block (r10). For the DC-only blocks every
+    hash-certified corpus entry decodes, each output sample is a single
+    product plus exact zeros, so batching cannot move a pixel."""
+    deq = zz_rows * q[_ZZ_ROWS, _ZZ_COLS]
+    coef = np.zeros((zz_rows.shape[0], 8, 8), dtype=np.float64)
+    coef[:, _ZZ_ROWS, _ZZ_COLS] = deq
+    return np.matmul(np.matmul(_DCT.T, coef), _DCT) + 128.0
+
+
 # canonical huffman spec (BITS counts per code length 1..16, then the
 # symbol list in code order — exactly the DHT payload layout). Simple
 # fixed-length tables: 12 DC categories at 4 bits, all 162 AC symbols
@@ -292,6 +310,13 @@ def _huff_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
             k += 1
         code <<= 1
     return out
+
+
+# the constant encode-side tables, built once (per-call reconstruction
+# was a visible share of each tiny MJPG frame encode — r10)
+_DC_CODE = _huff_codes(_DC_BITS, _DC_VALS)
+_AC_CODE = _huff_codes(_AC_BITS, _AC_VALS)
+_AC_CODE_PROG = _huff_codes(_AC_BITS_PROG, _AC_VALS_PROG)
 
 
 class _BitWriter:
@@ -365,12 +390,28 @@ def _downsample2(p: np.ndarray) -> np.ndarray:
     return ((s + 2) // 4).astype(np.uint8)
 
 
-def _encode_block(bw: _BitWriter, blk, q, pred: int, dc_code, ac_code) -> int:
-    """FDCT + quantize + entropy-code one 8×8 block; returns the new
-    DC predictor for this block's component."""
-    s = _DCT @ (blk.astype(np.float64) - 128.0) @ _DCT.T
+def _fdct_quantized_zz(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """Batched FDCT + quantize + zigzag over an edge-padded plane:
+    ``(bh·8, bw·8)`` uint8 → ``(bh·bw, 64)`` int64 zigzag rows in
+    row-major block order. Identical per-block arithmetic to the old
+    per-block form (same matmuls, same elementwise round), batched so
+    an encode pays two matmul calls per COMPONENT instead of two per
+    block (r10 — the encoders dominated the multimodal bench entries
+    once decode was fused)."""
+    h8, w8 = plane.shape[0] // 8, plane.shape[1] // 8
+    blocks = (
+        plane.reshape(h8, 8, w8, 8).transpose(0, 2, 1, 3).astype(np.float64)
+        - 128.0
+    )
+    s = np.matmul(np.matmul(_DCT, blocks), _DCT.T)
     coef = np.round(s / q).astype(np.int64)
-    zz = coef[_ZZ_ROWS, _ZZ_COLS]
+    return coef[:, :, _ZZ_ROWS, _ZZ_COLS].reshape(h8 * w8, 64)
+
+
+def _encode_block(bw: _BitWriter, zz, pred: int, dc_code, ac_code) -> int:
+    """Entropy-code one 8×8 block from its precomputed zigzag
+    coefficient row (see :func:`_fdct_quantized_zz`); returns the new
+    DC predictor for this block's component."""
     diff = int(zz[0]) - pred
     size = abs(diff).bit_length()
     bw.put(*dc_code[size])
@@ -457,8 +498,11 @@ def jpeg_encode_baseline(
                 mode="edge",
             )
         )
-    dc_code = _huff_codes(_DC_BITS, _DC_VALS)
-    ac_code = _huff_codes(_AC_BITS, _AC_VALS)
+    dc_code, ac_code = _DC_CODE, _AC_CODE
+    # batched FDCT/quant/zigzag per component; the MCU loop below only
+    # entropy-codes, indexing each component's row-major block grid
+    zz_all = [_fdct_quantized_zz(pad, q) for pad in pads]
+    grid_cols = [mcu_cols * hs for (hs, _vs) in samps]
     bw = _BitWriter()
     preds = [0] * len(pads)
     mcu, rst = 0, 0
@@ -468,22 +512,46 @@ def jpeg_encode_baseline(
                 bw.restart(rst)
                 rst = (rst + 1) % 8
                 preds = [0] * len(pads)
-            for ci, (pad, (hs, vs)) in enumerate(zip(pads, samps)):
+            for ci, (hs, vs) in enumerate(samps):
                 for v in range(vs):
                     for hh in range(hs):
-                        r = (by * vs + v) * 8
-                        c = (bx * hs + hh) * 8
                         preds[ci] = _encode_block(
                             bw,
-                            pad[r : r + 8, c : c + 8],
-                            q,
+                            zz_all[ci][
+                                (by * vs + v) * grid_cols[ci]
+                                + (bx * hs + hh)
+                            ],
                             preds[ci],
                             dc_code,
                             ac_code,
                         )
             mcu += 1
-    zz_q = q[_ZZ_ROWS, _ZZ_COLS]
-    ncomp = len(pads)
+    return (
+        _jpeg_baseline_headers(
+            tuple(int(x) for x in q[_ZZ_ROWS, _ZZ_COLS]),
+            h,
+            w,
+            tuple(samps),
+            restart_interval,
+        )
+        + bw.flush()
+        + b"\xff\xd9"
+    )
+
+
+@lru_cache(maxsize=64)
+def _jpeg_baseline_headers(
+    zz_q: tuple,
+    h: int,
+    w: int,
+    samps: tuple,
+    restart_interval: int,
+) -> bytes:
+    """Everything before the entropy-coded data of a baseline stream
+    (SOI…SOS), cached: the MJPG path encodes thousands of SAME-SHAPED
+    frames per AVI, and header assembly was a visible share of each
+    tiny encode (r10)."""
+    ncomp = len(samps)
     sof_comps = b"".join(
         bytes([ci + 1, (samps[ci][0] << 4) | samps[ci][1], 0])
         for ci in range(ncomp)
@@ -497,83 +565,220 @@ def jpeg_encode_baseline(
     return (
         JPEG_SOI
         + _seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-        + _seg(0xDB, bytes([0x00]) + bytes(int(x) for x in zz_q))
+        + _seg(0xDB, bytes([0x00]) + bytes(zz_q))
         + dri
         + _seg(0xC0, struct.pack(">BHHB", 8, h, w, ncomp) + sof_comps)
         + _seg(0xC4, bytes([0x00]) + bytes(_DC_BITS) + bytes(_DC_VALS))
         + _seg(0xC4, bytes([0x10]) + bytes(_AC_BITS) + bytes(_AC_VALS))
         + _seg(0xDA, bytes([ncomp]) + sos_comps + bytes([0, 63, 0]))
-        + bw.flush()
-        + b"\xff\xd9"
     )
+
+
+def _scan_entropy(data: bytes, pos: int):
+    """One pass over the entropy-coded stream from ``pos``: unstuff
+    0xFF00, record restart markers and the terminating real marker /
+    EOF as BOUNDARIES. Returns ``(buf, past, bounds)`` where ``buf`` is
+    the unstuffed payload across all restart segments, ``past[i]`` is
+    the source offset just past ``buf[i]``'s wire representation (two
+    bytes for a stuffed 0xFF), and ``bounds`` is the ascending list of
+    ``(buf_offset, kind, m)`` with kind ``"rst"`` (m = marker index) or
+    the final terminator ``"marker"``/``"eof"``. Only 0xFF positions
+    are touched in Python — plain runs move as buffer slices — so the
+    scan runs at memcpy speed (the r10 bulk-bit-reader rewrite; the old
+    reader paid a Python call per BIT, the dominant cost of every JPEG
+    decode entry)."""
+    arr = np.frombuffer(data, dtype=np.uint8)
+    ffs = np.flatnonzero(arr[pos:] == 0xFF)
+    mv = memoryview(data)
+    ndata = len(data)
+    chunks: list = []
+    past_chunks: list = []
+    bounds: list[tuple[int, str, int | None]] = []
+    cur = pos
+    buf_len = 0
+    terminated = False
+    for off in ffs:
+        p = pos + int(off)
+        if p < cur:
+            continue  # second byte of an already-consumed pair
+        if p > cur:
+            chunks.append(mv[cur:p])
+            past_chunks.append(np.arange(cur + 1, p + 1, dtype=np.int64))
+            buf_len += p - cur
+        nxt = data[p + 1] if p + 1 < ndata else None
+        if nxt == 0x00:  # stuffed data byte
+            chunks.append(b"\xff")
+            past_chunks.append(np.array([p + 2], dtype=np.int64))
+            buf_len += 1
+            cur = p + 2
+        elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+            bounds.append((buf_len, "rst", nxt & 7))
+            cur = p + 2
+        else:  # real marker (or lone 0xFF at EOF) ends the segment
+            bounds.append((buf_len, "marker", None))
+            terminated = True
+            break
+    if not terminated:
+        if cur < ndata:
+            chunks.append(mv[cur:ndata])
+            past_chunks.append(np.arange(cur + 1, ndata + 1, dtype=np.int64))
+            buf_len += ndata - cur
+        bounds.append((buf_len, "eof", None))
+    past = (
+        np.concatenate(past_chunks)
+        if past_chunks
+        else np.empty(0, dtype=np.int64)
+    )
+    return b"".join(chunks), past, bounds
 
 
 class _BitReader:
     """Entropy-segment bit reader with 0xFF00 unstuffing; stops at any
-    real marker."""
+    real marker.
+
+    r10 shape: the segment is unstuffed ONCE up front (:func:`
+    _scan_entropy`) and bits are served from a ≤63-bit accumulator
+    refilled several bytes at a time — restart markers and the
+    terminating marker are BOUNDARIES the accumulator never crosses, so
+    every malformed-stream error of the old per-byte reader fires at
+    the same consumption point with the same message. ``peek16`` /
+    direct ``_n`` consumption expose the buffered window to the LUT
+    huffman decode below."""
 
     def __init__(self, data: bytes, pos: int):
         self.data = data
-        self.pos = pos
+        self._start = pos
+        self._buf, self._past, self._bounds = _scan_entropy(data, pos)
+        self._bi = 0
+        self._limit = self._bounds[0][0]
+        self._bpos = 0
         self._acc = 0
         self._n = 0
 
+    @property
+    def pos(self) -> int:
+        """Source offset just past the last (possibly partially)
+        consumed byte — the old reader's ``pos`` contract, used by the
+        progressive decoder to resync after a scan."""
+        n, bpos = self._n, self._bpos
+        if n == 0:
+            return int(self._past[bpos - 1]) if bpos else self._start
+        m = (n + 7) >> 3  # buffered bytes holding unconsumed bits
+        if n & 7:  # byte bpos-m is partially consumed → counted as read
+            return int(self._past[bpos - m])
+        # acc holds m wholly-unconsumed bytes: not "read" in old terms
+        return int(self._past[bpos - m - 1]) if bpos > m else self._start
+
+    def _fill(self) -> None:
+        take = self._limit - self._bpos
+        room = (63 - self._n) >> 3
+        if take > room:
+            take = room
+        if take > 0:
+            b = self._bpos
+            # mask off already-consumed high bits BEFORE shifting, or
+            # the int grows without bound and every shift goes O(bits)
+            self._acc = (
+                (self._acc & ((1 << self._n) - 1)) << (8 * take)
+            ) | int.from_bytes(self._buf[b : b + take], "big")
+            self._n += 8 * take
+            self._bpos = b + take
+
+    def _raise_boundary(self) -> None:
+        kind = self._bounds[self._bi][1]
+        if kind == "rst":
+            raise ValueError(
+                "restart marker inside an entropy-coded block "
+                "(misaligned or corrupt restart segment)"
+            )
+        if kind == "marker":
+            raise ValueError("entropy data ran into a marker")
+        raise ValueError("truncated entropy-coded segment")
+
     def bit(self) -> int:
         if not self._n:
-            if self.pos >= len(self.data):
-                raise ValueError("truncated entropy-coded segment")
-            b = self.data[self.pos]
-            if b == 0xFF:
-                nxt = (
-                    self.data[self.pos + 1]
-                    if self.pos + 1 < len(self.data)
-                    else None
-                )
-                if nxt == 0x00:
-                    self.pos += 2
-                elif nxt is not None and 0xD0 <= nxt <= 0xD7:
-                    raise ValueError(
-                        "restart marker inside an entropy-coded block "
-                        "(misaligned or corrupt restart segment)"
-                    )
-                else:
-                    raise ValueError("entropy data ran into a marker")
-            else:
-                self.pos += 1
-            self._acc = b
-            self._n = 8
+            self._fill()
+            if not self._n:
+                self._raise_boundary()
         self._n -= 1
         return (self._acc >> self._n) & 1
 
     def bits(self, n: int) -> int:
-        v = 0
+        if self._n < n:
+            self._fill()
+        if self._n >= n:
+            self._n -= n
+            return (self._acc >> self._n) & ((1 << n) - 1)
+        v = 0  # boundary-limited tail: per-bit for exact error behavior
         for _ in range(n):
             v = (v << 1) | self.bit()
         return v
 
+    def peek16(self) -> int:
+        """The next 16 bits without consuming, or −1 when fewer remain
+        before the next boundary (LUT callers then take the per-bit
+        path, which raises exactly where the old reader did)."""
+        if self._n < 16:
+            self._fill()
+            if self._n < 16:
+                return -1
+        return (self._acc >> (self._n - 16)) & 0xFFFF
+
     def restart(self) -> int:
         """Discard pad bits to the byte boundary, consume the RSTm
         marker that must sit there (T.81 E.2.4), return m."""
+        # return wholly-unconsumed prefetched bytes, drop partial bits
+        self._bpos -= self._n >> 3
         self._acc = 0
         self._n = 0
-        if (
-            self.pos + 2 > len(self.data)
-            or self.data[self.pos] != 0xFF
-            or not 0xD0 <= self.data[self.pos + 1] <= 0xD7
-        ):
+        b = self._bounds[self._bi]
+        if self._bpos != self._limit or b[1] != "rst":
             raise ValueError("expected RSTn marker at restart boundary")
-        m = self.data[self.pos + 1] & 7
-        self.pos += 2
-        return m
+        self._bi += 1
+        self._limit = self._bounds[self._bi][0]
+        return b[2]
+
+
+# (bits, vals) → (sym_list, len_bytes) flat 16-bit-peek tables, cached by
+# table CONTENT: the corpus entries decode thousands of small images that
+# all carry the same standard DHT segments, so the 65536-entry build is
+# paid once per distinct table, not once per image.
+_HUFF_LUT_CACHE: dict[tuple, tuple[list[int], bytes]] = {}
 
 
 def _huff_decoder(bits: list[int], vals: list[int]):
-    """(code, length) → symbol lookup via the canonical construction."""
-    table = {
-        (c, ln): sym for sym, (c, ln) in _huff_codes(bits, vals).items()
-    }
+    """(code, length) → symbol lookup via the canonical construction.
+
+    Decode is a flat-LUT peek: read the next 16 bits, index two flat
+    tables for (symbol, code length), consume the length — one dict-free
+    lookup per symbol instead of a Python call per bit (r10). Near a
+    segment boundary (fewer than 16 bits left) the exact per-bit walk of
+    the old decoder runs instead, preserving both short-code decodes and
+    the boundary/invalid-code error behavior bit for bit."""
+    codes = _huff_codes(bits, vals)
+    key = (tuple(bits), tuple(vals))
+    lut = _HUFF_LUT_CACHE.get(key)
+    if lut is None:
+        sym_l = [0] * 65536
+        len_b = bytearray(65536)
+        for sym, (c, ln) in codes.items():
+            base = c << (16 - ln)
+            n = 1 << (16 - ln)
+            sym_l[base : base + n] = [sym] * n
+            len_b[base : base + n] = bytes([ln]) * n
+        lut = (sym_l, bytes(len_b))
+        _HUFF_LUT_CACHE[key] = lut
+    sym_l, len_b = lut
+    table = {(c, ln): sym for sym, (c, ln) in codes.items()}
 
     def decode(br: _BitReader) -> int:
+        idx = br.peek16()
+        if idx >= 0:
+            ln = len_b[idx]
+            if ln == 0:
+                raise ValueError("invalid huffman code in entropy segment")
+            br._n -= ln
+            return sym_l[idx]
         code, length = 0, 0
         while length < 16:
             code = (code << 1) | br.bit()
@@ -583,7 +788,115 @@ def _huff_decoder(bits: list[int], vals: list[int]):
                 return sym
         raise ValueError("invalid huffman code in entropy segment")
 
+    decode.luts = lut  # (sym_list, len_bytes) for the fused block loop
     return decode
+
+
+def _decode_block_baseline(br: _BitReader, row, dc, ac, pred: int) -> int:
+    """Decode ONE baseline block (DC + AC run-length loop) into zigzag
+    ``row``, returning the updated DC predictor. The hot path runs on
+    LOCAL copies of the reader's accumulator with the flat LUTs — one
+    Python call per BLOCK instead of one per symbol/magnitude (r10; the
+    per-call generic path measured ~2 µs per crossing). Whenever fewer
+    than 27 bits (16-bit huffman peek + 11-bit max magnitude) can be
+    buffered before the next segment boundary, state is synced back and
+    the generic per-call loop finishes the block — same decoded values,
+    same boundary/malformed-stream errors."""
+    dc_sym, dc_len = dc.luts
+    ac_sym, ac_len = ac.luts
+    buf, limit = br._buf, br._limit
+    acc, n, bpos = br._acc, br._n, br._bpos
+    k = 0  # next coefficient to decode; 0 = DC pending
+    while True:
+        # 32 = 16-bit huffman peek + the 15-bit max magnitude a 4-bit
+        # AC size field can request; below that, refill or take the
+        # generic boundary-exact tail
+        if n < 32:
+            take = limit - bpos
+            room = (63 - n) >> 3
+            if take > room:
+                take = room
+            if take > 0:
+                # mask consumed high bits before shifting (see _fill)
+                acc = ((acc & ((1 << n) - 1)) << (8 * take)) | int.from_bytes(
+                    buf[bpos : bpos + take], "big"
+                )
+                n += 8 * take
+                bpos += take
+            if n < 32:
+                break  # near a boundary: generic tail below
+        idx = (acc >> (n - 16)) & 0xFFFF
+        if k == 0:
+            ln = dc_len[idx]
+            if ln == 0:
+                raise ValueError("invalid huffman code in entropy segment")
+            n -= ln
+            size = dc_sym[idx]
+            if size:
+                if size > 15:  # stream-defined table with an oversized
+                    # category: generic read (matches old behavior)
+                    br._acc, br._n, br._bpos = acc, n, bpos
+                    pred += _extend(br.bits(size), size)
+                    acc, n, bpos = br._acc, br._n, br._bpos
+                else:
+                    v = (acc >> (n - size)) & ((1 << size) - 1)
+                    n -= size
+                    pred += (
+                        v
+                        if v >= (1 << (size - 1))
+                        else v - (1 << size) + 1
+                    )
+            row[0] = pred
+            k = 1
+            continue
+        ln = ac_len[idx]
+        if ln == 0:
+            raise ValueError("invalid huffman code in entropy segment")
+        n -= ln
+        sym = ac_sym[idx]
+        if sym == 0x00:  # EOB
+            br._acc, br._n, br._bpos = acc, n, bpos
+            return pred
+        run, size = sym >> 4, sym & 0xF
+        if size == 0:
+            if run != 15:
+                raise ValueError(f"invalid AC symbol {sym:#x}")
+            k += 16  # ZRL
+        else:
+            k += run
+            if k > 63:
+                raise ValueError("AC run past end of block")
+            v = (acc >> (n - size)) & ((1 << size) - 1)
+            n -= size
+            row[k] = v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+            k += 1
+        if k > 63:
+            br._acc, br._n, br._bpos = acc, n, bpos
+            return pred
+    # generic tail (boundary-adjacent): resume exactly where we stopped
+    br._acc, br._n, br._bpos = acc, n, bpos
+    if k == 0:
+        size = dc(br)
+        if size:
+            pred += _extend(br.bits(size), size)
+        row[0] = pred
+        k = 1
+    while k <= 63:
+        sym = ac(br)
+        if sym == 0x00:
+            break
+        run, size = sym >> 4, sym & 0xF
+        if size == 0:
+            if run != 15:
+                raise ValueError(f"invalid AC symbol {sym:#x}")
+            k += 16
+            continue
+        k += run
+        if k > 63:
+            raise ValueError("AC run past end of block")
+        row[k] = _extend(br.bits(size), size)
+        k += 1
+    return pred
 
 
 def _extend(v: int, size: int) -> int:
@@ -714,6 +1027,16 @@ def jpeg_decode_baseline(data: bytes) -> np.ndarray:
     ]
     br = _BitReader(data, pos)
     preds = [0] * len(per_comp)
+    # entropy-decode into ONE (total_blocks, 64) zigzag coefficient
+    # matrix (python-int huffman/DC work, one sparse numpy write per
+    # nonzero coefficient); dequant + IDCT run batched per component
+    # AFTER the scan (see _dequant_idct) — the old per-block
+    # zeros+matmul pair was ~half the decode wall (r10 profile).
+    n_per_mcu = sum(hs * vs for (_q, _dc, _ac, hs, vs) in per_comp)
+    coeffs = np.zeros((mcu_rows * mcu_cols * n_per_mcu, 64), dtype=np.int64)
+    comp_rows: list[list[int]] = [[] for _ in per_comp]
+    comp_pos: list[list[tuple[int, int]]] = [[] for _ in per_comp]
+    bi = 0
     # MCU-interleaved, H×V blocks per component per MCU, SOF order
     # (T.81 A.2.3); restart segments reset predictors and byte-align
     mcu, rst_expect = 0, 0
@@ -731,37 +1054,20 @@ def jpeg_decode_baseline(data: bytes) -> np.ndarray:
             for ci, (q, dc, ac, hs, vs) in enumerate(per_comp):
                 for v in range(vs):
                     for hh in range(hs):
-                        zz = np.zeros(64, dtype=np.int64)
-                        size = dc(br)
-                        if size:
-                            preds[ci] += _extend(br.bits(size), size)
-                        zz[0] = preds[ci]
-                        k = 1
-                        while k <= 63:
-                            sym = ac(br)
-                            if sym == 0x00:  # EOB
-                                break
-                            run, size = sym >> 4, sym & 0xF
-                            if size == 0:
-                                if run != 15:
-                                    raise ValueError(
-                                        f"invalid AC symbol {sym:#x}"
-                                    )
-                                k += 16  # ZRL
-                                continue
-                            k += run
-                            if k > 63:
-                                raise ValueError("AC run past end of block")
-                            zz[k] = _extend(br.bits(size), size)
-                            k += 1
-                        coef = np.zeros((8, 8), dtype=np.float64)
-                        coef[_ZZ_ROWS, _ZZ_COLS] = zz * q[_ZZ_ROWS, _ZZ_COLS]
-                        r0 = (by * vs + v) * 8
-                        c0 = (bx * hs + hh) * 8
-                        planes[ci][r0 : r0 + 8, c0 : c0 + 8] = (
-                            _DCT.T @ coef @ _DCT + 128.0
+                        preds[ci] = _decode_block_baseline(
+                            br, coeffs[bi], dc, ac, preds[ci]
                         )
+                        comp_rows[ci].append(bi)
+                        comp_pos[ci].append(
+                            ((by * vs + v) * 8, (bx * hs + hh) * 8)
+                        )
+                        bi += 1
             mcu += 1
+    for ci, (q, _dc, _ac, hs, vs) in enumerate(per_comp):
+        out = _dequant_idct(coeffs[np.asarray(comp_rows[ci])], q)
+        plane = planes[ci]
+        for j, (r0, c0) in enumerate(comp_pos[ci]):
+            plane[r0 : r0 + 8, c0 : c0 + 8] = out[j]
     # upsample subsampled components by pixel replication to the full
     # MCU-padded grid, then crop to the true image size
     planes = [
@@ -969,8 +1275,11 @@ def avi_encode(
         bitcount, compression = (8, 0) if gray else (24, 0)
         size_image = stride * h
     else:
-        for f in a:
-            chunks.append(jpeg_encode_baseline(f))
+        if gray:
+            chunks.extend(_mjpg_encode_gray_frames(a))
+        else:
+            for f in a:
+                chunks.append(jpeg_encode_baseline(f))
         bitcount, compression = 24, struct.unpack("<I", b"MJPG")[0]
         size_image = max(len(c) for c in chunks)
     strf = struct.pack(
@@ -1011,14 +1320,61 @@ def avi_encode(
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
-def avi_decode(data: bytes) -> tuple[np.ndarray, int]:
+def _mjpg_encode_gray_frames(a: np.ndarray) -> list[bytes]:
+    """Encode a (n, h, w) greyscale frame stack as per-frame baseline
+    JPEGs, BYTE-IDENTICAL to ``[jpeg_encode_baseline(f) for f in a]``
+    (same header builder, same entropy coder, same per-block
+    arithmetic) but with ONE batched FDCT across all n frames' blocks
+    and the constant header computed once — the per-frame fixed costs
+    dominated the MJPG video entry, whose corpus is one 8×8 frame per
+    text byte (r10)."""
+    n, h, w = a.shape
+    if h < 1 or w < 1:
+        raise ValueError("empty image")
+    q = _default_quant()
+    th, tw = -(-h // 8) * 8, -(-w // 8) * 8
+    pads = np.pad(a, ((0, 0), (0, th - h), (0, tw - w)), mode="edge")
+    bh, bw_ = th // 8, tw // 8
+    blocks = (
+        pads.reshape(n, bh, 8, bw_, 8)
+        .transpose(0, 1, 3, 2, 4)
+        .astype(np.float64)
+        - 128.0
+    )
+    s = np.matmul(np.matmul(_DCT, blocks), _DCT.T)
+    coef = np.round(s / q).astype(np.int64)
+    zz = coef[..., _ZZ_ROWS, _ZZ_COLS].reshape(n, bh * bw_, 64)
+    header = _jpeg_baseline_headers(
+        tuple(int(x) for x in q[_ZZ_ROWS, _ZZ_COLS]), h, w, ((1, 1),), 0
+    )
+    out = []
+    for i in range(n):
+        bw = _BitWriter()
+        pred = 0
+        rows = zz[i]
+        for b in range(bh * bw_):
+            pred = _encode_block(bw, rows[b], pred, _DC_CODE, _AC_CODE)
+        out.append(header + bw.flush() + b"\xff\xd9")
+    return out
+
+
+def avi_decode(
+    data: bytes, frame_indices: list[int] | None = None
+) -> tuple[np.ndarray, int]:
     """Decode an AVI to ``(frames, fps)`` — greyscale 8-bit DIB →
     (n, h, w), 24-bit DIB / MJPG → (n, h, w, 3) (MJPG greyscale JPEGs
     come back (n, h, w)). Walks the RIFF tree (LIST recursion, odd-size
     pad bytes), reads dimensions and the compression fourcc from
     strf/avih, and decodes '00db'/'00dc' frame chunks — MJPG frames
     through :func:`jpeg_decode_baseline`. Unsupported compression
-    fourccs refuse explicitly."""
+    fourccs refuse explicitly.
+
+    ``frame_indices``: optionally decode ONLY these frame positions
+    (ascending; positions past the last frame are silently dropped) —
+    the container walk still validates the whole file, but a sampling
+    consumer pays per-frame decode only for the frames it keeps (r10:
+    the video entry samples ≤8 frames of streams with one frame per
+    text byte)."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise ValueError("not a RIFF/AVI file")
     (riff_len,) = struct.unpack("<I", data[4:8])
@@ -1059,6 +1415,12 @@ def avi_decode(data: bytes) -> tuple[np.ndarray, int]:
         raise ValueError("no video stream format (strf) found")
     if not frames_raw:
         raise ValueError("no frame chunks in movi list")
+    if frame_indices is not None:
+        frames_raw = [
+            frames_raw[i] for i in frame_indices if i < len(frames_raw)
+        ]
+        if not frames_raw:
+            raise ValueError("frame_indices selects no frames")
     w, h, comp = hdr["w"], hdr["h"], hdr["comp"]
     mjpg = struct.unpack("<I", b"MJPG")[0]
     if comp == mjpg:
@@ -1124,18 +1486,18 @@ def _pt(v: int, al: int) -> int:
     return -((-v) >> al) if v < 0 else v >> al
 
 
+def _pt_rows(a: np.ndarray, al: int) -> np.ndarray:
+    """Vectorized :func:`_pt` over an int64 array (r10: the progressive
+    encoder point-transformed every coefficient of every block through
+    a Python call per value; one where/shift per scan replaces them)."""
+    return np.where(a < 0, -((-a) >> al), a >> al)
+
+
 def _quantized_blocks(plane: np.ndarray, q: np.ndarray) -> list[np.ndarray]:
     """FDCT + quantize every 8×8 block of an edge-padded plane; returns
-    zigzag-order int64 arrays in row-major block order."""
-    h8, w8 = plane.shape[0] // 8, plane.shape[1] // 8
-    out = []
-    for by in range(h8):
-        for bx in range(w8):
-            blk = plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
-            s = _DCT @ (blk.astype(np.float64) - 128.0) @ _DCT.T
-            coef = np.round(s / q).astype(np.int64)
-            out.append(coef[_ZZ_ROWS, _ZZ_COLS])
-    return out
+    zigzag-order int64 arrays in row-major block order (rows of the
+    batched :func:`_fdct_quantized_zz` — identical arithmetic)."""
+    return list(_fdct_quantized_zz(plane, q))
 
 
 def _emit_amplitude(bw: _BitWriter, v: int) -> None:
@@ -1201,11 +1563,12 @@ def jpeg_encode_progressive(
     pads = [
         np.pad(p, ((0, -h % 8), (0, -w % 8)), mode="edge") for p in planes
     ]
-    comps = [_quantized_blocks(p, q) for p in pads]
-    n_blocks = len(comps[0])
-    dc_code = _huff_codes(_DC_BITS, _DC_VALS)
-    ac_code = _huff_codes(_AC_BITS_PROG, _AC_VALS_PROG)
-    ncomp = len(comps)
+    # (n_blocks, 64) zigzag matrices; scans below read vectorized
+    # point-transformed .tolist() views, never per-value numpy scalars
+    mats = [_fdct_quantized_zz(p, q) for p in pads]
+    n_blocks = mats[0].shape[0]
+    dc_code, ac_code = _DC_CODE, _AC_CODE_PROG
+    ncomp = len(mats)
 
     def sos(comp_ids, ss, se, ah, al) -> bytes:
         body = bytes([len(comp_ids)])
@@ -1218,9 +1581,12 @@ def jpeg_encode_progressive(
     # --- DC first scan (interleaved, Ah=0, Al=dc_al) ---
     bw = _BitWriter()
     preds = [0] * ncomp
+    # >> on int64 is the same arithmetic shift as python-int >> (the DC
+    # point transform, F.1.5.1)
+    dcs = [(m[:, 0] >> dc_al).tolist() for m in mats]
     for b in range(n_blocks):
         for ci in range(ncomp):
-            v = int(comps[ci][b][0]) >> dc_al  # DC point transform
+            v = dcs[ci][b]
             diff = v - preds[ci]
             preds[ci] = v
             size = abs(diff).bit_length()
@@ -1231,20 +1597,21 @@ def jpeg_encode_progressive(
     # --- DC refinement scans: one raw bit per block per level ---
     for al in range(dc_al - 1, -1, -1):
         bw = _BitWriter()
+        dbits = [((m[:, 0] >> al) & 1).tolist() for m in mats]
         for b in range(n_blocks):
             for ci in range(ncomp):
-                bw.put((int(comps[ci][b][0]) >> al) & 1, 1)
+                bw.put(dbits[ci][b], 1)
         scans.append(sos(list(range(ncomp)), 0, 0, al + 1, al) + bw.flush())
 
     # --- AC scans: per component, per band ---
     for ci in range(ncomp):
-        blocks = comps[ci]
         for ss, se in bands:
             # first scan at Al=ac_al (G.1.2.2 with EOB runs)
             bw = _BitWriter()
             eobrun = 0
+            band_l = _pt_rows(mats[ci][:, ss : se + 1], ac_al).tolist()
             for b in range(n_blocks):
-                band = [_pt(int(blocks[b][k]), ac_al) for k in range(ss, se + 1)]
+                band = band_l[b]
                 nz = [i for i, v in enumerate(band) if v != 0]
                 if not nz:
                     eobrun += 1
@@ -1274,13 +1641,16 @@ def jpeg_encode_progressive(
                 bw = _BitWriter()
                 eobrun = 0
                 pending: list[int] = []
+                sub = mats[ci][:, ss : se + 1]
+                hist_l = _pt_rows(sub, al + 1).tolist()
+                now_l = _pt_rows(sub, al).tolist()
+                nband = se - ss + 1
                 for b in range(n_blocks):
-                    coefs = [int(blocks[b][k]) for k in range(ss, se + 1)]
-                    hist = [_pt(v, al + 1) for v in coefs]
-                    now = [_pt(v, al) for v in coefs]
+                    hist = hist_l[b]
+                    now = now_l[b]
                     newly = [
                         i
-                        for i in range(len(coefs))
+                        for i in range(nband)
                         if hist[i] == 0 and now[i] != 0
                     ]
                     if not newly:
@@ -1289,7 +1659,7 @@ def jpeg_encode_progressive(
                         eobrun += 1
                         pending.extend(
                             abs(now[i]) & 1
-                            for i in range(len(coefs))
+                            for i in range(nband)
                             if hist[i] != 0
                         )
                         if eobrun == 32767:
@@ -1324,7 +1694,7 @@ def jpeg_encode_progressive(
                     # coefficient ride the block's EOB
                     tail_bits = [
                         abs(now[i]) & 1
-                        for i in range(newly[-1] + 1, len(coefs))
+                        for i in range(newly[-1] + 1, nband)
                         if hist[i] != 0
                     ]
                     if newly[-1] + 1 <= se - ss or tail_bits:
@@ -1423,8 +1793,11 @@ def jpeg_decode_progressive(data: bytes) -> np.ndarray:
                 comps.append((cid, tq))
             sof = (h, w)
             n_blocks = (-(-h // 8)) * (-(-w // 8))
+            # one (n_blocks, 64) matrix per component (row views are
+            # mutated in place by the scan loops below) so the final
+            # dequant+IDCT runs batched through _dequant_idct
             coefs = [
-                [np.zeros(64, dtype=np.int64) for _ in range(n_blocks)]
+                np.zeros((n_blocks, 64), dtype=np.int64)
                 for _ in range(ncomp)
             ]
         elif marker == 0xC0:
@@ -1581,13 +1954,10 @@ def jpeg_decode_progressive(data: bytes) -> np.ndarray:
         if q is None:
             raise ValueError("missing quant table referenced by frame")
         plane = np.zeros((bh * 8, bw_ * 8), dtype=np.float64)
+        out = _dequant_idct(coefs[ci], q)
         for b in range(n_blocks):
-            coef = np.zeros((8, 8), dtype=np.float64)
-            coef[_ZZ_ROWS, _ZZ_COLS] = coefs[ci][b] * q[_ZZ_ROWS, _ZZ_COLS]
             by, bx = divmod(b, bw_)
-            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = (
-                _DCT.T @ coef @ _DCT + 128.0
-            )
+            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = out[b]
         planes.append(plane)
     if len(planes) == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[:h, :w]
