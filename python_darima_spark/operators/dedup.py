@@ -69,11 +69,36 @@ def dedup_exact(
 
 
 def char_shingles(text_col: str, k: int = 5):
-    """Array of k-char shingles, JVM-side: substring at every offset."""
+    """Array of k-char shingles, JVM-side: substring at every offset.
+
+    ALL-ASCII rows (length == octet_length, checked once per row) slice
+    the UTF-8 BYTES instead: ``substring`` on a string re-scans from the
+    head to find the char offset (O(offset) per shingle — O(len²) per
+    document), while the binary slice is O(1); the bytes are identical
+    for ASCII, so the produced shingle strings are too (r10; the
+    quadratic scan dominated the whole dedup family's shingle stages).
+    Non-ASCII rows keep the exact char-substring path."""
+    seq = f"sequence(1, greatest(length({text_col}) - {k - 1}, 1), 1)"
     return F.expr(
-        f"transform(sequence(1, greatest(length({text_col}) - {k - 1}, 1),"
-        f" 1), i -> substring({text_col}, i, {k}))"
+        f"if(length({text_col}) = octet_length({text_col}), "
+        f"transform({seq}, i -> cast(substring(cast({text_col} as binary),"
+        f" i, {k}) as string)), "
+        f"transform({seq}, i -> substring({text_col}, i, {k})))"
     )
+
+
+def _shingle_gid(text_col: str, bin_col: str, ascii_col: str, k: int):
+    """xxhash64 of the k-char shingle at exploded (1-based) offset
+    ``_i`` — byte-sliced from the precomputed binary column for
+    all-ASCII rows (O(1) per shingle; xxhash64 hashes raw bytes, so
+    BINARY and STRING inputs with the same bytes hash identically),
+    char-sliced otherwise (UTF-8 ``substring`` scans from the string
+    head — O(offset) per shingle, O(len²) per doc, the r10 profile's
+    dominant dedup-stage cost)."""
+    return F.when(
+        F.col(ascii_col),
+        F.xxhash64(F.expr(f"substring({bin_col}, _i, {k})")),
+    ).otherwise(F.xxhash64(F.expr(f"substring({text_col}, _i, {k})")))
 
 
 def doc_shingle_gids(
@@ -110,12 +135,18 @@ def doc_shingle_gids(
     )
     return (
         fan_out(df, id_col)
-        .select(F.col(id_col), F.col(text_col), F.explode(offsets).alias("_i"))
+        .select(
+            F.col(id_col),
+            F.col(text_col),
+            F.col(text_col).cast("binary").alias("_b"),
+            (
+                F.length(text_col) == F.expr(f"octet_length({text_col})")
+            ).alias("_a"),
+            F.explode(offsets).alias("_i"),
+        )
         .select(
             id_col,
-            F.xxhash64(
-                F.expr(f"substring({text_col}, _i, {shingle_k})")
-            ).alias("gid"),
+            _shingle_gid(text_col, "_b", "_a", shingle_k).alias("gid"),
         )
         .distinct()
     )
@@ -163,11 +194,17 @@ def minhash_signatures(
         # exchange).
         df = fan_out(df, id_col)
         base = df.select(
-            F.col(id_col), F.col(text_col), F.explode(offsets).alias("_i")
+            F.col(id_col),
+            F.col(text_col),
+            F.col(text_col).cast("binary").alias("_b"),
+            (
+                F.length(text_col) == F.expr(f"octet_length({text_col})")
+            ).alias("_a"),
+            F.explode(offsets).alias("_i"),
         ).select(
             id_col,
             F.pmod(
-                F.xxhash64(F.expr(f"substring({text_col}, _i, {shingle_k})")),
+                _shingle_gid(text_col, "_b", "_a", shingle_k),
                 F.lit(_MERSENNE_P),
             ).alias("_h"),
         )

@@ -95,3 +95,71 @@ def test_containment_equals_bruteforce(spark, corpus, nest):
             if max(inter / len(a), inter / len(b)) >= 0.9:
                 want.add((i, j))
     assert got == want
+
+
+# --- r10: the ASCII byte-slice shingle fast path ----------------------------
+# doc_shingle_gids / minhash_signatures / char_shingles slice the UTF-8
+# BYTES for all-ASCII rows (string `substring` re-scans from the head —
+# O(len²) per doc) and keep the exact char path otherwise. The two paths
+# must be value-identical on any input, ASCII or not.
+
+UNICODE_DOC = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=0x2FFF),
+    min_size=1,
+    max_size=60,
+)
+
+
+@given(texts=st.lists(UNICODE_DOC, min_size=1, max_size=6))
+@settings(**_SETTINGS)
+def test_shingle_gid_fast_path_equals_char_path(spark, texts):
+    from pyspark.sql import functions as F
+    from python_darima_spark.operators.dedup import (
+        char_shingles,
+        doc_shingle_gids,
+    )
+
+    pdf = pd.DataFrame({"doc_id": range(len(texts)), "text": texts})
+    df = spark.createDataFrame(pdf)
+    got = {
+        (r.doc_id, r.gid) for r in doc_shingle_gids(df).collect()
+    }
+    want = {
+        (r.doc_id, r.gid)
+        for r in df.select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(1), F.greatest(F.length("text") - 4, F.lit(1))
+                )
+            ).alias("_i"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.xxhash64(F.expr("substring(text, _i, 5)")).alias("gid"),
+        )
+        .distinct()
+        .collect()
+    }
+    assert got == want
+    # char_shingles: same arrays either branch
+    got_arr = {
+        (r.doc_id, tuple(r.s))
+        for r in df.select(
+            "doc_id", F.array_sort(char_shingles("text", 5)).alias("s")
+        ).collect()
+    }
+    want_arr = {
+        (r.doc_id, tuple(r.s))
+        for r in df.select(
+            "doc_id",
+            F.array_sort(
+                F.expr(
+                    "transform(sequence(1, greatest(length(text) - 4, 1),"
+                    " 1), i -> substring(text, i, 5))"
+                )
+            ).alias("s"),
+        ).collect()
+    }
+    assert got_arr == want_arr
