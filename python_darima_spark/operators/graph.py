@@ -46,11 +46,20 @@ def pagerank(
     Returns ``(node: long, rank: double, n: double)`` — ``n`` (node
     count) rides along so callers can scale ranks without re-counting.
 
-    Scale notes: ``adj`` (edges ⋈ out-degree) is ``localCheckpoint``-ed
-    once — every iteration re-reads the materialized partitions instead
-    of replaying the scan+degree subtree, and the lineage of the final
-    plan stays linear in ``iterations``. For iteration counts beyond
-    ~20, checkpoint ``ranks`` every few rounds too (same guidance as the
+    Scale notes: the deduped edge list ``e`` is ``localCheckpoint``-ed
+    once (its three consumers — degree, node set, adjacency — read the
+    materialized partitions instead of each replaying the scan+distinct
+    subtree), and so are ``adj`` (edges ⋈ out-degree), the 1-row node
+    count and the teleport-floor rows below, so the final plan's
+    lineage stays linear in ``iterations``. The iteration itself is
+    join + aggregate + union: nodes with no in-edges never appear in
+    the contribution aggregate, and their rank is the CONSTANT
+    ``(1-d)/N`` every iteration, so instead of a per-iteration left
+    join onto the full node set (an extra shuffle+sort of a static
+    table, round-10 plan audit) the precomputed teleport-floor rows
+    are unioned in — identical values (``base + d·0``), one equi-join
+    per iteration instead of two. For iteration counts beyond ~20,
+    checkpoint ``ranks`` every few rounds too (same guidance as the
     label-propagation loop in operators/dedup.py).
     """
     e = (
@@ -60,6 +69,7 @@ def pagerank(
         )
         .where(F.col("src") != F.col("dst"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     deg = e.groupBy("src").agg(F.count("*").cast("double").alias("_deg"))
     nodes = (
@@ -68,12 +78,26 @@ def pagerank(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    n_df = nodes.agg(F.count("*").cast("double").alias("n"))
+    n_df = nodes.agg(F.count("*").cast("double").alias("n")).localCheckpoint(
+        eager=True
+    )
     adj = e.join(deg, "src").localCheckpoint(eager=True)  # src, dst, _deg
+    base = (F.lit(1.0) - F.lit(damping)) / F.col("n")
+    # static zero-in-degree set: these nodes receive no contributions,
+    # so from iteration 1 on their rank is exactly the teleport floor
+    floor_rows = (
+        nodes.join(
+            e.select(F.col("dst").alias("node")).distinct(),
+            "node",
+            "left_anti",
+        )
+        .crossJoin(F.broadcast(n_df))
+        .select("node", base.alias("rank"))
+        .localCheckpoint(eager=True)
+    )
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("rank")
     )
-    base = (F.lit(1.0) - F.lit(damping)) / F.col("n")
     for _ in range(iterations):
         contrib = (
             adj.join(
@@ -82,21 +106,13 @@ def pagerank(
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("_deg")).alias("_c"))
         )
-        # left join onto the full node set: in-degree-0 nodes must keep
-        # receiving the teleport term, not silently drop out
         ranks = (
-            nodes.join(
-                contrib.select(F.col("dst").alias("node"), "_c"),
-                "node",
-                "left",
-            )
-            .crossJoin(F.broadcast(n_df))
+            contrib.crossJoin(F.broadcast(n_df))
             .select(
-                "node",
-                (base + F.lit(damping) * F.coalesce("_c", F.lit(0.0))).alias(
-                    "rank"
-                ),
+                F.col("dst").alias("node"),
+                (base + F.lit(damping) * F.col("_c")).alias("rank"),
             )
+            .unionByName(floor_rows)
         )
     return ranks.crossJoin(F.broadcast(n_df))
 

@@ -242,8 +242,17 @@ def q_graph_labelprop(spark: SparkSession, sf: str) -> DataFrame:
     final community and the community size joined back. At 100 TB:
     rounds are O(edges) keyed shuffles; synchronous LPA is exactly the
     Pregel superstep Spark expresses as join+agg, checkpoint per round
-    for lineage (operators/graph.py note)."""
-    edges = _coorder_edges(spark, sf)
+    for lineage (operators/graph.py note).
+
+    The edge list is ``localCheckpoint``-ed ONCE (the co-order self-join
+    is the expensive subtree; uncheckpointed, every round's plan re-read
+    it) and ``labels`` is checkpointed PER ROUND: each round consumes
+    the previous labels twice (the votes join and the coalesce
+    fallback), so an unmaterialized loop doubles the labels subtree per
+    round — the round-10 before-plan held 240 copies of the lineitem
+    scan; checkpointing makes the plan linear in rounds, values
+    unchanged."""
+    edges = _coorder_edges(spark, sf).localCheckpoint(eager=True)
     labels = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
@@ -266,8 +275,10 @@ def q_graph_labelprop(spark: SparkSession, sf: str) -> DataFrame:
             .where(F.col("_rn") == 1)
             .select("node", F.col("label").alias("new_label"))
         )
-        labels = labels.join(best, "node", "left").select(
-            "node", F.coalesce("new_label", "label").alias("label")
+        labels = (
+            labels.join(best, "node", "left")
+            .select("node", F.coalesce("new_label", "label").alias("label"))
+            .localCheckpoint(eager=True)
         )
     sizes = labels.groupBy("label").agg(F.count("*").alias("community_size"))
     return (
@@ -344,8 +355,13 @@ def q_graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
     alive sets are skinny (node only); localCheckpoint per round cuts
     the growing lineage exactly like the other iterative operators
     (operators/graph.py note), and real deployments peel with k-level
-    buckets (Montresor et al.) — same join shape, fewer rounds."""
-    edges = _coorder_edges(spark, sf)
+    buckets (Montresor et al.) — same join shape, fewer rounds.
+
+    The static edge list is ``localCheckpoint``-ed once: every round
+    semi-joins it twice, and uncheckpointed each reference re-derived
+    the co-order self-join from the lineitem scan (8 scans in the
+    round-10 before-plan)."""
+    edges = _coorder_edges(spark, sf).localCheckpoint(eager=True)
     alive = edges.select(F.col("src").alias("node")).distinct()
     deg = None
     for _ in range(_KCORE_ROUNDS):

@@ -74,14 +74,19 @@ def test_pagerank_plan_shape(spark, sf_dir):
     )
     assert "CartesianProduct" not in plan
     # 5 iterations + rank init + final scale = 7 single-row crossJoins
+    # (the teleport-floor rows' crossJoin is checkpointed out of lineage)
     assert plan.count("BroadcastNestedLoopJoin") == 7
-    # per-iteration ranks ⋈ adj equi-joins (SMJ or hash — engine's pick)
+    # per-iteration ranks ⋈ adj equi-joins (SMJ or hash — engine's pick);
+    # exactly one per iteration since the round-10 rewrite replaced the
+    # per-iteration left join onto the node set with a union of the
+    # static teleport-floor rows
     equi_joins = (
         plan.count("SortMergeJoin")
         + plan.count("BroadcastHashJoin")
         + plan.count("ShuffledHashJoin")
     )
-    assert equi_joins >= 10  # 5 rank joins + 5 contrib left-joins
+    assert equi_joins == 5  # one contrib join per iteration, nothing else
+    assert plan.count("Union") == 5  # teleport-floor union per iteration
 
 
 def test_pagerank_hub_outranks_leaves(spark):
