@@ -72,7 +72,18 @@ def _corpus_shingles(spark: SparkSession, sf: str) -> DataFrame:
     key = (id(spark.sparkContext), sf)
     hit = _SHINGLE_STAGE.get(key)
     if hit is not None:
-        return hit
+        # an external spark.catalog.clearCache() (the bench does one
+        # between reps) silently drops the persist marker; a consumer
+        # would then replay the scan+shingle subtree once PER USE (the
+        # stage has up to 5 consumers inside one index-append run).
+        # Re-persisting is a no-op when the marker is still live.
+        try:
+            if hit.storageLevel.useMemory is False:
+                hit.persist()
+        except Exception:
+            pass  # stale session handle — caller gets a fresh stage below
+        else:
+            return hit
     for old_key, old_df in list(_SHINGLE_STAGE.items()):
         try:
             old_df.unpersist()
