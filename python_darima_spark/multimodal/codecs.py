@@ -408,33 +408,64 @@ def _fdct_quantized_zz(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
     return coef[:, :, _ZZ_ROWS, _ZZ_COLS].reshape(h8 * w8, 64)
 
 
-def _encode_block(bw: _BitWriter, zz, pred: int, dc_code, ac_code) -> int:
-    """Entropy-code one 8×8 block from its precomputed zigzag
-    coefficient row (see :func:`_fdct_quantized_zz`); returns the new
-    DC predictor for this block's component."""
-    diff = int(zz[0]) - pred
-    size = abs(diff).bit_length()
-    bw.put(*dc_code[size])
+def _last_nonzero_ac(zz: np.ndarray) -> np.ndarray:
+    """Per-row index (into the full 64-long zigzag row) of the LAST
+    nonzero AC coefficient, 0 when the block is DC-only — batched for
+    the whole ``(n, 64)`` coefficient matrix so the entropy loop pays no
+    per-block ``np.nonzero`` (r10 profile: one third of the encode
+    wall)."""
+    mask = zz[:, 1:] != 0
+    return np.where(
+        mask.any(axis=1), 63 - np.argmax(mask[:, ::-1], axis=1), 0
+    )
+
+
+def _encode_block(
+    bw: _BitWriter, row: list, last: int, pred: int, dc_code, ac_code
+) -> int:
+    """Entropy-code one 8×8 block from its zigzag coefficient row as a
+    plain Python list (see :func:`_fdct_quantized_zz`; ``last`` from
+    :func:`_last_nonzero_ac`); returns the new DC predictor.
+
+    Bit-writer calls are COMBINED (huffman code and amplitude in one
+    ``put``; a DC-only block — every block of the corpus-certified
+    entries — emits its whole DC+EOB coding as a single ≤24-bit put):
+    the writer's per-call accumulator work dominated the encode wall
+    once the DCT was batched (r10). Identical emitted bits, fewer
+    Python crossings."""
+    dc = row[0]
+    diff = dc - pred
+    size = diff.bit_length() if diff >= 0 else (-diff).bit_length()
+    code, ln = dc_code[size]
     if size:
-        bw.put(diff if diff > 0 else diff + (1 << size) - 1, size)
+        code = (code << size) | (
+            diff if diff > 0 else diff + (1 << size) - 1
+        )
+        ln += size
+    if last == 0:
+        ec, el = ac_code[0x00]  # EOB
+        bw.put((code << el) | ec, ln + el)
+        return dc
+    bw.put(code, ln)
     run = 0
-    nz = np.nonzero(zz[1:])[0]
-    last = int(nz[-1]) + 1 if nz.size else 0
     for k in range(1, last + 1):
-        v = int(zz[k])
+        v = row[k]
         if v == 0:
             run += 1
             continue
         while run > 15:
             bw.put(*ac_code[0xF0])  # ZRL: 16 zeros
             run -= 16
-        size = abs(v).bit_length()
-        bw.put(*ac_code[(run << 4) | size])
-        bw.put(v if v > 0 else v + (1 << size) - 1, size)
+        size = v.bit_length() if v > 0 else (-v).bit_length()
+        code, ln = ac_code[(run << 4) | size]
+        bw.put(
+            (code << size) | (v if v > 0 else v + (1 << size) - 1),
+            ln + size,
+        )
         run = 0
     if last < 63:
         bw.put(*ac_code[0x00])  # EOB
-    return int(zz[0])
+    return dc
 
 
 def jpeg_encode_baseline(
@@ -500,8 +531,13 @@ def jpeg_encode_baseline(
         )
     dc_code, ac_code = _DC_CODE, _AC_CODE
     # batched FDCT/quant/zigzag per component; the MCU loop below only
-    # entropy-codes, indexing each component's row-major block grid
+    # entropy-codes, indexing each component's row-major block grid.
+    # Rows are bulk-converted to Python lists and the last-nonzero-AC
+    # index batched up front: numpy scalar indexing inside the entropy
+    # loop was ~3× the cost of list indexing (r10 profile).
     zz_all = [_fdct_quantized_zz(pad, q) for pad in pads]
+    zz_rows = [z.tolist() for z in zz_all]
+    zz_last = [_last_nonzero_ac(z).tolist() for z in zz_all]
     grid_cols = [mcu_cols * hs for (hs, _vs) in samps]
     bw = _BitWriter()
     preds = [0] * len(pads)
@@ -515,12 +551,13 @@ def jpeg_encode_baseline(
             for ci, (hs, vs) in enumerate(samps):
                 for v in range(vs):
                     for hh in range(hs):
+                        idx = (by * vs + v) * grid_cols[ci] + (
+                            bx * hs + hh
+                        )
                         preds[ci] = _encode_block(
                             bw,
-                            zz_all[ci][
-                                (by * vs + v) * grid_cols[ci]
-                                + (bx * hs + hh)
-                            ],
+                            zz_rows[ci][idx],
+                            zz_last[ci][idx],
                             preds[ci],
                             dc_code,
                             ac_code,
@@ -1021,10 +1058,7 @@ def jpeg_decode_baseline(data: bytes) -> np.ndarray:
             raise ValueError("missing quant/huffman table referenced by scan")
         per_comp.append((q, dc, ac, hs, vs))
     mcu_rows, mcu_cols = -(-h // (8 * vmax)), -(-w // (8 * hmax))
-    planes = [
-        np.zeros((mcu_rows * vs * 8, mcu_cols * hs * 8), dtype=np.float64)
-        for (_q, _dc, _ac, hs, vs) in per_comp
-    ]
+    planes: list = [None] * len(per_comp)  # filled per component below
     br = _BitReader(data, pos)
     preds = [0] * len(per_comp)
     # entropy-decode into ONE (total_blocks, 64) zigzag coefficient
@@ -1034,8 +1068,6 @@ def jpeg_decode_baseline(data: bytes) -> np.ndarray:
     # zeros+matmul pair was ~half the decode wall (r10 profile).
     n_per_mcu = sum(hs * vs for (_q, _dc, _ac, hs, vs) in per_comp)
     coeffs = np.zeros((mcu_rows * mcu_cols * n_per_mcu, 64), dtype=np.int64)
-    comp_rows: list[list[int]] = [[] for _ in per_comp]
-    comp_pos: list[list[tuple[int, int]]] = [[] for _ in per_comp]
     bi = 0
     # MCU-interleaved, H×V blocks per component per MCU, SOF order
     # (T.81 A.2.3); restart segments reset predictors and byte-align
@@ -1057,17 +1089,41 @@ def jpeg_decode_baseline(data: bytes) -> np.ndarray:
                         preds[ci] = _decode_block_baseline(
                             br, coeffs[bi], dc, ac, preds[ci]
                         )
-                        comp_rows[ci].append(bi)
-                        comp_pos[ci].append(
-                            ((by * vs + v) * 8, (bx * hs + hh) * 8)
-                        )
                         bi += 1
             mcu += 1
+    # place decoded blocks by INDEX ARITHMETIC, not per-block position
+    # lists: the decode order is a fixed interleave (mcu outer, then
+    # V×H within the component), so each component's coeff rows and its
+    # grid positions are arange expressions, and the per-block 8×8
+    # slice-assign loop becomes one gather + one reshape/transpose per
+    # component (r10 profile: the position appends + 8×8 assigns were
+    # ~a quarter of the decode wall on block-heavy streams)
+    mcus = np.arange(mcu_rows * mcu_cols, dtype=np.int64)
+    comp_off = 0
     for ci, (q, _dc, _ac, hs, vs) in enumerate(per_comp):
-        out = _dequant_idct(coeffs[np.asarray(comp_rows[ci])], q)
-        plane = planes[ci]
-        for j, (r0, c0) in enumerate(comp_pos[ci]):
-            plane[r0 : r0 + 8, c0 : c0 + 8] = out[j]
+        nb = hs * vs
+        rows = (
+            mcus[:, None] * n_per_mcu
+            + (comp_off + np.arange(nb, dtype=np.int64))[None, :]
+        ).ravel()
+        comp_off += nb
+        out = _dequant_idct(coeffs[rows], q)  # (nblocks, 8, 8) decode order
+        gw = mcu_cols * hs  # component block-grid width
+        gh = mcu_rows * vs
+        v_idx = np.arange(vs, dtype=np.int64)
+        h_idx = np.arange(hs, dtype=np.int64)
+        by_g = mcus // mcu_cols
+        bx_g = mcus % mcu_cols
+        gy = by_g[:, None, None] * vs + v_idx[None, :, None]
+        gx = bx_g[:, None, None] * hs + h_idx[None, None, :]
+        gidx = (gy * gw + gx).ravel()  # grid slot per decode-order block
+        grid = np.empty((gh * gw, 8, 8), dtype=np.float64)
+        grid[gidx] = out
+        planes[ci] = (
+            grid.reshape(gh, gw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(gh * 8, gw * 8)
+        )
     # upsample subsampled components by pixel replication to the full
     # MCU-padded grid, then crop to the true image size
     planes = [
@@ -1347,13 +1403,19 @@ def _mjpg_encode_gray_frames(a: np.ndarray) -> list[bytes]:
     header = _jpeg_baseline_headers(
         tuple(int(x) for x in q[_ZZ_ROWS, _ZZ_COLS]), h, w, ((1, 1),), 0
     )
+    lasts = _last_nonzero_ac(zz.reshape(n * bh * bw_, 64)).reshape(
+        n, bh * bw_
+    )
     out = []
     for i in range(n):
         bw = _BitWriter()
         pred = 0
-        rows = zz[i]
+        rows = zz[i].tolist()
+        frame_lasts = lasts[i].tolist()
         for b in range(bh * bw_):
-            pred = _encode_block(bw, rows[b], pred, _DC_CODE, _AC_CODE)
+            pred = _encode_block(
+                bw, rows[b], frame_lasts[b], pred, _DC_CODE, _AC_CODE
+            )
         out.append(header + bw.flush() + b"\xff\xd9")
     return out
 
@@ -1609,15 +1671,20 @@ def jpeg_encode_progressive(
             # first scan at Al=ac_al (G.1.2.2 with EOB runs)
             bw = _BitWriter()
             eobrun = 0
-            band_l = _pt_rows(mats[ci][:, ss : se + 1], ac_al).tolist()
+            band_pt = _pt_rows(mats[ci][:, ss : se + 1], ac_al)
+            band_l = band_pt.tolist()
+            # batched any-nonzero per block: an all-zero band (every
+            # block of the flat-block corpus entries) takes the EOB-run
+            # branch without building the per-block nonzero list (r10)
+            band_any = (band_pt != 0).any(axis=1).tolist()
             for b in range(n_blocks):
-                band = band_l[b]
-                nz = [i for i, v in enumerate(band) if v != 0]
-                if not nz:
+                if not band_any[b]:
                     eobrun += 1
                     if eobrun == 32767:
                         eobrun = _flush_eobrun(bw, eobrun, ac_code, [])
                     continue
+                band = band_l[b]
+                nz = [i for i, v in enumerate(band) if v != 0]
                 eobrun = _flush_eobrun(bw, eobrun, ac_code, [])
                 run = 0
                 for i in range(nz[-1] + 1):
@@ -1642,10 +1709,24 @@ def jpeg_encode_progressive(
                 eobrun = 0
                 pending: list[int] = []
                 sub = mats[ci][:, ss : se + 1]
-                hist_l = _pt_rows(sub, al + 1).tolist()
-                now_l = _pt_rows(sub, al).tolist()
+                hist_m = _pt_rows(sub, al + 1)
+                now_m = _pt_rows(sub, al)
+                hist_l = hist_m.tolist()
+                now_l = now_m.tolist()
                 nband = se - ss + 1
+                # batched per-block masks (same flat-block fast path as
+                # the first scan): all-zero history + nothing newly
+                # significant → pure EOB-run bump, no per-block scans
+                newly_any = ((hist_m == 0) & (now_m != 0)).any(axis=1).tolist()
+                hist_any = (hist_m != 0).any(axis=1).tolist()
                 for b in range(n_blocks):
+                    if not newly_any[b] and not hist_any[b]:
+                        eobrun += 1
+                        if eobrun == 32767:
+                            eobrun = _flush_eobrun(
+                                bw, eobrun, ac_code, pending
+                            )
+                        continue
                     hist = hist_l[b]
                     now = now_l[b]
                     newly = [
@@ -1827,25 +1908,44 @@ def jpeg_decode_progressive(data: bytes) -> np.ndarray:
             ss, se, ahl = body[1 + 2 * ns : 4 + 2 * ns]
             ah, al = ahl >> 4, ahl & 0xF
             br = _BitReader(data, pos)
+            # Scans run on PYTHON-LIST mirrors of the coefficient rows
+            # (one bulk tolist per scan, one bulk write-back): the
+            # per-coefficient numpy scalar reads/writes of the old loop
+            # were the dominant progressive-decode cost (r10 profile).
+            # Identical arithmetic — python ints and int64 agree on <<,
+            # |=, comparisons at these magnitudes.
             if ss == 0:  # DC scan (interleaved over scan components)
                 if se != 0:
                     raise ValueError("DC scan must have Se=0")
                 if ah == 0:
+                    dcs = []
+                    for _ci, td, _ta in scan_comps:
+                        dc = hdec.get((0, td))
+                        if dc is None:
+                            raise ValueError("missing DC huffman table")
+                        dcs.append(dc)
                     preds = [0] * len(scan_comps)
+                    cols = [[0] * n_blocks for _ in scan_comps]
                     for b in range(n_blocks):
-                        for si, (ci, td, _ta) in enumerate(scan_comps):
-                            dc = hdec.get((0, td))
-                            if dc is None:
-                                raise ValueError("missing DC huffman table")
-                            size = dc(br)
+                        for si in range(len(scan_comps)):
+                            size = dcs[si](br)
                             if size:
                                 preds[si] += _extend(br.bits(size), size)
-                            coefs[ci][b][0] = preds[si] << al
+                            cols[si][b] = preds[si] << al
+                    for si, (ci, _td, _ta) in enumerate(scan_comps):
+                        coefs[ci][:, 0] = cols[si]
                 else:
+                    bit = 1 << al
+                    cols = [
+                        coefs[ci][:, 0].tolist()
+                        for ci, _td, _ta in scan_comps
+                    ]
                     for b in range(n_blocks):
-                        for ci, _td, _ta in scan_comps:
+                        for si in range(len(scan_comps)):
                             if br.bit():
-                                coefs[ci][b][0] |= 1 << al
+                                cols[si][b] |= bit
+                    for si, (ci, _td, _ta) in enumerate(scan_comps):
+                        coefs[ci][:, 0] = cols[si]
             else:  # AC scan: exactly one component
                 if len(scan_comps) != 1:
                     raise ValueError(
@@ -1855,12 +1955,17 @@ def jpeg_decode_progressive(data: bytes) -> np.ndarray:
                 ac = hdec.get((1, ta))
                 if ac is None:
                     raise ValueError("missing AC huffman table")
+                # python-int mirror of ONLY the band's columns (the
+                # scan touches nothing else; a full-width mirror paid
+                # a 64-wide asarray write-back per scan — r10 profile)
+                rows = coefs[ci][:, ss : se + 1].tolist()
                 if ah == 0:  # first scan for this band (G.2.1)
                     eobrun = 0
                     for b in range(n_blocks):
                         if eobrun > 0:
                             eobrun -= 1
                             continue
+                        blk = rows[b]
                         k = ss
                         while k <= se:
                             sym = ac(br)
@@ -1876,21 +1981,22 @@ def jpeg_decode_progressive(data: bytes) -> np.ndarray:
                             k += r
                             if k > se:
                                 raise ValueError("AC run past band end")
-                            coefs[ci][b][k] = _extend(br.bits(s), s) << al
+                            blk[k - ss] = _extend(br.bits(s), s) << al
                             k += 1
                 else:  # refinement scan (G.2.2)
                     p1, m1 = 1 << al, -1 << al
                     eobrun = 0
+                    nb = se - ss + 1  # band width; blk is band-local
 
-                    def correct(blk, k) -> None:
-                        if br.bit() and not blk[k] & p1:
-                            blk[k] += p1 if blk[k] >= 0 else m1
+                    def correct(blk, j) -> None:
+                        if br.bit() and not blk[j] & p1:
+                            blk[j] += p1 if blk[j] >= 0 else m1
 
                     for b in range(n_blocks):
-                        blk = coefs[ci][b]
-                        k = ss
+                        blk = rows[b]
+                        j = 0  # band-local position (absolute k - ss)
                         if eobrun == 0:
-                            while k <= se:
+                            while j < nb:
                                 sym = ac(br)
                                 r, s = sym >> 4, sym & 0xF
                                 if s == 0:
@@ -1909,17 +2015,17 @@ def jpeg_decode_progressive(data: bytes) -> np.ndarray:
                                     raise ValueError(
                                         "refinement scan size > 1"
                                     )
-                                while k <= se:
-                                    if blk[k] != 0:
-                                        correct(blk, k)
+                                while j < nb:
+                                    if blk[j] != 0:
+                                        correct(blk, j)
                                     else:
                                         skip -= 1
                                         if skip == 0:
                                             if newval:
-                                                blk[k] = newval
-                                            k += 1
+                                                blk[j] = newval
+                                            j += 1
                                             break
-                                    k += 1
+                                    j += 1
                                 else:
                                     if skip:
                                         raise ValueError(
@@ -1929,11 +2035,12 @@ def jpeg_decode_progressive(data: bytes) -> np.ndarray:
                             # EOB-run block (or rest of the block where
                             # the EOBn appeared): correction bits for
                             # every nonzero coefficient
-                            while k <= se:
-                                if blk[k] != 0:
-                                    correct(blk, k)
-                                k += 1
+                            while j < nb:
+                                if blk[j] != 0:
+                                    correct(blk, j)
+                                j += 1
                             eobrun -= 1
+                coefs[ci][:, ss : se + 1] = rows
             # resync: skip pad bits, position at the next marker
             pos = br.pos
             while pos + 1 < len(data) and not (
@@ -1953,12 +2060,12 @@ def jpeg_decode_progressive(data: bytes) -> np.ndarray:
         q = qtabs.get(tq)
         if q is None:
             raise ValueError("missing quant table referenced by frame")
-        plane = np.zeros((bh * 8, bw_ * 8), dtype=np.float64)
-        out = _dequant_idct(coefs[ci], q)
-        for b in range(n_blocks):
-            by, bx = divmod(b, bw_)
-            plane[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = out[b]
-        planes.append(plane)
+        out = _dequant_idct(coefs[ci], q)  # row-major block order
+        planes.append(
+            out.reshape(bh, bw_, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw_ * 8)
+        )
     if len(planes) == 1:
         return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[:h, :w]
     y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
