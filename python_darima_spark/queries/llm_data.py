@@ -2926,6 +2926,12 @@ def _sem_corpus(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("v"),
     )
     corpus = base.unionByName(twins)
+    # eagerly materialized: every family entry reads this table from
+    # SEVERAL independent jobs (the anchor/codebook broadcast build,
+    # the assignment pass, q_dedup_semantic's guard aggregate), and the
+    # quantize+digest stage re-ran once per job (~1.4 s each at sf0.1,
+    # r10 profile). One checkpoint = one pass, same rows; at cluster
+    # scale this is the persisted corpus table the docstrings describe.
     return (
         corpus.select("vec_id", _sem_quant(F.col("v")).alias("q"))
         .withColumn(
@@ -2933,6 +2939,7 @@ def _sem_corpus(spark: SparkSession, sf: str) -> DataFrame:
             F.concat_ws(",", F.transform("q", lambda x: x.cast("string"))),
         )
         .withColumn("h", F.md5("qstr"))
+        .localCheckpoint(eager=True)
     )
 
 
