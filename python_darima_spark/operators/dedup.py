@@ -337,10 +337,17 @@ def minhash_near_duplicates(
       bound).
     """
     rows_per_band = num_hashes // num_bands
+    # inline gids feed TWO consumers (the signature aggregate and the
+    # exact-verify arrays) — unpersisted, each replays the corpus
+    # scan + shingle explode (the dominant stage; measured ~2 s/replay
+    # at sf0.1 inside q_curation_pipeline). A caller-supplied shared
+    # stage is the caller's to persist (queries/llm_data._corpus_shingles
+    # does), so only the inline table is persisted here — same
+    # release-by-clearCache lifecycle as `sigs` below.
     gids = (
         shingle_gids
         if shingle_gids is not None
-        else doc_shingle_gids(df, text_col, id_col, shingle_k)
+        else doc_shingle_gids(df, text_col, id_col, shingle_k).persist()
     )
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_k, seed,
@@ -448,6 +455,13 @@ def minhash_incremental(
     < 1e-3 per pair).
     """
     rows_per_band = num_hashes // num_bands
+    # NOTE (round 10): wiring the family-shared ``shingle_gids`` stage
+    # through here (as minhash_probe_index does) was tried and MEASURED
+    # SLOWER (4.6 vs 3.3 s isolated at sf0.1): the new/index slices are
+    # disjoint, so the inline path already shingles the corpus exactly
+    # once in total, fused into the signature aggregates — the shared
+    # stage adds a materialization barrier + two semi-joins with no
+    # reuse to amortize them (verify shingles only candidate pairs).
     sig_new = minhash_signatures(
         new_df, text_col, id_col, num_hashes, shingle_k, seed
     ).persist()
