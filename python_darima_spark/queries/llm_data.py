@@ -2955,30 +2955,65 @@ def _sem_int_dist(a: str, b: str):
 def _sem_tau_verdict(assigned: DataFrame) -> DataFrame:
     """Shared SemDeDup verdict stage: within each cluster ``cid``, a doc
     is dropped onto the smallest smaller-id member clearing integer
-    cosine ≥ τ. ``assigned`` needs columns (vec_id, cid, q)."""
-    a = assigned.select(
-        "cid", F.col("vec_id").alias("ida"), F.col("q").alias("qa")
-    )
-    b = assigned.select(
-        "cid", F.col("vec_id").alias("idb"), F.col("q").alias("qb")
-    )
-    dot = F.aggregate(
-        F.zip_with("qa", "qb", lambda x, y: x * y),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    sq = lambda c: F.aggregate(  # noqa: E731
-        F.transform(c, lambda x: x * x),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    sim = dot / F.sqrt((sq("qa") * sq("qb")).cast("double"))
+    cosine ≥ τ. ``assigned`` needs columns (vec_id, cid, q).
+
+    The pairwise scoring is ONE grouped Arrow stage per cluster: an
+    exact int64 Gram matrix (numpy integer matmul — the same integers
+    the previous cid-keyed self-join computed with interpreted
+    ``zip_with``/``aggregate`` folds, three per candidate pair) and the
+    τ test as the identical IEEE float64 expression tree
+    (``dot / sqrt(double(na·nb))`` then ``floor(x·1e6+0.5)/1e6 ≥ τ`` —
+    multiply, add, floor, divide and compare are all exactly-rounded
+    IEEE ops, so JVM double and numpy float64 agree bit-for-bit; norms
+    are ≥ ~1e6 > 0 for every fixture, so the NaN path is unreachable).
+    vs the self-join: one cid shuffle instead of two, no ~n·|cluster|
+    pair rows each carrying two d-long vectors, and the per-pair
+    arithmetic runs at vectorized-matmul speed instead of ~85 ns per
+    interpreted multiply-add (guide §2.3, §4.2). Cluster sizes are
+    bounded by construction (≈ anchor_mod, or the codebook leaf size),
+    so a group never outgrows a task."""
+
+    def _drops(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids = pdf["vec_id"].to_numpy()
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"vec_id": ids[:0], "dup_of": ids[:0]})
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        q = np.asarray(pdf["q"].to_numpy()[order].tolist(), dtype=np.int64)
+        gram = q @ q.T
+        nq = np.diagonal(gram)
+        sim = gram.astype(np.float64) / np.sqrt(
+            (nq[:, None] * nq[None, :]).astype(np.float64)
+        )
+        ok = np.floor(sim * 1e6 + 0.5) / 1e6 >= _SEM_TAU
+        # ids ascend with position, so ida < idb ⟺ row < col; argmax
+        # over the masked columns is the smallest position = min ida
+        ok[np.tril_indices(n)] = False
+        hit = ok.any(axis=0)
+        first = ok.argmax(axis=0)
+        return pd.DataFrame(
+            {"vec_id": ids[hit], "dup_of": ids[first[hit]]}
+        )
+
+    # Singleton clusters can never produce a drop, and the grouped
+    # Arrow stage pays ~ms of per-group overhead (pandas frame build
+    # per group) — measured 2000 groups of median size 1 for the
+    # 3-level codebook at sf0.1 costing ~5 s. A window count over cid
+    # drops them BEFORE the Python boundary; the window's hash
+    # partitioning on cid is exactly the distribution applyInPandas
+    # needs, so the filter shares the one cid exchange (guide §2.4).
+    wn = Window.partitionBy("cid")
     dropped = (
-        a.join(b, "cid")
-        .where(F.col("ida") < F.col("idb"))
-        .where(rhu(sim, 6) >= _SEM_TAU)
-        .groupBy(F.col("idb").alias("vec_id"))
-        .agg(F.min("ida").alias("dup_of"))
+        assigned.select("cid", "vec_id", "q")
+        .withColumn("_n", F.count("*").over(wn))
+        .where(F.col("_n") >= 2)
+        .drop("_n")
+        .groupBy("cid")
+        .applyInPandas(_drops, "vec_id long, dup_of long")
     )
     return assigned.join(dropped, "vec_id", "left").select(
         "vec_id",
@@ -2994,12 +3029,13 @@ def q_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
     dup_of verdict.
 
     Plan: quantize map-only; anchors = filtered distinct vectors
-    (≈ n/32 rows) BROADCAST into a map-side nearest-anchor assignment
-    (one zip_with·aggregate per (doc, anchor) — JVM HOFs, no Python);
-    the only data shuffles are the per-doc argmin window (keyed by
-    vec_id) and the within-cluster self-join (keyed by cluster id,
-    expected cluster size = anchor_mod, so candidate pairs ≈ n·mod/2 —
-    LINEAR in the corpus, never n²). At 100 TB: anchors grow with n —
+    (≈ n/32 rows) folded into a 1-row array<struct> codebook and
+    BROADCAST into a map-only nearest-anchor array_min (zero per-doc
+    shuffle, no n×|anchors| intermediate); the only data-scale shuffle
+    is the verdict stage's single cid-keyed grouping (expected cluster
+    size = anchor_mod, so pairwise work ≈ n·mod/2 — LINEAR in the
+    corpus, never n², scored as one exact integer Gram matrix per
+    cluster in a grouped Arrow stage). At 100 TB: anchors grow with n —
     past broadcast size, SemDeDup's real deployment trains a fixed-k
     codebook (operators/similarity.py train_centroids) and assignment
     becomes the same broadcast argmin at k rows; the cluster self-join
@@ -3030,22 +3066,44 @@ def q_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.md5("qstr").alias("cid"), F.col("q").alias("aq"))
         .dropDuplicates(["cid"])
     )
-    dist = F.aggregate(
-        F.zip_with("q", "aq", lambda a, b: (a - b) * (a - b)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
+    # The anchor set is folded into ONE row holding an array<struct>
+    # column (the same shape the codebook twins use): the 1-row
+    # broadcast crossJoin attaches it to every doc and the argmin is a
+    # map-only array_min over (dist, cid) structs — struct comparison
+    # is (dist, then cid), exactly the old row_number(orderBy(dist,
+    # cid)) rank-1 pick, with no n×|anchors| intermediate rows and no
+    # per-doc window shuffle (guide §2.4; the window variant pushed
+    # ~n·|anchors| rows each carrying both d-long vectors through a
+    # sort at every scale).
+    anchor_row = F.broadcast(
+        anchors.agg(
+            F.collect_list(
+                F.struct(F.col("aq").alias("aq"), F.col("cid").alias("cid"))
+            ).alias("ab")
+        )
     )
-    w = Window.partitionBy("vec_id").orderBy("dist", "cid")
-    # The assignment feeds BOTH sides of the cluster self-join plus the
-    # final verdict join; an eager localCheckpoint materializes it once
-    # (the un-checkpointed plan re-ran the broadcast argmin three times
+    best = F.array_min(
+        F.transform(
+            F.col("ab"),
+            lambda c: F.struct(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("q"), c["aq"], lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("dist"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
+    # The assignment feeds the verdict stage AND the final verdict
+    # join; an eager localCheckpoint materializes it once (the
+    # un-checkpointed plan re-ran the broadcast argmin three times
     # — 24 scans in the formatted explain).
     assigned = (
-        qs.crossJoin(F.broadcast(anchors))
-        .withColumn("dist", dist)
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select("vec_id", "cid", "q")
+        qs.crossJoin(anchor_row)
+        .select("vec_id", best["cid"].alias("cid"), "q")
         .localCheckpoint(eager=True)
     )
     return _sem_tau_verdict(assigned)
