@@ -420,6 +420,76 @@ def _last_nonzero_ac(zz: np.ndarray) -> np.ndarray:
     )
 
 
+# Vectorized entropy coding for DC-ONLY scans (every block of the
+# corpus-certified entries is flat): the per-block Python loop
+# (_encode_block + _BitWriter.put, ~4 µs/block) was the dominant encode
+# cost once the DCT was batched (r10 profile: 136k calls = ~0.6 s per
+# 150 sf0.1 docs). A DC-only block's whole entropy coding is ONE
+# ≤23-bit item — DC huffman code, amplitude, EOB — so a scan is an
+# array of (value, nbits) items assembled with numpy and packed with
+# one np.packbits call. Byte-identical to the loop (asserted in
+# tests/test_codecs.py); any block with AC energy falls back to the
+# general per-block path.
+_DC_CODE_ARR = np.array([_DC_CODE[s][0] for s in range(12)], dtype=np.int64)
+_DC_LEN_ARR = np.array([_DC_CODE[s][1] for s in range(12)], dtype=np.int64)
+_EOB_CODE, _EOB_LEN = _AC_CODE[0x00]
+_BITLEN_LUT = np.array([i.bit_length() for i in range(4096)], dtype=np.int64)
+# test seam: flipping this off forces the general per-block loop so the
+# byte-identity of the vectorized path is assertable (tests/test_codecs)
+_VECTOR_ENTROPY = True
+
+
+def _pack_bit_items(values: np.ndarray, nbits: np.ndarray) -> bytes:
+    """MSB-first concatenation of per-item bit strings (item i = the low
+    ``nbits[i]`` bits of ``values[i]``) into bytes. Total bit count must
+    be a multiple of 8 (callers append per-segment 1-padding items)."""
+    total = int(nbits.sum())
+    starts = np.cumsum(nbits) - nbits
+    idx = np.repeat(np.arange(len(values)), nbits)
+    j = np.arange(total, dtype=np.int64) - np.repeat(starts, nbits)
+    bits = (values[idx] >> (nbits[idx] - 1 - j)) & 1
+    return np.packbits(bits.astype(np.uint8)).tobytes()
+
+
+def _dc_only_scan_segments(
+    dcs: np.ndarray, comps: np.ndarray, segs: np.ndarray, nseg: int
+) -> list[bytes]:
+    """Entropy-code a DC-only scan given per-block scan-order arrays
+    (DC coefficient, component index, restart-segment index). Returns
+    one STUFFED entropy byte string per segment — each 1-padded to a
+    byte boundary exactly as _BitWriter.restart/flush pads, with 0xFF
+    bytes stuffed; the caller interleaves RST markers / headers."""
+    diffs = np.empty_like(dcs)
+    for ci in np.unique(comps):
+        m = comps == ci
+        vals = dcs[m]
+        sg = segs[m]
+        prev = np.concatenate((vals[:1] * 0, vals[:-1]))
+        first = np.concatenate(([True], sg[1:] != sg[:-1]))
+        diffs[m] = vals - np.where(first, 0, prev)
+    sizes = _BITLEN_LUT[np.abs(diffs)]
+    amp = np.where(
+        diffs > 0, diffs, diffs + np.left_shift(1, sizes) - 1
+    )
+    values = (
+        ((_DC_CODE_ARR[sizes] << sizes) | amp) << _EOB_LEN
+    ) | _EOB_CODE
+    nbits = _DC_LEN_ARR[sizes] + sizes + _EOB_LEN
+    seg_bits = np.bincount(segs, weights=nbits, minlength=nseg).astype(
+        np.int64
+    )
+    pad = (-seg_bits) % 8
+    end_idx = np.searchsorted(segs, np.arange(nseg), side="right")
+    values = np.insert(values, end_idx, np.left_shift(1, pad) - 1)
+    nbits = np.insert(nbits, end_idx, pad)
+    raw = _pack_bit_items(values, nbits)
+    offs = np.concatenate(([0], np.cumsum((seg_bits + pad) // 8)))
+    return [
+        raw[offs[i] : offs[i + 1]].replace(b"\xff", b"\xff\x00")
+        for i in range(nseg)
+    ]
+
+
 def _encode_block(
     bw: _BitWriter, row: list, last: int, pred: int, dc_code, ac_code
 ) -> int:
@@ -530,15 +600,65 @@ def jpeg_encode_baseline(
             )
         )
     dc_code, ac_code = _DC_CODE, _AC_CODE
-    # batched FDCT/quant/zigzag per component; the MCU loop below only
-    # entropy-codes, indexing each component's row-major block grid.
-    # Rows are bulk-converted to Python lists and the last-nonzero-AC
-    # index batched up front: numpy scalar indexing inside the entropy
-    # loop was ~3× the cost of list indexing (r10 profile).
+    # batched FDCT/quant/zigzag per component; the entropy stage below
+    # only indexes each component's row-major block grid.
     zz_all = [_fdct_quantized_zz(pad, q) for pad in pads]
-    zz_rows = [z.tolist() for z in zz_all]
-    zz_last = [_last_nonzero_ac(z).tolist() for z in zz_all]
+    zz_last_np = [_last_nonzero_ac(z) for z in zz_all]
     grid_cols = [mcu_cols * hs for (hs, _vs) in samps]
+    header = _jpeg_baseline_headers(
+        tuple(int(x) for x in q[_ZZ_ROWS, _ZZ_COLS]),
+        h,
+        w,
+        tuple(samps),
+        restart_interval,
+    )
+    if (
+        _VECTOR_ENTROPY
+        and all(int(zl.max(initial=0)) == 0 for zl in zz_last_np)
+        and all(
+            int(np.abs(z[:, 0]).max(initial=0)) < 2048 for z in zz_all
+        )
+    ):
+        # every block DC-only (and DC diffs within the 12-size table):
+        # vectorized scan assembly instead of the per-block loop
+        n_mcus = mcu_rows * mcu_cols
+        template = [
+            (ci, v, hh)
+            for ci, (hs, vs) in enumerate(samps)
+            for v in range(vs)
+            for hh in range(hs)
+        ]
+        mcu_ids = np.arange(n_mcus)
+        by_a, bx_a = mcu_ids // mcu_cols, mcu_ids % mcu_cols
+        cols_dc = []
+        for ci, v, hh in template:
+            hs, vs = samps[ci]
+            gi = (by_a * vs + v) * grid_cols[ci] + bx_a * hs + hh
+            cols_dc.append(zz_all[ci][gi, 0])
+        dcs = np.stack(cols_dc, axis=1).ravel()
+        comps = np.tile(
+            np.array([t[0] for t in template], dtype=np.int64), n_mcus
+        )
+        blocks_per_mcu = len(template)
+        if restart_interval:
+            segs = np.repeat(mcu_ids // restart_interval, blocks_per_mcu)
+        else:
+            segs = np.zeros(n_mcus * blocks_per_mcu, dtype=np.int64)
+        nseg = int(segs[-1]) + 1
+        chunks = _dc_only_scan_segments(dcs, comps, segs, nseg)
+        parts = [header]
+        for i, chunk in enumerate(chunks):
+            parts.append(chunk)
+            if i + 1 < nseg:
+                parts.append(bytes([0xFF, 0xD0 + (i & 7)]))
+        parts.append(b"\xff\xd9")
+        return b"".join(parts)
+    # general path: per-block entropy loop. Rows are bulk-converted to
+    # Python lists and the last-nonzero-AC index batched up front:
+    # numpy scalar indexing inside the entropy loop was ~3× the cost of
+    # list indexing (r10 profile).
+    zz_rows = [z.tolist() for z in zz_all]
+    zz_last = [zl.tolist() for zl in zz_last_np]
     bw = _BitWriter()
     preds = [0] * len(pads)
     mcu, rst = 0, 0
@@ -563,17 +683,7 @@ def jpeg_encode_baseline(
                             ac_code,
                         )
             mcu += 1
-    return (
-        _jpeg_baseline_headers(
-            tuple(int(x) for x in q[_ZZ_ROWS, _ZZ_COLS]),
-            h,
-            w,
-            tuple(samps),
-            restart_interval,
-        )
-        + bw.flush()
-        + b"\xff\xd9"
-    )
+    return header + bw.flush() + b"\xff\xd9"
 
 
 @lru_cache(maxsize=64)
@@ -1406,13 +1516,28 @@ def _mjpg_encode_gray_frames(a: np.ndarray) -> list[bytes]:
     lasts = _last_nonzero_ac(zz.reshape(n * bh * bw_, 64)).reshape(
         n, bh * bw_
     )
+    nb = bh * bw_
+    if (
+        _VECTOR_ENTROPY
+        and int(lasts.max(initial=0)) == 0
+        and int(np.abs(zz[:, :, 0]).max(initial=0)) < 2048
+    ):
+        # all frames flat: ONE vectorized entropy pass over every
+        # frame's blocks (frame = segment, predictors reset per frame,
+        # exactly the per-frame _BitWriter semantics), split back into
+        # per-frame streams by byte offset
+        dcs = zz[:, :, 0].ravel()
+        comps = np.zeros(n * nb, dtype=np.int64)
+        segs = np.repeat(np.arange(n), nb)
+        chunks = _dc_only_scan_segments(dcs, comps, segs, n)
+        return [header + c + b"\xff\xd9" for c in chunks]
     out = []
     for i in range(n):
         bw = _BitWriter()
         pred = 0
         rows = zz[i].tolist()
         frame_lasts = lasts[i].tolist()
-        for b in range(bh * bw_):
+        for b in range(nb):
             pred = _encode_block(
                 bw, rows[b], frame_lasts[b], pred, _DC_CODE, _AC_CODE
             )

@@ -746,3 +746,49 @@ def test_bmp_topdown_negative_height():
     )
     enc[offset:] = flipped
     assert np.array_equal(bmp_decode(bytes(enc)), g)
+
+
+def test_vectorized_entropy_byte_identity():
+    """The vectorized DC-only entropy path emits byte-identical streams
+    to the general per-block loop (the _VECTOR_ENTROPY seam forces the
+    loop), across grayscale strips, 4:4:4 / 4:2:0 color, restart
+    intervals, and batched MJPG frames."""
+    from python_darima_spark.multimodal import codecs as C
+
+    rng = np.random.default_rng(31)
+    cases = []
+    for n in (1, 3, 41):
+        v = rng.integers(0, 256, size=n, dtype=np.uint8)
+        g = np.repeat(np.repeat(v[None, :], 8, 0), 8, 1)
+        rgb = np.stack([g, g, g], axis=-1)
+        cases += [
+            (g, {}),
+            (rgb, {}),
+            (rgb, {"subsample": "420"}),
+            (rgb, {"subsample": "420", "restart_interval": 3}),
+            (rgb, {"restart_interval": 1}),
+        ]
+    try:
+        for arr, kw in cases:
+            fast = C.jpeg_encode_baseline(arr, **kw)
+            C._VECTOR_ENTROPY = False
+            slow = C.jpeg_encode_baseline(arr, **kw)
+            C._VECTOR_ENTROPY = True
+            assert fast == slow
+        frames = np.repeat(
+            np.repeat(
+                rng.integers(0, 256, size=17, dtype=np.uint8)[:, None, None],
+                8, 1,
+            ), 8, 2,
+        )
+        fast_frames = C._mjpg_encode_gray_frames(frames)
+        C._VECTOR_ENTROPY = False
+        slow_frames = C._mjpg_encode_gray_frames(frames)
+        assert fast_frames == slow_frames
+    finally:
+        C._VECTOR_ENTROPY = True
+    # AC-bearing input takes the general loop regardless; decode agrees
+    noisy = rng.integers(0, 256, size=(16, 24), dtype=np.uint8)
+    assert np.array_equal(
+        C.jpeg_decode(C.jpeg_encode_baseline(noisy)).shape, (16, 24)
+    )
