@@ -451,14 +451,13 @@ def _pack_bit_items(values: np.ndarray, nbits: np.ndarray) -> bytes:
     return np.packbits(bits.astype(np.uint8)).tobytes()
 
 
-def _dc_only_scan_segments(
-    dcs: np.ndarray, comps: np.ndarray, segs: np.ndarray, nseg: int
-) -> list[bytes]:
-    """Entropy-code a DC-only scan given per-block scan-order arrays
-    (DC coefficient, component index, restart-segment index). Returns
-    one STUFFED entropy byte string per segment — each 1-padded to a
-    byte boundary exactly as _BitWriter.restart/flush pads, with 0xFF
-    bytes stuffed; the caller interleaves RST markers / headers."""
+def _dc_scan_items(
+    dcs: np.ndarray, comps: np.ndarray, segs: np.ndarray
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-block DC entropy items (huffman code + amplitude, no EOB)
+    for a scan given scan-order arrays: DC value, component index and
+    restart-segment index (predictors chain per component, reset per
+    segment). Returns (values, nbits)."""
     diffs = np.empty_like(dcs)
     for ci in np.unique(comps):
         m = comps == ci
@@ -471,10 +470,18 @@ def _dc_only_scan_segments(
     amp = np.where(
         diffs > 0, diffs, diffs + np.left_shift(1, sizes) - 1
     )
-    values = (
-        ((_DC_CODE_ARR[sizes] << sizes) | amp) << _EOB_LEN
-    ) | _EOB_CODE
-    nbits = _DC_LEN_ARR[sizes] + sizes + _EOB_LEN
+    values = (_DC_CODE_ARR[sizes] << sizes) | amp
+    nbits = _DC_LEN_ARR[sizes] + sizes
+    return values, nbits
+
+
+def _pack_segments(
+    values: np.ndarray, nbits: np.ndarray, segs: np.ndarray, nseg: int
+) -> list[bytes]:
+    """Pack per-item bit strings into one STUFFED entropy byte string
+    per segment — each 1-padded to a byte boundary exactly as
+    _BitWriter.restart/flush pads, with 0xFF bytes stuffed; the caller
+    interleaves RST markers / headers."""
     seg_bits = np.bincount(segs, weights=nbits, minlength=nseg).astype(
         np.int64
     )
@@ -488,6 +495,17 @@ def _dc_only_scan_segments(
         raw[offs[i] : offs[i + 1]].replace(b"\xff", b"\xff\x00")
         for i in range(nseg)
     ]
+
+
+def _dc_only_scan_segments(
+    dcs: np.ndarray, comps: np.ndarray, segs: np.ndarray, nseg: int
+) -> list[bytes]:
+    """Entropy-code a baseline DC-only scan (every block = DC huffman
+    code + amplitude + EOB) given per-block scan-order arrays."""
+    values, nbits = _dc_scan_items(dcs, comps, segs)
+    values = (values << _EOB_LEN) | _EOB_CODE
+    nbits = nbits + _EOB_LEN
+    return _pack_segments(values, nbits, segs, nseg)
 
 
 def _encode_block(
@@ -1766,29 +1784,44 @@ def jpeg_encode_progressive(
     scans: list[bytes] = []
 
     # --- DC first scan (interleaved, Ah=0, Al=dc_al) ---
-    bw = _BitWriter()
-    preds = [0] * ncomp
     # >> on int64 is the same arithmetic shift as python-int >> (the DC
     # point transform, F.1.5.1)
-    dcs = [(m[:, 0] >> dc_al).tolist() for m in mats]
-    for b in range(n_blocks):
-        for ci in range(ncomp):
-            v = dcs[ci][b]
-            diff = v - preds[ci]
-            preds[ci] = v
-            size = abs(diff).bit_length()
-            bw.put(*dc_code[size])
-            if size:
-                _emit_amplitude(bw, diff)
-    scans.append(sos(list(range(ncomp)), 0, 0, 0, dc_al) + bw.flush())
-    # --- DC refinement scans: one raw bit per block per level ---
-    for al in range(dc_al - 1, -1, -1):
+    dc_pt = [m[:, 0] >> dc_al for m in mats]
+    if _VECTOR_ENTROPY and all(
+        int(np.abs(d).max(initial=0)) < 2048 for d in dc_pt
+    ):
+        # vectorized: one (value, nbits) item per block (same packer as
+        # the baseline DC-only path, without the EOB suffix)
+        dcs_scan = np.stack(dc_pt, axis=1).ravel()
+        comps_scan = np.tile(np.arange(ncomp, dtype=np.int64), n_blocks)
+        segs0 = np.zeros(n_blocks * ncomp, dtype=np.int64)
+        values, nbits = _dc_scan_items(dcs_scan, comps_scan, segs0)
+        entropy = _pack_segments(values, nbits, segs0, 1)[0]
+        scans.append(sos(list(range(ncomp)), 0, 0, 0, dc_al) + entropy)
+    else:
         bw = _BitWriter()
-        dbits = [((m[:, 0] >> al) & 1).tolist() for m in mats]
+        preds = [0] * ncomp
+        dcs = [d.tolist() for d in dc_pt]
         for b in range(n_blocks):
             for ci in range(ncomp):
-                bw.put(dbits[ci][b], 1)
-        scans.append(sos(list(range(ncomp)), 0, 0, al + 1, al) + bw.flush())
+                v = dcs[ci][b]
+                diff = v - preds[ci]
+                preds[ci] = v
+                size = abs(diff).bit_length()
+                bw.put(*dc_code[size])
+                if size:
+                    _emit_amplitude(bw, diff)
+        scans.append(sos(list(range(ncomp)), 0, 0, 0, dc_al) + bw.flush())
+    # --- DC refinement scans: one raw bit per block per level,
+    # assembled as a plain bit array ---
+    for al in range(dc_al - 1, -1, -1):
+        dbits = np.stack(
+            [(m[:, 0] >> al) & 1 for m in mats], axis=1
+        ).ravel()
+        ones = np.ones(len(dbits), dtype=np.int64)
+        segs0 = np.zeros(len(dbits), dtype=np.int64)
+        entropy = _pack_segments(dbits, ones, segs0, 1)[0]
+        scans.append(sos(list(range(ncomp)), 0, 0, al + 1, al) + entropy)
 
     # --- AC scans: per component, per band ---
     for ci in range(ncomp):
@@ -1797,13 +1830,27 @@ def jpeg_encode_progressive(
             bw = _BitWriter()
             eobrun = 0
             band_pt = _pt_rows(mats[ci][:, ss : se + 1], ac_al)
-            band_l = band_pt.tolist()
-            # batched any-nonzero per block: an all-zero band (every
-            # block of the flat-block corpus entries) takes the EOB-run
-            # branch without building the per-block nonzero list (r10)
-            band_any = (band_pt != 0).any(axis=1).tolist()
-            for b in range(n_blocks):
-                if not band_any[b]:
+            # batched any-nonzero per block: only blocks WITH band
+            # energy are visited at all; the gaps between them bump the
+            # EOB run arithmetically (exact when the run can never hit
+            # the 32767 chunking path — guaranteed by n_blocks; the
+            # per-block loop remains for larger scans)
+            band_any_np = (band_pt != 0).any(axis=1)
+            fast = _VECTOR_ENTROPY and n_blocks < 32767
+            if fast:
+                blocks_iter = np.flatnonzero(band_any_np).tolist()
+            else:
+                blocks_iter = range(n_blocks)
+            band_any = band_any_np.tolist()
+            # the list mirror is only built when some block has band
+            # energy (flat corpora never touch it)
+            band_l = band_pt.tolist() if len(blocks_iter) else None
+            prev_b = -1
+            for b in blocks_iter:
+                if fast:
+                    eobrun += b - prev_b - 1
+                    prev_b = b
+                elif not band_any[b]:
                     eobrun += 1
                     if eobrun == 32767:
                         eobrun = _flush_eobrun(bw, eobrun, ac_code, [])
@@ -1826,6 +1873,8 @@ def jpeg_encode_progressive(
                     run = 0
                 if nz[-1] + 1 <= se - ss:  # trailing zeros → EOB
                     eobrun += 1
+            if fast:
+                eobrun += n_blocks - 1 - prev_b
             _flush_eobrun(bw, eobrun, ac_code, [])
             scans.append(sos([ci], ss, se, 0, ac_al) + bw.flush())
             # refinement scans per level (G.1.2.3)
@@ -1836,16 +1885,32 @@ def jpeg_encode_progressive(
                 sub = mats[ci][:, ss : se + 1]
                 hist_m = _pt_rows(sub, al + 1)
                 now_m = _pt_rows(sub, al)
-                hist_l = hist_m.tolist()
-                now_l = now_m.tolist()
                 nband = se - ss + 1
                 # batched per-block masks (same flat-block fast path as
                 # the first scan): all-zero history + nothing newly
-                # significant → pure EOB-run bump, no per-block scans
-                newly_any = ((hist_m == 0) & (now_m != 0)).any(axis=1).tolist()
-                hist_any = (hist_m != 0).any(axis=1).tolist()
-                for b in range(n_blocks):
-                    if not newly_any[b] and not hist_any[b]:
+                # significant → pure EOB-run bump, no per-block scans —
+                # and with the gap arithmetic those blocks are never
+                # visited at all (exact below the 32767 chunking bound)
+                newly_any_np = (hist_m == 0) & (now_m != 0)
+                hist_any_np = (hist_m != 0).any(axis=1)
+                newly_any = newly_any_np.any(axis=1)
+                if fast:
+                    blocks_iter = np.flatnonzero(
+                        newly_any | hist_any_np
+                    ).tolist()
+                else:
+                    blocks_iter = range(n_blocks)
+                newly_any = newly_any.tolist()
+                hist_any = hist_any_np.tolist()
+                if len(blocks_iter):
+                    hist_l = hist_m.tolist()
+                    now_l = now_m.tolist()
+                prev_b = -1
+                for b in blocks_iter:
+                    if fast:
+                        eobrun += b - prev_b - 1
+                        prev_b = b
+                    elif not newly_any[b] and not hist_any[b]:
                         eobrun += 1
                         if eobrun == 32767:
                             eobrun = _flush_eobrun(
@@ -1906,6 +1971,8 @@ def jpeg_encode_progressive(
                     if newly[-1] + 1 <= se - ss or tail_bits:
                         eobrun += 1
                         pending.extend(tail_bits)
+                if fast:
+                    eobrun += n_blocks - 1 - prev_b
                 _flush_eobrun(bw, eobrun, ac_code, pending)
                 scans.append(sos([ci], ss, se, al + 1, al) + bw.flush())
 
@@ -2060,17 +2127,28 @@ def jpeg_decode_progressive(data: bytes) -> np.ndarray:
                     for si, (ci, _td, _ta) in enumerate(scan_comps):
                         coefs[ci][:, 0] = cols[si]
                 else:
-                    bit = 1 << al
-                    cols = [
-                        coefs[ci][:, 0].tolist()
-                        for ci, _td, _ta in scan_comps
-                    ]
-                    for b in range(n_blocks):
-                        for si in range(len(scan_comps)):
-                            if br.bit():
-                                cols[si][b] |= bit
+                    # one raw bit per (block, component) in stream
+                    # order: bulk-read in 32-bit chunks and apply
+                    # vectorized (the per-bit loop was n_blocks·ncomp
+                    # Python crossings)
+                    need = n_blocks * len(scan_comps)
+                    acc = 0
+                    left = need
+                    while left > 0:
+                        k = 32 if left > 32 else left
+                        acc = (acc << k) | br.bits(k)
+                        left -= k
+                    acc <<= (-need) % 8
+                    bits = np.unpackbits(
+                        np.frombuffer(
+                            acc.to_bytes((need + 7) // 8, "big"),
+                            dtype=np.uint8,
+                        )
+                    )[:need].reshape(n_blocks, len(scan_comps))
                     for si, (ci, _td, _ta) in enumerate(scan_comps):
-                        coefs[ci][:, 0] = cols[si]
+                        coefs[ci][:, 0] |= bits[:, si].astype(
+                            np.int64
+                        ) << al
             else:  # AC scan: exactly one component
                 if len(scan_comps) != 1:
                     raise ValueError(
@@ -2086,9 +2164,17 @@ def jpeg_decode_progressive(data: bytes) -> np.ndarray:
                 rows = coefs[ci][:, ss : se + 1].tolist()
                 if ah == 0:  # first scan for this band (G.2.1)
                     eobrun = 0
-                    for b in range(n_blocks):
+                    b = 0
+                    while b < n_blocks:
                         if eobrun > 0:
-                            eobrun -= 1
+                            # EOB-run blocks consume no bits: jump them
+                            skip = (
+                                eobrun
+                                if eobrun < n_blocks - b
+                                else n_blocks - b
+                            )
+                            eobrun -= skip
+                            b += skip
                             continue
                         blk = rows[b]
                         k = ss
@@ -2108,16 +2194,39 @@ def jpeg_decode_progressive(data: bytes) -> np.ndarray:
                                 raise ValueError("AC run past band end")
                             blk[k - ss] = _extend(br.bits(s), s) << al
                             k += 1
+                        b += 1
                 else:  # refinement scan (G.2.2)
                     p1, m1 = 1 << al, -1 << al
                     eobrun = 0
                     nb = se - ss + 1  # band width; blk is band-local
+                    # start-of-scan nonzero-history block index: an
+                    # EOB-run block with all-zero history consumes no
+                    # correction bits and is never mutated, so whole
+                    # runs of them are jumped arithmetically instead of
+                    # scanning nb coefficients per block (the dominant
+                    # flat-corpus decode cost)
+                    nz_idx = np.flatnonzero(
+                        (coefs[ci][:, ss : se + 1] != 0).any(axis=1)
+                    )
 
                     def correct(blk, j) -> None:
                         if br.bit() and not blk[j] & p1:
                             blk[j] += p1 if blk[j] >= 0 else m1
 
-                    for b in range(n_blocks):
+                    b = 0
+                    while b < n_blocks:
+                        if eobrun > 0:
+                            i = int(np.searchsorted(nz_idx, b))
+                            nxt = (
+                                int(nz_idx[i])
+                                if i < len(nz_idx)
+                                else n_blocks
+                            )
+                            if nxt > b:
+                                skip = min(eobrun, nxt - b, n_blocks - b)
+                                eobrun -= skip
+                                b += skip
+                                continue
                         blk = rows[b]
                         j = 0  # band-local position (absolute k - ss)
                         if eobrun == 0:
@@ -2165,6 +2274,7 @@ def jpeg_decode_progressive(data: bytes) -> np.ndarray:
                                     correct(blk, j)
                                 j += 1
                             eobrun -= 1
+                        b += 1
                 coefs[ci][:, ss : se + 1] = rows
             # resync: skip pad bits, position at the next marker
             pos = br.pos
