@@ -909,6 +909,7 @@ class _BitReader:
 # all carry the same standard DHT segments, so the 65536-entry build is
 # paid once per distinct table, not once per image.
 _HUFF_LUT_CACHE: dict[tuple, tuple[list[int], bytes]] = {}
+_HUFF_NP_LUT_CACHE: dict[tuple, tuple[np.ndarray, np.ndarray]] = {}
 
 
 def _huff_decoder(bits: list[int], vals: list[int]):
@@ -933,6 +934,11 @@ def _huff_decoder(bits: list[int], vals: list[int]):
             len_b[base : base + n] = bytes([ln]) * n
         lut = (sym_l, bytes(len_b))
         _HUFF_LUT_CACHE[key] = lut
+        # numpy twins for the vectorized DC-only scan decode
+        _HUFF_NP_LUT_CACHE[key] = (
+            np.array(sym_l, dtype=np.int64),
+            np.frombuffer(bytes(len_b), dtype=np.uint8).astype(np.int64),
+        )
     sym_l, len_b = lut
     table = {(c, ln): sym for sym, (c, ln) in codes.items()}
 
@@ -954,6 +960,7 @@ def _huff_decoder(bits: list[int], vals: list[int]):
         raise ValueError("invalid huffman code in entropy segment")
 
     decode.luts = lut  # (sym_list, len_bytes) for the fused block loop
+    decode.np_luts = _HUFF_NP_LUT_CACHE[key]
     return decode
 
 
@@ -1066,6 +1073,127 @@ def _decode_block_baseline(br: _BitReader, row, dc, ac, pred: int) -> int:
 
 def _extend(v: int, size: int) -> int:
     return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def _decode_dc_only_scan(
+    br: "_BitReader",
+    per_comp: list,
+    n_per_mcu: int,
+    mcu_rows: int,
+    mcu_cols: int,
+    ri: int,
+    coeffs: np.ndarray,
+) -> bool:
+    """Vectorized decode of a baseline scan whose every block is
+    DC-only (the corpus-certified entries): speculatively decode a
+    (DC code, amplitude, EOB) triple at EVERY bit position of the
+    unstuffed entropy payload with numpy gathers, then follow the jump
+    chain — ~4 list operations per block instead of a full per-block
+    huffman loop. Returns False (having consumed no reader state and
+    written at most DC columns that the serial path overwrites) whenever
+    ANY block deviates — an AC coefficient, an invalid code, a segment
+    mis-alignment, out-of-sequence restart markers — and the caller
+    falls back to the exact serial decode with its error behavior.
+    Decoded DC values are bit-identical by construction: a prefix-LUT
+    decode depends only on the true code bits, amplitudes are read at
+    the same offsets, and prediction/reset arithmetic is replayed
+    per component per segment (vectorized cumulative sums)."""
+    dc0, ac0 = per_comp[0][1], per_comp[0][2]
+    if not all(
+        c[1].np_luts is dc0.np_luts and c[2].np_luts is ac0.np_luts
+        for c in per_comp
+    ):
+        return False
+    buf, bounds = br._buf, br._bounds
+    n_mcus = mcu_rows * mcu_cols
+    total_blocks = n_mcus * n_per_mcu
+    # AC-heavy pre-gate: a DC-only stream is ≤ ~4 bytes/block, so a
+    # fat payload cannot be DC-only and the speculative pass (memory
+    # ∝ 8·len(buf)) would be wasted work
+    if len(buf) > 4 * total_blocks + 64:
+        return False
+    nseg = -(-n_mcus // ri) if ri else 1
+    if len(bounds) != nseg:
+        return False
+    for i in range(nseg - 1):
+        if bounds[i][1] != "rst" or bounds[i][2] != i % 8:
+            return False
+    if bounds[-1][1] not in ("marker", "eof"):
+        return False
+    seg_offs = [0] + [b[0] for b in bounds]  # byte offsets into buf
+    dc_sym_l, dc_len_b = dc0.luts  # list + bytes: O(1) python lookups
+    ac_sym_l, ac_len_b = ac0.luts
+    # 16-bit windows at every bit position (12 pad bytes so lookups at
+    # chain positions just past the end stay in bounds), one bulk
+    # tolist — the chain walk below is then ~a dozen list/arith ops per
+    # block instead of a full per-block huffman loop
+    bts = np.frombuffer(buf, dtype=np.uint8).astype(np.int64)
+    bts = np.concatenate((bts, np.zeros(12, dtype=np.int64)))
+    b32 = (
+        (bts[:-3] << 24) | (bts[1:-2] << 16) | (bts[2:-1] << 8) | bts[3:]
+    )
+    W = (
+        ((b32[:, None] >> (16 - np.arange(8)[None, :])) & 0xFFFF)
+        .ravel()
+        .tolist()
+    )
+    diffs: list[int] = []
+    append = diffs.append
+    for s in range(nseg):
+        p = seg_offs[s] * 8
+        end = seg_offs[s + 1] * 8
+        mcus_here = ri if (ri and s < nseg - 1) else n_mcus - (
+            ri * s if ri else 0
+        )
+        for _ in range(mcus_here * n_per_mcu):
+            if p >= end:
+                return False
+            w = W[p]
+            ln = dc_len_b[w]
+            if ln == 0:
+                return False
+            sz = dc_sym_l[w]
+            if sz > 15:
+                return False
+            q = p + ln
+            if sz:
+                amp = W[q] >> (16 - sz)
+                half = 1 << (sz - 1)
+                append(amp if amp >= half else amp - 2 * half + 1)
+            else:
+                append(0)
+            e = q + sz
+            we = W[e]
+            el = ac_len_b[we]
+            if el == 0 or ac_sym_l[we] != 0:
+                return False
+            p = e + el
+        if p > end or end - p >= 8:
+            return False  # stream not aligned the way the scan claims
+    # prediction replay: per component, per segment, cumulative sums
+    # over that component's blocks in decode order
+    diffs_m = np.array(diffs, dtype=np.int64).reshape(n_mcus, n_per_mcu)
+    if ri:
+        seg_of_mcu = np.arange(n_mcus) // ri
+        seg_starts = np.flatnonzero(
+            np.concatenate(([True], seg_of_mcu[1:] != seg_of_mcu[:-1]))
+        )
+    else:
+        seg_starts = np.array([0])
+    slot = 0
+    dc_cols = coeffs[:, 0].reshape(n_mcus, n_per_mcu)
+    for _ci, (_q, _dc, _ac, hs, vs) in enumerate(per_comp):
+        nb = hs * vs
+        sub = diffs_m[:, slot : slot + nb].ravel()  # mcu-major order
+        cs = np.cumsum(sub)
+        base = np.zeros(len(seg_starts), dtype=np.int64)
+        starts_flat = seg_starts * nb
+        base[1:] = cs[starts_flat[1:] - 1]
+        counts = np.diff(np.concatenate((starts_flat, [len(sub)])))
+        vals = cs - np.repeat(base, counts)
+        dc_cols[:, slot : slot + nb] = vals.reshape(n_mcus, nb)
+        slot += nb
+    return True
 
 
 def jpeg_decode_baseline(data: bytes) -> np.ndarray:
@@ -1198,27 +1326,38 @@ def jpeg_decode_baseline(data: bytes) -> np.ndarray:
     coeffs = np.zeros((mcu_rows * mcu_cols * n_per_mcu, 64), dtype=np.int64)
     bi = 0
     # MCU-interleaved, H×V blocks per component per MCU, SOF order
-    # (T.81 A.2.3); restart segments reset predictors and byte-align
-    mcu, rst_expect = 0, 0
-    for by in range(mcu_rows):
-        for bx in range(mcu_cols):
-            if ri and mcu and mcu % ri == 0:
-                m = br.restart()
-                if m != rst_expect:
-                    raise ValueError(
-                        f"restart marker out of sequence (RST{m}, "
-                        f"expected RST{rst_expect})"
-                    )
-                rst_expect = (rst_expect + 1) % 8
-                preds = [0] * len(per_comp)
-            for ci, (q, dc, ac, hs, vs) in enumerate(per_comp):
-                for v in range(vs):
-                    for hh in range(hs):
-                        preds[ci] = _decode_block_baseline(
-                            br, coeffs[bi], dc, ac, preds[ci]
+    # (T.81 A.2.3); restart segments reset predictors and byte-align.
+    # DC-only streams (every corpus-certified entry) take the
+    # vectorized speculative scan decode; ANY deviation — AC energy,
+    # odd tables, misaligned restarts — falls back to the exact serial
+    # loop below, which also owns every error message.
+    if not (
+        _VECTOR_ENTROPY
+        and _decode_dc_only_scan(
+            br, per_comp, n_per_mcu, mcu_rows, mcu_cols, ri, coeffs
+        )
+    ):
+        coeffs[:, 0] = 0  # discard any partial fast-path DC writes
+        mcu, rst_expect = 0, 0
+        for by in range(mcu_rows):
+            for bx in range(mcu_cols):
+                if ri and mcu and mcu % ri == 0:
+                    m = br.restart()
+                    if m != rst_expect:
+                        raise ValueError(
+                            f"restart marker out of sequence (RST{m}, "
+                            f"expected RST{rst_expect})"
                         )
-                        bi += 1
-            mcu += 1
+                    rst_expect = (rst_expect + 1) % 8
+                    preds = [0] * len(per_comp)
+                for ci, (q, dc, ac, hs, vs) in enumerate(per_comp):
+                    for v in range(vs):
+                        for hh in range(hs):
+                            preds[ci] = _decode_block_baseline(
+                                br, coeffs[bi], dc, ac, preds[ci]
+                            )
+                            bi += 1
+                mcu += 1
     # place decoded blocks by INDEX ARITHMETIC, not per-block position
     # lists: the decode order is a fixed interleave (mcu outer, then
     # V×H within the component), so each component's coeff rows and its
@@ -1238,24 +1377,31 @@ def jpeg_decode_baseline(data: bytes) -> np.ndarray:
         out = _dequant_idct(coeffs[rows], q)  # (nblocks, 8, 8) decode order
         gw = mcu_cols * hs  # component block-grid width
         gh = mcu_rows * vs
-        v_idx = np.arange(vs, dtype=np.int64)
-        h_idx = np.arange(hs, dtype=np.int64)
-        by_g = mcus // mcu_cols
-        bx_g = mcus % mcu_cols
-        gy = by_g[:, None, None] * vs + v_idx[None, :, None]
-        gx = bx_g[:, None, None] * hs + h_idx[None, None, :]
-        gidx = (gy * gw + gx).ravel()  # grid slot per decode-order block
-        grid = np.empty((gh * gw, 8, 8), dtype=np.float64)
-        grid[gidx] = out
+        if nb == 1:
+            # 1×1 sampling: decode order IS row-major grid order
+            grid = out
+        else:
+            v_idx = np.arange(vs, dtype=np.int64)
+            h_idx = np.arange(hs, dtype=np.int64)
+            by_g = mcus // mcu_cols
+            bx_g = mcus % mcu_cols
+            gy = by_g[:, None, None] * vs + v_idx[None, :, None]
+            gx = bx_g[:, None, None] * hs + h_idx[None, None, :]
+            gidx = (gy * gw + gx).ravel()  # grid slot per block
+            grid = np.empty((gh * gw, 8, 8), dtype=np.float64)
+            grid[gidx] = out
         planes[ci] = (
             grid.reshape(gh, gw, 8, 8)
             .transpose(0, 2, 1, 3)
             .reshape(gh * 8, gw * 8)
         )
     # upsample subsampled components by pixel replication to the full
-    # MCU-padded grid, then crop to the true image size
+    # MCU-padded grid, then crop to the true image size (replicating by
+    # a factor of 1 would just copy — skipped)
     planes = [
-        np.repeat(
+        p
+        if vmax == vs and hmax == hs
+        else np.repeat(
             np.repeat(p, vmax // vs, axis=0), hmax // hs, axis=1
         )
         for p, (_q, _dc, _ac, hs, vs) in zip(planes, per_comp)
