@@ -2952,67 +2952,189 @@ def _sem_int_dist(a: str, b: str):
     )
 
 
+def _sem_collect_book(df: DataFrame, key_cols, cid_col: str, q_col: str):
+    """Collect an anchor/codebook table into numpy, keyed by ``key_cols``
+    (the parent-cell id(s); ``()`` for a global book) with anchors sorted
+    by cid within each key.
+
+    The collect is BOUNDED BY CONSTRUCTION, not by luck: every caller
+    passes either a fixed-k codebook level (k1/k rows per parent) or the
+    1-in-32 content-addressed anchor subset that the previous
+    implementation already routed through ``F.broadcast`` — which
+    collects the same rows to the driver before re-broadcasting. Same
+    driver footprint, but the payload becomes numpy arrays the
+    assignment stage can argmin over at vectorized speed instead of an
+    array<struct> column interpreted per row."""
+    import numpy as np
+
+    rows = df.select(*key_cols, cid_col, q_col).collect()
+    grouped: dict = {}
+    for r in rows:
+        key = tuple(r[c] for c in key_cols)
+        grouped.setdefault(key, []).append((r[cid_col], r[q_col]))
+    book = {}
+    for key, lst in grouped.items():
+        # ascending cid: np.argmin's first-minimum is then the smallest
+        # cid among distance ties — the (dist, cid) struct-min /
+        # row_number(orderBy(dist, cid)) tie-break, exactly
+        lst.sort(key=lambda t: t[0])
+        cids = np.array([t[0] for t in lst], dtype=object)
+        qm = np.asarray([t[1] for t in lst], dtype=np.int64)
+        book[key] = (cids, qm, np.einsum("ij,ij->i", qm, qm))
+    return book
+
+
+def _sem_np_assign(src: DataFrame, book, key_cols, out_schema: str):
+    """Map-only nearest-anchor assignment (guide §2.4, §4.2): for each
+    row, the argmin of the EXACT int64 squared L2 over its parent
+    cell's anchors (``nq + na − 2·dot``, all int64 — identical integers
+    to the ``_sem_int_dist`` fold), ties to the smallest cid. Replaces
+    the broadcast-crossJoin + interpreted ``array_min(transform(...))``
+    (~85 ns per multiply-add) and, for the tree levels, the fan-out
+    equi-join + per-vector ``row_number`` window (a full corpus
+    shuffle) with ZERO exchanges and numpy-matmul arithmetic.
+    ``src`` must have columns key_cols + (vec_id, q); the output is
+    (vec_id, cid, q) rows (plus any extra columns named in
+    ``out_schema``, taken from the input)."""
+    spark = src.sparkSession
+    bc = spark.sparkContext.broadcast(book)
+    extra = [
+        f.split()[0]
+        for f in out_schema.split(",")
+        if f.split()[0] not in ("vec_id", "cid", "q")
+    ]
+
+    def gen(batches):
+        import numpy as np
+        import pandas as pd
+
+        bk = bc.value
+        for pdf in batches:
+            n = len(pdf)
+            if n == 0:
+                continue
+            q = np.asarray(pdf["q"].to_numpy().tolist(), dtype=np.int64)
+            nq = np.einsum("ij,ij->i", q, q)
+            out_cid = np.empty(n, dtype=object)
+            if key_cols:
+                keys = list(zip(*(pdf[c].to_numpy() for c in key_cols)))
+                key_arr = pd.Series(keys)
+                for key, idx in key_arr.groupby(key_arr).groups.items():
+                    ix = np.asarray(idx)
+                    cids, qm, na = bk[key]
+                    d = (
+                        nq[ix][:, None]
+                        + na[None, :]
+                        - 2 * (q[ix] @ qm.T)
+                    )
+                    out_cid[ix] = cids[np.argmin(d, axis=1)]
+            else:
+                cids, qm, na = bk[()]
+                d = nq[:, None] + na[None, :] - 2 * (q @ qm.T)
+                out_cid = cids[np.argmin(d, axis=1)]
+            cols = {"vec_id": pdf["vec_id"], "cid": out_cid, "q": pdf["q"]}
+            for c in extra:
+                cols[c] = pdf[c]
+            yield pd.DataFrame(cols)
+
+    return src.mapInPandas(gen, out_schema)
+
+
 def _sem_tau_verdict(assigned: DataFrame) -> DataFrame:
     """Shared SemDeDup verdict stage: within each cluster ``cid``, a doc
     is dropped onto the smallest smaller-id member clearing integer
     cosine ≥ τ. ``assigned`` needs columns (vec_id, cid, q).
 
-    The pairwise scoring is ONE grouped Arrow stage per cluster: an
-    exact int64 Gram matrix (numpy integer matmul — the same integers
-    the previous cid-keyed self-join computed with interpreted
-    ``zip_with``/``aggregate`` folds, three per candidate pair) and the
-    τ test as the identical IEEE float64 expression tree
-    (``dot / sqrt(double(na·nb))`` then ``floor(x·1e6+0.5)/1e6 ≥ τ`` —
-    multiply, add, floor, divide and compare are all exactly-rounded
-    IEEE ops, so JVM double and numpy float64 agree bit-for-bit; norms
-    are ≥ ~1e6 > 0 for every fixture, so the NaN path is unreachable).
-    vs the self-join: one cid shuffle instead of two, no ~n·|cluster|
-    pair rows each carrying two d-long vectors, and the per-pair
-    arithmetic runs at vectorized-matmul speed instead of ~85 ns per
-    interpreted multiply-add (guide §2.3, §4.2). Cluster sizes are
-    bounded by construction (≈ anchor_mod, or the codebook leaf size),
-    so a group never outgrows a task."""
+    The pairwise scoring is a grouped Arrow stage over HASH BUCKETS of
+    clusters (``pmod(xxhash64(cid), G)`` with G derived from the
+    session's shuffle-partition count, so the fan-in is scale-adaptive,
+    not a constant): one bucket = one Python call that scores EVERY
+    cluster in it with a single pair-indexed numpy pass — intra-cluster
+    (i, j) pair indices built per distinct cluster size, exact int64
+    dot products via einsum (the same integers the original cid-keyed
+    self-join computed with interpreted ``zip_with``/``aggregate``
+    folds, three per candidate pair) and the τ test as the identical
+    IEEE float64 expression tree (``dot / sqrt(double(na·nb))`` then
+    ``floor(x·1e6+0.5)/1e6 ≥ τ`` — multiply, add, floor, divide and
+    compare are all exactly-rounded IEEE ops, so JVM double and numpy
+    float64 agree bit-for-bit; norms are ≥ ~1e6 > 0 for every fixture,
+    so the NaN path is unreachable). vs the self-join: one skinny
+    shuffle instead of two and vectorized arithmetic instead of ~85 ns
+    per interpreted multiply-add (guide §2.3, §4.2). vs one Python call
+    PER CLUSTER (the first Arrow version): grouping by cid paid ~2.5 ms
+    of per-group pandas overhead, which dominated for codebook trees
+    whose leaf cells are 2–3 members (the 3-level entry REGRESSED 22.5
+    → 27.9 s at sf1); ~G bucket groups amortize it to noise while the
+    per-pair work is unchanged. Pair counts stay linear: cluster sizes
+    are bounded by construction (≈ anchor_mod, or the codebook leaf
+    size), so Σ|cluster|²/2 ≈ n·mod/2 regardless of bucketing."""
 
     def _drops(pdf):
         import numpy as np
         import pandas as pd
 
+        empty = pd.DataFrame(
+            {
+                "vec_id": np.array([], dtype=np.int64),
+                "dup_of": np.array([], dtype=np.int64),
+            }
+        )
+        if len(pdf) < 2:
+            return empty
+        cids = pdf["cid"].to_numpy()
         ids = pdf["vec_id"].to_numpy()
-        n = len(ids)
-        if n < 2:
-            return pd.DataFrame({"vec_id": ids[:0], "dup_of": ids[:0]})
-        order = np.argsort(ids, kind="stable")
+        # sort by (cid, vec_id): within a cluster, position ascends
+        # with id, so a pair (i < j) has ida = ids[i] < idb = ids[j]
+        order = np.lexsort((ids, cids))
+        cids = cids[order]
         ids = ids[order]
+        new = np.empty(len(cids), dtype=bool)
+        new[0] = True
+        new[1:] = cids[1:] != cids[:-1]
+        starts = np.flatnonzero(new)
+        cnts = np.diff(np.append(starts, len(cids)))
+        if not (cnts >= 2).any():
+            return empty
         q = np.asarray(pdf["q"].to_numpy()[order].tolist(), dtype=np.int64)
-        gram = q @ q.T
-        nq = np.diagonal(gram)
-        sim = gram.astype(np.float64) / np.sqrt(
-            (nq[:, None] * nq[None, :]).astype(np.float64)
+        nq = np.einsum("ij,ij->i", q, q)
+        # intra-cluster upper-triangle pair indices, vectorized per
+        # distinct cluster size (sizes are small and few by design)
+        a_parts, b_parts = [], []
+        for s in np.unique(cnts):
+            if s < 2:
+                continue
+            cs = starts[cnts == s]
+            ti, tj = np.triu_indices(s, k=1)
+            a_parts.append((cs[:, None] + ti[None, :]).ravel())
+            b_parts.append((cs[:, None] + tj[None, :]).ravel())
+        a = np.concatenate(a_parts)
+        b = np.concatenate(b_parts)
+        dots = np.einsum("ij,ij->i", q[a], q[b])
+        sim = dots.astype(np.float64) / np.sqrt(
+            (nq[a] * nq[b]).astype(np.float64)
         )
         ok = np.floor(sim * 1e6 + 0.5) / 1e6 >= _SEM_TAU
-        # ids ascend with position, so ida < idb ⟺ row < col; argmax
-        # over the masked columns is the smallest position = min ida
-        ok[np.tril_indices(n)] = False
-        hit = ok.any(axis=0)
-        first = ok.argmax(axis=0)
-        return pd.DataFrame(
-            {"vec_id": ids[hit], "dup_of": ids[first[hit]]}
-        )
+        if not ok.any():
+            return empty
+        a = a[ok]
+        b = b[ok]
+        # dup_of = min ida per idb: first a per b in (b, a) sort order
+        o = np.lexsort((a, b))
+        a = a[o]
+        b = b[o]
+        bu, first = np.unique(b, return_index=True)
+        return pd.DataFrame({"vec_id": ids[bu], "dup_of": ids[a[first]]})
 
-    # Singleton clusters can never produce a drop, and the grouped
-    # Arrow stage pays ~ms of per-group overhead (pandas frame build
-    # per group) — measured 2000 groups of median size 1 for the
-    # 3-level codebook at sf0.1 costing ~5 s. A window count over cid
-    # drops them BEFORE the Python boundary; the window's hash
-    # partitioning on cid is exactly the distribution applyInPandas
-    # needs, so the filter shares the one cid exchange (guide §2.4).
-    wn = Window.partitionBy("cid")
+    spark = assigned.sparkSession
+    n_buckets = 4 * int(spark.conf.get("spark.sql.shuffle.partitions"))
     dropped = (
-        assigned.select("cid", "vec_id", "q")
-        .withColumn("_n", F.count("*").over(wn))
-        .where(F.col("_n") >= 2)
-        .drop("_n")
-        .groupBy("cid")
+        assigned.select(
+            F.pmod(F.xxhash64("cid"), F.lit(n_buckets)).alias("_b"),
+            "cid",
+            "vec_id",
+            "q",
+        )
+        .groupBy("_b")
         .applyInPandas(_drops, "vec_id long, dup_of long")
     )
     return assigned.join(dropped, "vec_id", "left").select(
@@ -3066,46 +3188,25 @@ def q_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
         .select(F.md5("qstr").alias("cid"), F.col("q").alias("aq"))
         .dropDuplicates(["cid"])
     )
-    # The anchor set is folded into ONE row holding an array<struct>
-    # column (the same shape the codebook twins use): the 1-row
-    # broadcast crossJoin attaches it to every doc and the argmin is a
-    # map-only array_min over (dist, cid) structs — struct comparison
-    # is (dist, then cid), exactly the old row_number(orderBy(dist,
-    # cid)) rank-1 pick, with no n×|anchors| intermediate rows and no
-    # per-doc window shuffle (guide §2.4; the window variant pushed
-    # ~n·|anchors| rows each carrying both d-long vectors through a
-    # sort at every scale).
-    anchor_row = F.broadcast(
-        anchors.agg(
-            F.collect_list(
-                F.struct(F.col("aq").alias("aq"), F.col("cid").alias("cid"))
-            ).alias("ab")
-        )
-    )
-    best = F.array_min(
-        F.transform(
-            F.col("ab"),
-            lambda c: F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("q"), c["aq"], lambda a, b: (a - b) * (a - b)
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                ).alias("dist"),
-                c["cid"].alias("cid"),
-            ),
-        )
-    )
+    # The anchor set is collected into a numpy codebook (the previous
+    # F.broadcast(anchor_row) crossJoin collected the SAME rows to the
+    # driver before re-broadcasting, so the driver footprint is
+    # unchanged) and the nearest-anchor pick runs as a map-only Arrow
+    # argmin — exact int64 nq + na − 2·dot distances, ties to smallest
+    # cid via the cid-sorted book, no n×|anchors| intermediate rows, no
+    # per-doc shuffle, and vectorized-matmul arithmetic instead of ~85
+    # ns per interpreted zip_with multiply-add (guide §2.4, §4.2 —
+    # measured the dominant sf1 cost of this entry).
+    book = _sem_collect_book(anchors, (), "cid", "aq")
     # The assignment feeds the verdict stage AND the final verdict
     # join; an eager localCheckpoint materializes it once (the
-    # un-checkpointed plan re-ran the broadcast argmin three times
-    # — 24 scans in the formatted explain).
-    assigned = (
-        qs.crossJoin(anchor_row)
-        .select("vec_id", best["cid"].alias("cid"), "q")
-        .localCheckpoint(eager=True)
-    )
+    # un-checkpointed plan re-ran the argmin pass per consumer).
+    assigned = _sem_np_assign(
+        qs.select("vec_id", "q"),
+        book,
+        (),
+        "vec_id long, cid string, q array<long>",
+    ).localCheckpoint(eager=True)
     return _sem_tau_verdict(assigned)
 
 
@@ -3159,45 +3260,29 @@ def q_dedup_semantic_codebook(spark: SparkSession, sf: str) -> DataFrame:
     qs = _sem_corpus(spark, sf)
     originals = qs.where(F.col("vec_id") < _SEM_TWIN_OFFSET)
     # level-1 coarse codebook: k1 smallest-digest distinct vectors,
-    # folded into ONE row holding the whole codebook as an
-    # array<struct> column. orderBy+limit plans as
-    # TakeOrderedAndProject (each partition keeps its top-k1); the
-    # 1-row broadcast crossJoin attaches the codebook column to every
-    # row, so the argmin is a map-only array_min over (dist, ccid)
-    # structs — no per-doc shuffle, no n×k intermediate, and no
-    # giant-literal codegen (a k·d literal array measurably fell out
-    # of whole-stage codegen; a column does not).
-    codebook = F.broadcast(
+    # collected into a numpy book (k1·d integers — driver-bounded by
+    # the fixed k1; the previous 1-row F.broadcast crossJoin collected
+    # the same rows) driving a map-only Arrow argmin: exact int64
+    # distances, ties to smallest ccid, zero per-doc shuffle, and
+    # matmul arithmetic instead of interpreted zip_with folds
+    # (guide §2.4, §4.2).
+    cb_src = (
         originals.select("h", "q")
         .dropDuplicates(["h"])
         .orderBy("h")
         .limit(_SEM_CB_K1)
-        .agg(
-            F.collect_list(
-                F.struct(F.col("q").alias("cq"), F.col("h").alias("ccid"))
-            ).alias("cb")
-        )
     )
-    best = F.array_min(
-        F.transform(
-            F.col("cb"),
-            lambda c: F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("q"), c["cq"], lambda a, b: (a - b) * (a - b)
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                ).alias("d1"),
-                c["ccid"].alias("ccid"),
-            ),
-        )
-    )
-    # the assignment feeds the sub-anchor census AND the level-2 join;
-    # checkpoint so the k1·d distance pass runs once
+    book1 = _sem_collect_book(cb_src, (), "h", "q")
+    # the assignment feeds the sub-anchor census AND the level-2
+    # assignment; checkpoint so the k1·d distance pass runs once
     assigned1 = (
-        qs.crossJoin(codebook)
-        .select("vec_id", "h", "q", best["ccid"].alias("ccid"))
+        _sem_np_assign(
+            qs.select("vec_id", "q", "h"),
+            book1,
+            (),
+            "vec_id long, cid string, q array<long>, h string",
+        )
+        .withColumnRenamed("cid", "ccid")
         .localCheckpoint(eager=True)
     )
     # level-2 sub-anchors: distinct original vectors per cell at the
@@ -3219,15 +3304,19 @@ def q_dedup_semantic_codebook(spark: SparkSession, sf: str) -> DataFrame:
         .where((sub_bucket == 0) | (F.col("_rk") == 1))
         .select("ccid", F.col("h").alias("cid"), F.col("q").alias("sq"))
     )
-    w3 = Window.partitionBy("vec_id").orderBy("d2", "cid")
-    assigned = (
-        assigned1.join(subs, "ccid")
-        .withColumn("d2", _sem_int_dist("q", "sq"))
-        .withColumn("_rn2", F.row_number().over(w3))
-        .where(F.col("_rn2") == 1)
-        .select("vec_id", "cid", "q")
-        .localCheckpoint(eager=True)
-    )
+    # level-2 assignment: each row scores ONLY its own cell's
+    # sub-anchors, as a map-only per-cell numpy argmin keyed by ccid —
+    # replaces the cell-keyed fan-out equi-join + per-vector
+    # row_number window (a full-corpus shuffle and sort) with zero
+    # exchanges; identical (d2, cid)-min tie-break via the cid-sorted
+    # per-cell book.
+    book2 = _sem_collect_book(subs, ("ccid",), "cid", "sq")
+    assigned = _sem_np_assign(
+        assigned1.select("ccid", "vec_id", "q"),
+        book2,
+        ("ccid",),
+        "vec_id long, cid string, q array<long>",
+    ).localCheckpoint(eager=True)
     return _sem_tau_verdict(assigned)
 
 
@@ -3260,35 +3349,29 @@ def q_dedup_semantic_codebook3(spark: SparkSession, sf: str) -> DataFrame:
     schema as the rest of the SemDeDup family."""
     qs = _sem_corpus(spark, sf)
     originals = qs.where(F.col("vec_id") < _SEM_TWIN_OFFSET)
-    codebook = F.broadcast(
+    # All three levels run as map-only Arrow argmins over
+    # driver-bounded numpy codebooks (k1, then k per cell, then k per
+    # (cell, mid) — every level fixed-k by construction, ≤ k1·k·k·d
+    # integers total; the previous broadcast/fan-out-join shapes
+    # collected or shuffled the same anchor rows). This removes the
+    # two per-vector row_number windows (full-corpus shuffles) and all
+    # interpreted zip_with distance folds (guide §2.4, §4.2); the
+    # (dist, cid)-min tie-break is preserved by cid-sorted books.
+    cb_src = (
         originals.select("h", "q")
         .dropDuplicates(["h"])
         .orderBy("h")
         .limit(_SEM_CB_K1)
-        .agg(
-            F.collect_list(
-                F.struct(F.col("q").alias("cq"), F.col("h").alias("ccid"))
-            ).alias("cb")
-        )
     )
-    best = F.array_min(
-        F.transform(
-            F.col("cb"),
-            lambda c: F.struct(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("q"), c["cq"], lambda a, b: (a - b) * (a - b)
-                    ),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                ).alias("d1"),
-                c["ccid"].alias("ccid"),
-            ),
-        )
-    )
+    book1 = _sem_collect_book(cb_src, (), "h", "q")
     assigned1 = (
-        qs.crossJoin(codebook)
-        .select("vec_id", "h", "q", best["ccid"].alias("ccid"))
+        _sem_np_assign(
+            qs.select("vec_id", "q", "h"),
+            book1,
+            (),
+            "vec_id long, cid string, q array<long>, h string",
+        )
+        .withColumnRenamed("cid", "ccid")
         .localCheckpoint(eager=True)
     )
     # level 2: the k digest-smallest distinct ORIGINAL vectors per cell
@@ -3303,13 +3386,15 @@ def q_dedup_semantic_codebook3(spark: SparkSession, sf: str) -> DataFrame:
         .where(F.col("_rk") <= _SEM_CB3_K)
         .select("ccid", F.col("h").alias("mid"), F.col("q").alias("mq"))
     )
-    wa2 = Window.partitionBy("vec_id").orderBy("d2", "mid")
+    book2 = _sem_collect_book(mids, ("ccid",), "mid", "mq")
     assigned2 = (
-        assigned1.join(mids, "ccid")
-        .withColumn("d2", _sem_int_dist("q", "mq"))
-        .withColumn("_rn", F.row_number().over(wa2))
-        .where(F.col("_rn") == 1)
-        .select("vec_id", "h", "q", "ccid", "mid")
+        _sem_np_assign(
+            assigned1.select("ccid", "vec_id", "q", "h"),
+            book2,
+            ("ccid",),
+            "vec_id long, cid string, q array<long>, h string, ccid string",
+        )
+        .withColumnRenamed("cid", "mid")
         .localCheckpoint(eager=True)
     )
     # level 3: k leaf anchors per (cell, mid) sub-cell
@@ -3326,15 +3411,13 @@ def q_dedup_semantic_codebook3(spark: SparkSession, sf: str) -> DataFrame:
             "ccid", "mid", F.col("h").alias("cid"), F.col("q").alias("lq")
         )
     )
-    wa3 = Window.partitionBy("vec_id").orderBy("d3", "cid")
-    assigned = (
-        assigned2.join(leaves, ["ccid", "mid"])
-        .withColumn("d3", _sem_int_dist("q", "lq"))
-        .withColumn("_rn2", F.row_number().over(wa3))
-        .where(F.col("_rn2") == 1)
-        .select("vec_id", "cid", "q")
-        .localCheckpoint(eager=True)
-    )
+    book3 = _sem_collect_book(leaves, ("ccid", "mid"), "cid", "lq")
+    assigned = _sem_np_assign(
+        assigned2.select("ccid", "mid", "vec_id", "q"),
+        book3,
+        ("ccid", "mid"),
+        "vec_id long, cid string, q array<long>",
+    ).localCheckpoint(eager=True)
     return _sem_tau_verdict(assigned)
 
 
