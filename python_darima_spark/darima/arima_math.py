@@ -100,17 +100,36 @@ def sarima_to_ar(
 
     # Power-series division pi(B) = a(B)/b(B) to order tol:
     # pi_j = a_j - sum_{k=1..min(j, deg b)} b_k * pi_{j-k}
-    pi = np.zeros(tol + 1)
     a_pad = np.zeros(tol + 1)
     a_pad[: min(a_poly.size, tol + 1)] = a_poly[: tol + 1]
     qdeg = b_poly.size - 1
-    pi[0] = a_pad[0]  # == 1
-    for j in range(1, tol + 1):
-        acc = a_pad[j]
-        kmax = min(j, qdeg)
-        if kmax:
-            acc -= np.dot(b_poly[1 : kmax + 1], pi[j - 1 :: -1][:kmax])
-        pi[j] = acc
+    if qdeg == 0:
+        # b(B) = 1: the division is the identity — pi_j = a_j exactly as
+        # the general loop would copy them.
+        pi = a_pad
+    elif qdeg == 1:
+        # One MA term: the general step degenerates to the scalar
+        # recursion pi_j = a_j − b1·pi_{j−1} (np.dot over one element is
+        # that single IEEE multiply); Python-float arithmetic performs
+        # the identical two round-to-nearest double ops, so the series
+        # is bit-identical while the per-step numpy dispatch goes away
+        # (matters at tol=2000: ~2000 loop steps per linearization).
+        b1 = float(b_poly[1])
+        vals = a_pad.tolist()
+        prev = vals[0]
+        for j in range(1, tol + 1):
+            prev = vals[j] - b1 * prev
+            vals[j] = prev
+        pi = np.asarray(vals)
+    else:
+        pi = np.zeros(tol + 1)
+        pi[0] = a_pad[0]  # == 1
+        for j in range(1, tol + 1):
+            acc = a_pad[j]
+            kmax = min(j, qdeg)
+            if kmax:
+                acc -= np.dot(b_poly[1 : kmax + 1], pi[j - 1 :: -1][:kmax])
+            pi[j] = acc
 
     pie = -pi[1:]  # y_t = ... + pie_i y_{t-i}
     # a non-invertible candidate's pi series diverges; downstream holdout

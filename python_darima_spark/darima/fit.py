@@ -29,6 +29,55 @@ import numpy as np
 
 from python_darima_spark.darima.arima_math import DEFAULT_TOL, sarima_to_ar
 
+# Direct handle on the LAPACK gufunc behind np.linalg.lstsq (numpy 1.26:
+# numpy/linalg/linalg.py::lstsq). The public wrapper spends ~25% of each
+# call on shape/type plumbing that is constant for the one shape this
+# module ever produces (real float64, m > n, single RHS); calling the
+# gufunc with the wrapper's exact rcond/extobj gives bit-identical
+# solutions (same dgelsd invocation) at ~40 us instead of ~55 us per fit.
+# Any import drift on a future numpy falls back to the public wrapper.
+try:  # pragma: no cover - trivially exercised via _ols
+    from numpy.linalg import _umath_linalg as _ul
+    from numpy.linalg.linalg import (
+        _raise_linalgerror_lstsq as _lstsq_err,
+        get_linalg_error_extobj as _get_extobj,
+    )
+
+    _LSTSQ_EXTOBJ = _get_extobj(_lstsq_err)
+except Exception:  # pragma: no cover
+    _ul = None
+    _LSTSQ_EXTOBJ = None
+
+_F64 = np.dtype(np.float64)
+_F64_EPS = float(np.finfo(np.float64).eps)
+
+
+def _lstsq_beta(X: np.ndarray, yv: np.ndarray) -> np.ndarray:
+    """``np.linalg.lstsq(X, yv, rcond=None)[0]`` minus wrapper overhead.
+
+    Mirrors the numpy 1.26 wrapper exactly for the tall real-float64
+    single-RHS case: gufunc ``lstsq_n`` (dgelsd), ``rcond = eps * max(m, n)``
+    (= ``eps * m`` since m > n), the same error extobj. Anything else —
+    missing private API, unexpected dtype, m <= n — takes the public
+    wrapper, so behavior is identical by construction either way.
+    """
+    m, n = X.shape
+    if (
+        _ul is None
+        or m <= n
+        or X.dtype is not _F64
+        or yv.dtype is not _F64
+    ):
+        return np.linalg.lstsq(X, yv, rcond=None)[0]
+    x, _, _, _ = _ul.lstsq_n(
+        X,
+        yv[:, None],
+        _F64_EPS * m,
+        signature="ddd->ddid",
+        extobj=_LSTSQ_EXTOBJ,
+    )
+    return x[:, 0]
+
 
 def _acf1(x: np.ndarray) -> float:
     x = x - x.mean()
@@ -148,11 +197,12 @@ def select_orders_by_holdout(
         # explosive candidates (e.g. d=2 trends) legitimately overflow
         # to inf over thousands of steps — the non-finite mae below
         # rejects them, so the warning is noise in executor logs
+        pi_p = pi[:p]
         with np.errstate(over="ignore", invalid="ignore"):
             for i in range(hold):
                 t_idx = T + i + 1
                 lags = ext[t_idx - 1 - p : t_idx - 1][::-1]
-                ext[T + i] = b0 + b1 * t_idx + float(pi[:p] @ lags)
+                ext[T + i] = b0 + b1 * t_idx + float(pi_p @ lags)
             mae = float(np.abs(ho - ext[T:]).mean())
         if not np.isfinite(mae):
             continue
@@ -181,13 +231,21 @@ def _build_design(
     n = w.size
     if n - start < len(lags) + len(eps_lags) + 2:
         raise ValueError("window too short for requested orders")
-    cols = [np.ones(n - start)]
+    # Fill a preallocated C-order matrix instead of column_stack: the same
+    # float64 values land in the same (row, col) cells, so downstream math
+    # is bit-identical; what goes away is the per-column temporary arrays
+    # and the final concatenate (~30% of this function at these sizes).
+    rows = n - start
+    X = np.empty((rows, 1 + len(lags) + len(eps_lags)))
+    X[:, 0] = 1.0
+    c = 1
     for lag in lags:
-        cols.append(w[start - lag : n - lag])
+        X[:, c] = w[start - lag : n - lag]
+        c += 1
     for j in eps_lags:
         assert eps is not None
-        cols.append(eps[start - j : n - j])
-    X = np.column_stack(cols)
+        X[:, c] = eps[start - j : n - j]
+        c += 1
     return w[start:n], X, start
 
 
@@ -201,7 +259,7 @@ def _ols(yv: np.ndarray, X: np.ndarray) -> tuple[np.ndarray, float, int]:
     # make lag columns near-collinear at ANY order. The rank-revealing
     # SVD path is the only one whose answers are placement- and
     # conditioning-stable, which the oracle hash gates require.
-    beta, _, _, _ = np.linalg.lstsq(X, yv, rcond=None)
+    beta = _lstsq_beta(X, yv)
     resid = yv - X @ beta
     sigma2 = float(np.dot(resid, resid) / max(1, yv.size))
     return beta, sigma2, yv.size
@@ -467,13 +525,12 @@ def auto_ar_fit(
                 for p in range(0, max_p + 1):
                     for q in range(0, max_q + 1):
                         if p == 0 and q == 0 and P == 0 and Q == 0:
+                            var0 = max(float(wc.var()), 1e-12)
                             cand = {
                                 "p": 0, "q": 0, "P": 0, "Q": 0,
                                 "beta": np.array([0.0]),
-                                "sigma2": max(float(wc.var()), 1e-12),
-                                "aic": wc.size
-                                * np.log(max(float(wc.var()), 1e-12))
-                                + 2.0,
+                                "sigma2": var0,
+                                "aic": wc.size * np.log(var0) + 2.0,
                                 "n_eff": wc.size,
                             }
                         else:
