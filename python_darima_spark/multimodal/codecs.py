@@ -260,7 +260,7 @@ _DCT = np.array(
     ]
 )
 
-def _dequant_idct(zz_rows: np.ndarray, q: np.ndarray) -> np.ndarray:
+def _dequant_idct_full(zz_rows: np.ndarray, q: np.ndarray) -> np.ndarray:
     """Batched dequantize + de-zigzag + 2-D inverse DCT over ``(n, 64)``
     zigzag coefficient rows → ``(n, 8, 8)`` float64 sample blocks
     (+128 level shift). ONE shared implementation so the sequential and
@@ -275,6 +275,23 @@ def _dequant_idct(zz_rows: np.ndarray, q: np.ndarray) -> np.ndarray:
     coef = np.zeros((zz_rows.shape[0], 8, 8), dtype=np.float64)
     coef[:, _ZZ_ROWS, _ZZ_COLS] = deq
     return np.matmul(np.matmul(_DCT.T, coef), _DCT) + 128.0
+
+
+def _dequant_idct(zz_rows: np.ndarray, q: np.ndarray) -> np.ndarray:
+    """DC-only reduction in front of :func:`_dequant_idct_full`: when no
+    row carries AC energy (every corpus-certified stream), the IDCT of
+    a row depends only on its DC value, so the ≤|distinct DC| full-path
+    products are computed once and gathered back per block — the same
+    per-block matmul on the same inputs, bit-identical by construction.
+    Any AC coefficient anywhere sends the whole batch down the full
+    path unchanged."""
+    if zz_rows.shape[0] > 8 and not zz_rows[:, 1:].any():
+        uniq, inv = np.unique(zz_rows[:, 0], return_inverse=True)
+        if uniq.size * 2 <= zz_rows.shape[0]:
+            urows = np.zeros((uniq.size, 64), dtype=zz_rows.dtype)
+            urows[:, 0] = uniq
+            return _dequant_idct_full(urows, q)[inv]
+    return _dequant_idct_full(zz_rows, q)
 
 
 # canonical huffman spec (BITS counts per code length 1..16, then the
@@ -366,7 +383,7 @@ def _default_quant() -> np.ndarray:
 # BT.601 full-range YCbCr, the JFIF color space (both matrices from
 # the public JFIF spec; the decoder inverts with the standard
 # 1.402/0.344136/0.714136/1.772 coefficients)
-def _rgb_to_ycbcr(a: np.ndarray) -> list[np.ndarray]:
+def _rgb_to_ycbcr_full(a: np.ndarray) -> list[np.ndarray]:
     r = a[:, :, 0].astype(np.float64)
     g = a[:, :, 1].astype(np.float64)
     b = a[:, :, 2].astype(np.float64)
@@ -377,6 +394,30 @@ def _rgb_to_ycbcr(a: np.ndarray) -> list[np.ndarray]:
         np.clip(np.floor(p + 0.5), 0, 255).astype(np.uint8)
         for p in (y, cb, cr)
     ]
+
+
+# grey-input fast path: the transform depends only on the single channel
+# value, so a 256-entry LUT COMPUTED BY THE FULL PATH ITSELF replaces the
+# three per-pixel float chains — outputs are bit-identical by
+# construction (same function, memoized per input value)
+_YCBCR_GRAY_LUT: list[np.ndarray] | None = None
+
+
+def _rgb_to_ycbcr(a: np.ndarray) -> list[np.ndarray]:
+    if a.dtype == np.uint8:
+        r = a[:, :, 0]
+        if (a[:, :, 1] == r).all() and (a[:, :, 2] == r).all():
+            global _YCBCR_GRAY_LUT
+            if _YCBCR_GRAY_LUT is None:
+                ramp = np.arange(256, dtype=np.uint8)
+                _YCBCR_GRAY_LUT = [
+                    p[0]
+                    for p in _rgb_to_ycbcr_full(
+                        np.stack([ramp, ramp, ramp], axis=-1)[None, :, :]
+                    )
+                ]
+            return [lut[r] for lut in _YCBCR_GRAY_LUT]
+    return _rgb_to_ycbcr_full(a)
 
 
 def _downsample2(p: np.ndarray) -> np.ndarray:
@@ -390,7 +431,7 @@ def _downsample2(p: np.ndarray) -> np.ndarray:
     return ((s + 2) // 4).astype(np.uint8)
 
 
-def _fdct_quantized_zz(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+def _fdct_quantized_zz_full(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
     """Batched FDCT + quantize + zigzag over an edge-padded plane:
     ``(bh·8, bw·8)`` uint8 → ``(bh·bw, 64)`` int64 zigzag rows in
     row-major block order. Identical per-block arithmetic to the old
@@ -406,6 +447,44 @@ def _fdct_quantized_zz(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
     s = np.matmul(np.matmul(_DCT, blocks), _DCT.T)
     coef = np.round(s / q).astype(np.int64)
     return coef[:, :, _ZZ_ROWS, _ZZ_COLS].reshape(h8 * w8, 64)
+
+
+# flat-plane fast path: a FLAT 8×8 block's FDCT depends only on its one
+# sample value, so the ≤256 distinct coefficient rows are computed ONCE
+# per quant table BY THE FULL PATH ITSELF (on a synthetic one-block-per-
+# value plane) and gathered — bit-identical by construction, because
+# np.matmul over a (n, 8, 8) stack is an independent per-block product
+# (the property the batched rewrite above already certified). Planes
+# with any non-flat block take the full path unchanged.
+_FDCT_FLAT_ROWS: dict[bytes, np.ndarray] = {}  # q.tobytes() -> (256, 64)
+_FDCT_FLAT_HAVE: dict[bytes, np.ndarray] = {}  # q.tobytes() -> (256,) bool
+
+
+def _fdct_quantized_zz(plane: np.ndarray, q: np.ndarray) -> np.ndarray:
+    h8, w8 = plane.shape[0] // 8, plane.shape[1] // 8
+    if plane.dtype == np.uint8:
+        bu = plane.reshape(h8, 8, w8, 8).transpose(0, 2, 1, 3).reshape(
+            h8 * w8, 64
+        )
+        first = bu[:, 0]
+        if (bu == first[:, None]).all():
+            key = q.tobytes()
+            rows = _FDCT_FLAT_ROWS.get(key)
+            if rows is None:
+                rows = np.zeros((256, 64), dtype=np.int64)
+                _FDCT_FLAT_ROWS[key] = rows
+                _FDCT_FLAT_HAVE[key] = np.zeros(256, dtype=bool)
+            have = _FDCT_FLAT_HAVE[key]
+            uniq = np.unique(first)
+            miss = uniq[~have[uniq]]
+            if miss.size:
+                synth = np.repeat(miss.astype(np.uint8), 64).reshape(
+                    miss.size * 8, 8
+                )
+                rows[miss] = _fdct_quantized_zz_full(synth, q)
+                have[miss] = True
+            return rows[first]
+    return _fdct_quantized_zz_full(plane, q)
 
 
 def _last_nonzero_ac(zz: np.ndarray) -> np.ndarray:
@@ -1331,12 +1410,10 @@ def jpeg_decode_baseline(data: bytes) -> np.ndarray:
     # vectorized speculative scan decode; ANY deviation — AC energy,
     # odd tables, misaligned restarts — falls back to the exact serial
     # loop below, which also owns every error message.
-    if not (
-        _VECTOR_ENTROPY
-        and _decode_dc_only_scan(
-            br, per_comp, n_per_mcu, mcu_rows, mcu_cols, ri, coeffs
-        )
-    ):
+    dc_only = _VECTOR_ENTROPY and _decode_dc_only_scan(
+        br, per_comp, n_per_mcu, mcu_rows, mcu_cols, ri, coeffs
+    )
+    if not dc_only:
         coeffs[:, 0] = 0  # discard any partial fast-path DC writes
         mcu, rst_expect = 0, 0
         for by in range(mcu_rows):
@@ -1374,9 +1451,26 @@ def jpeg_decode_baseline(data: bytes) -> np.ndarray:
             + (comp_off + np.arange(nb, dtype=np.int64))[None, :]
         ).ravel()
         comp_off += nb
-        out = _dequant_idct(coeffs[rows], q)  # (nblocks, 8, 8) decode order
         gw = mcu_cols * hs  # component block-grid width
         gh = mcu_rows * vs
+        if dc_only:
+            # flat-raster fast path: every block is DC-only, so its 64
+            # IDCT samples are one repeated value (single product plus
+            # exact-zero additions in the batched matmul — asserted in
+            # tests). Compute the ≤|distinct DC| values THROUGH the
+            # full IDCT itself, keep per-BLOCK scalars, and let the
+            # whole downstream (upsample, color transform, clip/round)
+            # run at block granularity — the final pixel raster is the
+            # 8×8 replication of bit-identical per-block results.
+            dcs = coeffs[rows, 0]
+            uniq, inv = np.unique(dcs, return_inverse=True)
+            urows = np.zeros((uniq.size, 64), dtype=np.int64)
+            urows[:, 0] = uniq
+            out = _dequant_idct_full(urows, q)[:, 0, 0][inv]  # (nblocks,)
+            gshape: tuple = (gh, gw)
+        else:
+            out = _dequant_idct(coeffs[rows], q)  # (nblocks, 8, 8)
+            gshape = (gh, gw, 8, 8)
         if nb == 1:
             # 1×1 sampling: decode order IS row-major grid order
             grid = out
@@ -1388,16 +1482,25 @@ def jpeg_decode_baseline(data: bytes) -> np.ndarray:
             gy = by_g[:, None, None] * vs + v_idx[None, :, None]
             gx = bx_g[:, None, None] * hs + h_idx[None, None, :]
             gidx = (gy * gw + gx).ravel()  # grid slot per block
-            grid = np.empty((gh * gw, 8, 8), dtype=np.float64)
+            grid = np.empty(
+                (gh * gw,) + gshape[2:], dtype=np.float64
+            )
             grid[gidx] = out
-        planes[ci] = (
-            grid.reshape(gh, gw, 8, 8)
-            .transpose(0, 2, 1, 3)
-            .reshape(gh * 8, gw * 8)
-        )
+        if dc_only:
+            planes[ci] = grid.reshape(gh, gw)
+        else:
+            planes[ci] = (
+                grid.reshape(gh, gw, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(gh * 8, gw * 8)
+            )
     # upsample subsampled components by pixel replication to the full
     # MCU-padded grid, then crop to the true image size (replicating by
-    # a factor of 1 would just copy — skipped)
+    # a factor of 1 would just copy — skipped). On the flat fast path
+    # the replication happens at BLOCK granularity (a chroma block
+    # upsampled 2× covers exactly the 2×2 luma-grid blocks, same
+    # mapping as pixel replication), and the one pixel-level repeat
+    # runs at the very end on the final uint8.
     planes = [
         p
         if vmax == vs and hmax == hs
@@ -1407,20 +1510,22 @@ def jpeg_decode_baseline(data: bytes) -> np.ndarray:
         for p, (_q, _dc, _ac, hs, vs) in zip(planes, per_comp)
     ]
     if len(planes) == 1:
-        return (
-            np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[:h, :w]
+        u8 = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    else:
+        # JFIF YCbCr → RGB (standard inverse coefficients)
+        y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+        rgb = np.stack(
+            [
+                y + 1.402 * cr,
+                y - 0.344136 * cb - 0.714136 * cr,
+                y + 1.772 * cb,
+            ],
+            axis=-1,
         )
-    # JFIF YCbCr → RGB (standard inverse coefficients)
-    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
-    rgb = np.stack(
-        [
-            y + 1.402 * cr,
-            y - 0.344136 * cb - 0.714136 * cr,
-            y + 1.772 * cb,
-        ],
-        axis=-1,
-    )
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)[:h, :w]
+        u8 = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    if dc_only:
+        u8 = np.repeat(np.repeat(u8, 8, axis=0), 8, axis=1)
+    return u8[:h, :w]
 
 
 # ---------------------------------------------------------------------------
@@ -2436,29 +2541,46 @@ def jpeg_decode_progressive(data: bytes) -> np.ndarray:
         raise ValueError("no SOF2 frame")
     h, w = sof
     bh, bw_ = -(-h // 8), -(-w // 8)
+    # flat-raster fast path (same argument as the baseline decoder): when
+    # every accumulated block is DC-only, its 64 IDCT samples are one
+    # repeated value computed THROUGH the full IDCT on the distinct DC
+    # values, and the color/clip/round tail runs at block granularity
+    # with one 8×8 uint8 replication at the end — bit-identical pixels.
+    flat = all(not c[:, 1:].any() for c in coefs)
     planes = []
     for ci, (_cid, tq) in enumerate(comps):
         q = qtabs.get(tq)
         if q is None:
             raise ValueError("missing quant table referenced by frame")
-        out = _dequant_idct(coefs[ci], q)  # row-major block order
-        planes.append(
-            out.reshape(bh, bw_, 8, 8)
-            .transpose(0, 2, 1, 3)
-            .reshape(bh * 8, bw_ * 8)
-        )
+        if flat:
+            uniq, inv = np.unique(coefs[ci][:, 0], return_inverse=True)
+            urows = np.zeros((uniq.size, 64), dtype=np.int64)
+            urows[:, 0] = uniq
+            vals = _dequant_idct_full(urows, q)[:, 0, 0][inv]
+            planes.append(vals.reshape(bh, bw_))
+        else:
+            out = _dequant_idct(coefs[ci], q)  # row-major block order
+            planes.append(
+                out.reshape(bh, bw_, 8, 8)
+                .transpose(0, 2, 1, 3)
+                .reshape(bh * 8, bw_ * 8)
+            )
     if len(planes) == 1:
-        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)[:h, :w]
-    y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
-    rgb = np.stack(
-        [
-            y + 1.402 * cr,
-            y - 0.344136 * cb - 0.714136 * cr,
-            y + 1.772 * cb,
-        ],
-        axis=-1,
-    )
-    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)[:h, :w]
+        u8 = np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    else:
+        y, cb, cr = planes[0], planes[1] - 128.0, planes[2] - 128.0
+        rgb = np.stack(
+            [
+                y + 1.402 * cr,
+                y - 0.344136 * cb - 0.714136 * cr,
+                y + 1.772 * cb,
+            ],
+            axis=-1,
+        )
+        u8 = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    if flat:
+        u8 = np.repeat(np.repeat(u8, 8, axis=0), 8, axis=1)
+    return u8[:h, :w]
 
 
 def jpeg_decode(data: bytes) -> np.ndarray:
