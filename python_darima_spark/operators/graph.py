@@ -19,8 +19,24 @@ re-used by every iteration, and AQE handles skewed high-degree hubs
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Broadcast cap for the per-iteration rank vector (rows). The rank table
+# is |nodes| × (long, double) ≈ 30 B/row framed — ~300 MB at the 10M
+# default, comfortably inside executor memory and far under Spark's 8 GB
+# / 512M-row broadcast ceiling. Web-scale graphs have edges ≫ nodes, so
+# broadcasting the rank vector and never shuffling the (checkpointed,
+# possibly 100 TB) adjacency is the standard PageRank shape wherever the
+# node set fits; beyond the cap the join falls back to the shuffled path.
+# The decision uses the EXACT node count (already materialized for the
+# teleport term) rather than Catalyst's post-aggregate size estimates,
+# which undershoot and never trigger the automatic broadcast here.
+_PR_BCAST_MAX_NODES = int(
+    os.environ.get("SPARK_GRAFT_PR_BCAST_MAX_NODES", str(10_000_000))
+)
 
 
 def pagerank(
@@ -98,11 +114,16 @@ def pagerank(
     ranks = nodes.crossJoin(F.broadcast(n_df)).select(
         "node", (F.lit(1.0) / F.col("n")).alias("rank")
     )
+    # rank-vector join strategy: broadcast when the node set provably
+    # fits (exact count from the 1-row checkpointed aggregate — O(1)
+    # driver read), so no iteration ever shuffles or sorts the big
+    # adjacency side; shuffled join past the cap
+    n_nodes = int(n_df.first()["n"])
+    bcast_ranks = n_nodes <= _PR_BCAST_MAX_NODES
     for _ in range(iterations):
+        r = ranks.select(F.col("node").alias("src"), "rank")
         contrib = (
-            adj.join(
-                ranks.select(F.col("node").alias("src"), "rank"), "src"
-            )
+            adj.join(F.broadcast(r) if bcast_ranks else r, "src")
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("_deg")).alias("_c"))
         )
