@@ -2592,7 +2592,18 @@ def q_dedup_phash(spark: SparkSession, sf: str) -> DataFrame:
     # n_px < 2 → all-zero fingerprint: at scale every degenerate image
     # would band-collide with every other (a hot-bucket by construction),
     # and the brute oracle excludes them — drop them symmetrically.
-    ph = _phash_frame(docs.union(twins)).where(F.col("n_px") >= 2)
+    # localCheckpoint: the fingerprint frame feeds BOTH sides of the
+    # banded self-join, and the subtree behind it is the expensive part
+    # (PNG encode + real decode, two Python stages) — without the
+    # barrier each side replays the full decode (plan showed 8
+    # MapInPandas nodes for 2 logical stages). The materialized frame
+    # is 4 longs/image — exactly the guide's "decide on the small
+    # proxy table" shape; the heavy bytes are read once.
+    ph = (
+        _phash_frame(docs.union(twins))
+        .where(F.col("n_px") >= 2)
+        .localCheckpoint(eager=True)
+    )
     bands = ph.select(
         "media_id",
         "phash_hi",
