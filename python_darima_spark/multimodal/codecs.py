@@ -1444,6 +1444,10 @@ def jpeg_decode_baseline(data: bytes) -> np.ndarray:
     # ~a quarter of the decode wall on block-heavy streams)
     mcus = np.arange(mcu_rows * mcu_cols, dtype=np.int64)
     comp_off = 0
+    # block-granularity tail only when there are enough blocks to
+    # amortize its per-image numpy overhead (unique/gather/repeat):
+    # one-block MJPG frames measured ~10% SLOWER through it
+    dc_fast = dc_only and mcu_rows * mcu_cols * n_per_mcu >= 32
     for ci, (q, _dc, _ac, hs, vs) in enumerate(per_comp):
         nb = hs * vs
         rows = (
@@ -1453,7 +1457,7 @@ def jpeg_decode_baseline(data: bytes) -> np.ndarray:
         comp_off += nb
         gw = mcu_cols * hs  # component block-grid width
         gh = mcu_rows * vs
-        if dc_only:
+        if dc_fast:
             # flat-raster fast path: every block is DC-only, so its 64
             # IDCT samples are one repeated value (single product plus
             # exact-zero additions in the batched matmul — asserted in
@@ -1486,7 +1490,7 @@ def jpeg_decode_baseline(data: bytes) -> np.ndarray:
                 (gh * gw,) + gshape[2:], dtype=np.float64
             )
             grid[gidx] = out
-        if dc_only:
+        if dc_fast:
             planes[ci] = grid.reshape(gh, gw)
         else:
             planes[ci] = (
@@ -1523,7 +1527,7 @@ def jpeg_decode_baseline(data: bytes) -> np.ndarray:
             axis=-1,
         )
         u8 = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
-    if dc_only:
+    if dc_fast:
         u8 = np.repeat(np.repeat(u8, 8, axis=0), 8, axis=1)
     return u8[:h, :w]
 
@@ -2546,7 +2550,7 @@ def jpeg_decode_progressive(data: bytes) -> np.ndarray:
     # repeated value computed THROUGH the full IDCT on the distinct DC
     # values, and the color/clip/round tail runs at block granularity
     # with one 8×8 uint8 replication at the end — bit-identical pixels.
-    flat = all(not c[:, 1:].any() for c in coefs)
+    flat = bh * bw_ >= 32 and all(not c[:, 1:].any() for c in coefs)
     planes = []
     for ci, (_cid, tq) in enumerate(comps):
         q = qtabs.get(tq)
