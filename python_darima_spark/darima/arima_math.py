@@ -25,10 +25,29 @@ import numpy as np
 
 DEFAULT_TOL = 2000
 
+# per-tol cache of the lag-index vector used by every linearization —
+# sarima_to_ar runs 6× per fitted window (once per holdout candidate plus
+# the final fit), and the arange allocation was a measurable slice of the
+# r11 fit profile (values are identical: same dtype, same contents)
+_IDX_CACHE: dict[int, np.ndarray] = {}
+
+_UNIT_POLY = np.array([1.0])
+
 
 def _polymul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
-    """Product of polynomials given as ascending-power coefficient arrays."""
-    return np.convolve(np.asarray(a, dtype=float), np.asarray(b, dtype=float))
+    """Product of polynomials given as ascending-power coefficient arrays.
+
+    Multiplying by the unit polynomial [1.0] is skipped outright: convolve
+    with [1.0] returns each coefficient as the single exact product
+    1.0·c — bit-identical to the input — and the hot fit path hits this
+    case on every candidate with an empty AR/MA factor (r11 profile)."""
+    a = np.asarray(a, dtype=float)
+    b = np.asarray(b, dtype=float)
+    if b.size == 1 and b[0] == 1.0:
+        return a
+    if a.size == 1 and a[0] == 1.0:
+        return b
+    return np.convolve(a, b)
 
 
 def _polypow(a: np.ndarray, n: int) -> np.ndarray:
@@ -132,11 +151,13 @@ def sarima_to_ar(
             pi[j] = acc
 
     pie = -pi[1:]  # y_t = ... + pie_i y_{t-i}
+    idx = _IDX_CACHE.get(tol)
+    if idx is None:
+        idx = _IDX_CACHE[tol] = np.arange(1, tol + 1, dtype=float)
     # a non-invertible candidate's pi series diverges; downstream holdout
     # scoring rejects it on the non-finite forecast, so don't warn here
     with np.errstate(over="ignore", invalid="ignore"):
         s = pie.sum()
-        idx = np.arange(1, tol + 1, dtype=float)
         beta0 = mean * (1.0 - s) + drift * float(idx @ pie)
         beta1 = drift * (1.0 - s)
     return {"beta0": float(beta0), "beta1": float(beta1), "pi": pie}

@@ -182,33 +182,46 @@ def select_orders_by_holdout(
     sel_tol = tol
     tr, ho = y[:split], y[split:]
     best: tuple | None = None
-    for d, D in cands:
-        try:
-            fit = auto_ar_fit(
-                tr, m=m, max_p=max_p, max_q=max_q, max_P=max_P, max_Q=max_Q,
-                d=d, D=D, tol=sel_tol, search=search, max_order=max_order,
-            )
-        except (ValueError, np.linalg.LinAlgError):
-            continue
-        b0, b1, pi = fit["beta0"], fit["beta1"], fit["pi"]
-        T = split
-        p = min(sel_tol, T)
-        ext = np.concatenate([tr, np.zeros(hold)])
-        # explosive candidates (e.g. d=2 trends) legitimately overflow
-        # to inf over thousands of steps — the non-finite mae below
-        # rejects them, so the warning is noise in executor logs
-        pi_p = pi[:p]
-        with np.errstate(over="ignore", invalid="ignore"):
+    T = split
+    p = min(sel_tol, T)
+    # one forecast buffer + one trend vector shared by every candidate
+    # (r11): the per-candidate concatenate and the two scalar trend ops
+    # per recursion step were ~15% of the holdout loop. trend[i] is the
+    # same two IEEE ops (b1·t, then +b0) the scalar code performed, just
+    # evaluated elementwise up front, so forecasts are bit-identical.
+    ext = np.empty(T + hold)
+    tvals = np.arange(T + 1, T + hold + 1, dtype=float)
+    # explosive candidates (e.g. d=2 trends) legitimately overflow
+    # to inf over thousands of steps — the non-finite mae below
+    # rejects them, so the warning is noise in executor logs (the
+    # errstate also spans the candidate fits: it only silences
+    # warnings, never changes results)
+    with np.errstate(over="ignore", invalid="ignore"):
+        for d, D in cands:
+            try:
+                fit = auto_ar_fit(
+                    tr, m=m, max_p=max_p, max_q=max_q, max_P=max_P,
+                    max_Q=max_Q,
+                    d=d, D=D, tol=sel_tol, search=search,
+                    max_order=max_order,
+                )
+            except (ValueError, np.linalg.LinAlgError):
+                continue
+            b0, b1, pi = fit["beta0"], fit["beta1"], fit["pi"]
+            ext[:T] = tr
+            ext[T:] = 0.0
+            pi_p = pi[:p]
+            trend = b0 + b1 * tvals
             for i in range(hold):
                 t_idx = T + i + 1
                 lags = ext[t_idx - 1 - p : t_idx - 1][::-1]
-                ext[T + i] = b0 + b1 * t_idx + float(pi_p @ lags)
+                ext[T + i] = trend[i] + float(pi_p @ lags)
             mae = float(np.abs(ho - ext[T:]).mean())
-        if not np.isfinite(mae):
-            continue
-        key = (mae, d + D, d)  # deterministic; prefer less differencing
-        if best is None or key < best[0]:
-            best = (key, (d, D))
+            if not np.isfinite(mae):
+                continue
+            key = (mae, d + D, d)  # deterministic; prefer less differencing
+            if best is None or key < best[0]:
+                best = (key, (d, D))
     if best is None:
         return select_orders_of_differencing(y, m, max_d)
     return best[1]
@@ -572,6 +585,37 @@ def auto_ar_fit(
     }
 
 
+def fit_window_to_coef_vec(
+    y: np.ndarray,
+    m: int = 1,
+    tol: int = DEFAULT_TOL,
+    method: str = "mean",
+    **fit_kwargs,
+) -> list[float]:
+    """Fit one window and emit the coefficient VALUES in the fixed key
+    order ``beta0, beta1, ar1..ar{tol}, sigma2`` — the payload of
+    :func:`fit_window_to_coef_rows` without materializing the name
+    strings (the fit pandas-UDF zips names back on the JVM side, so
+    building and discarding 27 tuples per window was pure overhead in
+    the r11 profile).
+
+    ``method="dlsa"`` pre-scales every coefficient by T/σ² and stores that
+    weight under ``sigma2`` (reference behavior at auto_arima.R:103-110);
+    ``method="mean"`` stores σ² itself.
+    """
+    fit = auto_ar_fit(np.asarray(y, dtype=float), m=m, tol=tol, **fit_kwargs)
+    vec = np.concatenate(([fit["beta0"], fit["beta1"]], fit["pi"]))
+    if method == "dlsa":
+        weight = fit["n"] / max(fit["sigma2"], 1e-300)
+        vec = vec * weight
+        sigma_val = weight
+    else:
+        sigma_val = fit["sigma2"]
+    out = vec.tolist()
+    out.append(float(sigma_val))
+    return out
+
+
 def fit_window_to_coef_rows(
     y: np.ndarray,
     m: int = 1,
@@ -581,21 +625,10 @@ def fit_window_to_coef_rows(
 ) -> list[tuple[str, float]]:
     """Fit one window and emit the coefficient multiset the combine keys on:
     ``beta0, beta1, ar1..ar{tol}, sigma2`` (key space per
-    /root/reference/auto_arima.R:62-65,109-113).
-
-    ``method="dlsa"`` pre-scales every coefficient by T/σ² and stores that
-    weight under ``sigma2`` (reference behavior at auto_arima.R:103-110);
-    ``method="mean"`` stores σ² itself.
+    /root/reference/auto_arima.R:62-65,109-113). Same values as
+    :func:`fit_window_to_coef_vec`, paired with their names.
     """
-    fit = auto_ar_fit(np.asarray(y, dtype=float), m=m, tol=tol, **fit_kwargs)
-    vec = np.concatenate(([fit["beta0"], fit["beta1"]], fit["pi"]))
+    vals = fit_window_to_coef_vec(y, m=m, tol=tol, method=method, **fit_kwargs)
     names = ["beta0", "beta1"] + [f"ar{i}" for i in range(1, tol + 1)]
-    if method == "dlsa":
-        weight = fit["n"] / max(fit["sigma2"], 1e-300)
-        vec = vec * weight
-        sigma_val = weight
-    else:
-        sigma_val = fit["sigma2"]
-    rows = list(zip(names, vec.tolist()))
-    rows.append(("sigma2", float(sigma_val)))
-    return rows
+    names.append("sigma2")
+    return list(zip(names, vals))

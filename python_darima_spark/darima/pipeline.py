@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from python_darima_spark.darima.arima_math import DEFAULT_TOL, ar_to_ma, normal_ppf
-from python_darima_spark.darima.fit import fit_window_to_coef_rows
+from python_darima_spark.darima.fit import fit_window_to_coef_vec
 from python_darima_spark.operators.timeseries import split_series
 
 FORECAST_SCHEMA = (
@@ -118,12 +118,11 @@ def fit_windows(
     def fit_vec(ys: pd.Series) -> pd.Series:
         out = []
         for arr in ys:
-            rows = fit_window_to_coef_rows(
+            out.append(fit_window_to_coef_vec(
                 np.asarray(arr, dtype=float), m=m, tol=tol, method=method,
                 max_p=max_p, max_q=max_q, max_P=max_P, max_Q=max_Q,
                 d=d_forced, D=D_forced, search=search, max_order=max_order,
-            )
-            out.append([float(v) for _, v in rows])
+            ))
         return pd.Series(out)
 
     with_windows = (
