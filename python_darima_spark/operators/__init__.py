@@ -55,8 +55,19 @@ def fan_out(df: DataFrame, *key_cols: str) -> DataFrame:
     Use this ONLY when a keyed exchange follows (groupBy/join on
     ``key_cols``); for map-only plans use :func:`ensure_parallelism`,
     which shuffles only when the scan is actually under-partitioned.
+
+    The partition count is PINNED to the session's shuffle width (r11):
+    a bare ``repartition(cols)`` is REPARTITION_BY_COL, which AQE's
+    byte-based coalescing may legally collapse — and every fan_out call
+    site marks a spot where a row-expanding or Python-CPU-dense kernel
+    follows, i.e. exactly where shuffle BYTES are the wrong signal for
+    width (measured: the resample rewrite's 7.5 kB-scale packed
+    aggregate coalesced to ~3 partitions and the downstream ARIMA fit
+    ran 9× slower). REPARTITION_BY_NUM is exempt from coalescing, and
+    the width still tracks ``spark.sql.shuffle.partitions``, so it is
+    conf-scaled on a cluster, not a local constant.
     """
-    return df.repartition(*key_cols)
+    return df.repartition(shuffle_width(df.sparkSession), *key_cols)
 
 
 def ensure_parallelism(df: DataFrame, target: int | None = None) -> DataFrame:

@@ -42,38 +42,63 @@ def resample_regular(
     via an ignore-nulls window. Timestamps are truncated to the grid step.
     """
     unit = step.split()[-1].rstrip("s")  # "1 hour" -> "hour"
+    # null grid timestamps can't happen (date_trunc of a null ts): drop
+    # them up front — the previous join-based shape dropped such rows
+    # implicitly (a null key matches no grid row), and map_from_entries
+    # below rejects null keys outright.
     truncated = df.select(
         F.col(series_col),
         F.date_trunc(unit, F.col(ts_col)).alias(ts_col),
         F.col(y_col),
-    ).groupBy(series_col, ts_col).agg(F.sum(y_col).alias(y_col))
+    ).where(F.col(ts_col).isNotNull()).groupBy(series_col, ts_col).agg(
+        F.sum(y_col).alias(y_col)
+    )
 
-    # fan_out BEFORE the row-expanding explode: the bounds aggregate is one
-    # row per series, which AQE coalesces into one partition — leaving it
-    # there would run the explode (×span/step rows, e.g. 7.5k series →
-    # 4.6M grid rows) and the join's map side in a SINGLE task. Measured
-    # 80 s → 8 s on the many-series fit at sf0.1.
-    grid = (
-        fan_out(
-            truncated.groupBy(series_col)
-            .agg(F.min(ts_col).alias("_lo"), F.max(ts_col).alias("_hi")),
-            series_col,
-        )
+    # Gap-fill WITHOUT the grid join (r11, guide §2.4): the previous shape
+    # exploded a per-series [lo, hi] grid and shuffle_hash-joined it back
+    # onto the observations — both join sides exchanged by (series, ts),
+    # i.e. the full grid (span/step rows per series, 4.6M at sf0.1)
+    # crossed the wire, and the downstream fit re-shuffled those rows a
+    # second time to pack windows. Instead, pack each series' observed
+    # (ts, y) pairs into ONE map row (exactly the per-series-bounded
+    # payload the fit's window pack materializes anyway), explode the
+    # grid next to its map, and gap-fill with a map lookup — the grid
+    # rows are BORN next to their values, so nothing grid-sized is ever
+    # shuffled, and the output keeps hashpartitioning(series): the
+    # split/pack aggregates downstream reuse it with no new exchange.
+    # The y values are byte-identical: same per-(series, step) sum, same
+    # sequence() grid, lookup-miss ↔ join-miss.
+    # fan_out BEFORE the per-series pack: the packed aggregate is one
+    # KB-scale row per series, so every later exchange is a byte-based
+    # coalescing target — AQE would run the explode (×span/step rows,
+    # e.g. 7.5k series → 4.6M grid rows) and everything fused after it
+    # (the ARIMA fit UDF, measured 5.7 s → 44 s when it happened) in a
+    # handful of tasks. Pinning the width on the pack's INPUT lets the
+    # aggregate, the explode and all series-keyed consumers reuse one
+    # full-width hash(series) partitioning with no further exchange.
+    packed = fan_out(truncated, series_col).groupBy(series_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col(ts_col), F.col(y_col)))
+        ).alias("_obs"),
+        F.min(ts_col).alias("_lo"),
+        F.max(ts_col).alias("_hi"),
+    )
+    joined = (
+        packed
         .select(
             series_col,
+            "_obs",
             F.explode(
                 F.sequence("_lo", "_hi", F.expr(f"INTERVAL {step}"))
             ).alias(ts_col),
         )
-    )
-    # shuffle_hash, not the planner's default: Catalyst's static size
-    # estimate for the (series, hour) aggregate undershoots badly enough
-    # to BROADCAST it (measured: a 4.6M-row, ~100 MB hashed relation at
-    # 7.5k series — and at real scale it can never fit). A shuffled hash
-    # join co-partitions both sides on the join key and builds per
-    # partition; for few series both exchanges are trivially small.
-    joined = grid.join(
-        truncated.hint("shuffle_hash"), on=[series_col, ts_col], how="left"
+        .select(
+            series_col,
+            ts_col,
+            # try_element_at: NULL on a gap hour (ANSI mode would make
+            # plain element_at/getItem throw on the missing key)
+            F.try_element_at("_obs", F.col(ts_col)).alias(y_col),
+        )
     )
     if fill == "zero":
         out = joined.withColumn(y_col, F.coalesce(F.col(y_col), F.lit(0.0)))
@@ -160,26 +185,29 @@ def split_series(
     if k < 1:
         raise ValueError("num_windows must be >= 1")
     if strategy == "range":
-        bounds = df.groupBy(series_col).agg(
-            F.min(ts_col).alias("_lo"), F.max(ts_col).alias("_hi")
-        )
+        # Per-series bounds via an unordered window over the series key,
+        # not the old aggregate + equi-join (r11): the join shape let
+        # Catalyst broadcast whichever side it mis-estimated as small —
+        # after the resample rewrite it picked the DATA side (the
+        # exploded hourly grid, 4.6M rows at sf0.1), collected it to the
+        # driver, and left the fit running at the tiny bounds side's
+        # post-AQE width (1 task, 5.7 s → 44 s). The window needs no
+        # exchange when the input is already hash-partitioned by the
+        # series (resample_regular's output is) and computes the exact
+        # same per-series min/max, so window_id values are identical.
+        # The null-series filter reproduces the inner join's null-key
+        # drop semantics verbatim.
+        w = Window.partitionBy(series_col)
+        lo = F.min(ts_col).over(w)
+        hi = F.max(ts_col).over(w)
         frac = (
-            F.col(ts_col).cast("double") - F.col("_lo").cast("double")
+            F.col(ts_col).cast("double") - lo.cast("double")
         ) / F.greatest(
-            F.col("_hi").cast("double") - F.col("_lo").cast("double"), F.lit(1e-9)
+            hi.cast("double") - lo.cast("double"), F.lit(1e-9)
         )
-        # no pinned broadcast: bounds is one row per series, so at
-        # millions of series a forced broadcast OOMs the driver — AQE
-        # sees the aggregate's true size at runtime and broadcasts only
-        # when it fits (same reasoning as evaluate()'s scale join,
-        # pipeline.py)
-        return (
-            df.join(bounds, on=series_col)
-            .withColumn(
-                "window_id",
-                F.least(F.floor(frac * k), F.lit(k - 1)).cast("int"),
-            )
-            .drop("_lo", "_hi")
+        return df.where(F.col(series_col).isNotNull()).withColumn(
+            "window_id",
+            F.least(F.floor(frac * k), F.lit(k - 1)).cast("int"),
         )
     if strategy == "ntile":
         w = Window.partitionBy(series_col).orderBy(ts_col)
